@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` maps every implemented operator (SURVEY.md §2) to a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
+DuckDB-runnable ANSI-SQL twin for the driver's differential check.
+Column names and types are aligned pairwise (aggregates aliased
+identically on both sides; floats rounded at the output boundary).
 """
 
 from __future__ import annotations
@@ -13,26 +14,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.operators import aggregates
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    lineitem = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    return aggregates.pricing_summary(lineitem)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": lambda spark, sf: aggregates.pricing_summary(
+            read_table(spark, sf, "lineitem")
+        ),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                    AS sum_qty,
+                   round(sum(l_extendedprice), 2)                               AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6)                                    AS avg_qty,
+                   round(avg(l_extendedprice), 6)                               AS avg_price,
+                   round(avg(l_discount), 6)                                    AS avg_disc,
+                   count(*)                                                     AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,24 @@
+"""play_bq_gcp_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first engine exposing the query and data-processing
+capabilities surveyed from the reference pipeline (see /root/repo/SURVEY.md):
+incremental-load relational core (anti/semi/inner joins, snapshot deltas,
+merge-upsert), a full standard analytics surface (aggregations, window
+functions, set operations, scalar/JSON/array functions), a Structured
+Streaming restatement of the daily batch cadence, and large-scale
+training-data-pipeline operators (deduplication, similarity search,
+text analysis, multimodal column plumbing).
+
+Design principles (SURVEY.md §4):
+  - DataFrame/SQL declarative plans; Catalyst + Tungsten + AQE pick physical
+    strategies (broadcast vs sort-merge, partition coalescing, skew handling).
+  - Built-in ``pyspark.sql.functions`` in every hot path; Arrow-batched
+    pandas UDFs only where built-ins cannot express the semantics.
+  - Explicit partitioning hygiene for 100 TB: broadcast small dimensions,
+    pre-repartition by join/agg keys, partition-pruned parquet layouts.
+"""
+
+from play_bq_gcp_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

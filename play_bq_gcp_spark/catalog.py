@@ -1,0 +1,79 @@
+"""Table catalog: parquet-backed sources and sinks.
+
+Mirrors the reference's BigQuery table surface (SURVEY.md §2.1 S3-S10)
+on partition-friendly parquet: scans get Catalyst column pruning +
+predicate pushdown for free; writes expose the same dispositions the
+reference used (append = WRITE_APPEND, overwrite = WRITE_TRUNCATE /
+if_exists='replace').
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S3: projection/pruning left to Catalyst)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """Declared-schema fetch (S4: reference reads BQ schema field names;
+    /root/reference/main.py:57-58,181-182)."""
+    return read_table(spark, sf_dir, name).schema
+
+
+def append(df: DataFrame, path: str) -> None:
+    """Append sink (S5/S6: insert_rows_from_dataframe / WRITE_APPEND;
+    /root/reference/main.py:62,185,224-232)."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Truncate/replace sink (S7/S8: WRITE_TRUNCATE / if_exists='replace';
+    /root/reference/main.py:268-271, load_data_first.py:118,147).
+
+    ``partition_by`` enables partition-pruned layouts (e.g. by date) —
+    the 100 TB layout for fact tables.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """DDL: namespace creation (S9; /root/reference/load_data_first.py:72-89)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """DDL: drop-if-exists (S10; /root/reference/main.py:287)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1,0 +1,126 @@
+"""Group-by aggregation operators (SURVEY.md §2.4).
+
+The reference computed no local aggregation (trophy totals arrived
+pre-aggregated; /root/reference/main.py:320), so this module supplies the
+engine's aggregation surface directly from Spark: hash aggregate with
+automatic partial (map-side) + final phases, multi-dimensional rollup/
+cube/grouping-sets, distinct and approximate aggregates.
+
+Scale notes: groupBy on a low-cardinality key set (returnflag ×
+linestatus = ~6 groups) partial-aggregates down to almost nothing before
+the shuffle, so these queries scale linearly with input; AQE coalesces
+the tiny post-shuffle partitions.  Floating-point aggregates are rounded
+at the output boundary so results are stable across summation orders and
+comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-02") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the engine's flagship aggregate.
+
+    Filter → groupBy(2 keys) → 8 aggregates → sort.  Catalyst pushes the
+    shipdate predicate into the parquet scan and prunes to 7 columns.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_rollup(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP over a joined star: revenue by (nation, orderstatus) with
+    subtotals and a grand total.  nation is tiny → broadcast join."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first()
+        )
+    )
+
+
+def agg_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE on (returnflag, linestatus): all 4 grouping combinations."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def agg_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube desugar to."""
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return lineitem.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Exact multi-column distinct aggregation."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def approx_aggregates(lineitem: DataFrame) -> DataFrame:
+    """Sketch-backed aggregates (HLL++ / GK quantiles) — the 100 TB path
+    where exact distinct would shuffle every key.  No SQL oracle (sketch
+    results are engine-specific); the driver records a rows-only check.
+    """
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.operators import aggregates
+
+
+def test_pricing_summary_shape(spark, sf_dir):
+    out = aggregates.pricing_summary(read_table(spark, sf_dir, "lineitem"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert out.columns == [
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    ]
+    # groups are sorted and counts positive
+    keys = [(r.l_returnflag, r.l_linestatus) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r.count_order > 0 for r in rows)
+
+
+def test_pricing_summary_exact_tiny(spark):
+    li = spark.createDataFrame(
+        [
+            Row(
+                l_returnflag="A",
+                l_linestatus="F",
+                l_quantity=2.0,
+                l_extendedprice=10.0,
+                l_discount=0.1,
+                l_tax=0.05,
+                l_shipdate="1995-01-01",
+            ),
+            Row(
+                l_returnflag="A",
+                l_linestatus="F",
+                l_quantity=3.0,
+                l_extendedprice=20.0,
+                l_discount=0.0,
+                l_tax=0.0,
+                l_shipdate="1995-01-02",
+            ),
+            # after cutoff → excluded
+            Row(
+                l_returnflag="B",
+                l_linestatus="O",
+                l_quantity=1.0,
+                l_extendedprice=5.0,
+                l_discount=0.0,
+                l_tax=0.0,
+                l_shipdate="2002-01-01",
+            ),
+        ]
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = aggregates.pricing_summary(li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.sum_qty == 5.0
+    assert r.sum_base_price == 30.0
+    assert r.sum_disc_price == 29.0  # 10*0.9 + 20
+    assert abs(r.sum_charge - (10 * 0.9 * 1.05 + 20.0)) < 1e-9
+    assert r.count_order == 2
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    out = aggregates.agg_rollup(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+    ).collect()
+    grand = [r for r in out if r.n_name is None and r.o_orderstatus is None]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(
+        r.n_orders for r in out if r.n_name is not None and r.o_orderstatus is not None
+    )
