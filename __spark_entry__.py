@@ -4,7 +4,8 @@
 ``queries()`` maps every implemented operator (SURVEY.md §2) to a
 callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
 DuckDB-runnable ANSI-SQL twin for the driver's differential check.
-Column names and types are aligned pairwise (aggregates aliased
+The registry itself lives in ``play_bq_gcp_spark/queries.py`` —
+column names and types are aligned pairwise there (aggregates aliased
 identically on both sides; floats rounded at the output boundary).
 """
 
@@ -14,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from play_bq_gcp_spark import queries as q
 from play_bq_gcp_spark.catalog import read_table
 from play_bq_gcp_spark.operators import aggregates
 
@@ -25,28 +27,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "q1_pricing_summary": lambda spark, sf: aggregates.pricing_summary(
-            read_table(spark, sf, "lineitem")
-        ),
-    }
+    return dict(q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "q1_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2)                                    AS sum_qty,
-                   round(sum(l_extendedprice), 2)                               AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 6)                                    AS avg_qty,
-                   round(avg(l_extendedprice), 6)                               AS avg_price,
-                   round(avg(l_discount), 6)                                    AS avg_disc,
-                   count(*)                                                     AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-            GROUP BY l_returnflag, l_linestatus
-            ORDER BY l_returnflag, l_linestatus
-        """,
-    }
+    return dict(q.ORACLES)

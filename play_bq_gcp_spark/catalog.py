@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -33,9 +33,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark reads only as
+# long (via the legacy conf).  We truncate ns→µs deterministically —
+# floor truncation can never flip a comparison against whole-second
+# literals, and DuckDB's ns→µs python conversion floors identically.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S3: projection/pruning left to Catalyst)."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    nanos_cols = NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,65 @@
+"""Merge / upsert (SURVEY.md §2.3 J4, §4.3-1).
+
+The reference upserts via a staged temp table + correlated
+``UPDATE … FROM`` executed remotely (/root/reference/main.py:256-287).
+Vanilla Spark has no in-place UPDATE on files, so the engine restates
+the upsert as a pure transformation: left-join target to updates and
+``coalesce`` each updated column — semantically identical to "update
+matched ids, leave the rest" and idempotent under re-runs.  No staging
+table is needed because lineage replaces staging.
+
+Scale notes: the updates side is typically the small side (only
+changed rows — the reference pre-filters with a semi-join for exactly
+this reason, main.py:244) → broadcast it.  When both sides are huge,
+bucket both on the key so the join is co-located; the overwrite should
+then go partition-by-partition (dynamic partition overwrite) rather
+than full-table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str],
+    update_cols: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Return target with ``update_cols`` replaced by the updates row's
+    value for matched keys (UPDATE…FROM semantics; rows only in
+    ``updates`` are ignored, mirroring main.py:274-284 which never
+    inserts).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    upd = updates.select(
+        *keys, *[F.col(c).alias(f"__upd_{c}") for c in update_cols]
+    )
+    if broadcast_updates:
+        upd = F.broadcast(upd)
+    out = target.join(upd, on=keys, how="left")
+    for c in update_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__upd_{c}"), F.col(c)))
+    return out.drop(*[f"__upd_{c}" for c in update_cols])
+
+
+def merge_insert_and_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | Sequence[str],
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """Full MERGE: update matched keys' columns AND insert unmatched
+    source rows (the reference achieves this with the anti-join append
+    at main.py:176-185 followed by the UPDATE at :274-284; here it is
+    one plan)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    updated = merge_upsert(target, source, keys, update_cols)
+    new_rows = source.select(*target.columns).join(
+        target.select(*keys), on=keys, how="left_anti"
+    )
+    return updated.unionByName(new_rows)

@@ -1,0 +1,77 @@
+"""Relational core: projections, filters, joins (SURVEY.md §2.2-2.3).
+
+These are the operators the reference pipeline actually executes —
+anti-join new-row detection (/root/reference/main.py:176), semi-join
+update candidates (main.py:244), inner-join snapshot diff (main.py:195-203),
+column-subset projections (main.py:153,201) — restated as lazy Spark
+plans.  Catalyst turns the semi/anti joins into broadcast hash joins
+when the filtering side is small, and sort-merge joins at scale; AQE
+re-plans at runtime.
+
+Scale notes: ``snapshot_delta`` joins two same-keyed tables — at 100 TB
+both sides should be bucketed or pre-partitioned on the key so the join
+is shuffle-free; here we rely on AQE.  ``F.broadcast`` hints are applied
+only to genuinely small inputs (dimension tables), never blindly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def project_filter(
+    df: DataFrame, columns: Sequence[str], predicate
+) -> DataFrame:
+    """Projection + filter (S3/P3/P4/P5).  Expressed declaratively so
+    Catalyst pushes the predicate and the column list into the scan."""
+    return df.filter(predicate).select(*columns)
+
+
+def semi_join(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Membership filter as LEFT SEMI join (P6/J2; main.py:244's
+    ``isin`` — which would collect to the driver in pandas; here it
+    stays distributed)."""
+    return df.join(keys_df, on=on, how="left_semi")
+
+
+def anti_join(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Negated membership as LEFT ANTI join (P7/J3; main.py:176's
+    new-row detection)."""
+    return df.join(keys_df, on=on, how="left_anti")
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    diff_cols: Sequence[tuple[str, str]],
+    keep_positive_on: str | None = None,
+) -> DataFrame:
+    """Inner-join two snapshots on ``key`` and emit per-column deltas
+    (J1+F3+P5; main.py:195-203's update_time_play).
+
+    ``diff_cols``: (source_col, output_alias) pairs computed as
+    new.col - old.col.  ``keep_positive_on``: optional output alias to
+    apply the reference's ``> 0`` activity filter to.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    o = old.select(*keys, *[F.col(c).alias(f"__old_{c}") for c, _ in diff_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"__new_{c}") for c, _ in diff_cols])
+    out = o.join(n, on=keys, how="inner").select(
+        *keys,
+        *[
+            (F.col(f"__new_{c}") - F.col(f"__old_{c}")).alias(alias)
+            for c, alias in diff_cols
+        ],
+    )
+    if keep_positive_on is not None:
+        out = out.filter(F.col(keep_positive_on) > 0)
+    return out
+
+
+def is_nonempty(df: DataFrame) -> bool:
+    """Cardinality guard before a write (P8; main.py:184,350) without
+    counting the whole input."""
+    return not df.isEmpty()

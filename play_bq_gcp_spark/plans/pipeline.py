@@ -1,0 +1,169 @@
+"""The reference's daily incremental pipeline, restated as lazy Spark
+plans (SURVEY.md §3).
+
+One run = the reference's ``main(request)`` (/root/reference/main.py:296-368):
+
+1. transform the raw API snapshot into the ``game`` shape (projection,
+   casts, string functions, surrogate key — main.py:93-115),
+2. append rows whose id is new (anti-join — main.py:176-185),
+3. compute play-time deltas between the stored dimension and today's
+   snapshot and append active rows to the ``time_play`` fact
+   (inner join + diff + filter — main.py:193-207, :353),
+4. upsert changed rows into the ``game`` dimension (semi-join
+   pre-filter + merge — main.py:243-246, :256-287),
+5. append today's trophy summary row (main.py:315-339).
+
+The seven network boundaries of the reference collapse into three
+write actions over shared cached lineage; there is no staging table
+because lineage replaces staging.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from play_bq_gcp_spark.functions.scalar import last_n_chars, surrogate_key
+from play_bq_gcp_spark.operators.merge import merge_upsert
+from play_bq_gcp_spark.operators.relational import (
+    anti_join,
+    is_nonempty,
+    semi_join,
+    snapshot_delta,
+)
+
+GAME_COLUMNS = [
+    "id",
+    "title_id",
+    "title_name",
+    "image",
+    "category",
+    "first_played_date_time",
+    "last_played_date_time",
+    "play_count",
+    "play_duration",
+]
+
+
+def transform_snapshot(raw: DataFrame) -> DataFrame:
+    """Raw API snapshot → ``game`` dimension shape (main.py:93-115):
+    category → last 3 chars (F1), title_id underscore-strip (F2),
+    surrogate ``id`` (F4, native — the reference used a per-row
+    lambda), seconds-typed play_duration (F7 upstream)."""
+    return raw.select(
+        surrogate_key("title_id", "first_played_date_time").alias("id"),
+        F.translate("title_id", "_", "").alias("title_id"),
+        F.col("title_name").cast("string"),
+        F.col("image").cast("string"),
+        last_n_chars("category", 3).alias("category"),
+        "first_played_date_time",
+        "last_played_date_time",
+        F.col("play_count").cast("long"),
+        F.col("play_duration_seconds").cast("double").alias("play_duration"),
+    )
+
+
+def new_games(snapshot: DataFrame, stored: DataFrame) -> DataFrame:
+    """Rows to append: snapshot ids absent from the stored dimension
+    (J3; main.py:164-187)."""
+    return anti_join(snapshot, stored.select("id"), "id")
+
+
+def time_play_deltas(
+    stored: DataFrame, snapshot: DataFrame, run_date: str
+) -> DataFrame:
+    """Per-id play deltas between stored state and today's snapshot,
+    keeping only active games (J1+F3+P5+P3+F8; main.py:193-207)."""
+    return snapshot_delta(
+        stored,
+        snapshot,
+        "id",
+        [("play_count", "play_count_diff"), ("play_duration", "play_duration_diff")],
+        keep_positive_on="play_count_diff",
+    ).withColumn("date", F.lit(run_date).cast("timestamp"))
+
+
+def upsert_games(stored: DataFrame, snapshot: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Updated dimension: only ids with activity (semi-join pre-filter,
+    J2; main.py:243-246) get their mutable columns refreshed
+    (UPDATE…FROM semantics, J4; main.py:274-284)."""
+    changed = semi_join(snapshot, deltas.select("id"), "id")
+    return merge_upsert(
+        stored,
+        changed,
+        "id",
+        ["last_played_date_time", "play_count", "play_duration"],
+    )
+
+
+class Warehouse:
+    """Parquet-backed stand-in for the reference's BigQuery dataset."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+
+def bootstrap(wh: Warehouse, snapshot: DataFrame) -> None:
+    """First full load (load_data_first.py:118,147): replace-write the
+    dimension; facts start empty."""
+    transform_snapshot(snapshot).write.mode("overwrite").parquet(wh.path("game"))
+
+
+def run_daily(
+    wh: Warehouse,
+    spark: SparkSession,
+    raw_snapshot: DataFrame,
+    run_date: str,
+    trophy_row: DataFrame | None = None,
+) -> dict[str, int]:
+    """One scheduled run (main.py:296-368).  Returns per-table appended/
+    updated row counts for observability."""
+    stats: dict[str, int] = {}
+    snapshot = transform_snapshot(raw_snapshot).cache()
+    stored = wh.read(spark, "game").cache()
+
+    # 2. brand-new games (guarded, P8)
+    fresh = new_games(snapshot, stored).cache()
+    stats["new_games"] = fresh.count()
+
+    # 3. play-time deltas → append-only fact, partitioned by date at scale
+    deltas = time_play_deltas(stored, snapshot, run_date).cache()
+    stats["time_play"] = deltas.count()
+    if stats["time_play"] > 0:
+        deltas.write.mode("append").parquet(wh.path("time_play"))
+
+    # 2+4. next dimension state = stored with changed rows upserted,
+    # plus the new rows — ONE overwrite so appends and updates cannot
+    # clobber each other (the reference relies on BigQuery doing the
+    # append and the UPDATE as separate remote transactions).
+    if stats["new_games"] > 0 or stats["time_play"] > 0:
+        updated = upsert_games(stored, snapshot, deltas)
+        final_dim = updated.unionByName(fresh)
+        # break lineage on the about-to-be-overwritten source files
+        # before rewriting them (object stores: dynamic partition
+        # overwrite instead of a full rewrite)
+        staged = final_dim.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").parquet(wh.path("game"))
+
+    # 5. trophy snapshot append (main.py:35-64)
+    if trophy_row is not None and is_nonempty(trophy_row):
+        trophy_row.withColumn(
+            "date", F.lit(run_date).cast("timestamp")
+        ).write.mode("append").parquet(wh.path("trophee"))
+        stats["trophee"] = 1
+
+    snapshot.unpersist()
+    stored.unpersist()
+    deltas.unpersist()
+    fresh.unpersist()
+    return stats

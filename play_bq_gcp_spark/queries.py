@@ -1,0 +1,319 @@
+"""Query registry: every implemented operator (SURVEY.md §2) mapped onto
+the shared fixture tables, with its DuckDB-runnable ANSI-SQL oracle.
+
+Each entry is a callable ``(spark, sf_dir) -> DataFrame``; ``ORACLES``
+holds the SQL twin with identical column aliases and aligned types
+(floats rounded at the output boundary, counts as bigint, timestamps
+kept as timestamps).  ``__spark_entry__.py`` re-exports this registry
+for the driver; ``bench.py`` times the headline subset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.functions.scalar import last_n_chars, surrogate_key
+from play_bq_gcp_spark.operators import aggregates, merge, relational
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.pricing_summary(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT n_name, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total_price,
+           count(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.agg_rollup(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.agg_cube(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.agg_grouping_sets(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "agg_distinct_counts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey)             AS n_orders,
+           count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.distinct_counts(_t(spark, sf, "lineitem"))
+
+
+# rows-only: sketches are engine-specific (HLL++ vs DuckDB's HLL)
+@register("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.approx_aggregates(_t(spark, sf, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / joins (§2.2-2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "proj_filter_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+    ORDER BY o_orderkey
+    """,
+)
+def proj_filter_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/P3/P5: projection + predicate, both pushed into the scan."""
+    return relational.project_filter(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/P6: membership filter as LEFT SEMI (main.py:244)."""
+    big_orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        relational.semi_join(
+            _t(spark, sf, "customer"),
+            big_orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/P7: new-row detection shape (main.py:176)."""
+    big_orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        relational.anti_join(
+            _t(spark, sf, "customer"),
+            big_orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "snapshot_delta_events",
+    """
+    WITH old AS (
+        SELECT user_id, count(*) AS play_count, sum(value) AS play_duration
+        FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+    ), new AS (
+        SELECT user_id, count(*) AS play_count, sum(value) AS play_duration
+        FROM events GROUP BY user_id
+    )
+    SELECT o.user_id,
+           n.play_count - o.play_count AS play_count_diff,
+           round(n.play_duration - o.play_duration, 4) AS play_duration_diff
+    FROM old o JOIN new n USING (user_id)
+    WHERE n.play_count - o.play_count > 0
+    ORDER BY o.user_id
+    """,
+)
+def snapshot_delta_events(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+F3+P5: the reference's update_time_play (main.py:193-207)
+    mapped onto events — two per-user activity snapshots diffed."""
+    events = _t(spark, sf, "events")
+    mk = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("play_count"), F.sum("value").alias("play_duration")
+    )
+    old = mk(events.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    new = mk(events)
+    return (
+        relational.snapshot_delta(
+            old, new, "user_id",
+            [("play_count", "play_count_diff"), ("play_duration", "play_duration_diff")],
+            keep_positive_on="play_count_diff",
+        )
+        .withColumn("play_duration_diff", F.round("play_duration_diff", 4))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "merge_upsert_customer",
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           coalesce(u.new_acctbal, c_acctbal) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS new_acctbal
+        FROM orders GROUP BY o_custkey
+    ) u ON c_custkey = u.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: UPDATE…FROM restated as join+coalesce (main.py:274-284) —
+    matched customers get c_acctbal replaced by their order total."""
+    updates = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+    )
+    return merge.merge_upsert(
+        _t(spark, sf, "customer"), updates, "c_custkey", ["c_acctbal"]
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_funcs_orders",
+    """
+    SELECT o_orderkey,
+           right(o_orderpriority, 3)                     AS prio3,
+           replace(o_orderpriority, '-', '')             AS prio_clean,
+           replace(right(o_orderpriority, 3), 'E', '_')  AS prio_swapped,
+           concat(right(replace(o_orderpriority, '-', ''), 7),
+                  strftime(o_orderdate, '%d%H%Y%m'))     AS sk,
+           cast(o_orderkey AS VARCHAR)                   AS okey_str,
+           cast(date_trunc('day', o_orderdate) AS TIMESTAMP) AS odate_day,
+           cast(epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01') AS DOUBLE)
+                                                         AS secs_since_1995,
+           upper(o_orderstatus)                          AS status_upper,
+           trim(o_orderpriority)                         AS prio_trim
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2/F4/F5/F6/F7/F8/F11 bundle: every reference scalar transform
+    (substring-from-end, literal replace, surrogate key with the odd
+    ddHHyyyyMM field order, casts, interval→seconds, date truncation)
+    as native codegen'd expressions — no UDFs (cf. main.py:102's lambda).
+    """
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        last_n_chars("o_orderpriority", 3).alias("prio3"),
+        F.translate("o_orderpriority", "-", "").alias("prio_clean"),
+        F.regexp_replace(last_n_chars("o_orderpriority", 3), "E", "_").alias(
+            "prio_swapped"
+        ),
+        surrogate_key(
+            F.translate("o_orderpriority", "-", ""), "o_orderdate"
+        ).alias("sk"),
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.date_trunc("DAY", "o_orderdate").alias("odate_day"),
+        (
+            F.unix_timestamp("o_orderdate")
+            - F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+        )
+        .cast("double")
+        .alias("secs_since_1995"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.trim("o_orderpriority").alias("prio_trim"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,108 @@
+"""End-to-end golden test of the restated daily pipeline (SURVEY.md §5.2-2).
+
+Two snapshot days D1 < D2: D2 has (a) a brand-new title, (b) titles with
+increased play_count, (c) unchanged titles; assertions follow the
+reference's observable behavior table-by-table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from play_bq_gcp_spark.plans import pipeline
+from play_bq_gcp_spark.sources.rest_api import GAME_SNAPSHOT_SCHEMA
+
+D1 = [
+    # title_id, name, image, category, first_played, last_played, count, dur
+    ("CUSA_0000001_00", "Alpha", "http://img/a", "ps4_game",
+     dt.datetime(2020, 1, 5, 13), dt.datetime(2024, 1, 1), 10, 3600.0),
+    ("CUSA_0000002_00", "Béta", "http://img/b", "ps5_native_game",
+     dt.datetime(2021, 6, 7, 9), dt.datetime(2024, 1, 1), 5, 1800.0),
+    ("CUSA_0000003_00", "Gamma", "http://img/c", "ps4_game",
+     dt.datetime(2019, 12, 31, 23), dt.datetime(2024, 1, 1), 7, 2500.0),
+]
+
+D2 = [
+    # Alpha: +2 plays (upsert + delta)
+    ("CUSA_0000001_00", "Alpha", "http://img/a", "ps4_game",
+     dt.datetime(2020, 1, 5, 13), dt.datetime(2024, 1, 2), 12, 4000.0),
+    # Beta: unchanged (no delta, no update)
+    ("CUSA_0000002_00", "Béta", "http://img/b", "ps5_native_game",
+     dt.datetime(2021, 6, 7, 9), dt.datetime(2024, 1, 1), 5, 1800.0),
+    # Gamma: unchanged
+    ("CUSA_0000003_00", "Gamma", "http://img/c", "ps4_game",
+     dt.datetime(2019, 12, 31, 23), dt.datetime(2024, 1, 1), 7, 2500.0),
+    # Delta: brand-new title (anti-join append path)
+    ("CUSA_0000004_00", "Delta", "http://img/d", "ps5_native_game",
+     dt.datetime(2024, 1, 2, 8), dt.datetime(2024, 1, 2), 1, 600.0),
+]
+
+
+@pytest.fixture()
+def wh(tmp_path, spark):
+    wh = pipeline.Warehouse(str(tmp_path / "warehouse"))
+    d1 = spark.createDataFrame(D1, GAME_SNAPSHOT_SCHEMA)
+    pipeline.bootstrap(wh, d1)
+    return wh
+
+
+def _snapshot(spark, rows):
+    return spark.createDataFrame(rows, GAME_SNAPSHOT_SCHEMA)
+
+
+def test_bootstrap_shapes(spark, wh):
+    game = wh.read(spark, "game")
+    assert game.count() == 3
+    assert game.columns == pipeline.GAME_COLUMNS
+    row = game.filter("title_id = 'CUSA000000100'").first()
+    # surrogate key: last-7 of stripped id + ddHHyyyyMM (reference main.py:102)
+    assert row.id == "0000100" + "0513202001"
+    assert row.category == "ame"  # last 3 chars of ps4_game
+
+
+def test_day2_run_golden(spark, wh):
+    stats = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
+    assert stats == {"new_games": 1, "time_play": 1}
+
+    game = wh.read(spark, "game")
+    assert game.count() == 4
+    alpha = game.filter("title_name = 'Alpha'").first()
+    assert alpha.play_count == 12 and alpha.play_duration == 4000.0
+    assert alpha.last_played_date_time == dt.datetime(2024, 1, 2)
+    beta = game.filter("title_name = 'Béta'").first()
+    assert beta.play_count == 5  # untouched
+
+    tp = wh.read(spark, "time_play").collect()
+    assert len(tp) == 1
+    assert tp[0].play_count_diff == 2
+    assert tp[0].play_duration_diff == 400.0
+    assert tp[0].date == dt.datetime(2024, 1, 2)
+
+
+def test_rerun_is_idempotent(spark, wh):
+    pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
+    stats2 = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
+    # identical snapshot → nothing new, nothing active (main.py:176 + :201)
+    assert stats2 == {"new_games": 0, "time_play": 0}
+    assert wh.read(spark, "game").count() == 4
+    assert wh.read(spark, "time_play").count() == 1
+
+
+def test_empty_snapshot_guard(spark, wh):
+    empty = spark.createDataFrame([], GAME_SNAPSHOT_SCHEMA)
+    stats = pipeline.run_daily(wh, spark, empty, "2024-01-03")
+    assert stats == {"new_games": 0, "time_play": 0}
+    assert wh.read(spark, "game").count() == 3
+    assert not wh.exists("time_play")
+
+
+def test_trophy_append(spark, wh):
+    from play_bq_gcp_spark.sources.rest_api import trophy_document
+
+    t = trophy_document(spark, {"bronze": 100, "silver": 50, "gold": 10, "platinum": 2})
+    pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02", trophy_row=t)
+    row = wh.read(spark, "trophee").first()
+    assert (row.bronze, row.silver, row.gold, row.platinum) == (100, 50, 10, 2)
+    assert row.date == dt.datetime(2024, 1, 2)

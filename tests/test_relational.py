@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.operators import merge, relational
+
+
+def test_semi_anti_partition_input(spark):
+    """J2 ∪ J3 == input when keys are unique (SURVEY.md §5.2-4)."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id int, v string")
+    keys = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "id int")
+    semi = relational.semi_join(df, keys, "id")
+    anti = relational.anti_join(df, keys, "id")
+    assert semi.count() == 5 and anti.count() == 5
+    assert semi.unionByName(anti).sort("id").collect() == df.sort("id").collect()
+
+
+def test_snapshot_delta_semantics(spark):
+    old = spark.createDataFrame(
+        [("a", 10, 100.0), ("b", 5, 50.0), ("c", 7, 70.0)],
+        "id string, play_count int, play_duration double",
+    )
+    new = spark.createDataFrame(
+        [("a", 12, 130.0), ("b", 5, 50.0), ("d", 1, 10.0)],
+        "id string, play_count int, play_duration double",
+    )
+    out = relational.snapshot_delta(
+        old, new, "id",
+        [("play_count", "play_count_diff"), ("play_duration", "play_duration_diff")],
+        keep_positive_on="play_count_diff",
+    ).collect()
+    # only 'a' is both present in old∩new and active; 'd' is new (inner join
+    # drops it — reference main.py:195), 'c' vanished (dropped too)
+    assert len(out) == 1
+    assert out[0].id == "a"
+    assert out[0].play_count_diff == 2
+    assert out[0].play_duration_diff == 30.0
+
+
+def test_merge_upsert_matches_update_from(spark):
+    target = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")], "id string, n int, s string"
+    )
+    updates = spark.createDataFrame(
+        [("a", 10), ("z", 99)], "id string, n int"  # z unmatched → ignored
+    )
+    out = {r.id: (r.n, r.s) for r in merge.merge_upsert(target, updates, "id", ["n"]).collect()}
+    assert out == {"a": (10, "x"), "b": (2, "y"), "c": (3, "z")}
+
+
+def test_merge_insert_and_upsert(spark):
+    target = spark.createDataFrame([("a", 1), ("b", 2)], "id string, n int")
+    source = spark.createDataFrame([("a", 10), ("c", 30)], "id string, n int")
+    out = {r.id: r.n for r in merge.merge_insert_and_upsert(target, source, "id", ["n"]).collect()}
+    assert out == {"a": 10, "b": 2, "c": 30}
+
+
+def test_merge_upsert_null_update_value(spark):
+    """coalesce keeps old value when the update value is NULL — matches
+    UPDATE SET col = src.col with NULL source semantics? No: SQL UPDATE
+    would write the NULL. Documented engine choice: NULL update values
+    do not clobber (the reference never produces NULL updates)."""
+    target = spark.createDataFrame([("a", 1)], "id string, n int")
+    updates = spark.createDataFrame([("a", None)], "id string, n int")
+    out = merge.merge_upsert(target, updates, "id", ["n"]).collect()
+    assert out[0].n == 1
+
+
+def test_project_filter(spark):
+    df = spark.createDataFrame([(1, "O", 5.0), (2, "F", 3.0)], "k int, st string, v double")
+    out = relational.project_filter(df, ["k", "v"], F.col("st") == "O").collect()
+    assert out == [(1, 5.0)] or (out[0].k, out[0].v) == (1, 5.0)
