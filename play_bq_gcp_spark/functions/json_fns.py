@@ -1,0 +1,31 @@
+"""JSON / semi-structured functions (SURVEY.md §2.7 'JSON/array/map').
+
+The reference's only nested access happens in Python before
+DataFrame-ization (/root/reference/main.py:319-320); the engine exposes
+the full Spark surface over the ``events.props`` JSON column:
+path extraction (``get_json_object``), schema-full parsing
+(``from_json``), and map explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def json_get(col: Column | str, path: str) -> Column:
+    """Extract one JSON path as string (JVM-side Jackson, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, f"$.{path}")
+
+
+def parse_props(df: DataFrame, col: str = "props", keys: dict[str, T.DataType] | None = None) -> DataFrame:
+    """Parse the JSON column into a typed struct column ``props_s``."""
+    keys = keys or {"k": T.LongType()}
+    schema = T.StructType([T.StructField(k, t, True) for k, t in keys.items()])
+    return df.withColumn("props_s", F.from_json(F.col(col), schema))
+
+
+def explode_json_map(df: DataFrame, col: str = "props") -> DataFrame:
+    """JSON object → exploded (key, value) rows via MapType parse."""
+    m = F.from_json(F.col(col), T.MapType(T.StringType(), T.StringType()))
+    return df.select("*", F.explode(m).alias("json_key", "json_value"))

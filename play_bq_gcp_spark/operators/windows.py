@@ -1,0 +1,106 @@
+"""Window-function operators (SURVEY.md §2.5-2.6).
+
+Absent in the reference but required of an engine; also the idiomatic
+reformulation of the reference's join-based snapshot diff: the
+``time_play`` fact (/root/reference/main.py:197-203) is morally
+``value - lag(value) OVER (PARTITION BY id ORDER BY date)``.
+
+Scale notes: every window here partitions by a key (user, segment) —
+Spark shuffles once per distinct (partitionBy, orderBy) pair and sorts
+within partitions; avoid windows without PARTITION BY on big data (all
+rows to one task).  Top-k per group via row_number stays fully
+distributed and never materializes the full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_by: str,
+    order_by: Sequence[str],
+    value_col: str,
+    alias: str = "delta",
+) -> DataFrame:
+    """Per-key difference from the previous row — the window
+    reformulation of the reference's snapshot diff (main.py:197-203)."""
+    w = Window.partitionBy(partition_by).orderBy(*order_by)
+    return df.withColumn(alias, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: str,
+    order_by: Sequence,
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group: row_number ≤ k.  Catalyst's
+    WindowGroupLimit pushes the limit below the sort at scale."""
+    w = Window.partitionBy(partition_by).orderBy(*order_by)
+    return df.withColumn(rank_alias, F.row_number().over(w)).filter(
+        F.col(rank_alias) <= k
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    partition_by: str,
+    order_by: Sequence[str],
+    value_col: str,
+    alias: str = "running",
+) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def rank_suite(
+    df: DataFrame, partition_by: str, order_col: str
+) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile in one pass (one shuffle:
+    identical window spec)."""
+    w = Window.partitionBy(partition_by).orderBy(F.col(order_col).desc())
+    return df.select(
+        partition_by,
+        order_col,
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes`` (lag + cumulative sum of
+    boundaries).  Streaming twin: ``F.session_window`` (streaming.py)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60
+    # epoch-double (not unix_timestamp) keeps sub-second precision so the
+    # gap comparison agrees with engines that compare at µs precision
+    ep = F.col(ts_col).cast("double")
+    boundary = (ep - F.lag(ep).over(w) > gap_s).cast("int")
+    return (
+        df.withColumn("__new_session", F.coalesce(boundary, F.lit(1)))
+        .withColumn(
+            "session_id",
+            F.sum("__new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__new_session")
+    )

@@ -317,3 +317,475 @@ def scalar_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.upper("o_orderstatus").alias("status_upper"),
         F.trim("o_orderpriority").alias("prio_trim"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5) / sorts & limits (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+               AS value_delta
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5: the lag-based reformulation of the reference's snapshot
+    diff (main.py:197-203)."""
+    from play_bq_gcp_spark.operators.windows import lag_delta
+
+    return (
+        lag_delta(
+            _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
+            alias="value_delta",
+        )
+        .withColumn("value_delta", F.round("value_delta", 4))
+        .select("event_id", "user_id", "value_delta")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.windows import topk_per_group
+
+    return (
+        topk_per_group(
+            _t(spark, sf, "customer"),
+            "c_mktsegment",
+            [F.col("c_acctbal").desc(), F.col("c_custkey")],
+            3,
+        )
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.windows import running_sum
+
+    return (
+        running_sum(
+            _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
+            alias="running_value",
+        )
+        .withColumn("running_value", F.round("running_value", 4))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_rank_suite",
+    """
+    SELECT s_nationkey, s_acctbal,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS dense_rnk,
+           round(percent_rank() OVER w, 6) AS pct_rnk,
+           ntile(4)      OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+    ORDER BY s_nationkey, s_acctbal DESC
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.windows import rank_suite
+
+    return rank_suite(_t(spark, sf, "supplier"), "s_nationkey", "s_acctbal").orderBy(
+        "s_nationkey", F.col("s_acctbal").desc()
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM b
+    )
+    SELECT user_id,
+           cast(max(session_id) AS BIGINT) AS n_sessions,
+           count(*)                        AS n_events
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — streaming twin uses
+    F.session_window."""
+    from play_bq_gcp_spark.operators.windows import sessionize
+
+    return (
+        sessionize(_t(spark, sf, "events"), "user_id", "ts", gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "sort_limit_top10",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject — no full sort."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_segments",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_union_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.setops import union_all
+
+    o = _t(spark, sf, "orders")
+    return union_all(
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.setops import intersect
+
+    o = _t(spark, sf, "orders")
+    return intersect(
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_custkey
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.setops import except_distinct
+
+    o = _t(spark, sf, "orders")
+    return except_distinct(
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
+        o.filter(F.col("o_orderstatus") == "P").select("o_custkey"),
+    ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# JSON / pivot / unpivot (§2.7 extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def json_extract_events(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.functions.json_fns import json_get
+
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id", json_get("props", "k").cast("bigint").alias("k_value")
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "json_explode_map",
+    """
+    SELECT event_id, key AS json_key,
+           json_extract_string(props, '$.' || key) AS json_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events) t
+    ORDER BY event_id, json_key
+    """,
+)
+def json_explode_map(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.functions.json_fns import explode_json_map
+
+    return (
+        explode_json_map(_t(spark, sf, "events"))
+        .select("event_id", "json_key", "json_value")
+        .orderBy("event_id", "json_key")
+    )
+
+
+@register(
+    "pivot_returnflag",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    """
+    WITH wide AS (
+        SELECT count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+        FROM orders
+    )
+    SELECT 'O' AS status, cnt_o AS cnt FROM wide
+    UNION ALL SELECT 'F', cnt_f FROM wide
+    UNION ALL SELECT 'P', cnt_p FROM wide
+    ORDER BY status
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot-then-unpivot round trip via stack()."""
+    wide = (
+        _t(spark, sf, "orders")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("cnt_o"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("cnt_f"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("cnt_p"),
+        )
+    )
+    return wide.selectExpr(
+        "stack(3, 'O', cnt_o, 'F', cnt_f, 'P', cnt_p) AS (status, cnt)"
+    ).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# Advanced joins (§2.3 'absent in reference')
+# ---------------------------------------------------------------------------
+
+@register(
+    "full_outer_nation_counts",
+    """
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.joins_advanced import full_outer_counts
+
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return full_outer_counts(c, s, "nationkey", "n_customers", "n_suppliers").orderBy(
+        "nationkey"
+    )
+
+
+@register(
+    "cross_join_region_status",
+    """
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    ORDER BY r_name, o_orderstatus
+    """,
+)
+def cross_join_region_status(spark: SparkSession, sf: str) -> DataFrame:
+    statuses = _t(spark, sf, "orders").select("o_orderstatus").distinct()
+    return (
+        _t(spark, sf, "region")
+        .select("r_name")
+        .crossJoin(statuses)
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS last_click_ts,
+           round(epoch(p.ts) - epoch(c.ts), 4) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no native Spark equivalent): for each purchase, the
+    latest click at-or-before it by the same user.  Composition: tagged
+    union + one window pass (operators/joins_advanced.py)."""
+    from play_bq_gcp_spark.operators.joins_advanced import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("last_click_ts")
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "last_click_ts",
+                    ["last_click_ts"])
+    return (
+        out.withColumn(
+            "secs_since_click",
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"), 4
+            ),
+        )
+        .select("event_id", "user_id", "ts", "last_click_ts", "secs_since_click")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 150000.0), ('mid', 150000.0, 350000.0),
+               ('high', 350000.0, 1000000000.0)
+    )
+    SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Band join: non-equi predicate against a tiny broadcast side →
+    BroadcastNestedLoopJoin (the right plan); at scale, bucketize."""
+    from play_bq_gcp_spark.operators.joins_advanced import range_join_bands
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 1000000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join_bands(_t(spark, sf, "orders"), bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "agg_stats_summary",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.stats_summary(_t(spark, sf, "lineitem"))

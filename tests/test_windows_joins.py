@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.operators import joins_advanced, windows
+
+
+def test_lag_delta(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 15.0), ("u", 3, 12.0), ("v", 1, 5.0)],
+        "user string, seq int, value double",
+    )
+    out = {(r.user, r.seq): r.delta for r in windows.lag_delta(
+        df, "user", ["seq"], "value").collect()}
+    assert out[("u", 1)] is None
+    assert out[("u", 2)] == 5.0
+    assert out[("u", 3)] == -3.0
+    assert out[("v", 1)] is None
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(10)] + [("b", i, float(-i)) for i in range(5)],
+        "g string, id int, v double",
+    )
+    out = windows.topk_per_group(df, "g", [F.col("v").desc(), F.col("id")], 2).collect()
+    got = {(r.g, r.id) for r in out}
+    assert got == {("a", 9), ("a", 8), ("b", 0), ("b", 1)}
+
+
+def test_sessionize_gap(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", t0),
+        ("u", t0 + dt.timedelta(minutes=10)),   # same session
+        ("u", t0 + dt.timedelta(minutes=50)),   # gap 40min > 30 → new session
+        ("u", t0 + dt.timedelta(minutes=55)),   # same
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = windows.sessionize(df, "user", "ts", gap_minutes=30).collect()
+    sessions = sorted((r.ts, r.session_id) for r in out)
+    assert [s for _, s in sessions] == [1, 1, 2, 2]
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 0), 100.0),
+         ("A", dt.datetime(2024, 1, 1, 11, 0), 101.0),
+         ("B", dt.datetime(2024, 1, 1, 10, 30), 50.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 30), 1),
+         ("A", dt.datetime(2024, 1, 1, 11, 0), 2),   # equal ts → inclusive
+         ("A", dt.datetime(2024, 1, 1, 9, 0), 3),    # before any quote → NULL
+         ("B", dt.datetime(2024, 1, 1, 12, 0), 4)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    out = {r.trade_id: r.px for r in joins_advanced.asof_join(
+        trades, quotes, "sym", "ts", "qts", ["px"]).collect()}
+    assert out == {1: 100.0, 2: 101.0, 3: None, 4: 50.0}
+
+
+def test_asof_join_pandas_matches_composition(spark):
+    quotes = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 0), 100.0),
+         ("A", dt.datetime(2024, 1, 1, 11, 0), 101.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1, 10, 30), 1),
+         ("A", dt.datetime(2024, 1, 1, 9, 0), 2)],
+        "sym string, ts timestamp, trade_id int",
+    )
+    comp = {r.trade_id: r.px for r in joins_advanced.asof_join(
+        trades, quotes, "sym", "ts", "qts", ["px"]).collect()}
+    pdx = {r.trade_id: (None if r.px is None or r.px != r.px else r.px)
+           for r in joins_advanced.asof_join_pandas(
+               trades, quotes, "sym", "ts", "qts", ["px"]).collect()}
+    assert comp == pdx
+
+
+def test_range_join_bands(spark):
+    facts = spark.createDataFrame([(1, 50.0), (2, 150.0), (3, 250.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 100.0), ("hi", 100.0, 300.0)], "band string, lo double, hi double"
+    )
+    out = {r.id: r.band for r in joins_advanced.range_join_bands(facts, bands, "v").collect()}
+    assert out == {1: "lo", 2: "hi", 3: "hi"}
