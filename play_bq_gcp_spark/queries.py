@@ -789,3 +789,83 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
 )
 def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.stats_summary(_t(spark, sf, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (§2.8) — each runs a real streaming query to
+# completion (Trigger.AvailableNow) and returns the materialized result,
+# so the DuckDB oracle checks true end-to-end streaming semantics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.streaming.daily import windowed_counts
+
+    return windowed_counts(spark, sf).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_dedup_counts",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream doubled via self-union → dropDuplicatesWithinWatermark
+    restores exactly-once; oracle is the plain distinct count."""
+    from play_bq_gcp_spark.streaming.daily import deduped_counts
+
+    return deduped_counts(spark, sf)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    )
+    SELECT user_id,
+           cast(sum(boundary) AS BIGINT) AS n_sessions,
+           count(*)                      AS n_events
+    FROM b GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """F.session_window streaming sessions == the batch lag/cumsum
+    sessionization (same 30-min gap semantics)."""
+    from play_bq_gcp_spark.streaming.daily import session_window_counts
+
+    return session_window_counts(spark, sf)
+
+
+@register(
+    "streaming_foreach_batch_merge",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_foreach_batch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """foreachBatch append+merge into a parquet state table — the
+    streaming restatement of the reference's daily upsert."""
+    from play_bq_gcp_spark.streaming.daily import foreach_batch_user_stats
+
+    return foreach_batch_user_stats(spark, sf)

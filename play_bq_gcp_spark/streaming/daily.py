@@ -1,0 +1,179 @@
+"""Structured Streaming restatement of the reference's scheduled batch
+(SURVEY.md §2.8).
+
+The reference approximates a stream with a daily cron re-running a
+snapshot-diff pipeline; state lives in BigQuery tables
+(/root/reference/deploy.sh:8-12, main.py:176,274-284).  Idiomatic Spark:
+``readStream`` + event-time watermarks + windowed/session aggregation +
+stateful dedup, with ``Trigger.AvailableNow`` reproducing the
+batch-cadence semantics (process everything available, then stop) and
+``foreachBatch`` performing the reference's append+merge against the
+warehouse exactly once per micro-batch.
+
+Scale notes: watermarks bound state (without one, windowed state grows
+forever); ``dropDuplicatesWithinWatermark`` keeps only in-horizon keys.
+The memory sink below is for tests/oracle parity only — production
+sinks are parquet/Kafka via ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from play_bq_gcp_spark.catalog import table_path
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _as_stream_dir(sf_dir: str) -> str:
+    """The file-stream source wants a directory; the fixture is a single
+    parquet file → expose it through a symlink in a temp dir (cached)."""
+    import os
+
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture.  Streams require a
+    declared schema; ts is stored as parquet TIMESTAMP(NANOS) → read as
+    long (legacy conf) and floor to µs, as in catalog.read_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    raw = spark.readStream.schema(schema).parquet(_as_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DF to completion (AvailableNow) into a memory
+    sink and return the materialized result as a batch DataFrame."""
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # the memory-sink table stays registered in the session after stop
+    return df.sparkSession.table(name)
+
+
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (complete mode
+    → every window emitted, deterministic for the oracle)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+def deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event twice) → dropDuplicatesWithinWatermark on event_id restores
+    exactly-once rows.  Returns per-type counts of the deduped stream."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "event_type"
+    )
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30-min gap) per user — the streaming
+    twin of operators.windows.sessionize."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_in_session").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def foreach_batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's append+merge restated under ``foreachBatch``:
+    each micro-batch's per-user aggregate is merged (sum-accumulate)
+    into a parquet state table — the streaming twin of the daily
+    pipeline's upsert (main.py:256-287)."""
+    import os
+
+    state_dir = tempfile.mkdtemp(prefix="user_stats_")
+    state_path = os.path.join(state_dir, "user_stats")
+    ev = read_events_stream(spark, sf_dir)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        if os.path.isdir(state_path):
+            old = spark.read.parquet(state_path)
+            merged = (
+                old.withColumnRenamed("n_events", "old_n")
+                .withColumnRenamed("total_value", "old_v")
+                .join(batch_agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("old_n"), F.lit(0))
+                        + F.coalesce(F.col("n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("old_v"), F.lit(0.0))
+                        + F.coalesce(F.col("total_value"), F.lit(0.0))
+                    ).alias("total_value"),
+                )
+            )
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                state_path
+            )
+        else:
+            batch_agg.write.mode("overwrite").parquet(state_path)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.parquet(state_path)
+        .withColumn("total_value", F.round("total_value", 4))
+        .orderBy("user_id")
+    )

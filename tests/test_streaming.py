@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.streaming import daily
+
+
+def test_windowed_counts_total(spark, sf_dir):
+    out = daily.windowed_counts(spark, sf_dir)
+    batch_total = read_table(spark, sf_dir, "events").count()
+    assert out.agg(F.sum("n")).first()[0] == batch_total
+
+
+def test_dedup_restores_exactly_once(spark, sf_dir):
+    out = daily.deduped_counts(spark, sf_dir)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.event_type: r.n for r in out.collect()}
+    want = {r.event_type: r.n for r in batch.collect()}
+    assert got == want  # doubled stream deduped back to one copy per event
+
+
+def test_session_windows_match_batch_sessionize(spark, sf_dir):
+    from play_bq_gcp_spark.operators.windows import sessionize
+
+    stream = {r.user_id: r.n_sessions for r in daily.session_window_counts(spark, sf_dir).collect()}
+    batch = (
+        sessionize(read_table(spark, sf_dir, "events"), "user_id", "ts", 30)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+    )
+    assert stream == {r.user_id: r.n for r in batch.collect()}
