@@ -1,0 +1,82 @@
+"""Benchmark driver: times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is timed end-to-end (plan + execute + materialize counts via
+a cheap action).  The headline set spans every engine area: flagship
+aggregate, star joins, window, as-of, streaming, dedup, similarity,
+text analysis — so the number tracks whole-engine health, not one
+hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from play_bq_gcp_spark import queries as q
+from play_bq_gcp_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_rollup",
+    "agg_distinct_counts",
+    "merge_upsert_customer",
+    "snapshot_delta_events",
+    "window_topk_per_group",
+    "window_lag_delta",
+    "sessionize_events",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
+    "streaming_window_counts",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "text_token_stats",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_byte_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+
+    # warm up JVM/codegen/parquet-footer caches so timings reflect
+    # steady-state execution, not session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    q.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

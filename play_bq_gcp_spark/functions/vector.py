@@ -1,0 +1,28 @@
+"""Vector arithmetic as native array expressions (SURVEY.md §2.10).
+
+Dot product / norms / cosine over ``array<float|double>`` columns using
+``zip_with`` + ``aggregate`` — JVM-side, no UDF, no data movement.
+Element order is preserved, so the left-to-right summation is
+bit-reproducible across engines that do the same (the DuckDB oracle's
+list functions do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

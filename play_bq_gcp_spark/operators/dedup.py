@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Four escalating strategies, each a separate cost/recall point:
+
+1. ``exact_dedup`` — hash-groupBy on the normalized text.  One shuffle
+   on a compact digest key; the canonical first pass at any scale.
+2. ``ngram_jaccard_pairs`` — exact Jaccard over token sets for
+   candidate pairs.  Pure arithmetic (array_intersect/union) so it is
+   oracle-checkable; candidate generation must be bucketed (here: same
+   language + sampled ids) because all-pairs is O(n²).
+3. ``simhash_pairs`` — 64-bit SimHash per document (xxhash64 token
+   hashes, bitwise majority vote), then banded bucketing (4×16-bit
+   bands) so only same-band docs are compared; Hamming distance ≤ k
+   marks near-dups.  All native expressions — no UDF.
+4. ``minhash_lsh_pairs`` — spark.ml MinHashLSH over hashed shingle
+   vectors; ``approxSimilarityJoin`` does banded candidate generation
+   distributed-natively.  The scale path for fuzzy text dedup.
+
+At 100 TB: 1 and 3 are one-shuffle linear; 2 and 4 are quadratic within
+buckets only — band width / LSH table count tune recall vs cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from play_bq_gcp_spark.operators.text import token_set, tokens
+
+
+def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
+    """Exact-duplicate groups keyed by md5(normalized text): keeper id
+    (min doc_id), copy count.  The digest keeps the shuffle key small —
+    at scale you never shuffle full documents to find dups."""
+    key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
+    return (
+        documents.select(key, "doc_id")
+        .groupBy("text_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Keep one row per distinct normalized text (the min doc_id) —
+    dropDuplicates with an explicit deterministic keeper."""
+    key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
+    w_min = documents.select("doc_id", key).groupBy("text_fp").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return documents.join(w_min, "doc_id", "left_semi")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.4,
+    sample_mod: int = 50,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (same lang, sampled
+    doc_ids, id< id) — the verification stage of a dedup pipeline.
+    Candidate generation here is deliberately simple/bucketable; swap in
+    simhash/minhash buckets for recall at scale."""
+    docs = documents.filter(F.col("doc_id") % sample_mod == 0).select(
+        "doc_id", "lang", token_set("text").alias("toks")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_N_BITS = 64
+_N_BANDS = 4
+_BAND_BITS = _N_BITS // _N_BANDS
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: xxhash64(token) per distinct token, each
+    bit votes ±1, sign of the vote is the bit.  Entirely built-in
+    expressions: explode → 64 conditional sums → bit reassembly."""
+    tok = documents.select(
+        "doc_id", F.explode(token_set("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(_N_BITS)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(_N_BITS):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidate pairs via banded SimHash: docs sharing any
+    16-bit band are compared; Hamming(simhash) ≤ max_hamming survives.
+    The band join is an equi-join (shuffle on band value) — never
+    all-pairs."""
+    sh = simhash(documents)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    jaccard_distance: float = 0.6,
+    num_hash_tables: int = 5,
+    shingle_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash+LSH near-dup join (spark.ml): token shingles → hashed
+    binary vectors → banded min-hash signatures → approxSimilarityJoin.
+    Deterministic via fixed seed."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = documents.select("doc_id", token_set("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=shingle_features, binary=True
+    )
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("dist"), 4).alias("jaccard_approx"),
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, sample_mod: int = 10
+) -> DataFrame:
+    """Embedding near-dup: cosine similarity over sampled id pairs.
+    Exact arithmetic (oracle-checkable); production candidate
+    generation would come from LSH buckets (similarity.py)."""
+    from play_bq_gcp_spark.functions.vector import cosine_similarity
+
+    docs = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing (SURVEY.md §2.10).
+
+Images / audio / video are opaque ``binary`` columns plus a typed
+metadata struct; compute runs as Arrow-batched ``mapInPandas`` so each
+task processes whole record batches without per-row serde.
+
+The actual media decode is STUBBED (``decode_media`` raises
+``NotImplementedError``) — codec libraries are not in this container.
+Everything around it is real and tested: schema, batching, partition
+behavior, deterministic byte-level featurization.  Swapping the stub
+for PIL/torchaudio is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_chars", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_binary(documents: DataFrame) -> DataFrame:
+    """Wrap each document as a media record: utf-8 payload bytes + typed
+    metadata struct.  (Real pipelines read the bytes from object
+    storage; the fixture corpus has no binary column, so text bytes
+    stand in — the plumbing is identical.)"""
+    return documents.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
+    """STUB: real deployments decode image/audio/video here (PIL,
+    torchaudio, pyav...).  Deliberately NotImplemented in this
+    container; byte-level features below never call it."""
+    raise NotImplementedError(
+        f"media decode for {mime!r} requires codec libraries not present "
+        "in this environment"
+    )
+
+
+FEATURE_SCHEMA = "doc_id long, byte_len long, n_chars long, mean_byte double"
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """Deterministic byte-level featurization via mapInPandas: byte
+    length, metadata passthrough, mean byte value.  This is the exact
+    batch shape a real decoder would use (iterator of Arrow batches in,
+    iterator out) — only the per-payload function changes."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "n_chars": pdf["meta"].map(lambda m: m["n_chars"]).astype("int64"),
+                    "mean_byte": payloads.map(
+                        lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Plumbing for frame sampling: emits (doc_id, frame_index) rows a
+    video decoder would fill — demonstrates fan-out schema/partitioning
+    without the codec.  Frame count is faked deterministically from
+    payload length (1 frame per 64 bytes)."""
+    n_frames = (F.length("payload") / F.lit(64)).cast("int") + 1
+    return media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias(
+            "frame_index"
+        ),
+    )

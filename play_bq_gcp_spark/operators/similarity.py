@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+* ``brute_force_topk`` — exact cosine top-k against a query vector:
+  one map pass (cosine as native array expressions) + TakeOrdered.
+  The correctness baseline; linear in corpus size, no shuffle.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit signatures bucket the
+  corpus; only the query's bucket(s) are scored.  The 100 TB path:
+  bucket assignment is a map pass; the candidate set is a tiny
+  fraction of the corpus.  Hyperplanes are generated driver-side from
+  a fixed seed (deterministic) and broadcast as literals.
+* ``ivf_topk`` — IVF-style: k-means-ish centroids chosen
+  deterministically (first N vectors as seeds, one refinement pass),
+  vectors assigned to nearest centroid, probe the closest ``n_probe``
+  lists.  Demonstrates the partition-pruned ANN layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from play_bq_gcp_spark.functions.vector import cosine_similarity, dot
+
+
+def _vec_lit(v) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine.  orderBy+limit compiles to
+    TakeOrderedAndProject — no global sort materialization."""
+    q = _vec_lit(query_vec)
+    scored = embeddings.select(
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), q), 6
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit signature: bit i = (v · plane_i) > 0 — as one native
+    expression per plane, OR-ed into a long."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(
+            dot(vec_col, _vec_lit(p)) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH ANN: score only vectors whose signature
+    matches the query's (1 bucket of ~n/2^planes).  Recall < 1 by
+    design; raise recall with multi-probe (hamming-1 buckets) or more
+    tables."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col("embedding").cast("array<double>")
+    tagged = embeddings.select("vec_id", v.alias("v"), signature_col(v, planes).alias("sig"))
+    qsig = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(np.asarray(query_vec, dtype=float), p)) > 0
+        )
+    )
+    q = _vec_lit(query_vec)
+    bucket = tagged.filter(F.col("sig") == qsig)
+    return (
+        bucket.select(
+            "vec_id", F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: centroids = the first ``n_lists`` vectors (seed
+    choice is deterministic), every vector assigned to its nearest
+    centroid (map pass), query probes the ``n_probe`` nearest lists.
+    At scale the lists are partition keys → partition-pruned scans."""
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embeddings.orderBy("vec_id").limit(n_lists).collect()
+    ]
+    v = F.col("embedding").cast("array<double>")
+    # nearest centroid per vector via greatest-of-similarities chain
+    sims = [
+        cosine_similarity(v, _vec_lit(c)).alias(f"s{idx}") for idx, (_, c) in enumerate(cents)
+    ]
+    best = F.greatest(*[F.col(f"s{i}") for i in range(len(cents))])
+    assign = F.lit(0)
+    for i in range(len(cents)):
+        assign = F.when(F.col(f"s{i}") == best, F.lit(i)).otherwise(assign)
+    assigned = embeddings.select("vec_id", v.alias("v"), *sims).withColumn(
+        "list_id", assign
+    )
+    qv = np.asarray(query_vec, dtype=float)
+    qsims = [
+        (i, float(np.dot(qv, np.asarray(c)) / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)))
+        for i, (_, c) in enumerate(cents)
+    ]
+    probe = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+    q = _vec_lit(query_vec)
+    return (
+        assigned.filter(F.col("list_id").isin(probe))
+        .select("vec_id", F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.10).
+
+All row-level analytics are native Column expressions (codegen'd,
+shuffle-free, scale linearly): tokenization, token counting (whitespace
+and BPE-ish regex), quality scoring (length/punctuation/stopword
+ratios), heuristic language ID (stopword overlap + CJK detection), and
+document fingerprinting (md5 full-text + shingle prefix).
+
+At 100 TB these are pure map-side transforms — the only shuffles in
+this module are explicit groupBys in corpus-level stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tokenization shared by every operator (and mirrored in the DuckDB
+# oracles): lowercase, non-alphanumerics → space, split on runs of
+# spaces, drop empties.
+_TOKEN_CLEAN_RE = "[^a-z0-9 ]"
+# BPE-ish unit: an alphanumeric run OR a single non-space symbol.
+_BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Normalized distinct-preserving token array."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), _TOKEN_CLEAN_RE, " ")
+    return F.filter(F.split(cleaned, " +"), lambda t: t != "")
+
+
+def token_set(col: Column | str) -> Column:
+    """Distinct token array (for Jaccard-style set ops)."""
+    return F.array_distinct(tokens(col))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counting: whitespace tokens, BPE-ish units,
+    mean token length."""
+    toks = tokens("text")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens_bpe"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: doc length, punctuation ratio,
+    stopword ratio, and a composite score — the standard cheap filters
+    before expensive dedup/training steps."""
+    text = F.col("text")
+    n_chars = F.length(text).cast("double")
+    toks = tokens("text")
+    n_toks = F.size(toks).cast("double")
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    punct = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t))).cast(
+        "double"
+    )
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1.0)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_toks, F.lit(1.0)), 4)
+    return documents.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        # composite: long enough, low punctuation, some stopwords
+        F.round(
+            F.least(n_toks / F.lit(50.0), F.lit(1.0))
+            * (1 - punct_ratio)
+            * F.least(stop_ratio * 5, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: CJK character presence → zh, else argmax
+    of per-language stopword overlap (fixed tie order en>de>fr>es).
+    Pure expressions — at scale this is a free map pass."""
+    toks = token_set("text")
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return documents.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text
+    (exact-dup key) and md5 of the first-8-token shingle (prefix-dup
+    key).  Cheap, portable (same digests in any engine)."""
+    toks = tokens("text")
+    norm = F.array_join(toks, " ")
+    prefix = F.array_join(F.slice(toks, 1, 8), " ")
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("text_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    )
+
+
+def corpus_token_frequencies(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """Corpus-level token frequency (explode → count): the one shuffle
+    in this module; partial aggregation makes it scale."""
+    return (
+        documents.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(top_n)
+    )

@@ -869,3 +869,321 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.streaming.daily import foreach_batch_user_stats
 
     return foreach_batch_user_stats(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (§2.10)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of play_bq_gcp_spark.operators.text.tokens()
+_SQL_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH dupinput AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS text_fp,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_copies
+    FROM dupinput
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY text_fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via md5(normalized text) hash-groupBy.  Input is the
+    corpus with every 10th doc re-ingested under a new id — the classic
+    re-crawl duplication shape."""
+    from play_bq_gcp_spark.operators.dedup import exact_dedup_groups
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup_input = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup_groups(dup_input).orderBy("text_fp")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks
+        FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4)
+               AS jaccard
+    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.7 over bucketed candidate pairs."""
+    from play_bq_gcp_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.7, sample_mod=20
+    ).orderBy("doc_a", "doc_b")
+
+
+# rows-only: xxhash64-based SimHash has no DuckDB twin
+@register("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return simhash_pairs(docs, max_hamming=12).orderBy("doc_a", "doc_b")
+
+
+# rows-only: spark.ml MinHashLSH sketches are engine-specific
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs(docs, jaccard_distance=0.4).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs: exact cosine ≥ 0.3 on sampled ids
+    (bit-identical arithmetic to the DuckDB oracle)."""
+    from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, sample_mod=10
+    ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 query vector."""
+    from play_bq_gcp_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return brute_force_topk(e, qvec, k=10)
+
+
+# rows-only: ANN recall < 1 by design (no SQL-equivalent result set)
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return lsh_topk(e, qvec, k=10, n_planes=6)
+
+
+# rows-only: IVF probes a subset of lists (approximate)
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(e, qvec, k=10, n_lists=8, n_probe=3)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+               AS n_tokens_bpe,
+           round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)::DOUBLE
+                 / greatest(len(toks), 1)::DOUBLE, 4) AS avg_token_len
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), ratios AS (
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len(toks)::BIGINT    AS n_tokens,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
+        FROM tok
+    )
+    SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+           round(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
+                 * least(stopword_ratio * 5, 1.0), 4) AS quality
+    FROM ratios
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.text import quality_score
+
+    return quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, text, list_distinct({_SQL_TOKS}) AS dt FROM documents
+    ), scores AS (
+        SELECT doc_id, lang, text,
+               len(list_intersect(dt, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+               len(list_intersect(dt, ['der','die','das','und','ist','von','mit','ein','zu','den'])) AS s_de,
+               len(list_intersect(dt, ['le','la','les','et','de','un','une','est','pour','dans'])) AS s_fr,
+               len(list_intersect(dt, ['el','la','los','las','y','de','un','una','es','para'])) AS s_es
+        FROM tok
+    )
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scores
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS text_fp,
+           md5(array_to_string(toks[1:8], ' ')) AS prefix_fp
+    FROM tok
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_top_tokens",
+    f"""
+    WITH tok AS (SELECT {_SQL_TOKS} AS toks FROM documents)
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(toks) AS token FROM tok)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.text import corpus_token_frequencies
+
+    return corpus_token_frequencies(_t(spark, sf, "documents"), top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_byte_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: encode → mapInPandas featurizer (Arrow
+    batches).  Decode itself is stubbed (no codecs in container); the
+    byte-level features are real."""
+    from play_bq_gcp_spark.operators.multimodal import attach_binary, byte_features
+
+    media = attach_binary(_t(spark, sf, "documents"))
+    return byte_features(media).select("doc_id", "byte_len", "n_chars").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents)
+    SELECT doc_id, unnest(range(0, (bl // 64 + 1)::BIGINT, 10))::BIGINT AS frame_index
+    FROM m
+    ORDER BY doc_id, frame_index
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling fan-out plumbing (decoder-free deterministic
+    frame count: 1 per 64 payload bytes, sampled every 10)."""
+    from play_bq_gcp_spark.operators.multimodal import attach_binary, frame_sample_plan
+
+    media = attach_binary(_t(spark, sf, "documents"))
+    return (
+        frame_sample_plan(media, every_n=10)
+        .select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
+        .orderBy("doc_id", "frame_index")
+    )

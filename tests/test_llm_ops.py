@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.operators import dedup, multimodal, similarity, text
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE CAT  sat!!"), (3, "a different doc")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_dedup_groups(docs).collect()
+    # normalization collapses case/punct/whitespace → 1 and 2 are the same
+    assert len(groups) == 1
+    assert groups[0].keep_doc_id == 1 and groups[0].n_copies == 2
+    kept = dedup.exact_dedup(docs).select("doc_id").collect()
+    assert sorted(r.doc_id for r in kept) == [1, 3]
+
+
+def test_simhash_near_dup_vs_distinct(spark):
+    base = "spark catalyst optimizer pushes filters into parquet scans always"
+    near = base.replace("always", "often")  # 1-token change
+    far = "completely unrelated words about cooking pasta tonight"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(
+        docs, max_hamming=20).collect()}
+    assert (1, 2) in pairs            # near-dup caught
+    assert pairs.get((1, 3), 99) > 20 or (1, 3) not in pairs
+    assert pairs[(1, 2)] <= 20
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    a = " ".join(words * 3)
+    b = " ".join(words * 3) + " lambda"      # tiny diff → high jaccard
+    c = " ".join(f"w{i}" for i in range(30))  # disjoint
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(
+        docs, jaccard_distance=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_is_subset_of_bruteforce_scores(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    brute = {r.vec_id: r.cosine for r in similarity.brute_force_topk(e, q, k=500).collect()}
+    lsh = similarity.lsh_topk(e, q, k=10, n_planes=6).collect()
+    assert len(lsh) > 0  # query's own bucket at least contains itself
+    for r in lsh:
+        assert r.vec_id in brute
+        assert abs(brute[r.vec_id] - r.cosine) < 1e-9  # same scoring
+    # the query vector itself (cosine 1.0) must be in its own bucket
+    assert any(r.vec_id == 0 for r in lsh)
+
+
+def test_ivf_topk_contains_query_vector(spark, sf_dir):
+    e = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    out = similarity.ivf_topk(e, q, k=5, n_lists=8, n_probe=3).collect()
+    assert out[0].vec_id == 0 and out[0].cosine == 1.0
+
+
+def test_lang_id_heuristic_on_clear_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house", "en"),
+            (2, "der Hund und die Katze ist von den Bergen", "de"),
+            (3, "le chat et la maison est pour les amis dans", "fr"),
+            (4, "你好世界", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "zh"}
+
+
+def test_quality_score_ranks_prose_over_noise(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and it is a fine day "
+                "for the animals to run in the field of grass with a lot of joy "
+                "that is plain readable english prose for the test of quality"),
+            (2, "@@@ ### !!! ~~~ ^^^ ((( ))) %%% $$$"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.quality for r in text.quality_score(docs).collect()}
+    assert out[1] > out[2]
+    assert out[2] == 0.0 or out[2] < 0.05
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image/png")
+
+
+def test_multimodal_byte_features_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", 3), (2, "café", 4)], "doc_id long, text string, n_chars long"
+    )
+    media = multimodal.attach_binary(docs)
+    out = {r.doc_id: r for r in multimodal.byte_features(media).collect()}
+    assert out[1].byte_len == 3 and out[1].n_chars == 3
+    assert out[2].byte_len == 5  # é is 2 bytes in utf-8
+    assert out[1].mean_byte == round((97 + 98 + 99) / 3, 4)
