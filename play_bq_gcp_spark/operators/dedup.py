@@ -167,12 +167,18 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
 def minhash_lsh_pairs(
     documents: DataFrame,
     jaccard_distance: float = 0.6,
-    num_hash_tables: int = 5,
-    shingle_features: int = 1 << 18,
+    num_hash_tables: int = 3,
+    shingle_features: int = 1 << 16,
 ) -> DataFrame:
     """MinHash+LSH near-dup join (spark.ml): token shingles → hashed
     binary vectors → banded min-hash signatures → approxSimilarityJoin.
-    Deterministic via fixed seed."""
+    Deterministic via fixed seed.
+
+    Cost knobs: ``num_hash_tables`` trades recall for candidate volume
+    (each extra table is another explode+join pass); ``shingle_features``
+    only affects hash-collision rate, not vector size (sparse).  The
+    feature frame is cached — it is both sides of the self-join and the
+    input to fit()."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = documents.select("doc_id", token_set("text").alias("toks")).filter(
@@ -181,20 +187,30 @@ def minhash_lsh_pairs(
     tf = HashingTF(
         inputCol="toks", outputCol="features", numFeatures=shingle_features, binary=True
     )
-    feat = tf.transform(docs)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
-    )
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(F.lit(1.0) - F.col("dist"), 4).alias("jaccard_approx"),
+    feat = tf.transform(docs).cache()
+    try:
+        lsh = MinHashLSH(
+            inputCol="features",
+            outputCol="hashes",
+            numHashTables=num_hash_tables,
+            seed=42,
         )
-    )
+        model = lsh.fit(feat)
+        pairs = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="dist")
+        out = (
+            pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(
+                F.col("datasetA.doc_id").alias("doc_a"),
+                F.col("datasetB.doc_id").alias("doc_b"),
+                F.round(F.lit(1.0) - F.col("dist"), 4).alias("jaccard_approx"),
+            )
+        )
+        # materialize while feat is cached; result sets are small (pairs
+        # above the similarity threshold only)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        feat.unpersist()
+    return out
 
 
 def embedding_cosine_pairs(

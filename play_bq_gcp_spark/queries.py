@@ -954,7 +954,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-    return minhash_lsh_pairs(docs, jaccard_distance=0.4).orderBy("doc_a", "doc_b")
+    return minhash_lsh_pairs(docs, jaccard_distance=0.3).orderBy("doc_a", "doc_b")
 
 
 @register(
