@@ -12,9 +12,14 @@ Four escalating strategies, each a separate cost/recall point:
    hashes, bitwise majority vote), then banded bucketing (4×16-bit
    bands) so only same-band docs are compared; Hamming distance ≤ k
    marks near-dups.  All native expressions — no UDF.
-4. ``minhash_lsh_pairs`` — spark.ml MinHashLSH over hashed shingle
-   vectors; ``approxSimilarityJoin`` does banded candidate generation
-   distributed-natively.  The scale path for fuzzy text dedup.
+4. ``minhash_lsh_pairs`` — hand-rolled banded MinHash (b bands × r
+   rows) in pure DataFrame expressions: per-doc signature via
+   ``array_min(transform(toks, xxhash64))``, band keys bucket the
+   docs (one groupBy shuffle), pairs expand inside buckets, and an
+   exact-Jaccard verify pass filters false candidates.  The scale
+   path for fuzzy text dedup; r>1 AND-amplification keeps candidate
+   volume ~linear where 1-row banding (spark.ml MinHashLSH) goes
+   quadratic.
 
 At 100 TB: 1 and 3 are one-shuffle linear; 2 and 4 are quadratic within
 buckets only — band width / LSH table count tune recall vs cost.
@@ -24,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from play_bq_gcp_spark.operators.text import token_set, tokens
+from play_bq_gcp_spark.operators.text import shingle_hashes, token_set, tokens
 
 
 def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
@@ -167,49 +172,102 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 8) -> DataFrame:
 def minhash_lsh_pairs(
     documents: DataFrame,
     jaccard_distance: float = 0.6,
-    num_hash_tables: int = 3,
-    shingle_features: int = 1 << 16,
+    num_bands: int = 25,
+    rows_per_band: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-dup join (spark.ml): token shingles → hashed
-    binary vectors → banded min-hash signatures → approxSimilarityJoin.
-    Deterministic via fixed seed.
+    """Banded MinHash near-dup pairs, entirely in native expressions.
 
-    Cost knobs: ``num_hash_tables`` trades recall for candidate volume
-    (each extra table is another explode+join pass); ``shingle_features``
-    only affects hash-collision rate, not vector size (sparse).  The
-    feature frame is cached — it is both sides of the self-join and the
-    input to fit()."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    Signature: ``num_bands × rows_per_band`` min-hashes per doc, each
+    ``array_min(transform(toks, t -> xxhash64(t, seed_i)))`` — one
+    whole-stage-codegen pass over the token array, no UDF, no ml dep.
+    Candidates: docs sharing any band key (xxhash64 of the band's r
+    min-hashes) land in one bucket via a single groupBy shuffle; pairs
+    expand inside buckets with slice/transform/flatten.  Verify: exact
+    token-set Jaccard on candidates only, filtered at
+    ``1 - jaccard_distance``.
 
-    docs = documents.select("doc_id", token_set("text").alias("toks")).filter(
-        F.size("toks") > 0
+    Recall for similarity s is ``1-(1-s^r)^b`` — defaults (b=25, r=3)
+    give ≈0.99997 at s=0.7 (high enough that the output is
+    deterministic-in-practice and oracle-checkable against exact
+    all-pairs Jaccard), while genuinely dissimilar pairs (s≈0.001 on a
+    shingled corpus) essentially never collide.  r>1
+    AND-amplification is what keeps bucket sizes (and thus the m²/2
+    in-bucket expansion) bounded at 100 TB; exact-dup groups should be
+    collapsed first (``exact_dedup``) so no bucket degenerates.
+
+    The set unit is the 3-token *shingle* (order-sensitive), not the
+    unigram: unigram-set Jaccard saturates on any shared-vocabulary
+    corpus, which both destroys precision and makes the pair graph
+    quadratically dense."""
+    sim_threshold = 1.0 - jaccard_distance
+    sc = documents.sparkSession.sparkContext
+    docs = (
+        # spread the signature pass across all cores even when the
+        # source is a single parquet file; hash-partition by doc_id so
+        # the layout is reusable by the two verify joins
+        documents.repartition(sc.defaultParallelism, "doc_id")
+        # shingle hashes, never shingle strings: tokens are hashed once
+        # and k-grams fold hash-of-hash — every downstream pass (64
+        # min-hash derivations, Jaccard verify) works on the long array
+        .select("doc_id", shingle_hashes("text").alias("hs"))
+        .filter(F.size("hs") > 0)
+        .cache()
     )
-    tf = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=shingle_features, binary=True
-    )
-    feat = tf.transform(docs).cache()
     try:
-        lsh = MinHashLSH(
-            inputCol="features",
-            outputCol="hashes",
-            numHashTables=num_hash_tables,
-            seed=42,
+
+        def mh(i: int):
+            return F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(h, F.lit(i)))
+            )
+
+        # the whole signature+banding is a map-side pass — no shuffle
+        # until the bucket groupBy below
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[mh(b * rows_per_band + j) for j in range(rows_per_band)],
+                )
+                for b in range(num_bands)
+            ]
         )
-        model = lsh.fit(feat)
-        pairs = model.approxSimilarityJoin(feat, feat, jaccard_distance, distCol="dist")
-        out = (
-            pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-            .select(
-                F.col("datasetA.doc_id").alias("doc_a"),
-                F.col("datasetB.doc_id").alias("doc_b"),
-                F.round(F.lit(1.0) - F.col("dist"), 4).alias("jaccard_approx"),
+        buckets = docs.select(
+            "doc_id", F.posexplode(band_keys).alias("band", "key")
+        )
+        ids = F.array_sort(F.col("ids"))
+        in_bucket_pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
             )
         )
-        # materialize while feat is cached; result sets are small (pairs
-        # above the similarity threshold only)
+        cand = (
+            buckets.groupBy("band", "key")
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(in_bucket_pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+        )
+        ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+        tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+        jac = (
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+            / F.size(F.array_union("hs_a", "hs_b")).cast("double")
+        )
+        out = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_approx"))
+            .filter(F.col("jaccard_approx") >= sim_threshold)
+        )
+        # materialize while docs is cached; surviving pairs are few
         out = out.localCheckpoint(eager=True)
     finally:
-        feat.unpersist()
+        docs.unpersist()
     return out
 
 

@@ -948,12 +948,48 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=12).orderBy("doc_a", "doc_b")
 
 
-# rows-only: spark.ml MinHashLSH sketches are engine-specific
-@register("dedup_minhash_lsh")
+# Oracle is exact all-pairs 3-shingle Jaccard; the Spark side is banded
+# MinHash whose recall at the 0.7 threshold is 1-(1-s^3)^25 ≥ 0.99997,
+# so (with fixed seeds) the outputs agree deterministically.
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i::DOUBLE / (x.n + y.n - i), 4) AS jaccard_approx
+    FROM inter
+    JOIN sz x ON x.doc_id = da
+    JOIN sz y ON y.doc_id = db
+    WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-MinHash near-dup pairs over the full corpus, verified
+    with exact shingle-set Jaccard ≥ 0.7."""
     from play_bq_gcp_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = _t(spark, sf, "documents")
     return minhash_lsh_pairs(docs, jaccard_distance=0.3).orderBy("doc_a", "doc_b")
 
 
