@@ -50,10 +50,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
 
-    # warm up JVM/codegen/parquet-footer caches so timings reflect
-    # steady-state execution, not session startup
+    # warm up JVM/codegen/parquet-footer caches AND the Python worker
+    # pool (forked once per core, then reused session-wide) so timings
+    # reflect steady-state execution, not session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     q.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

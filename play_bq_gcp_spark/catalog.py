@@ -51,6 +51,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure at least one partition per core before an expensive
+    map-side pass (tokenization, featurization, Python workers).  A
+    small table often arrives as a single parquet file → one partition
+    → one busy core; at real scale inputs already have ≥cores
+    partitions and this is a no-op (no shuffle inserted)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL surface."""
     for name in TABLES:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from play_bq_gcp_spark.catalog import spread
 from play_bq_gcp_spark.operators.text import shingle_hashes, token_set, tokens
 
 
@@ -38,7 +39,7 @@ def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
     at scale you never shuffle full documents to find dups."""
     key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
     return (
-        documents.select(key, "doc_id")
+        spread(documents).select(key, "doc_id")
         .groupBy("text_fp")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -200,12 +201,10 @@ def minhash_lsh_pairs(
     corpus, which both destroys precision and makes the pair graph
     quadratically dense."""
     sim_threshold = 1.0 - jaccard_distance
-    sc = documents.sparkSession.sparkContext
     docs = (
         # spread the signature pass across all cores even when the
-        # source is a single parquet file; hash-partition by doc_id so
-        # the layout is reusable by the two verify joins
-        documents.repartition(sc.defaultParallelism, "doc_id")
+        # source is a single parquet file
+        spread(documents)
         # shingle hashes, never shingle strings: tokens are hashed once
         # and k-grams fold hash-of-hash — every downstream pass (64
         # min-hash derivations, Jaccard verify) works on the long array

@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from play_bq_gcp_spark.catalog import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -85,7 +87,9 @@ def byte_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+    # one partition per core → one Python worker per core (a single
+    # input file would otherwise funnel every batch through one worker)
+    return spread(media).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -41,6 +41,18 @@ def token_set(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def bind(arr: Column, f) -> Column:
+    """Evaluate ``arr`` ONCE and pass it to ``f`` as a lambda variable.
+
+    Catalyst's CollapseProject inlines intermediate Columns into every
+    downstream reference, so an expression used N times is *evaluated*
+    N times (interpreted HOFs get no common-subexpression elimination).
+    Wrapping it as the sole element of an array and binding through
+    ``transform`` forces single evaluation: lambda variables are bound
+    values, never re-expanded.  Measured 7× on the shingle pipeline."""
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (Broder w-shingling): contiguous
     k-grams joined with spaces.  Order-sensitive, so near-dup detection
@@ -48,35 +60,44 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     *passages* — the standard unit for MinHash text dedup.  Docs
     shorter than k tokens collapse to one whole-doc shingle.
 
-    Built as k-1 ``zip_with`` passes over shifted slices — O(k·n) with
-    cheap per-element work.  (A per-index slice+join formulation is
-    quadratic-ish and interpreted; it measured 30× slower.)"""
-    toks = tokens(col)
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    acc = F.slice(toks, 1, m)
-    for i in range(1, k):
-        # zip_with pads the shorter side with nulls; concat_ws skips
-        # nulls, so a <k-token doc yields its whole text as one shingle
-        acc = F.zip_with(
-            acc, F.slice(toks, 1 + i, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return F.array_distinct(acc)
+    Built as k-1 ``zip_with`` passes over shifted slices of the
+    once-bound token array — O(k·n) with cheap per-element work.  (A
+    per-index slice+join formulation is quadratic-ish and interpreted;
+    it measured 30× slower.)"""
+
+    def build(toks: Column) -> Column:
+        m = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+        acc = F.slice(toks, 1, m)
+        for i in range(1, k):
+            # zip_with pads the shorter side with nulls; concat_ws
+            # skips nulls, so a <k-token doc yields its whole text as
+            # one shingle
+            acc = F.zip_with(
+                acc, F.slice(toks, 1 + i, m), lambda x, y: F.concat_ws(" ", x, y)
+            )
+        return F.array_distinct(acc)
+
+    return bind(tokens(col), build)
 
 
 def shingle_hashes(col: Column | str, k: int = 3) -> Column:
     """Distinct 64-bit hashes of k-token shingles — the input unit for
-    MinHash dedup.  Tokens are xxhash64'd once, then k-1 ``zip_with``
-    passes fold shifted hash arrays with xxhash64(long, long): no
-    shingle strings are ever materialized, so the pass stays cheap even
-    interpreted.  Docs shorter than k tokens fold to one prefix-chain
-    hash (xxhash64 skips the null padding)."""
-    toks = tokens(col)
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    hts = F.transform(toks, lambda t: F.xxhash64(t))
-    acc = F.slice(hts, 1, m)
-    for i in range(1, k):
-        acc = F.zip_with(acc, F.slice(hts, 1 + i, m), lambda x, y: F.xxhash64(x, y))
-    return F.array_distinct(acc)
+    MinHash dedup.  Tokens are xxhash64'd once (bound, not re-expanded),
+    then k-1 ``zip_with`` passes fold shifted hash arrays with
+    xxhash64(long, long): no shingle strings are ever materialized.
+    Docs shorter than k tokens fold to one prefix-chain hash (xxhash64
+    skips the null padding)."""
+
+    def build(hts: Column) -> Column:
+        m = F.greatest(F.size(hts) - (k - 1), F.lit(1))
+        acc = F.slice(hts, 1, m)
+        for i in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(hts, 1 + i, m), lambda x, y: F.xxhash64(x, y)
+            )
+        return F.array_distinct(acc)
+
+    return bind(F.transform(tokens(col), lambda t: F.xxhash64(t)), build)
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
