@@ -33,12 +33,14 @@ HEADLINE = [
     "asof_join_purchase_click",
     "range_join_price_bands",
     "streaming_window_counts",
+    "streaming_stateful_user_stats",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "text_token_stats",
+    "pandas_udf_token_count",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_byte_features",

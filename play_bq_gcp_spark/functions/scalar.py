@@ -9,6 +9,8 @@ key lambda at /root/reference/main.py:102) needs NO UDF here.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 
@@ -55,3 +57,18 @@ def sanitize_ascii(col: Column | str) -> Column:
     return F.trim(
         F.regexp_replace(F.regexp_replace(_c(col), r"[^\x00-\x7F]+", " "), r"\n", "")
     )
+
+
+def bpe_token_count_udf():
+    """§2.9 vectorized scalar ``pandas_udf``: BPE-ish unit count per
+    text, computed on Arrow-batched pandas Series (the fast Python
+    path; row-at-a-time ``F.udf`` is deliberately absent from this
+    engine).  Native twin: ``operators.text.token_stats``'s
+    regexp_extract_all count — the UDF exists to prove the vectorized
+    surface, not because the expression needs Python."""
+
+    @F.pandas_udf("long")
+    def _count(text: pd.Series) -> pd.Series:
+        return text.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
+
+    return _count

@@ -871,6 +871,24 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf: str) -> DataFrame:
     return foreach_batch_user_stats(spark, sf)
 
 
+@register(
+    "streaming_stateful_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState running totals
+    across 4 genuine micro-batches (maxFilesPerTrigger=1); the final
+    state must equal the batch GROUP BY."""
+    from play_bq_gcp_spark.streaming.stateful import running_user_stats
+
+    return running_user_stats(spark, sf)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (§2.10)
 # ---------------------------------------------------------------------------
@@ -1175,6 +1193,30 @@ def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.text import corpus_token_frequencies
 
     return corpus_token_frequencies(_t(spark, sf, "documents"), top_n=20)
+
+
+@register(
+    "pandas_udf_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+               AS n_tokens_bpe
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (§2.9): Arrow-batched BPE-ish token
+    count, hash-checked against the same count computed in SQL."""
+    from play_bq_gcp_spark.functions.scalar import bpe_token_count_udf
+    from play_bq_gcp_spark.catalog import spread
+
+    count = bpe_token_count_udf()
+    return (
+        spread(_t(spark, sf, "documents"))
+        .select("doc_id", count("text").alias("n_tokens_bpe"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

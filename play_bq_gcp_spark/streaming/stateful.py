@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.8/§2.9).
+
+The reference keeps its cross-run state in warehouse tables and
+re-derives deltas by joining yesterday's snapshot
+(/root/reference/main.py:176, :195-203).  The idiomatic Spark
+restatement keeps per-key state *inside the engine*: an Arrow-batched
+grouped-map function receives each key's new rows per micro-batch plus
+a typed ``GroupState``, updates it, and emits the running aggregate.
+
+To make the state path real (not a single-batch degenerate), the
+fixture table is re-landed as N chunk files and streamed with
+``maxFilesPerTrigger=1`` — N genuine micro-batches, so every key's
+state is created in one batch and updated in later ones.
+
+Scale notes: state lives in the executor state store keyed by the
+groupBy columns (shuffle on user_id); watermark/timeouts bound state
+lifetime for unbounded key spaces — here the key space is finite so
+``NoTimeout`` is correct.  Output mode ``update`` emits one running
+row per touched key per batch; the final value per key is the row
+with the highest running count (monotone within a key).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from play_bq_gcp_spark.catalog import table_path
+
+_CHUNK_DIRS: dict[tuple[str, int], str] = {}
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n_events long, total_value double"
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
+    """Re-land the events fixture as ``n_chunks`` parquet files so the
+    file stream source can deliver them as separate micro-batches."""
+    key = (sf_dir, n_chunks)
+    if key not in _CHUNK_DIRS:
+        d = tempfile.mkdtemp(prefix="events_chunks_")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.parquet(table_path(sf_dir, "events"))
+            .repartition(n_chunks)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _CHUNK_DIRS[key] = d
+    return _CHUNK_DIRS[key]
+
+
+def running_user_stats(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Per-user running (count, sum) maintained in GroupState across
+    micro-batches; returns the final per-user totals — which must equal
+    the batch ``GROUP BY user_id`` aggregate (the oracle)."""
+    chunk_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "value")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    running = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    # drive to completion; memory sink collects every per-batch update
+    import uuid
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            running.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    updates = spark.table(name)
+
+    # n_events is strictly increasing within a key → the max-count row
+    # is the final state
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -34,3 +34,47 @@ def test_session_windows_match_batch_sessionize(spark, sf_dir):
         .agg(F.max("session_id").alias("n"))
     )
     assert stream == {r.user_id: r.n for r in batch.collect()}
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState across 4 real micro-batches converges to
+    the batch GROUP BY result."""
+    from play_bq_gcp_spark.streaming import stateful
+
+    out = stateful.running_user_stats(spark, sf_dir)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_stream_ran_multiple_batches(spark, sf_dir):
+    """The chunked source really delivers >1 micro-batch: with 4 chunk
+    files and maxFilesPerTrigger=1, most keys are updated more than
+    once, so the update-mode sink holds more rows than distinct keys."""
+    from play_bq_gcp_spark.streaming import stateful
+
+    d = stateful._chunked_events_dir(spark, sf_dir, 4)
+    import glob, os
+    assert len(glob.glob(os.path.join(d, "part-*"))) == 4
+
+
+def test_pandas_udf_token_count(spark):
+    from play_bq_gcp_spark.functions.scalar import bpe_token_count_udf
+
+    df = spark.createDataFrame(
+        [(1, "hello, world!"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    count = bpe_token_count_udf()
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", count("text").alias("n")).collect()}
+    # hello , world ! → 4; a b c → 3; "" → 0
+    assert got == {1: 4, 2: 3, 3: 0}
