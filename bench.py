@@ -32,6 +32,8 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_purchase_click",
     "range_join_price_bands",
+    "agg_salted_skew",
+    "join_salted_skew",
     "streaming_window_counts",
     "streaming_stateful_user_stats",
     "dedup_exact_groups",

@@ -95,6 +95,37 @@ def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Bucketed managed table (SURVEY.md §4.2): pre-hash-partition (and
+    optionally pre-sort) the rows by the join/merge key at write time.
+    Two tables bucketed identically join WITHOUT a shuffle — the 100 TB
+    layout for the merge-heavy dimension and its recurring update feed
+    (the reference re-shuffles this join remotely every run,
+    /root/reference/main.py:274-284)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left files at the managed location
+    # without catalog metadata (in-memory catalog); clear them
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    loc = os.path.join(warehouse, table)
+    if warehouse and os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
 def create_database(spark: SparkSession, name: str) -> None:
     """DDL: namespace creation (S9; /root/reference/load_data_first.py:72-89)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")

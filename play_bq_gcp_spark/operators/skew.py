@@ -1,0 +1,89 @@
+"""Skew mitigation: salted aggregation and salted (replicated) join
+(SURVEY.md §4.2).
+
+A shuffle hash-partitions by key, so one hot key lands on one reduce
+task — the straggler that dominates wall-clock at 100 TB.  Two standard
+counters, both pure DataFrame compositions:
+
+* ``salted_agg`` — aggregate in two stages: groupBy(key, salt) spreads
+  the hot key over ``n_salts`` tasks for the heavy partial pass, then a
+  cheap groupBy(key) over ``n_salts`` partial rows per key finalizes.
+  Works for any decomposable aggregate (sum/count/min/max; avg as
+  sum/count).
+* ``salted_join`` — the hot (large) side gets a per-row salt in
+  [0, n); the small-but-too-big-to-broadcast side is replicated n ways
+  with an exploded salt column; joining on (key, salt) splits each hot
+  key across n tasks at the cost of replicating the right side n×.
+
+AQE's skew-join splitting (on in session.py) handles *detected* skew
+at runtime; the explicit salt is for known-hot keys and for
+aggregations, which AQE does not re-salt.
+
+Salts are deterministic (hash of a designated distribution column, or
+of all columns) so re-runs produce identical partitioning — no
+``rand()`` in the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_DECOMP = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def _salt_col(df: DataFrame, n_salts: int):
+    # hash every column → deterministic, spreads a hot KEY because its
+    # rows differ in payload columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output name → (agg fn, input col), e.g.
+    ``{"total": ("sum", "value"), "n": ("count", "value")}``.
+    Equivalent to ``df.groupBy(keys).agg(...)`` for decomposable
+    aggregates; the partial stage shuffles by (key, salt) so no single
+    reduce task sees a whole hot key.
+    """
+    partials, finals = [], []
+    for out, (fn, col) in aggs.items():
+        part_f, final_f = _DECOMP[fn]
+        partials.append(part_f(col).alias(f"__p_{out}"))
+        finals.append(final_f(f"__p_{out}").alias(out))
+    return (
+        df.withColumn("__salt", _salt_col(df, n_salts))
+        .groupBy(*keys, "__salt")
+        .agg(*partials)
+        .groupBy(*keys)
+        .agg(*finals)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with the left (hot) side salted and the right
+    side replicated ``n_salts``× — splits each hot key across n tasks.
+    Use when the right side exceeds the broadcast threshold but the
+    left key distribution is skewed."""
+    l_salted = left.withColumn("__salt", _salt_col(left, n_salts))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_replicated, [on, "__salt"], "inner").drop("__salt")

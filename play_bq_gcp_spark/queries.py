@@ -791,6 +791,77 @@ def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.stats_summary(_t(spark, sf, "lineitem"))
 
 
+@register(
+    "agg_salted_skew",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (skew-prone)
+    key — must equal the plain GROUP BY."""
+    from play_bq_gcp_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "__sum_value": ("sum", "value"),
+            "__min_value": ("min", "value"),
+            "__max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("__sum_value", 2).alias("total_value"),
+        F.round("__min_value", 4).alias("min_value"),
+        F.round("__max_value", 4).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Salt-and-replicate join (hot side salted, dimension replicated
+    8×) — must equal the plain inner join."""
+    from play_bq_gcp_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, cust, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (§2.8) — each runs a real streaming query to
 # completion (Trigger.AvailableNow) and returns the materialized result,

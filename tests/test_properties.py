@@ -1,0 +1,85 @@
+"""Property-based tests (SURVEY.md §5.2-4) with hypothesis.
+
+Each property runs a handful of examples (Spark jobs are ~100 ms each,
+so max_examples stays small); the invariants are the ones the
+reference's pipeline silently relies on.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.operators.relational import anti_join, semi_join
+from play_bq_gcp_spark.operators.skew import salted_agg, salted_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),          # key
+        st.integers(min_value=-1000, max_value=1000),   # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+keysets = st.lists(
+    st.integers(min_value=0, max_value=5), min_size=0, max_size=6, unique=True
+)
+
+
+@given(left=rows, keys=keysets)
+@settings(**_SETTINGS)
+def test_semi_anti_partition(spark, left, keys):
+    """semi(L, R) ⊎ anti(L, R) == L — the reference's new-vs-existing
+    row split (main.py:176 + :244) is a partition of the input."""
+    l_df = spark.createDataFrame(left or [(0, 0)], "k long, v long")
+    if not left:
+        l_df = l_df.limit(0)
+    r_df = spark.createDataFrame([(k,) for k in keys] or [(0,)], "k long")
+    if not keys:
+        r_df = r_df.limit(0)
+    semi = semi_join(l_df, r_df, "k")
+    anti = anti_join(l_df, r_df, "k")
+    got = sorted((r.k, r.v) for r in semi.unionAll(anti).collect())
+    assert got == sorted(left)
+
+
+@given(data=rows)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain(spark, data):
+    df = spark.createDataFrame(data or [(0, 0)], "k long, v long")
+    if not data:
+        df = df.limit(0)
+    salted = salted_agg(
+        df, ["k"], {"n": ("count", "v"), "s": ("sum", "v")}, n_salts=4
+    )
+    plain = df.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+@given(left=rows, right=rows)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain(spark, left, right):
+    l_df = spark.createDataFrame(left or [(0, 0)], "k long, v long")
+    r_df = spark.createDataFrame(
+        [(k, v) for k, v in (right or [(0, 0)])], "k long, w long"
+    )
+    if not left:
+        l_df = l_df.limit(0)
+    if not right:
+        r_df = r_df.limit(0)
+    salted = salted_join(l_df, r_df, "k", n_salts=3)
+    plain = l_df.join(r_df, "k", "inner")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
