@@ -581,6 +581,39 @@ def json_extract_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "nested_struct_access",
+    """
+    SELECT event_id, user_id AS uid, event_type AS etype,
+           round(value, 4) AS v
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def nested_struct_access(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/§1.1 nested-document surface: build a two-level StructType
+    and read it back through dotted paths (``payload.who.uid``) — the
+    Spark restatement of the reference's
+    ``profile["trophySummary"]["earnedTrophies"]`` access."""
+    ev = _t(spark, sf, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+            ).alias("who"),
+            F.col("value").alias("v"),
+        ).alias("payload"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("payload.who.uid").alias("uid"),
+        F.col("payload.who.etype").alias("etype"),
+        F.round("payload.v", 4).alias("v"),
+    ).orderBy("event_id")
+
+
+@register(
     "json_explode_map",
     """
     SELECT event_id, key AS json_key,

@@ -1,0 +1,86 @@
+"""Spark 4 Python Data Source for the paged external-API scan
+(SURVEY.md §1.1, §2.1 S1).
+
+The reference pulls API pages in a driver-side loop
+(/root/reference/main.py:85-91).  ``scan_records`` (rest_api.py)
+mirrors that shape; THIS module is the scale path: a registered
+``DataSource`` whose reader maps **one API page to one input
+partition**, so a 1000-page scan runs as 1000 parallel tasks with no
+driver materialization.  Real deployments put the HTTP call inside
+``read`` (plus rate limiting); this container has no network, so the
+page fetch is a deterministic fake keyed by (seed, page, row) — the
+partitioning, schema, and option plumbing are the real thing.
+
+Usage::
+
+    spark.dataSource.register(GameSnapshotDataSource)
+    df = (spark.read.format("game_snapshot")
+          .option("pages", 8).option("page_size", 250).load())
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Column layout of one title-stats record (main.py:91's projection).
+_SCHEMA_DDL = (
+    "title_id string, title_name string, image string, category string, "
+    "first_played_date_time timestamp, last_played_date_time timestamp, "
+    "play_count bigint, play_duration_seconds double"
+)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, page: int, page_size: int, seed: int) -> None:
+        self.page = page
+        self.page_size = page_size
+        self.seed = seed
+
+
+class GameSnapshotReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.pages = int(options.get("pages", 4))
+        self.page_size = int(options.get("page_size", 100))
+        self.seed = int(options.get("seed", 7))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(p, self.page_size, self.seed)
+            for p in range(self.pages)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        """One API page → one task.  Deterministic fake of the HTTP
+        response; a real client would page through the API here."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+        for i in range(partition.page_size):
+            n = partition.page * partition.page_size + i
+            h = (n * 2654435761 + partition.seed) % (1 << 31)
+            first = base + dt.timedelta(hours=h % 8760)
+            last = first + dt.timedelta(hours=(h >> 3) % 2000)
+            yield (
+                f"CUSA{n:05d}_00",
+                f"Game {n}",
+                f"https://img.example/{n}.png",
+                f"ps4_game_{h % 7}",
+                first,
+                last,
+                (h % 500) + 1,
+                float((h % 360000) + 60),
+            )
+
+
+class GameSnapshotDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "game_snapshot"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> GameSnapshotReader:
+        return GameSnapshotReader(self.options)

@@ -1,0 +1,38 @@
+from __future__ import annotations
+
+from play_bq_gcp_spark.sources.psn_datasource import GameSnapshotDataSource
+
+
+def _load(spark, pages=4, page_size=50):
+    spark.dataSource.register(GameSnapshotDataSource)
+    return (
+        spark.read.format("game_snapshot")
+        .option("pages", pages)
+        .option("page_size", page_size)
+        .load()
+    )
+
+
+def test_one_page_per_partition(spark):
+    df = _load(spark, pages=4, page_size=50)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 200
+
+
+def test_deterministic_across_reads(spark):
+    a = sorted(map(tuple, _load(spark).collect()))
+    b = sorted(map(tuple, _load(spark).collect()))
+    assert a == b
+
+
+def test_feeds_pipeline_transform(spark):
+    """The data-source output slots straight into the daily pipeline's
+    snapshot transform (projection + surrogate key + casts)."""
+    from play_bq_gcp_spark.plans.pipeline import GAME_COLUMNS, transform_snapshot
+
+    game = transform_snapshot(_load(spark, pages=2, page_size=25))
+    assert game.columns == GAME_COLUMNS
+    rows = game.collect()
+    assert len(rows) == 50
+    # surrogate key: last-7 of stripped title_id ++ ddHHyyyyMM stamp
+    assert all(len(r.id) == 17 for r in rows)
