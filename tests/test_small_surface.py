@@ -1,0 +1,75 @@
+"""Unit coverage for the small SURVEY.md §2 rows not exercised by the
+pipeline golden test: the S1 page adapter, S4 schema fetch, S9/S10
+DDL, and the scalar edge semantics (F1 vs F1b, F7, F9, F11).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark import catalog
+from play_bq_gcp_spark.functions import scalar
+from play_bq_gcp_spark.sources.rest_api import GAME_SNAPSHOT_SCHEMA, scan_records
+
+
+def test_scan_records_concatenates_pages(spark):
+    page1 = [("T_1", "A", "i", "cat_x", dt.datetime(2024, 1, 1),
+              dt.datetime(2024, 1, 2), 1, 60.0)]
+    page2 = [("T_2", "B", "i", "cat_y", dt.datetime(2024, 2, 1),
+              dt.datetime(2024, 2, 2), 2, 120.0)]
+    df = scan_records(spark, lambda: iter([page1, page2]), GAME_SNAPSHOT_SCHEMA)
+    assert df.count() == 2
+    assert df.schema == GAME_SNAPSHOT_SCHEMA
+
+
+def test_schema_fetch(spark, sf_dir):
+    names = catalog.table_schema(spark, sf_dir, "nation").fieldNames()
+    assert names == ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def test_ddl_roundtrip(spark):
+    catalog.create_database(spark, "psn_test_db")
+    assert spark.catalog.databaseExists("psn_test_db")
+    spark.sql("CREATE TABLE IF NOT EXISTS psn_test_db.tmp_t (id INT) USING parquet")
+    catalog.drop_table(spark, "psn_test_db.tmp_t")
+    assert not spark.catalog.tableExists("psn_test_db.tmp_t")
+    catalog.drop_table(spark, "psn_test_db.tmp_t")  # idempotent (not_found_ok)
+    spark.sql("DROP DATABASE psn_test_db")
+
+
+def test_substring_variants(spark):
+    """F1 (last 3 chars) vs the bootstrap's F1b (single 3rd-from-last
+    char) — the reference's own inconsistency, reproduced knowingly."""
+    df = spark.createDataFrame([("ps4_game",), ("ab",)], "category string")
+    f1 = [r[0] for r in df.select(scalar.last_n_chars("category", 3)).collect()]
+    assert f1 == ["ame", "ab"]  # python slice semantics on short input
+    f1b = [r[0] for r in df.select(
+        F.substring("category", -3, 1)).collect()]
+    assert f1b == ["a", ""]
+
+
+def test_interval_seconds(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0), dt.datetime(2024, 1, 1, 1, 30, 15))],
+        "a timestamp, b timestamp",
+    )
+    out = df.select(scalar.interval_seconds("b", "a").alias("s")).first()
+    assert out.s == 5415.0 and isinstance(out.s, float)
+
+
+def test_sanitize_ascii(spark):
+    df = spark.createDataFrame([("héllo\nwörld  ",)], "v string")
+    got = df.select(scalar.sanitize_ascii("v").alias("v")).first().v
+    # reference order (main.py:81-82): non-ASCII → space FIRST, then
+    # newlines removed (not spaced) — hence the joined "llow"
+    assert got == "h llow rld"
+
+
+def test_strip_literal_and_trim(spark):
+    df = spark.createDataFrame([(" CUSA_123_00 ",)], "v string")
+    got = df.select(
+        scalar.strip_literal(F.trim("v")).alias("v")
+    ).first().v
+    assert got == "CUSA12300"
