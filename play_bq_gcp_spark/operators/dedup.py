@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from play_bq_gcp_spark.catalog import spread
-from play_bq_gcp_spark.operators.text import shingle_hashes, token_set, tokens
+from play_bq_gcp_spark.operators.text import bind, shingle_hashes, token_set, tokens
 
 
 def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
@@ -213,22 +213,25 @@ def minhash_lsh_pairs(
         .cache()
     )
     try:
-
-        def mh(i: int):
-            return F.array_min(
-                F.transform("hs", lambda h: F.xxhash64(h, F.lit(i)))
-            )
-
-        # the whole signature+banding is a map-side pass — no shuffle
-        # until the bucket groupBy below
-        band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b),
-                    *[mh(b * rows_per_band + j) for j in range(rows_per_band)],
-                )
-                for b in range(num_bands)
-            ]
+        n_hashes = num_bands * rows_per_band
+        # the whole signature+banding is ONE nested-HOF expression, not
+        # n_hashes separate subtrees: per-row work is identical but the
+        # plan tree is ~75× smaller, which cuts first-run Catalyst
+        # analysis + codegen from seconds to milliseconds
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(h, i))
+            ),
+        )
+        band_keys = bind(
+            sig,
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(s, b * rows_per_band + 1, rows_per_band), b
+                ),
+            ),
         )
         buckets = docs.select(
             "doc_id", F.posexplode(band_keys).alias("band", "key")

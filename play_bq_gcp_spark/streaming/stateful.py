@@ -56,7 +56,10 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
 
 
 def running_user_stats(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Per-user running (count, sum) maintained in GroupState across
     micro-batches; returns the final per-user totals — which must equal
@@ -88,20 +91,29 @@ def running_user_stats(
         GroupStateTimeout.NoTimeout,
     )
 
-    # drive to completion; memory sink collects every per-batch update
+    # drive to completion; memory sink collects every per-batch update.
+    # State-store partition count is FIXED at first start for a
+    # streaming query's lifetime — size it to the key space (150 users
+    # here), not the session's batch shuffle setting; every extra
+    # partition is an empty state store committed per micro-batch.
     import uuid
 
     name = f"s_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            running.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                running.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     updates = spark.table(name)
 
     # n_events is strictly increasing within a key → the max-count row
