@@ -72,3 +72,21 @@ def bpe_token_count_udf():
         return text.str.count(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]").astype("int64")
 
     return _count
+
+
+def geometric_mean_udaf():
+    """§2.9 grouped-aggregate ``pandas_udf`` (UDAF surface): geometric
+    mean of the positive values in a group, computed on an Arrow batch
+    of the whole group.  Usable in ``groupBy().agg`` and as a window
+    aggregate.  SQL twin: ``exp(avg(ln(x)))``."""
+
+    @F.pandas_udf("double")
+    def _gmean(v: pd.Series) -> float:
+        import numpy as np
+
+        pos = v[v > 0]
+        if pos.empty:
+            return float("nan")
+        return float(np.exp(np.log(pos).mean()))
+
+    return _gmean

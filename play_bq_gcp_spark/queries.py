@@ -825,6 +825,34 @@ def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "udaf_geomean_price",
+    """
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (§2.9 UDAF surface): per-group
+    geometric mean over the Arrow batch of the whole group."""
+    from play_bq_gcp_spark.functions.scalar import geometric_mean_udaf
+
+    gmean = geometric_mean_udaf()
+    li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates — compute each and join on the group key
+    g = li.groupBy("l_returnflag").agg(
+        F.round(gmean("l_extendedprice"), 2).alias("geomean_price")
+    )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(n, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
     "join_bucketed_dim",
     """
     SELECT c_mktsegment,
