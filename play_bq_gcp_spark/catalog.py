@@ -95,6 +95,36 @@ def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     w.parquet(path)
 
 
+def atomic_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Overwrite with stage-write + rename swap (SURVEY.md §7 hard
+    part 1).  ``mode("overwrite")`` deletes the target before writing —
+    a crash mid-write loses the table, and reading the target as the
+    write's own input deadlocks on missing files.  Staging solves
+    both: the new data is fully written NEXT TO the live table (which
+    stays readable as the plan's input — no checkpoint needed), then
+    two directory renames swap it in.  POSIX rename is atomic; the
+    worst crash window leaves the old table at a recovery path instead
+    of gone.  Object stores have no atomic rename — there, use dynamic
+    partition overwrite or a table format (Delta/Iceberg); this is the
+    single-filesystem implementation of the same contract."""
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    stage = f"{path}.__stage__{token}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+    old = f"{path}.__old__{token}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

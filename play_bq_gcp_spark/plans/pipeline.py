@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from play_bq_gcp_spark.catalog import atomic_overwrite
 from play_bq_gcp_spark.functions.scalar import last_n_chars, surrogate_key
 from play_bq_gcp_spark.operators.merge import merge_upsert
 from play_bq_gcp_spark.operators.relational import (
@@ -149,11 +150,10 @@ def run_daily(
     if stats["new_games"] > 0 or stats["time_play"] > 0:
         updated = upsert_games(stored, snapshot, deltas)
         final_dim = updated.unionByName(fresh)
-        # break lineage on the about-to-be-overwritten source files
-        # before rewriting them (object stores: dynamic partition
-        # overwrite instead of a full rewrite)
-        staged = final_dim.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").parquet(wh.path("game"))
+        # stage-write + rename swap: the live table stays readable as
+        # this plan's own input (no checkpoint materialization), and a
+        # crash can never leave the dimension deleted-but-unwritten
+        atomic_overwrite(final_dim, wh.path("game"))
 
     # 5. trophy snapshot append (main.py:35-64)
     if trophy_row is not None and is_nonempty(trophy_row):
