@@ -51,22 +51,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Drive a streaming DF to completion (AvailableNow) into a memory
-    sink and return the materialized result as a batch DataFrame."""
+    sink and return the materialized result as a batch DataFrame.
+
+    The state-store partition count is fixed at first start for the
+    query's lifetime; size it to the key space (here: hours×types /
+    users — hundreds), not the batch shuffle setting — every extra
+    partition is an empty state store committed per micro-batch."""
     name = f"s_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the memory-sink table stays registered in the session after stop
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
