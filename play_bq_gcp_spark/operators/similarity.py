@@ -65,11 +65,18 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: score only vectors whose signature
-    matches the query's (1 bucket of ~n/2^planes).  Recall < 1 by
-    design; raise recall with multi-probe (hamming-1 buckets) or more
-    tables."""
+    matches the query's (1 bucket of ~n/2^planes).
+
+    ``multi_probe`` raises recall the standard way: probe every bucket
+    within Hamming distance ≤ multi_probe of the query signature
+    (multi_probe=1 adds the n_planes flip-one-bit buckets — the ones a
+    near neighbor lands in when it falls on the other side of exactly
+    one hyperplane).  The probe set stays an equality filter on the
+    signature column (an IN over 1+n_planes values), so the scan is
+    still bucket-pruned — never a full-corpus scoring pass."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     v = F.col("embedding").cast("array<double>")
@@ -81,8 +88,17 @@ def lsh_topk(
             if float(np.dot(np.asarray(query_vec, dtype=float), p)) > 0
         )
     )
+    probes = {qsig}
+    if multi_probe >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if multi_probe >= 2:
+        probes |= {
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
     q = _vec_lit(query_vec)
-    bucket = tagged.filter(F.col("sig") == qsig)
+    bucket = tagged.filter(F.col("sig").isin([int(s) for s in probes]))
     return (
         bucket.select(
             "vec_id", F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine")

@@ -1234,7 +1234,7 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return lsh_topk(e, qvec, k=10, n_planes=6)
+    return lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1)
 
 
 # rows-only: IVF probes a subset of lists (approximate)

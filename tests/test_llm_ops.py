@@ -111,3 +111,16 @@ def test_multimodal_byte_features_roundtrip(spark):
     assert out[1].byte_len == 3 and out[1].n_chars == 3
     assert out[2].byte_len == 5  # é is 2 bytes in utf-8
     assert out[1].mean_byte == round((97 + 98 + 99) / 3, 4)
+
+
+def test_lsh_multi_probe_improves_recall(spark, sf_dir):
+    """Hamming-1 probing returns a superset of the single-bucket
+    candidates, all scored identically to brute force."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    single = {r.vec_id for r in similarity.lsh_topk(
+        e, q, k=1000, n_planes=6).collect()}
+    probed = {r.vec_id for r in similarity.lsh_topk(
+        e, q, k=1000, n_planes=6, multi_probe=1).collect()}
+    assert single <= probed
+    assert len(probed) >= len(single)

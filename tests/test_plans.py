@@ -95,3 +95,22 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert "Exchange" in plan_of(shuffled, "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Fact tables land partitionBy(date): a date-filtered read shows
+    PartitionFilters at the scan and touches only matching partitions
+    — the 100 TB layout for append-only facts."""
+    from play_bq_gcp_spark.catalog import overwrite
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    p = str(tmp_path / "events_by_date")
+    overwrite(ev, p, partition_by=["date"])
+    one_day = ev.select(F.min(F.to_date("ts"))).first()[0]
+    pruned = spark.read.parquet(p).filter(F.col("date") == F.lit(one_day))
+    plan = plan_of(pruned)
+    part_filters = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "date" in part_filters
+    assert pruned.count() == ev.filter(F.to_date("ts") == F.lit(one_day)).count()
