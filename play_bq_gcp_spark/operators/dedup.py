@@ -294,3 +294,72 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_dup_groups(
+    documents: DataFrame,
+    jaccard_distance: float = 0.6,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs (the form a dedup
+    pipeline actually consumes: keep one doc per component, drop the
+    rest).  Connected components via iterative min-label propagation:
+    every node starts labeled with its own id; each round takes the min
+    of its own and its neighbors' labels; convergence in O(component
+    diameter) rounds — duplicate clusters are near-cliques, so 1-3
+    rounds in practice.
+
+    Iterative-DataFrame hygiene: per-round ``localCheckpoint`` truncates
+    the lineage (otherwise the plan doubles every round), and the edge
+    list is cached — the classic Spark shape for label propagation /
+    PageRank-style loops.  The driver-side loop iterates over ROUNDS,
+    never rows.  Returns (doc_id, group_id = min doc_id of the
+    component) for every doc in at least one pair."""
+    pairs = minhash_lsh_pairs(documents, jaccard_distance)
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    try:
+        labels = (
+            edges.select(F.col("a").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("b"), F.col("label").alias("nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nl").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(
+                    nbr_min, labels.doc_id == nbr_min.a, "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_label", F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc_id", F.col("label").alias("group_id"))
+    finally:
+        edges.unpersist()

@@ -1180,6 +1180,64 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_distance=0.3).orderBy("doc_a", "doc_b")
 
 
+# Oracle: the same exact all-pairs shingle-Jaccard pair graph as
+# dedup_minhash_lsh, closed transitively with a recursive CTE; the
+# Spark side is an iterative min-label propagation loop (the driver
+# contract's "iterative algorithms" class — loop over ROUNDS, not rows).
+@register(
+    "dedup_connected_groups",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT da, db
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS group_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: LSH pairs closed into connected components
+    by iterative min-label propagation (checkpointed per round)."""
+    from play_bq_gcp_spark.operators.dedup import connected_dup_groups
+
+    return connected_dup_groups(
+        _t(spark, sf, "documents"), jaccard_distance=0.3
+    ).orderBy("doc_id")
+
+
 @register(
     "dedup_embedding_cosine",
     """

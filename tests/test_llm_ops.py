@@ -124,3 +124,22 @@ def test_lsh_multi_probe_improves_recall(spark, sf_dir):
         e, q, k=1000, n_planes=6, multi_probe=1).collect()}
     assert single <= probed
     assert len(probed) >= len(single)
+
+
+def test_connected_groups_transitive_chain(spark):
+    """a~b and b~c but a≁c: one component via transitivity — clusters
+    are what a dedup pipeline keeps/drops, not raw pairs."""
+    P = " ".join(f"p{i}" for i in range(10))
+    Q = " ".join(f"q{i}" for i in range(10))
+    R = " ".join(f"r{i}" for i in range(10))
+    S = " ".join(f"s{i}" for i in range(10))
+    T = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, f"{P} {Q} {R}"), (2, f"{Q} {R} {S}"), (3, f"{R} {S} {T}"),
+         (4, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    # pairwise jaccard: (1,2)=(2,3)=18/38≈0.47, (1,3)=8/48≈0.17
+    groups = {r.doc_id: r.group_id for r in dedup.connected_dup_groups(
+        docs, jaccard_distance=0.55).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1}
