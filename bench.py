@@ -34,6 +34,7 @@ HEADLINE = [
     "range_join_price_bands",
     "agg_salted_skew",
     "join_salted_skew",
+    "udaf_geomean_price",
     "streaming_window_counts",
     "streaming_stateful_user_stats",
     "dedup_exact_groups",

@@ -89,3 +89,21 @@ def test_range_join_bands(spark):
     )
     out = {r.id: r.band for r in joins_advanced.range_join_bands(facts, bands, "v").collect()}
     assert out == {1: "lo", 2: "hi", 3: "hi"}
+
+
+def test_range_join_bucketed_matches_broadcast_form(spark, sf_dir):
+    from play_bq_gcp_spark.catalog import read_table
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 1000000000.0)],
+        "band string, lo double, hi double",
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = joins_advanced.range_join_bands(orders, bands, "o_totalprice")
+    b = joins_advanced.range_join_bucketed(
+        orders, bands, "o_totalprice", bucket_width=250_000.0
+    )
+    got_a = sorted((r.o_orderkey, r.band) for r in a.collect())
+    got_b = sorted((r.o_orderkey, r.band) for r in b.collect())
+    assert got_a == got_b
