@@ -148,3 +148,39 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def knn_join_bruteforce(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Batch k-NN JOIN: top-k corpus neighbors for EVERY query vector
+    (the all-pairs form a training pipeline runs, vs. the single-query
+    entry points above).  Exact: broadcast the (small) query set
+    against the corpus, score every pair with native array cosine, keep
+    k per query with one window.  Cost |Q|·|C|·dim map work + one
+    shuffle on query_id — the oracle-checkable baseline that
+    ``knn_join_lsh``-style bucketing must be validated against.
+    Ties broken by corpus id for determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+    )

@@ -890,6 +890,71 @@ def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "agg_exact_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (the approx sketch's checkable
+    twin): Spark `percentile` ≡ SQL quantile_cont."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias(
+                "p90_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING
+           ), 2) AS nearby_total
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based, vs the row-based frames elsewhere):
+    per order, the total of same-customer orders within ±10k price."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "agg_salted_skew",
     """
     SELECT event_type,
@@ -1293,6 +1358,38 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1)
+
+
+@register(
+    "similarity_knn_join",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) AS cosine
+        FROM q JOIN c ON query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch k-NN join: exact top-5 neighbors for every sampled query
+    vector in one plan (broadcast queries × corpus + one window)."""
+    from play_bq_gcp_spark.operators.similarity import knn_join_bruteforce
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_bruteforce(qs, e, k=5).orderBy("query_id", "rank")
 
 
 # rows-only: IVF probes a subset of lists (approximate)
