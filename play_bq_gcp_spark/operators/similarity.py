@@ -184,3 +184,63 @@ def knn_join_bruteforce(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
     )
+
+
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Batch k-NN join, bucket-pruned: both sides get sign-bit LSH
+    signatures; queries explode to their probe set (own bucket +
+    flip-one-bit buckets when ``multi_probe``); candidates come from an
+    EQUI-join on the signature — never |Q|×|C| scoring.  Top-k per
+    query over candidates only.  Approximate (recall < 1 where true
+    neighbors differ in ≥2 sign bits); validate against
+    ``knn_join_bruteforce`` — every returned (query, neighbor, score)
+    is exact, only the candidate set is pruned."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = F.col("embedding").cast("array<double>")
+    q_sig = queries.select(
+        F.col("vec_id").alias("query_id"),
+        qv.alias("qv"),
+        signature_col(qv, planes).alias("sig"),
+    )
+    probe_sigs = F.array(
+        F.col("sig"),
+        *(
+            [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            if multi_probe
+            else []
+        ),
+    )
+    q_probes = q_sig.select(
+        "query_id", "qv", F.explode(probe_sigs).alias("sig")
+    )
+    c_sig = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        qv.alias("cv"),
+        signature_col(qv, planes).alias("sig"),
+    )
+    cand = q_probes.join(c_sig, "sig").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
+    )

@@ -580,6 +580,49 @@ def json_extract_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PRUNED_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_partition_pruned",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE ts::DATE = (SELECT min(ts)::DATE FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned scan: events re-landed partitionBy(date) (the
+    100 TB fact layout), then one day read back through a partition
+    filter — the scan touches only that day's files (PartitionFilters
+    asserted in tests/test_plans.py)."""
+    import tempfile
+
+    from play_bq_gcp_spark.catalog import overwrite, read_table
+
+    if sf not in _PRUNED_DIRS:
+        d = tempfile.mkdtemp(prefix="events_by_date_")
+        ev = read_table(spark, sf, "events").withColumn(
+            "date", F.to_date("ts")
+        )
+        overwrite(ev, d, partition_by=["date"])
+        _PRUNED_DIRS[sf] = d
+    ev = read_table(spark, sf, "events")
+    first_day = ev.select(F.min(F.to_date("ts"))).first()[0]
+    return (
+        spark.read.parquet(_PRUNED_DIRS[sf])
+        .filter(F.col("date") == F.lit(first_day))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "nested_struct_access",
     """
@@ -1390,6 +1433,17 @@ def similarity_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return knn_join_bruteforce(qs, e, k=5).orderBy("query_id", "rank")
+
+
+# rows-only: bucket pruning is approximate (scores are exact; the
+# candidate set isn't) — validated as a subset of brute force in tests
+@register("similarity_knn_join_lsh")
+def similarity_knn_join_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import knn_join_lsh
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_lsh(qs, e, k=5).orderBy("query_id", "rank")
 
 
 # rows-only: IVF probes a subset of lists (approximate)

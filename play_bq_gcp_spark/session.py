@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd ≈ snappy read speed at ~30% smaller files — at 100 TB
+        # the scan is IO-bound, so the codec is a first-order knob
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # warehouse for managed tables (bucketed dims, S9/S10 DDL);
         # local default goes to tmp, a cluster points this at storage
         .config(

