@@ -78,3 +78,83 @@ def test_pandas_udf_token_count(spark):
         "doc_id", count("text").alias("n")).collect()}
     # hello , world ! → 4; a b c → 3; "" → 0
     assert got == {1: 4, 2: 3, 3: 0}
+
+
+def test_watermark_append_mode_window_closure(spark, tmp_path):
+    """Late-data semantics pinned down (SURVEY §7 hard part 2), as the
+    engine actually guarantees them: append mode emits a window ONLY
+    once the watermark passes its end, each window at most once, and
+    in-horizon data is never lost.  (Row-level dropping of too-late
+    data is explicitly best-effort in Spark — observed: a 09:30 event
+    arriving at watermark 11:00 is still aggregated and its window
+    re-closed — so the pipeline-level dedup of re-emitted windows
+    belongs to the sink, e.g. foreachBatch MERGE, as daily.py does.)
+    Two files → two micro-batches in mtime order
+    (maxFilesPerTrigger=1)."""
+    import datetime as dt
+    import tempfile
+    import uuid
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def rows(*ts):
+        return spark.createDataFrame([(t,) for t in ts], "ts timestamp")
+
+    # batch 1: events at 10:00 and 12:00 → max event time 12:00,
+    # watermark after batch = 11:00
+    rows(t0, t0 + dt.timedelta(hours=2)).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    # batch 2: 09:30 (window [09:00,10:00) < watermark 11:00 → DROP)
+    # and 11:30 (window [11:00,12:00) ≥ watermark → KEEP)
+    rows(
+        t0 - dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=90)
+    ).coalesce(1).write.parquet(str(d / "f2.parquet"))
+
+    # the file source orders batches by modification time; force
+    # f1-before-f2 (same-second writes otherwise tie and order by
+    # the UUID part-file names — nondeterministic)
+    import glob
+    import os
+    import time
+
+    now = time.time()
+    for f in glob.glob(str(d / "f1.parquet" / "*")):
+        os.utime(f, (now - 100, now - 100))
+    for f in glob.glob(str(d / "f2.parquet" / "*")):
+        os.utime(f, (now, now))
+
+    schema = spark.read.parquet(str(d / "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = [(r.w.start.hour, r.n) for r in spark.table(name).collect()]
+    finalized = dict(emitted)
+    # no window emitted twice
+    assert len(emitted) == len(finalized)
+    # [10,11) closed exactly once with its single event
+    assert finalized.get(10) == 1
+    # [11,12) and [12,13) are still open (watermark 11:00 has not
+    # passed their ends) → NOT emitted; in-horizon 11:30 data is held
+    # in state, not lost and not prematurely emitted
+    assert 11 not in finalized and 12 not in finalized
