@@ -1,0 +1,52 @@
+"""Python UDTF surface (SURVEY.md §2.9): table functions that expand
+one input row into many output rows, callable laterally from SQL.
+
+The instance here is the LLM-pipeline primitive: context-window
+CHUNKING — split each document into fixed-size token chunks with
+ordinal + size, the unit fed to tokenizer/training shards.  The
+chunking arithmetic is SQL-expressible (that's what makes it
+oracle-checkable); the UDTF exists to prove the lateral
+one-row→many-rows Python surface on a real operation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+_CLEAN = re.compile(r"[^a-z0-9 ]")
+
+
+@udtf(returnType="chunk_idx int, chunk string, n_tokens bigint")
+class ChunkDocument:
+    """Yield (chunk_idx, chunk_text, n_tokens) fixed-size token chunks
+    of one document.  Tokenization mirrors operators.text.tokens (and
+    the DuckDB oracle): lowercase, non-alphanumerics → space, split."""
+
+    def eval(self, text: str, chunk_size: int):  # noqa: ANN201
+        toks = _CLEAN.sub(" ", (text or "").lower()).split()
+        for i in range(0, (len(toks) + chunk_size - 1) // chunk_size):
+            part = toks[i * chunk_size : (i + 1) * chunk_size]
+            yield i, " ".join(part), len(part)
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    spark.udtf.register("chunk_document", ChunkDocument)
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 32
+) -> DataFrame:
+    """Lateral-join the UDTF against every document."""
+    spark = documents.sparkSession
+    register_udtfs(spark)
+    documents.createOrReplaceTempView("__docs_to_chunk")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM __docs_to_chunk d,
+             LATERAL chunk_document(d.text, {int(chunk_size)}) c
+        """
+    )

@@ -1602,6 +1602,32 @@ def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "udtf_chunk_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    c AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(0, (len(tk) + 31) // 32 - 1)) AS chunk_idx
+        FROM tok
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           array_to_string(tk[chunk_idx*32 + 1 : (chunk_idx+1)*32], ' ') AS chunk,
+           len(tk[chunk_idx*32 + 1 : (chunk_idx+1)*32])::BIGINT AS n_tokens
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (§2.9): context-window chunking — each document
+    laterally expanded into fixed 32-token chunks."""
+    from play_bq_gcp_spark.functions.udtf_fns import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_size=32).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
     "multimodal_byte_features",
     """
     SELECT doc_id,

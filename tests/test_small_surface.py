@@ -90,3 +90,22 @@ def test_atomic_overwrite_self_read(spark, tmp_path):
     assert got == [i * 2 for i in range(10)]
     # no stage/old leftovers
     assert os.listdir(tmp_path) == ["t"]
+
+
+def test_udtf_chunking(spark):
+    from play_bq_gcp_spark.functions.udtf_fns import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "only three words"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_size=32).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens))
+    assert by_doc[1] == [(0, 32), (1, 32), (2, 6)]
+    assert by_doc[2] == [(0, 3)]
+    assert 3 not in by_doc  # empty doc → no chunks
