@@ -103,6 +103,9 @@ def shingle_hashes(col: Column | str, k: int = 3) -> Column:
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-document token counting: whitespace tokens, BPE-ish units,
     mean token length."""
+    from play_bq_gcp_spark.catalog import spread
+
+    documents = spread(documents)
     toks = tokens("text")
     return documents.select(
         "doc_id",
@@ -124,6 +127,9 @@ def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals: doc length, punctuation ratio,
     stopword ratio, and a composite score — the standard cheap filters
     before expensive dedup/training steps."""
+    from play_bq_gcp_spark.catalog import spread
+
+    documents = spread(documents)
     text = F.col("text")
     n_chars = F.length(text).cast("double")
     toks = tokens("text")
