@@ -46,6 +46,7 @@ HEADLINE = [
     "pandas_udf_token_count",
     "text_quality_score",
     "text_fingerprint",
+    "pipeline_corpus_clean",
     "multimodal_byte_features",
 ]
 

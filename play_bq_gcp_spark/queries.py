@@ -1602,6 +1602,57 @@ def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), ratios AS (
+        SELECT doc_id, text, toks,
+               len(toks)::BIGINT AS n_tokens,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
+        FROM tok
+    ), scored AS (
+        SELECT doc_id, toks, n_tokens,
+               round(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
+                     * least(stopword_ratio * 5, 1.0), 4) AS quality
+        FROM ratios
+    ), kept AS (
+        SELECT doc_id, n_tokens, quality,
+               md5(array_to_string(toks, ' ')) AS text_fp
+        FROM scored WHERE quality >= 0.25 AND n_tokens >= 20
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM kept
+    WHERE doc_id = (SELECT min(k2.doc_id) FROM kept k2 WHERE k2.text_fp = kept.text_fp)
+    ORDER BY doc_id
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus cleaning (the composition a training-data
+    pipeline actually runs): quality-score → threshold filter →
+    exact-dedup (keep min doc_id per normalized-text digest) →
+    kept-document list.  One lazy plan; the dedup shuffles only
+    (digest, doc_id, stats), never document bodies."""
+    from play_bq_gcp_spark.operators.dedup import exact_dedup
+    from play_bq_gcp_spark.operators.text import quality_score
+
+    docs = _t(spark, sf, "documents")
+    q = quality_score(docs).filter(
+        (F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20)
+    )
+    kept_docs = docs.join(q.select("doc_id", "n_tokens", "quality"), "doc_id")
+    return (
+        exact_dedup(kept_docs)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "udtf_chunk_documents",
     f"""
     WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
