@@ -933,6 +933,34 @@ def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "scalar_try_functions",
+    """
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_orderkey % 3) END, 4) AS safe_div,
+           try_cast(o_orderpriority AS INT) AS prio_int
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-safe scalar variants (Spark 4 runs ANSI mode, where /0 and
+    bad casts THROW): try_divide nulls the zero-divisor rows,
+    try_cast nulls the unparseable priority strings."""
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            F.round(
+                F.try_divide("o_totalprice", F.col("o_orderkey") % 3), 4
+            ).alias("safe_div"),
+            F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
     "agg_exact_percentiles",
     """
     SELECT o_orderpriority,

@@ -114,3 +114,15 @@ def test_date_partitioned_write_prunes(spark, sf_dir, tmp_path):
     part_filters = plan.split("PartitionFilters")[1].split("\n")[0]
     assert "date" in part_filters
     assert pruned.count() == ev.filter(F.to_date("ts") == F.lit(one_day)).count()
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE is not just configured — it fires: the executed plan of a
+    small aggregation shows AQEShuffleRead coalescing the 32 configured
+    shuffle partitions down to the data's actual size."""
+    df = read_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final and "coalesced" in final
