@@ -129,3 +129,120 @@ def running_user_stats(
         )
         .orderBy("user_id")
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives its state protocol over
+    protobuf; gate on the import (this container ships a broken
+    google.protobuf, and installing packages is out of contract)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """The same running per-user aggregate on the NEWER arbitrary-state
+    API (Spark 4 ``transformWithStateInPandas``): typed ValueState via a
+    StatefulProcessor, RocksDB state store (required by the API),
+    update mode, no timers.  Semantics — and oracle — identical to
+    ``running_user_stats``; having both pins the two stateful surfaces
+    against the same batch GROUP BY truth.
+
+    Requires a working ``google.protobuf`` (see ``tws_available``)."""
+    import uuid
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not usable in this environment; use running_user_stats "
+            "(applyInPandasWithState) instead"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    chunk_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "value")
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n_events long, total_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, tot = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._agg.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    running = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(), OUTPUT_SCHEMA, "Update", "None"
+    )
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                running.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -158,3 +158,26 @@ def test_watermark_append_mode_window_closure(spark, tmp_path):
     # passed their ends) → NOT emitted; in-horizon 11:30 data is held
     # in state, not lost and not prematurely emitted
     assert 11 not in finalized and 12 not in finalized
+
+
+def test_tws_running_totals_match_batch(spark, sf_dir):
+    """transformWithStateInPandas twin of the GroupState operator —
+    runs only where its protobuf dependency is usable."""
+    import pytest
+
+    from play_bq_gcp_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        pytest.skip("google.protobuf unusable in this container")
+    out = stateful.running_user_stats_tws(spark, sf_dir)
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
