@@ -1748,3 +1748,174 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
         .orderBy("doc_id", "frame_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table analytic joins (§2.3/§2.4 breadth: join ordering, broadcast
+# dimension chains, join+agg+sort+limit — the shapes BigQuery ran remotely
+# for the reference, cf. SURVEY.md §3 entry point 2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → 3-table equi-join chain →
+    agg → top-k.  The customer side is filtered to ~1/5 before the join,
+    so AQE picks a broadcast for it at small SF; at 100 TB the
+    orders⨝lineitem leg stays a shuffle join on the already-filtered
+    orders.  Deterministic top-k: revenue is rounded BEFORE the sort so
+    both engines order identical values, with o_orderkey as tiebreak."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    l = _t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q5_region_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a dimension chain
+    (region→nation→{customer,supplier}) plus the local-supplier
+    constraint c_nationkey = s_nationkey.  region/nation/supplier are
+    broadcast explicitly — they stay dim-sized at any SF — so the only
+    shuffle joins are the two fact legs, and Catalyst pushes both date
+    predicates into the orders scan."""
+    r = F.broadcast(
+        _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(_t(spark, sf, "nation"))
+    s = F.broadcast(_t(spark, sf, "supplier"))
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey)
+        .join(c, c.c_nationkey == s.s_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_suppkey == s.s_suppkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "text_edit_distance",
+    """
+    SELECT a.p_brand AS brand, count(*) AS near_pairs,
+           min(levenshtein(a.p_name, b.p_name)) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.p_brand
+    ORDER BY brand
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup candidates: blocked self-join (brand is
+    the blocking key, as in any record-linkage pipeline — never the
+    full cross product) + codegen'd levenshtein.  At 100 TB the block
+    key bounds the quadratic term to within-block pairs."""
+    p = _t(spark, sf, "part").select("p_brand", "p_partkey", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 3)
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("near_pairs"),
+            F.min(dist).alias("min_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
+@register(
+    "array_collect_orders",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+           len(list(o_orderstatus))                             AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def array_collect_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-agg surface: collect_list → sort_array → concat_ws (the
+    deterministic string form both engines agree on).  collect_list is
+    fine per-key here (order counts per customer are dim-bounded); an
+    unbounded-group variant would use a windowed top-N first."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("o_orderstatus"))
+            ).alias("statuses"),
+            F.count("o_orderstatus").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
