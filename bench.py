@@ -32,6 +32,8 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_purchase_click",
     "range_join_price_bands",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
     "agg_salted_skew",
     "join_salted_skew",
     "udaf_geomean_price",

@@ -1919,3 +1919,81 @@ def array_collect_orders(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "scalar_date_suite",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS yr,
+           month(o_orderdate)                                  AS mo,
+           day(o_orderdate)                                    AS dy,
+           quarter(o_orderdate)                                AS qtr,
+           last_day(cast(o_orderdate AS DATE))                 AS month_end,
+           cast(o_orderdate AS DATE) + 30                      AS plus_30d,
+           datediff('day', cast(o_orderdate AS DATE), DATE '1998-01-01')
+                                                               AS days_to_98,
+           cast(date_trunc('month', o_orderdate) AS DATE)      AS month_start
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 date breadth beyond the reference's strftime/date-trunc pair
+    (main.py:102, :203): component extraction, month boundaries, day
+    arithmetic — all codegen'd, no UDFs, so they stay inside the
+    whole-stage span and never block predicate pushdown."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add("o_orderdate", 30).alias("plus_30d"),
+        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias(
+            "days_to_98"
+        ),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "window_gap_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """LOCF gap-fill (§2.5 extension): carry each user's most recent
+    purchase value forward across their event stream — F.last with
+    ignorenulls over a running frame.  The running frame needs no
+    full-partition buffering, and the unique (ts, event_id) sort key
+    keeps the fill deterministic on both engines."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        _t(spark, sf, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.last(masked, ignorenulls=True).over(w).alias(
+                "last_purchase_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
