@@ -1997,3 +1997,37 @@ def window_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "agg_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate aggregates (corr / covar / regression slope) — single
+    shuffle, partial+final merge of the co-moment sketches, so the
+    pattern holds unchanged on a 1000-executor cluster."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("price_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
