@@ -2031,3 +2031,39 @@ def agg_correlation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scalar_conditional_suite",
+    """
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_quantity, l_discount * 100)          AS gst,
+           least(l_extendedprice, l_quantity * 1000)       AS lst,
+           nullif(l_returnflag, 'N')                       AS rf_or_null,
+           coalesce(nullif(l_returnflag, 'N'), 'none')     AS rf_filled,
+           CASE WHEN l_discount > 0.05 THEN 'deep'
+                WHEN l_discount > 0    THEN 'light'
+                ELSE 'none' END                            AS discount_band
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_conditional_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional/comparison scalars (greatest, least, nullif,
+    coalesce, CASE ladder) — all codegen'd row-local expressions, so
+    the query stays one scan with zero shuffles at any scale."""
+    l = _t(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("gst"),
+        F.least("l_extendedprice", F.col("l_quantity") * 1000).alias("lst"),
+        F.nullif("l_returnflag", F.lit("N")).alias("rf_or_null"),
+        F.coalesce(
+            F.nullif("l_returnflag", F.lit("N")), F.lit("none")
+        ).alias("rf_filled"),
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .when(F.col("l_discount") > 0, "light")
+        .otherwise("none")
+        .alias("discount_band"),
+    ).orderBy("l_orderkey", "l_linenumber")
