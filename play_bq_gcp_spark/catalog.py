@@ -41,10 +41,12 @@ NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table (S3: projection/pruning left to Catalyst)."""
+    """Scan one fixture table (S3: projection/pruning left to Catalyst).
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set once at session
+    build (session.get_spark), not here — reads must not mutate shared
+    session state."""
     nanos_cols = NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))

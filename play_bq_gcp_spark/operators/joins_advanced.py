@@ -40,7 +40,9 @@ def asof_join(
 
     Composition: tag and union both sides, sort within key by event
     time (right rows before left rows at equal timestamps), carry the
-    last non-null right value forward, keep left rows.
+    last right ROW forward as one struct (so all carried values come
+    from the same right row even when one of its columns is NULL),
+    keep left rows, unpack the struct.
     """
     lt = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
     rt = (
@@ -51,28 +53,31 @@ def asof_join(
         )
         .withColumn("__src", F.lit(0))
     )
-    # align schemas: left lacks right_vals, right lacks left's columns
-    for c in right_vals:
-        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    # the right row travels as ONE struct: F.last(ignorenulls) then
+    # picks whole rows, never mixes columns across right rows
+    rt = rt.withColumn("__rrow", F.struct(*[F.col(c) for c in right_vals]))
+    lt = lt.withColumn("__rrow", F.lit(None).cast(dict(rt.dtypes)["__rrow"]))
     left_cols = [c for c in left.columns]
     for c in left_cols:
         if c not in {on}:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
-    unioned = lt.unionByName(rt.select(*lt.columns))
+    unioned = lt.select(*left_cols, "__t", "__src", "__rrow").unionByName(
+        rt.select(*left_cols, "__t", "__src", "__rrow")
+    )
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("__t").asc(), F.col("__src").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        *[c for c in left_cols],
+        *left_cols,
         "__src",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}") for c in right_vals],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__asof"),
     )
     out = carried.filter(F.col("__src") == 1).drop("__src")
     for c in right_vals:
-        out = out.drop(c).withColumnRenamed(f"__asof_{c}", c)
-    return out
+        out = out.withColumn(c, F.col(f"__asof.{c}"))
+    return out.drop("__asof")
 
 
 def asof_join_pandas(

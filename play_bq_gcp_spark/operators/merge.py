@@ -8,12 +8,15 @@ the upsert as a pure transformation: left-join target to updates and
 matched ids, leave the rest" and idempotent under re-runs.  No staging
 table is needed because lineage replaces staging.
 
-Scale notes: the updates side is typically the small side (only
+Scale notes: when the updates side is genuinely dim-sized (only
 changed rows — the reference pre-filters with a semi-join for exactly
-this reason, main.py:244) → broadcast it.  When both sides are huge,
-bucket both on the key so the join is co-located; the overwrite should
-then go partition-by-partition (dynamic partition overwrite) rather
-than full-table.
+this reason, main.py:244) pass ``broadcast_updates=True``.  The
+DEFAULT is no hint: AQE sizes the join at runtime, so an updates side
+that is actually an aggregate over a 100 TB fact table (e.g. per-key
+order totals) never gets force-broadcast into driver/executor OOM.
+When both sides are huge, bucket both on the key so the join is
+co-located; the overwrite should then go partition-by-partition
+(dynamic partition overwrite) rather than full-table.
 """
 
 from __future__ import annotations
@@ -28,12 +31,16 @@ def merge_upsert(
     updates: DataFrame,
     key: str | Sequence[str],
     update_cols: Sequence[str],
-    broadcast_updates: bool = True,
+    broadcast_updates: bool = False,
 ) -> DataFrame:
     """Return target with ``update_cols`` replaced by the updates row's
     value for matched keys (UPDATE…FROM semantics; rows only in
     ``updates`` are ignored, mirroring main.py:274-284 which never
     inserts).
+
+    ``broadcast_updates`` is opt-in: only set it when the updates feed
+    is known dim-sized; otherwise AQE picks the strategy from observed
+    sizes.
     """
     keys = [key] if isinstance(key, str) else list(key)
     upd = updates.select(

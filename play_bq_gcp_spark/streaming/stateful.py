@@ -44,7 +44,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     key = (sf_dir, n_chunks)
     if key not in _CHUNK_DIRS:
         d = tempfile.mkdtemp(prefix="events_chunks_")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is set once at session build (session.get_spark)
         (
             spark.read.parquet(table_path(sf_dir, "events"))
             .repartition(n_chunks)
