@@ -23,33 +23,30 @@ from play_bq_gcp_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
-    "agg_rollup",
-    "agg_distinct_counts",
-    "merge_upsert_customer",
+    "agg_group_analytics",
+    "agg_distinct_collect",
+    "merge_full_upsert",
     "snapshot_delta_events",
-    "window_topk_per_group",
-    "window_lag_delta",
+    "window_rank_topk",
+    "window_events_suite",
     "sessionize_events",
     "asof_join_purchase_click",
     "range_join_price_bands",
     "q3_shipping_priority",
     "q5_region_supplier_volume",
-    "agg_salted_skew",
-    "join_salted_skew",
+    "skew_salted_suite",
     "udaf_geomean_price",
-    "streaming_window_counts",
+    "streaming_window_dedup_counts",
     "streaming_stateful_user_stats",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
-    "text_token_stats",
+    "similarity_ann_suite",
+    "text_doc_profile",
     "pandas_udf_token_count",
-    "text_quality_score",
-    "text_fingerprint",
     "pipeline_corpus_clean",
-    "multimodal_byte_features",
+    "multimodal_suite",
 ]
 
 
@@ -66,6 +63,14 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # warm the HOF-heavy dedup plan shape (interpreted higher-order
+    # funcs + nested codegen): first-run Catalyst+Janino cost on the
+    # MinHash pipeline is ~5s and would otherwise be billed to the
+    # first timed dedup query.  Run it at the smallest sf available.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    q.QUERIES["dedup_minhash_lsh"](spark, warm_dir).count()
     # chunk-file landing for the stateful-streaming query is one-time
     # data setup (like fixture generation), not query execution
     from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir

@@ -125,6 +125,30 @@ def stats_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def stats_percentiles(lineitem: DataFrame) -> DataFrame:
+    """min/max/stddev plus EXACT interpolated percentiles in one agg —
+    the checkable twin of the approx sketches (Spark ``percentile`` ≡
+    SQL ``quantile_cont``).  One shuffle; the percentile buffers are
+    per-group, bounded by group cardinality."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias(
+                "p90_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def approx_aggregates(lineitem: DataFrame) -> DataFrame:
     """Sketch-backed aggregates (HLL++ / GK quantiles) — the 100 TB path
     where exact distinct would shuffle every key.  No SQL oracle (sketch

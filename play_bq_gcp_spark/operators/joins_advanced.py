@@ -87,15 +87,19 @@ def asof_join_pandas(
     left_ts: str,
     right_ts: str,
     right_vals: Sequence[str],
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """As-of via ``pd.merge_asof`` per key group (Arrow-batched grouped
-    map) — the escape hatch for tolerance/nearest semantics."""
+    map) — the escape hatch for tolerance/nearest semantics the window
+    composition can't express.  ``tolerance_s`` (seconds, inclusive)
+    nulls matches staler than the horizon."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
     ) + ", " + ", ".join(
         f"{c} {dict(right.dtypes)[c]}" for c in right_vals
     )
     r_small = right.select(on, right_ts, *right_vals)
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
 
     def merge(l_pdf, r_pdf):  # noqa: ANN001
         l_pdf = l_pdf.sort_values(left_ts)
@@ -110,6 +114,7 @@ def asof_join_pandas(
             left_on=left_ts,
             right_on=right_ts,
             direction="backward",
+            tolerance=tol,
         )
         return merged.drop(columns=[right_ts]) if right_ts not in l_pdf.columns else merged
 

@@ -123,13 +123,12 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic quality signals: doc length, punctuation ratio,
-    stopword ratio, and a composite score — the standard cheap filters
-    before expensive dedup/training steps."""
-    from play_bq_gcp_spark.catalog import spread
-
-    documents = spread(documents)
+def quality_columns() -> dict[str, Column]:
+    """The quality-signal expressions as reusable named Columns (over a
+    ``text`` column): doc length, punctuation ratio, stopword ratio,
+    composite score.  Shared by ``quality_score`` and inline pipeline
+    stages (pipeline_corpus_clean computes these in the SAME select as
+    the dedup digest so document bodies are scanned exactly once)."""
     text = F.col("text")
     n_chars = F.length(text).cast("double")
     toks = tokens("text")
@@ -141,19 +140,31 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1.0)), 4)
     stop_ratio = F.round(stop_hits / F.greatest(n_toks, F.lit(1.0)), 4)
-    return documents.select(
-        "doc_id",
-        F.length(text).cast("bigint").alias("n_chars"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
+    return {
+        "n_chars": F.length(text).cast("bigint"),
+        "n_tokens": F.size(toks).cast("bigint"),
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
         # composite: long enough, low punctuation, some stopwords
-        F.round(
+        "quality": F.round(
             F.least(n_toks / F.lit(50.0), F.lit(1.0))
             * (1 - punct_ratio)
             * F.least(stop_ratio * 5, F.lit(1.0)),
             4,
-        ).alias("quality"),
+        ),
+    }
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: doc length, punctuation ratio,
+    stopword ratio, and a composite score — the standard cheap filters
+    before expensive dedup/training steps."""
+    from play_bq_gcp_spark.catalog import spread
+
+    documents = spread(documents)
+    cols = quality_columns()
+    return documents.select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -189,6 +200,57 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     prefix = F.array_join(F.slice(toks, 1, 8), " ")
     return documents.select(
         "doc_id",
+        F.md5(norm).alias("text_fp"),
+        F.md5(prefix).alias("prefix_fp"),
+    )
+
+
+def doc_profile(documents: DataFrame) -> DataFrame:
+    """Every per-document text signal in ONE map pass over one scan:
+    token counts (whitespace + BPE-ish), mean token length, quality
+    ratios + composite, heuristic language ID, and both fingerprints.
+    The fusion matters at 100 TB: four separate passes would read the
+    corpus four times for what is pure row-local arithmetic."""
+    from play_bq_gcp_spark.catalog import spread
+
+    documents = spread(documents.select("doc_id", "lang", "text"))
+    toks = tokens("text")
+    tset = token_set("text")
+    q = quality_columns()
+    scores = {
+        lang: F.size(F.array_intersect(tset, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    norm = F.array_join(toks, " ")
+    prefix = F.array_join(F.slice(toks, 1, 8), " ")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens_bpe"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+        q["n_chars"].alias("n_chars"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["quality"].alias("quality"),
+        "lang",
+        pred.alias("pred_lang"),
         F.md5(norm).alias("text_fp"),
         F.md5(prefix).alias("prefix_fp"),
     )

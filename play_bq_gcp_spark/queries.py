@@ -65,66 +65,94 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "agg_rollup",
+    "agg_group_analytics",
     """
-    SELECT n_name, o_orderstatus,
-           round(sum(o_totalprice), 2) AS total_price,
-           count(*)                    AS n_orders
+    SELECT 'rollup' AS tag, n_name AS k1, o_orderstatus AS k2,
+           round(sum(o_totalprice), 2) AS measure, count(*) AS n
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, o_orderstatus)
-    ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2), count(*)
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2), NULL
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY tag, k1 ASC NULLS FIRST, k2 ASC NULLS FIRST
     """,
 )
-def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.agg_rollup(
+def agg_group_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 multi-dimensional grouping trio — ROLLUP (over a broadcast
+    star join), CUBE, and explicit GROUPING SETS — harmonized into one
+    tagged result.  Each leg partial-aggregates before its shuffle;
+    the union is plan-level (no extra exchange)."""
+    ro = aggregates.agg_rollup(
         _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    ).select(
+        F.lit("rollup").alias("tag"),
+        F.col("n_name").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        F.col("total_price").alias("measure"),
+        F.col("n_orders").alias("n"),
+    )
+    cu = aggregates.agg_cube(_t(spark, sf, "lineitem")).select(
+        F.lit("cube").alias("tag"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_qty").alias("measure"),
+        F.col("n_rows").alias("n"),
+    )
+    gs = aggregates.agg_grouping_sets(_t(spark, sf, "lineitem")).select(
+        F.lit("gsets").alias("tag"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("sum_price").alias("measure"),
+        F.lit(None).cast("bigint").alias("n"),
+    )
+    return (
+        ro.unionByName(cu)
+        .unionByName(gs)
+        .orderBy("tag", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first())
     )
 
 
 @register(
-    "agg_cube",
+    "agg_distinct_collect",
     """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           count(*)                  AS n_rows
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)                  AS n_cust,
+           count(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                                                      AS statuses,
+           count(*)                                   AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
     """,
 )
-def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.agg_cube(_t(spark, sf, "lineitem"))
-
-
-@register(
-    "agg_grouping_sets",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-    """,
-)
-def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.agg_grouping_sets(_t(spark, sf, "lineitem"))
-
-
-@register(
-    "agg_distinct_counts",
-    """
-    SELECT l_returnflag,
-           count(DISTINCT l_orderkey)             AS n_orders,
-           count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def agg_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.distinct_counts(_t(spark, sf, "lineitem"))
+def agg_distinct_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 exact distinct counts (single- and multi-column) plus the
+    array-agg surface (collect_set → sort_array → concat_ws, the
+    deterministic string form both engines agree on) in one grouped
+    pass."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 # rows-only: sketches are engine-specific (HLL++ vs DuckDB's HLL)
@@ -240,29 +268,65 @@ def snapshot_delta_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "merge_upsert_customer",
+    "merge_full_upsert",
     """
-    SELECT c_custkey, c_name, c_nationkey,
-           coalesce(u.new_acctbal, c_acctbal) AS c_acctbal,
-           c_mktsegment
-    FROM customer
-    LEFT JOIN (
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS new_acctbal
+    WITH src AS (
+        SELECT o_custkey AS c_custkey,
+               'new-' || o_custkey AS c_name,
+               (o_custkey % 25)::INTEGER AS c_nationkey,
+               round(sum(o_totalprice), 2) AS c_acctbal,
+               'NEW' AS c_mktsegment
         FROM orders GROUP BY o_custkey
-    ) u ON c_custkey = u.o_custkey
+        UNION ALL
+        SELECT o_custkey + 1000000,
+               'new-' || (o_custkey + 1000000),
+               ((o_custkey + 1000000) % 25)::INTEGER,
+               round(sum(o_totalprice), 2),
+               'NEW'
+        FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           coalesce(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+    FROM src s LEFT JOIN customer c USING (c_custkey)
+    WHERE c.c_custkey IS NULL
     ORDER BY c_custkey
     """,
 )
-def merge_upsert_customer(spark: SparkSession, sf: str) -> DataFrame:
-    """J4: UPDATE…FROM restated as join+coalesce (main.py:274-284) —
-    matched customers get c_acctbal replaced by their order total."""
-    updates = (
-        _t(spark, sf, "orders")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+def merge_full_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 + full MERGE in one plan: matched customers get c_acctbal
+    replaced (UPDATE…FROM restated as join+coalesce, main.py:274-284)
+    AND unmatched source rows are inserted (the reference's anti-join
+    append, main.py:176-185) — ``merge.merge_insert_and_upsert``
+    composes both.  The updates side is an aggregate over the whole
+    orders table, so NO broadcast hint: AQE sizes the join (the hint
+    stays opt-in for genuinely dim-sized feeds)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+
+    def src_rows(df, shift: int):
+        return (
+            df.groupBy((F.col("o_custkey") + shift).alias("c_custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+            .select(
+                "c_custkey",
+                F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+                "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+
+    src = src_rows(o, 0).unionByName(
+        src_rows(o.filter(F.col("o_custkey") % 100 == 0), 1000000)
     )
-    return merge.merge_upsert(
-        _t(spark, sf, "customer"), updates, "c_custkey", ["c_acctbal"]
+    return merge.merge_insert_and_upsert(
+        c, src.select(*c.columns), "c_custkey", ["c_acctbal"]
     ).orderBy("c_custkey")
 
 
@@ -271,7 +335,7 @@ def merge_upsert_customer(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "scalar_funcs_orders",
+    "scalar_suite_orders",
     """
     SELECT o_orderkey,
            right(o_orderpriority, 3)                     AS prio3,
@@ -284,17 +348,46 @@ def merge_upsert_customer(spark: SparkSession, sf: str) -> DataFrame:
            cast(epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01') AS DOUBLE)
                                                          AS secs_since_1995,
            upper(o_orderstatus)                          AS status_upper,
-           trim(o_orderpriority)                         AS prio_trim
+           trim(o_orderpriority)                         AS prio_trim,
+           year(o_orderdate)                             AS yr,
+           month(o_orderdate)                            AS mo,
+           day(o_orderdate)                              AS dy,
+           quarter(o_orderdate)                          AS qtr,
+           last_day(cast(o_orderdate AS DATE))           AS month_end,
+           cast(o_orderdate AS DATE) + 30                AS plus_30d,
+           datediff('day', cast(o_orderdate AS DATE), DATE '1998-01-01')
+                                                         AS days_to_98,
+           cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_orderkey % 3) END, 4) AS safe_div,
+           try_cast(o_orderpriority AS INT)              AS prio_int,
+           greatest(o_totalprice, 200000.0)              AS gst,
+           least(o_totalprice, 150000.0)                 AS lst,
+           nullif(o_orderstatus, 'O')                    AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')  AS status_filled,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                         AS price_band
     FROM orders
     ORDER BY o_orderkey
     """,
 )
-def scalar_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """F1/F2/F4/F5/F6/F7/F8/F11 bundle: every reference scalar transform
-    (substring-from-end, literal replace, surrogate key with the odd
-    ddHHyyyyMM field order, casts, interval→seconds, date truncation)
-    as native codegen'd expressions — no UDFs (cf. main.py:102's lambda).
-    """
+def scalar_suite_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The full scalar surface in one scan, all native codegen'd
+    expressions — no UDFs (cf. main.py:102's lambda):
+
+    * F1/F2/F4/F5/F6/F7/F8/F11 (reference transforms): substring-from-
+      end, literal replace, surrogate key with the odd ddHHyyyyMM field
+      order, casts, date truncation, interval→seconds, trim/upper.
+    * §2.7 date breadth: component extraction (year/month/day/quarter),
+      month boundaries (last_day, trunc), day arithmetic, datediff.
+    * ANSI-safe variants (Spark 4 runs ANSI mode, where /0 and bad
+      casts THROW): try_divide, try_cast.
+    * Conditional scalars: greatest/least, nullif, coalesce, CASE
+      ladder.
+
+    One scan, zero shuffles at any scale — fusing them costs nothing
+    and keeps the checked registry to one entry per operator class."""
     o = _t(spark, sf, "orders")
     return o.select(
         "o_orderkey",
@@ -316,6 +409,30 @@ def scalar_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
         .alias("secs_since_1995"),
         F.upper("o_orderstatus").alias("status_upper"),
         F.trim("o_orderpriority").alias("prio_trim"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add("o_orderdate", 30).alias("plus_30d"),
+        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias(
+            "days_to_98"
+        ),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 3), 4
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.greatest("o_totalprice", F.lit(200000.0)).alias("gst"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("lst"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("open")
+        ).alias("status_filled"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
     ).orderBy("o_orderkey")
 
 
@@ -324,101 +441,106 @@ def scalar_funcs_orders(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "window_lag_delta",
+    "window_events_suite",
     """
     SELECT event_id, user_id,
            round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
-               AS value_delta
-    FROM events
-    ORDER BY event_id
-    """,
-)
-def window_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
-    """§2.5: the lag-based reformulation of the reference's snapshot
-    diff (main.py:197-203)."""
-    from play_bq_gcp_spark.operators.windows import lag_delta
-
-    return (
-        lag_delta(
-            _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
-            alias="value_delta",
-        )
-        .withColumn("value_delta", F.round("value_delta", 4))
-        .select("event_id", "user_id", "value_delta")
-        .orderBy("event_id")
-    )
-
-
-@register(
-    "window_topk_per_group",
-    """
-    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
-        SELECT c_mktsegment, c_custkey, c_acctbal,
-               row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
-        FROM customer
-    ) WHERE rn <= 3
-    ORDER BY c_mktsegment, rn
-    """,
-)
-def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.windows import topk_per_group
-
-    return (
-        topk_per_group(
-            _t(spark, sf, "customer"),
-            "c_mktsegment",
-            [F.col("c_acctbal").desc(), F.col("c_custkey")],
-            3,
-        )
-        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
-        .orderBy("c_mktsegment", "rn")
-    )
-
-
-@register(
-    "window_running_sum",
-    """
-    SELECT event_id, user_id,
+               AS value_delta,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-               AS running_value
+               AS running_value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
     FROM events
     ORDER BY event_id
     """,
 )
-def window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.windows import running_sum
+def window_events_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 per-user event-stream windows over ONE window spec (so
+    Catalyst sorts each partition once): lag delta (the window
+    reformulation of the reference's snapshot diff, main.py:197-203),
+    running sum with an explicit ROWS frame, and LOCF gap-fill (carry
+    the most recent purchase value forward — F.last ignorenulls over a
+    running frame; the frame needs no full-partition buffering, and
+    the unique (ts, event_id) sort key keeps the fill deterministic)."""
+    from play_bq_gcp_spark.operators.windows import lag_delta, running_sum
+    from pyspark.sql import Window
 
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = lag_delta(
+        _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
+        alias="value_delta",
+    )
+    out = running_sum(out, "user_id", ["ts", "event_id"], "value",
+                      alias="running_value")
     return (
-        running_sum(
-            _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
-            alias="running_value",
-        )
+        out.withColumn("value_delta", F.round("value_delta", 4))
         .withColumn("running_value", F.round("running_value", 4))
-        .select("event_id", "user_id", "running_value")
+        .withColumn(
+            "last_purchase_value", F.last(masked, ignorenulls=True).over(w)
+        )
+        .select(
+            "event_id", "user_id", "value_delta", "running_value",
+            "last_purchase_value",
+        )
         .orderBy("event_id")
     )
 
 
 @register(
-    "window_rank_suite",
+    "window_rank_topk",
     """
-    SELECT s_nationkey, s_acctbal,
-           rank()        OVER w AS rnk,
-           dense_rank()  OVER w AS dense_rnk,
-           round(percent_rank() OVER w, 6) AS pct_rnk,
-           ntile(4)      OVER w AS quartile
-    FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
-    ORDER BY s_nationkey, s_acctbal DESC
+    SELECT s_nationkey, s_suppkey, s_acctbal, rn, rnk, dense_rnk, pct_rnk, quartile
+    FROM (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               row_number()  OVER wt AS rn,
+               rank()        OVER w  AS rnk,
+               dense_rank()  OVER w  AS dense_rnk,
+               round(percent_rank() OVER w, 6) AS pct_rnk,
+               ntile(4)      OVER w  AS quartile
+        FROM supplier
+        WINDOW w  AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC),
+               wt AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ) WHERE rn <= 3
+    ORDER BY s_nationkey, rn
     """,
 )
-def window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.windows import rank_suite
+def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 ranking suite + top-k per group in one pass: the full rank
+    family (rank / dense_rank / percent_rank / ntile) computed over
+    each nation's suppliers, then row_number ≤ 3 keeps the top-k (the
+    tiebreak key makes row_number deterministic; rank measures are
+    computed over the FULL group before the filter).  One shuffle —
+    both window specs share the partition key, and Catalyst's
+    WindowGroupLimit pushes the k-filter below the sort."""
+    from pyspark.sql import Window
 
-    return rank_suite(_t(spark, sf, "supplier"), "s_nationkey", "s_acctbal").orderBy(
-        "s_nationkey", F.col("s_acctbal").desc()
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    wt = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_acctbal",
+            F.row_number().over(wt).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("s_nationkey", "rn")
     )
 
 
@@ -427,7 +549,7 @@ def window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events
@@ -444,8 +566,9 @@ def window_rank_suite(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch sessionization (30-min gap) — streaming twin uses
-    F.session_window."""
+    """Batch sessionization (30-min gap; a gap of exactly the threshold
+    opens a new session, matching F.session_window's exclusive end) —
+    streaming twin uses F.session_window."""
     from play_bq_gcp_spark.operators.windows import sessionize
 
     return (
@@ -460,37 +583,25 @@ def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "sort_limit_top10",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
-    """,
-)
-def sort_limit_top10(spark: SparkSession, sf: str) -> DataFrame:
-    """Global top-k: Spark runs TakeOrderedAndProject — no full sort."""
-    return (
-        _t(spark, sf, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "distinct_segments",
+    "distinct_sort_limit",
     """
     SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
     ORDER BY c_mktsegment, c_nationkey
+    LIMIT 10
     """,
 )
-def distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+def distinct_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 distinct + global orderBy + limit in one plan: the distinct
+    shuffles on the pair key, then TakeOrderedAndProject keeps the
+    top-10 without a full sort materialization (deterministic: the
+    full key pair is the sort key).  q3_shipping_priority covers the
+    agg-then-top-k form of sort+limit."""
     return (
         _t(spark, sf, "customer")
         .select("c_mktsegment", "c_nationkey")
         .distinct()
         .orderBy("c_mktsegment", "c_nationkey")
+        .limit(10)
     )
 
 
@@ -499,60 +610,52 @@ def distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "set_union_all",
+    "set_ops_suite",
     """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT 'union_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
     UNION ALL
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    ORDER BY o_custkey
+    SELECT 'intersect', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    ORDER BY op, o_custkey
     """,
 )
-def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.setops import union_all
+def set_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 set operations — UNION ALL (plan-level concat, no shuffle),
+    INTERSECT and EXCEPT (each one hash shuffle on the key) — tagged
+    into one result.  The tag is attached AFTER each set op so the
+    distinct semantics stay exact."""
+    from play_bq_gcp_spark.operators.setops import (
+        except_distinct,
+        intersect,
+        union_all,
+    )
 
     o = _t(spark, sf, "orders")
-    return union_all(
-        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
-        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
-    ).orderBy("o_custkey")
-
-
-@register(
-    "set_intersect",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    ORDER BY o_custkey
-    """,
-)
-def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.setops import intersect
-
-    o = _t(spark, sf, "orders")
-    return intersect(
-        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
-        o.filter(F.col("o_orderstatus") == "F").select("o_custkey"),
-    ).orderBy("o_custkey")
-
-
-@register(
-    "set_except",
-    """
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-    ORDER BY o_custkey
-    """,
-)
-def set_except(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.setops import except_distinct
-
-    o = _t(spark, sf, "orders")
-    return except_distinct(
-        o.filter(F.col("o_orderstatus") == "O").select("o_custkey"),
-        o.filter(F.col("o_orderstatus") == "P").select("o_custkey"),
-    ).orderBy("o_custkey")
+    o_open = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    o_filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    legs = [
+        union_all(o_open, o_filled).withColumn("op", F.lit("union_all")),
+        intersect(o_open, o_filled).withColumn("op", F.lit("intersect")),
+        except_distinct(o_open, o_pending).withColumn("op", F.lit("except")),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select("op", "o_custkey").orderBy("op", "o_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -560,23 +663,86 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "json_extract_events",
+    "semistructured_suite",
     """
-    SELECT event_id,
-           cast(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    SELECT event_id, key AS field,
+           json_extract_string(props, '$.' || key) AS sval,
+           NULL::DOUBLE AS nval
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events) t
+    UNION ALL
+    SELECT event_id, 'k_path', NULL,
+           cast(json_extract_string(props, '$.k') AS DOUBLE)
     FROM events
-    ORDER BY event_id
+    UNION ALL
+    SELECT event_id, 'uid', NULL, user_id::DOUBLE FROM events
+    UNION ALL
+    SELECT event_id, 'etype', event_type, NULL FROM events
+    UNION ALL
+    SELECT event_id, 'v', NULL, round(value, 4) FROM events
+    ORDER BY event_id, field
     """,
 )
-def json_extract_events(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.functions.json_fns import json_get
+def semistructured_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 semi-structured access, three surfaces in one tagged long
+    result: JSON map explode (every key/value of props), JSON path
+    extraction (get_json_object '$.k'), and nested-StructType dotted
+    access (S2/§1.1: a two-level struct built then read back through
+    ``payload.who.uid`` paths — the Spark restatement of the
+    reference's ``profile["trophySummary"]["earnedTrophies"]``).  All
+    three legs are map-side over one table; the union is plan-level."""
+    from play_bq_gcp_spark.functions.json_fns import explode_json_map, json_get
 
+    ev = _t(spark, sf, "events")
+    sval = lambda c: c.cast("string").alias("sval")  # noqa: E731
+    nval = lambda c: c.cast("double").alias("nval")  # noqa: E731
+    json_map = explode_json_map(ev).select(
+        "event_id",
+        F.col("json_key").alias("field"),
+        sval(F.col("json_value")),
+        nval(F.lit(None)),
+    )
+    json_path = ev.select(
+        "event_id",
+        F.lit("k_path").alias("field"),
+        sval(F.lit(None)),
+        nval(json_get("props", "k")),
+    )
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+            ).alias("who"),
+            F.col("value").alias("v"),
+        ).alias("payload"),
+    )
+    nested_rows = nested.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("uid").alias("field"),
+                    sval(F.lit(None)),
+                    nval(F.col("payload.who.uid")),
+                ),
+                F.struct(
+                    F.lit("etype").alias("field"),
+                    sval(F.col("payload.who.etype")),
+                    nval(F.lit(None)),
+                ),
+                F.struct(
+                    F.lit("v").alias("field"),
+                    sval(F.lit(None)),
+                    nval(F.round("payload.v", 4)),
+                ),
+            )
+        ).alias("r"),
+    ).select("event_id", "r.field", "r.sval", "r.nval")
     return (
-        _t(spark, sf, "events")
-        .select(
-            "event_id", json_get("props", "k").cast("bigint").alias("k_value")
-        )
-        .orderBy("event_id")
+        json_map.unionByName(json_path)
+        .unionByName(nested_rows)
+        .orderBy("event_id", "field")
     )
 
 
@@ -595,24 +761,18 @@ _PRUNED_DIRS: dict[str, str] = {}
 )
 def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-pruned scan: events re-landed partitionBy(date) (the
-    100 TB fact layout), then one day read back through a partition
-    filter — the scan touches only that day's files (PartitionFilters
-    asserted in tests/test_plans.py)."""
-    import tempfile
+    100 TB fact layout) ONCE per sf by ``_prepare_pruned_layout``, then
+    one day read back through a partition filter — the scan touches
+    only that day's files (PartitionFilters asserted in
+    tests/test_plans.py).  The query itself only reads; repeated
+    invocation in one session does zero writes."""
+    from play_bq_gcp_spark.catalog import read_table
 
-    from play_bq_gcp_spark.catalog import overwrite, read_table
-
-    if sf not in _PRUNED_DIRS:
-        d = tempfile.mkdtemp(prefix="events_by_date_")
-        ev = read_table(spark, sf, "events").withColumn(
-            "date", F.to_date("ts")
-        )
-        overwrite(ev, d, partition_by=["date"])
-        _PRUNED_DIRS[sf] = d
+    pruned_dir = _prepare_pruned_layout(spark, sf)
     ev = read_table(spark, sf, "events")
     first_day = ev.select(F.min(F.to_date("ts"))).first()[0]
     return (
-        spark.read.parquet(_PRUNED_DIRS[sf])
+        spark.read.parquet(pruned_dir)
         .filter(F.col("date") == F.lit(first_day))
         .groupBy("event_type")
         .agg(
@@ -623,107 +783,53 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _prepare_pruned_layout(spark: SparkSession, sf: str) -> str:
+    """Fixture-prep (NOT part of the measured query): land events
+    partitioned by date once per sf, cached for the session."""
+    import tempfile
+
+    from play_bq_gcp_spark.catalog import overwrite, read_table
+
+    if sf not in _PRUNED_DIRS:
+        d = tempfile.mkdtemp(prefix="events_by_date_")
+        ev = read_table(spark, sf, "events").withColumn("date", F.to_date("ts"))
+        overwrite(ev, d, partition_by=["date"])
+        _PRUNED_DIRS[sf] = d
+    return _PRUNED_DIRS[sf]
+
+
 @register(
-    "nested_struct_access",
+    "pivot_unpivot_roundtrip",
     """
-    SELECT event_id, user_id AS uid, event_type AS etype,
-           round(value, 4) AS v
-    FROM events
-    ORDER BY event_id
-    """,
-)
-def nested_struct_access(spark: SparkSession, sf: str) -> DataFrame:
-    """S2/§1.1 nested-document surface: build a two-level StructType
-    and read it back through dotted paths (``payload.who.uid``) — the
-    Spark restatement of the reference's
-    ``profile["trophySummary"]["earnedTrophies"]`` access."""
-    ev = _t(spark, sf, "events")
-    nested = ev.select(
-        "event_id",
-        F.struct(
-            F.struct(
-                F.col("user_id").alias("uid"),
-                F.col("event_type").alias("etype"),
-            ).alias("who"),
-            F.col("value").alias("v"),
-        ).alias("payload"),
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty
+        FROM lineitem
+        GROUP BY l_returnflag
     )
-    return nested.select(
-        "event_id",
-        F.col("payload.who.uid").alias("uid"),
-        F.col("payload.who.etype").alias("etype"),
-        F.round("payload.v", 4).alias("v"),
-    ).orderBy("event_id")
-
-
-@register(
-    "json_explode_map",
-    """
-    SELECT event_id, key AS json_key,
-           json_extract_string(props, '$.' || key) AS json_value
-    FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events) t
-    ORDER BY event_id, json_key
+    SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS sum_qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F', f_qty FROM wide
+    ORDER BY l_returnflag, l_linestatus
     """,
 )
-def json_explode_map(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.functions.json_fns import explode_json_map
-
-    return (
-        explode_json_map(_t(spark, sf, "events"))
-        .select("event_id", "json_key", "json_value")
-        .orderBy("event_id", "json_key")
-    )
-
-
-@register(
-    "pivot_returnflag",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def pivot_returnflag(spark: SparkSession, sf: str) -> DataFrame:
-    return (
+def pivot_unpivot_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 pivot AND unpivot in one plan: lineitem quantities pivot to
+    a wide (one column per linestatus) shape, then stack() unpivots
+    back to long — missing (flag, status) combos survive the round
+    trip as NULL measures.  One aggregation shuffle; the reshapes are
+    plan-level."""
+    wide = (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
-        .orderBy("l_returnflag")
-    )
-
-
-@register(
-    "unpivot_status_counts",
-    """
-    WITH wide AS (
-        SELECT count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
-               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
-               count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
-        FROM orders
-    )
-    SELECT 'O' AS status, cnt_o AS cnt FROM wide
-    UNION ALL SELECT 'F', cnt_f FROM wide
-    UNION ALL SELECT 'P', cnt_p FROM wide
-    ORDER BY status
-    """,
-)
-def unpivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Pivot-then-unpivot round trip via stack()."""
-    wide = (
-        _t(spark, sf, "orders")
-        .agg(
-            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("cnt_o"),
-            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("cnt_f"),
-            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("cnt_p"),
-        )
     )
     return wide.selectExpr(
-        "stack(3, 'O', cnt_o, 'F', cnt_f, 'P', cnt_p) AS (status, cnt)"
-    ).orderBy("status")
+        "l_returnflag",
+        "stack(2, 'O', O, 'F', F) AS (l_linestatus, sum_qty)",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 # ---------------------------------------------------------------------------
@@ -731,18 +837,36 @@ def unpivot_status_counts(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "full_outer_nation_counts",
+    "join_outer_cross_suite",
     """
-    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
-           coalesce(n_customers, 0) AS n_customers,
-           coalesce(n_suppliers, 0) AS n_suppliers
+    SELECT 'full_outer' AS tag,
+           coalesce(c.c_nationkey, s.s_nationkey)::VARCHAR AS k1,
+           NULL::VARCHAR AS k2,
+           coalesce(n_customers, 0) AS v1,
+           coalesce(n_suppliers, 0) AS v2
     FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
     FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
       ON c.c_nationkey = s.s_nationkey
-    ORDER BY nationkey
+    UNION ALL
+    SELECT 'right_outer', c_mktsegment, NULL,
+           count(*), count(o_orderkey)
+    FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'cross', r_name, o_orderstatus, NULL, NULL
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    ORDER BY tag, k1, k2
     """,
 )
-def full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
+def join_outer_cross_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.3 join-matrix completion in one tagged result: FULL OUTER
+    (union-of-perspectives over two keyed aggregates, zero-filled),
+    RIGHT OUTER (orders right-joined to customer so orderless customers
+    survive with NULL orders — count(*) vs count(o_orderkey) makes the
+    null-extension visible), and CROSS (tiny dimension × distinct
+    statuses, a broadcast nested loop by construction).  With semi,
+    anti, inner, as-of, and range joins elsewhere in the registry this
+    completes every join type the engine ships."""
     from play_bq_gcp_spark.operators.joins_advanced import full_outer_counts
 
     c = (
@@ -755,27 +879,44 @@ def full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
-    return full_outer_counts(c, s, "nationkey", "n_customers", "n_suppliers").orderBy(
-        "nationkey"
+    fo = full_outer_counts(c, s, "nationkey", "n_customers", "n_suppliers").select(
+        F.lit("full_outer").alias("tag"),
+        F.col("nationkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_customers").alias("v1"),
+        F.col("n_suppliers").alias("v2"),
     )
-
-
-@register(
-    "cross_join_region_status",
-    """
-    SELECT r_name, o_orderstatus
-    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
-    ORDER BY r_name, o_orderstatus
-    """,
-)
-def cross_join_region_status(spark: SparkSession, sf: str) -> DataFrame:
-    statuses = _t(spark, sf, "orders").select("o_orderstatus").distinct()
-    return (
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    ro = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("v1"),
+            F.count("o_orderkey").alias("v2"),
+        )
+        .select(
+            F.lit("right_outer").alias("tag"),
+            F.col("c_mktsegment").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "v1",
+            "v2",
+        )
+    )
+    statuses = orders.select("o_orderstatus").distinct()
+    cr = (
         _t(spark, sf, "region")
         .select("r_name")
         .crossJoin(statuses)
-        .orderBy("r_name", "o_orderstatus")
+        .select(
+            F.lit("cross").alias("tag"),
+            F.col("r_name").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            F.lit(None).cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
     )
+    return fo.unionByName(ro).unionByName(cr).orderBy("tag", "k1", "k2")
 
 
 @register(
@@ -818,6 +959,55 @@ def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_join_pandas",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600 THEN c.ts END
+               AS last_click_ts,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN round(epoch(p.ts) - epoch(c.ts), 4) END
+               AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with TOLERANCE via grouped ``applyInPandas`` cogroup
+    around ``pd.merge_asof`` (§2.9 grouped-map surface): the latest
+    same-user click at-or-before each purchase, but only within a
+    1-hour horizon — the tolerance semantics the pure window
+    composition (asof_join_purchase_click) can't express.  Arrow
+    batches per user group; one shuffle on the key."""
+    from play_bq_gcp_spark.operators.joins_advanced import asof_join_pandas as asof_pd
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("ts").alias("last_click_ts"),
+    )
+    out = asof_pd(
+        purchases, clicks, "user_id", "ts", "click_ts", ["last_click_ts"],
+        tolerance_s=3600,
+    )
+    return (
+        out.withColumn(
+            "secs_since_click",
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"),
+                4,
+            ),
+        )
+        .select("event_id", "user_id", "ts", "last_click_ts", "secs_since_click")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "range_join_price_bands",
     """
     WITH bands(band, lo, hi) AS (
@@ -851,20 +1041,26 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "agg_stats_summary",
+    "agg_stats_percentiles",
     """
     SELECT l_returnflag,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
            round(stddev_samp(l_extendedprice), 4) AS stddev_price,
-           round(sum(l_quantity), 2) AS sum_qty
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
-def agg_stats_summary(spark: SparkSession, sf: str) -> DataFrame:
-    return aggregates.stats_summary(_t(spark, sf, "lineitem"))
+def agg_stats_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 stats bundle (min/max/stddev/sum) + EXACT interpolated
+    percentiles (Spark `percentile` ≡ SQL quantile_cont — the approx
+    sketch's checkable twin) in one grouped pass."""
+    return aggregates.stats_percentiles(_t(spark, sf, "lineitem"))
 
 
 @register(
@@ -908,21 +1104,14 @@ def udaf_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
     """Bucketed-layout join (§4.2): both sides written hash-bucketed on
-    the key, so the join itself needs no Exchange (asserted in
-    tests/test_plans.py); result equals the plain join."""
-    from play_bq_gcp_spark.catalog import write_bucketed
-
-    orders = _t(spark, sf, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_totalprice"
-    )
-    cust = _t(spark, sf, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_mktsegment"
-    )
-    write_bucketed(orders, "q_b_orders", "custkey", n_buckets=8)
-    write_bucketed(cust, "q_b_cust", "custkey", n_buckets=8)
+    the key ONCE per sf by ``_prepare_bucketed_layout``, so the join
+    itself needs no Exchange (asserted in tests/test_plans.py); result
+    equals the plain join.  The query function only reads — repeated
+    invocation in one session does zero writes."""
+    t_orders, t_cust = _prepare_bucketed_layout(spark, sf)
     return (
-        spark.table("q_b_orders")
-        .join(spark.table("q_b_cust"), "custkey")
+        spark.table(t_orders)
+        .join(spark.table(t_cust), "custkey")
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("custkey").alias("n_customers"),
@@ -932,63 +1121,28 @@ def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "scalar_try_functions",
-    """
-    SELECT o_orderkey,
-           round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
-                      ELSE o_totalprice / (o_orderkey % 3) END, 4) AS safe_div,
-           try_cast(o_orderpriority AS INT) AS prio_int
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-)
-def scalar_try_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """ANSI-safe scalar variants (Spark 4 runs ANSI mode, where /0 and
-    bad casts THROW): try_divide nulls the zero-divisor rows,
-    try_cast nulls the unparseable priority strings."""
-    return (
-        _t(spark, sf, "orders")
-        .select(
-            "o_orderkey",
-            F.round(
-                F.try_divide("o_totalprice", F.col("o_orderkey") % 3), 4
-            ).alias("safe_div"),
-            F.col("o_orderpriority").try_cast("int").alias("prio_int"),
-        )
-        .orderBy("o_orderkey")
-    )
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
 
 
-@register(
-    "agg_exact_percentiles",
-    """
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
-           count(*) AS n
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def agg_exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated percentiles (the approx sketch's checkable
-    twin): Spark `percentile` ≡ SQL quantile_cont."""
-    return (
-        _t(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias(
-                "p90_price"
-            ),
-            F.count(F.lit(1)).alias("n"),
+def _prepare_bucketed_layout(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Fixture-prep (NOT part of the measured query): write orders and
+    customer hash-bucketed on the join key once per sf, cached for the
+    session.  Table names are keyed by sf so layouts never collide."""
+    if sf not in _BUCKETED_TABLES:
+        from play_bq_gcp_spark.catalog import write_bucketed
+
+        tag = "".join(ch if ch.isalnum() else "_" for ch in sf.strip("/"))
+        t_orders, t_cust = f"q_b_orders_{tag}", f"q_b_cust_{tag}"
+        orders = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
         )
-        .orderBy("o_orderpriority")
-    )
+        cust = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        write_bucketed(orders, t_orders, "custkey", n_buckets=8)
+        write_bucketed(cust, t_cust, "custkey", n_buckets=8)
+        _BUCKETED_TABLES[sf] = (t_orders, t_cust)
+    return _BUCKETED_TABLES[sf]
 
 
 @register(
@@ -1026,74 +1180,78 @@ def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "agg_salted_skew",
+    "skew_salted_suite",
     """
-    SELECT event_type,
+    SELECT 'salted_agg' AS tag, event_type AS key,
            count(*) AS n,
-           round(sum(value), 2) AS total_value,
+           round(sum(value), 2) AS total,
            round(min(value), 4) AS min_value,
            round(max(value), 4) AS max_value
     FROM events
     GROUP BY event_type
-    ORDER BY event_type
+    UNION ALL
+    SELECT 'salted_join', c_mktsegment,
+           count(*),
+           round(sum(o_totalprice), 2),
+           NULL, NULL
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY tag, key
     """,
 )
-def agg_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
-    """Two-stage salted aggregation over a low-cardinality (skew-prone)
-    key — must equal the plain GROUP BY."""
-    from play_bq_gcp_spark.operators.skew import salted_agg
+def skew_salted_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§4.2 skew mitigation, both forms, tagged into one result —
+    each MUST equal its plain (unsalted) twin, which is exactly what
+    the oracle computes:
+
+    * salted_agg: two-stage aggregation over a low-cardinality
+      (skew-prone) key — partial groupBy(key, salt) spreads the hot
+      key over n tasks, then a cheap finalize groupBy(key).
+    * salted_join: hot side salted, dimension replicated 8×, join on
+      (key, salt) so no single task owns a hot key."""
+    from play_bq_gcp_spark.operators.skew import salted_agg, salted_join
 
     ev = _t(spark, sf, "events").select("event_type", "value")
-    out = salted_agg(
+    agg_leg = salted_agg(
         ev,
         ["event_type"],
         {
-            "n": ("count", "value"),
+            "n": ("count_star", "value"),
             "__sum_value": ("sum", "value"),
             "__min_value": ("min", "value"),
             "__max_value": ("max", "value"),
         },
-    )
-    return out.select(
-        "event_type",
+    ).select(
+        F.lit("salted_agg").alias("tag"),
+        F.col("event_type").alias("key"),
         "n",
-        F.round("__sum_value", 2).alias("total_value"),
+        F.round("__sum_value", 2).alias("total"),
         F.round("__min_value", 4).alias("min_value"),
         F.round("__max_value", 4).alias("max_value"),
-    ).orderBy("event_type")
-
-
-@register(
-    "join_salted_skew",
-    """
-    SELECT c_mktsegment,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
-def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
-    """Salt-and-replicate join (hot side salted, dimension replicated
-    8×) — must equal the plain inner join."""
-    from play_bq_gcp_spark.operators.skew import salted_join
-
+    )
     orders = _t(spark, sf, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_totalprice"
     )
     cust = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    return (
+    join_leg = (
         salted_join(orders, cust, "custkey")
         .groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("c_mktsegment")
+        .select(
+            F.lit("salted_join").alias("tag"),
+            F.col("c_mktsegment").alias("key"),
+            "n",
+            "total",
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+        )
     )
+    return agg_leg.unionByName(join_leg).orderBy("tag", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -1103,7 +1261,7 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "streaming_window_counts",
+    "streaming_window_dedup_counts",
     """
     SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
            count(*) AS n, round(sum(value), 4) AS total_value
@@ -1112,27 +1270,16 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY window_start, event_type
     """,
 )
-def streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.streaming.daily import windowed_counts
+def streaming_window_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 watermarked tumbling windows AND stateful streaming dedup,
+    chained in ONE streaming query: the stream doubled via self-union →
+    dropDuplicatesWithinWatermark(event_id) restores exactly-once →
+    1-hour event-time windows per type.  The oracle aggregates the
+    plain batch table, so the dedup must collapse the doubled stream
+    exactly for the hash to match."""
+    from play_bq_gcp_spark.streaming.daily import windowed_deduped_counts
 
-    return windowed_counts(spark, sf).orderBy("window_start", "event_type")
-
-
-@register(
-    "streaming_dedup_counts",
-    """
-    SELECT event_type, count(*) AS n
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-)
-def streaming_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """Stream doubled via self-union → dropDuplicatesWithinWatermark
-    restores exactly-once; oracle is the plain distinct count."""
-    from play_bq_gcp_spark.streaming.daily import deduped_counts
-
-    return deduped_counts(spark, sf)
+    return windowed_deduped_counts(spark, sf).orderBy("window_start", "event_type")
 
 
 @register(
@@ -1140,7 +1287,7 @@ def streaming_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events
@@ -1153,7 +1300,9 @@ def streaming_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
 )
 def streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     """F.session_window streaming sessions == the batch lag/cumsum
-    sessionization (same 30-min gap semantics)."""
+    sessionization (same 30-min gap semantics; a gap of exactly the
+    threshold opens a new session — session_window's end is
+    exclusive — and the oracle boundary matches with >=)."""
     from play_bq_gcp_spark.streaming.daily import session_window_counts
 
     return session_window_counts(spark, sf)
@@ -1465,14 +1614,23 @@ def similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(e, qvec, k=10)
 
 
-# rows-only: ANN recall < 1 by design (no SQL-equivalent result set)
-@register("similarity_ann_lsh")
-def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.similarity import lsh_topk
+# rows-only: ANN recall < 1 by design (no SQL-equivalent result set);
+# both ANN layouts in one tagged result — LSH sign-bit buckets with
+# multi-probe, and IVF lists with one Lloyd refinement pass.  Each is
+# separately validated against brute force in tests/test_llm_ops.py.
+@register("similarity_ann_suite")
+def similarity_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import ivf_topk, lsh_topk
 
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1)
+    lsh = lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1).withColumn(
+        "method", F.lit("lsh")
+    )
+    ivf = ivf_topk(e, qvec, k=10, n_lists=8, n_probe=3).withColumn(
+        "method", F.lit("ivf")
+    )
+    return lsh.unionByName(ivf).select("method", "vec_id", "cosine")
 
 
 @register(
@@ -1507,25 +1665,9 @@ def similarity_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return knn_join_bruteforce(qs, e, k=5).orderBy("query_id", "rank")
 
 
-# rows-only: bucket pruning is approximate (scores are exact; the
-# candidate set isn't) — validated as a subset of brute force in tests
-@register("similarity_knn_join_lsh")
-def similarity_knn_join_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.similarity import knn_join_lsh
-
-    e = _t(spark, sf, "embeddings")
-    qs = e.filter(F.col("vec_id") % 100 == 0)
-    return knn_join_lsh(qs, e, k=5).orderBy("query_id", "rank")
-
-
-# rows-only: IVF probes a subset of lists (approximate)
-@register("similarity_ann_ivf")
-def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.similarity import ivf_topk
-
-    e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_topk(e, qvec, k=10, n_lists=8, n_probe=3)
+# (knn_join_lsh — the bucket-pruned batch variant — is validated as a
+# subset of knn_join_bruteforce in tests/test_llm_ops.py; the exact
+# variant above is the oracle-checked registry entry.)
 
 
 # ---------------------------------------------------------------------------
@@ -1533,99 +1675,61 @@ def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "text_token_stats",
-    f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents)
-    SELECT doc_id,
-           len(toks)::BIGINT AS n_tokens_ws,
-           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
-               AS n_tokens_bpe,
-           round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)::DOUBLE
-                 / greatest(len(toks), 1)::DOUBLE, 4) AS avg_token_len
-    FROM tok
-    ORDER BY doc_id
-    """,
-)
-def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.text import token_stats
-
-    return token_stats(_t(spark, sf, "documents")).orderBy("doc_id")
-
-
-@register(
-    "text_quality_score",
+    "text_doc_profile",
     f"""
     WITH tok AS (
-        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
-    ), ratios AS (
-        SELECT doc_id,
-               length(text)::BIGINT AS n_chars,
-               len(toks)::BIGINT    AS n_tokens,
-               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
-                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
-               round(len(list_filter(toks, t -> list_contains(
-                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
-                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
-        FROM tok
-    )
-    SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
-           round(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
-                 * least(stopword_ratio * 5, 1.0), 4) AS quality
-    FROM ratios
-    ORDER BY doc_id
-    """,
-)
-def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.text import quality_score
-
-    return quality_score(_t(spark, sf, "documents")).orderBy("doc_id")
-
-
-@register(
-    "text_lang_id",
-    f"""
-    WITH tok AS (
-        SELECT doc_id, lang, text, list_distinct({_SQL_TOKS}) AS dt FROM documents
+        SELECT doc_id, lang, text, {_SQL_TOKS} AS toks,
+               list_distinct({_SQL_TOKS}) AS dt
+        FROM documents
     ), scores AS (
-        SELECT doc_id, lang, text,
+        SELECT doc_id, lang, text, toks,
                len(list_intersect(dt, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
                len(list_intersect(dt, ['der','die','das','und','ist','von','mit','ein','zu','den'])) AS s_de,
                len(list_intersect(dt, ['le','la','les','et','de','un','une','est','pour','dans'])) AS s_fr,
                len(list_intersect(dt, ['el','la','los','las','y','de','un','una','es','para'])) AS s_es
         FROM tok
+    ), ratios AS (
+        SELECT doc_id, lang, text, toks, s_en, s_de, s_fr, s_es,
+               length(text)::BIGINT AS n_chars,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
+        FROM scores
     )
-    SELECT doc_id, lang,
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+               AS n_tokens_bpe,
+           round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)::DOUBLE
+                 / greatest(len(toks), 1)::DOUBLE, 4) AS avg_token_len,
+           n_chars, punct_ratio, stopword_ratio,
+           round(least(len(toks) / 50.0, 1.0) * (1 - punct_ratio)
+                 * least(stopword_ratio * 5, 1.0), 4) AS quality,
+           lang,
            CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                ELSE 'es' END AS pred_lang
-    FROM scores
-    ORDER BY doc_id
-    """,
-)
-def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.text import lang_id
-
-    return lang_id(_t(spark, sf, "documents")).orderBy("doc_id")
-
-
-@register(
-    "text_fingerprint",
-    f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-    SELECT doc_id,
+                ELSE 'es' END AS pred_lang,
            md5(array_to_string(toks, ' ')) AS text_fp,
            md5(array_to_string(toks[1:8], ' ')) AS prefix_fp
-    FROM tok
+    FROM ratios
     ORDER BY doc_id
     """,
 )
-def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.text import fingerprint
+def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 per-document text analysis — token counting (whitespace +
+    BPE-ish regex), mean token length, quality ratios + composite,
+    heuristic language ID, and both fingerprints — fused into ONE map
+    pass over one scan (operators/text.py doc_profile).  At 100 TB
+    four separate passes would read the corpus four times for pure
+    row-local arithmetic."""
+    from play_bq_gcp_spark.operators.text import doc_profile
 
-    return fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+    return doc_profile(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
 @register(
@@ -1707,18 +1811,27 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end corpus cleaning (the composition a training-data
     pipeline actually runs): quality-score → threshold filter →
     exact-dedup (keep min doc_id per normalized-text digest) →
-    kept-document list.  One lazy plan; the dedup shuffles only
-    (digest, doc_id, stats), never document bodies."""
-    from play_bq_gcp_spark.operators.dedup import exact_dedup
-    from play_bq_gcp_spark.operators.text import quality_score
+    kept-document list.  The quality columns AND the dedup digest are
+    computed in the SAME select over one scan (text.quality_columns),
+    so document bodies are read once and NEVER shuffled — the only
+    exchanges move (digest, doc_id) and the final semi-join key."""
+    from play_bq_gcp_spark.catalog import spread
+    from play_bq_gcp_spark.operators.text import quality_columns, tokens
 
-    docs = _t(spark, sf, "documents")
-    q = quality_score(docs).filter(
-        (F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20)
+    q = quality_columns()
+    scored = (
+        spread(_t(spark, sf, "documents").select("doc_id", "text"))
+        .select(
+            "doc_id",
+            q["n_tokens"].alias("n_tokens"),
+            q["quality"].alias("quality"),
+            F.md5(F.array_join(tokens("text"), " ")).alias("text_fp"),
+        )
+        .filter((F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20))
     )
-    kept_docs = docs.join(q.select("doc_id", "n_tokens", "quality"), "doc_id")
+    keepers = scored.groupBy("text_fp").agg(F.min("doc_id").alias("doc_id"))
     return (
-        exact_dedup(kept_docs)
+        scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
@@ -1751,46 +1864,58 @@ def udtf_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "multimodal_byte_features",
+    "multimodal_suite",
     """
-    SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           n_chars
+    SELECT doc_id, 'byte_len' AS metric,
+           octet_length(encode(text))::BIGINT AS value
     FROM documents
-    ORDER BY doc_id
+    UNION ALL
+    SELECT doc_id, 'n_chars', n_chars::BIGINT FROM documents
+    UNION ALL
+    SELECT doc_id, 'frame',
+           unnest(range(0, (octet_length(encode(text)) // 64 + 1)::BIGINT, 10))::BIGINT
+    FROM documents
+    ORDER BY doc_id, metric, value
     """,
 )
-def multimodal_byte_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary-column plumbing: encode → mapInPandas featurizer (Arrow
-    batches).  Decode itself is stubbed (no codecs in container); the
-    byte-level features are real."""
-    from play_bq_gcp_spark.operators.multimodal import attach_binary, byte_features
+def multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 multimodal binary-column plumbing, both surfaces in one
+    tagged long result:
 
-    media = attach_binary(_t(spark, sf, "documents"))
-    return byte_features(media).select("doc_id", "byte_len", "n_chars").orderBy(
-        "doc_id"
+    * byte features — BinaryType payload + typed metadata struct
+      through an Arrow ``mapInPandas`` featurizer (decode itself is
+      stubbed: no codecs in this container; the byte-level features
+      and all Spark-side plumbing are real);
+    * frame sampling — the per-media fan-out plan (decoder-free
+      deterministic frame count: 1 per 64 payload bytes, sampled
+      every 10th)."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_binary,
+        byte_features,
+        frame_sample_plan,
     )
 
-
-@register(
-    "multimodal_frame_sample",
-    """
-    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents)
-    SELECT doc_id, unnest(range(0, (bl // 64 + 1)::BIGINT, 10))::BIGINT AS frame_index
-    FROM m
-    ORDER BY doc_id, frame_index
-    """,
-)
-def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame-sampling fan-out plumbing (decoder-free deterministic
-    frame count: 1 per 64 payload bytes, sampled every 10)."""
-    from play_bq_gcp_spark.operators.multimodal import attach_binary, frame_sample_plan
-
     media = attach_binary(_t(spark, sf, "documents"))
+    feats = byte_features(media)
+    byte_leg = feats.select(
+        "doc_id",
+        F.lit("byte_len").alias("metric"),
+        F.col("byte_len").cast("bigint").alias("value"),
+    )
+    chars_leg = feats.select(
+        "doc_id",
+        F.lit("n_chars").alias("metric"),
+        F.col("n_chars").cast("bigint").alias("value"),
+    )
+    frame_leg = frame_sample_plan(media, every_n=10).select(
+        "doc_id",
+        F.lit("frame").alias("metric"),
+        F.col("frame_index").cast("bigint").alias("value"),
+    )
     return (
-        frame_sample_plan(media, every_n=10)
-        .select("doc_id", F.col("frame_index").cast("bigint").alias("frame_index"))
-        .orderBy("doc_id", "frame_index")
+        byte_leg.unionByName(chars_leg)
+        .unionByName(frame_leg)
+        .orderBy("doc_id", "metric", "value")
     )
 
 
@@ -1937,113 +2062,6 @@ def text_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "array_collect_orders",
-    """
-    SELECT o_custkey,
-           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
-           len(list(o_orderstatus))                             AS n_orders
-    FROM orders
-    GROUP BY o_custkey
-    ORDER BY o_custkey
-    """,
-)
-def array_collect_orders(spark: SparkSession, sf: str) -> DataFrame:
-    """Array-agg surface: collect_list → sort_array → concat_ws (the
-    deterministic string form both engines agree on).  collect_list is
-    fine per-key here (order counts per customer are dim-bounded); an
-    unbounded-group variant would use a windowed top-N first."""
-    return (
-        _t(spark, sf, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.concat_ws(
-                ",", F.sort_array(F.collect_list("o_orderstatus"))
-            ).alias("statuses"),
-            F.count("o_orderstatus").alias("n_orders"),
-        )
-        .orderBy("o_custkey")
-    )
-
-
-@register(
-    "scalar_date_suite",
-    """
-    SELECT o_orderkey,
-           year(o_orderdate)                                   AS yr,
-           month(o_orderdate)                                  AS mo,
-           day(o_orderdate)                                    AS dy,
-           quarter(o_orderdate)                                AS qtr,
-           last_day(cast(o_orderdate AS DATE))                 AS month_end,
-           cast(o_orderdate AS DATE) + 30                      AS plus_30d,
-           datediff('day', cast(o_orderdate AS DATE), DATE '1998-01-01')
-                                                               AS days_to_98,
-           cast(date_trunc('month', o_orderdate) AS DATE)      AS month_start
-    FROM orders
-    ORDER BY o_orderkey
-    """,
-)
-def scalar_date_suite(spark: SparkSession, sf: str) -> DataFrame:
-    """§2.7 date breadth beyond the reference's strftime/date-trunc pair
-    (main.py:102, :203): component extraction, month boundaries, day
-    arithmetic — all codegen'd, no UDFs, so they stay inside the
-    whole-stage span and never block predicate pushdown."""
-    o = _t(spark, sf, "orders")
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
-        F.quarter("o_orderdate").alias("qtr"),
-        F.last_day("o_orderdate").alias("month_end"),
-        F.date_add("o_orderdate", 30).alias("plus_30d"),
-        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias(
-            "days_to_98"
-        ),
-        F.trunc("o_orderdate", "month").alias("month_start"),
-    ).orderBy("o_orderkey")
-
-
-@register(
-    "window_gap_fill",
-    """
-    SELECT event_id, user_id,
-           last_value(CASE WHEN event_type = 'purchase' THEN value END
-                      IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS last_purchase_value
-    FROM events
-    ORDER BY event_id
-    """,
-)
-def window_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
-    """LOCF gap-fill (§2.5 extension): carry each user's most recent
-    purchase value forward across their event stream — F.last with
-    ignorenulls over a running frame.  The running frame needs no
-    full-partition buffering, and the unique (ts, event_id) sort key
-    keeps the fill deterministic on both engines."""
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
-    return (
-        _t(spark, sf, "events")
-        .select(
-            "event_id",
-            "user_id",
-            F.last(masked, ignorenulls=True).over(w).alias(
-                "last_purchase_value"
-            ),
-        )
-        .orderBy("event_id")
-    )
-
-
-@register(
     "agg_correlation",
     """
     SELECT l_returnflag,
@@ -2077,37 +2095,3 @@ def agg_correlation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "scalar_conditional_suite",
-    """
-    SELECT l_orderkey, l_linenumber,
-           greatest(l_quantity, l_discount * 100)          AS gst,
-           least(l_extendedprice, l_quantity * 1000)       AS lst,
-           nullif(l_returnflag, 'N')                       AS rf_or_null,
-           coalesce(nullif(l_returnflag, 'N'), 'none')     AS rf_filled,
-           CASE WHEN l_discount > 0.05 THEN 'deep'
-                WHEN l_discount > 0    THEN 'light'
-                ELSE 'none' END                            AS discount_band
-    FROM lineitem
-    ORDER BY l_orderkey, l_linenumber
-    """,
-)
-def scalar_conditional_suite(spark: SparkSession, sf: str) -> DataFrame:
-    """Conditional/comparison scalars (greatest, least, nullif,
-    coalesce, CASE ladder) — all codegen'd row-local expressions, so
-    the query stays one scan with zero shuffles at any scale."""
-    l = _t(spark, sf, "lineitem")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.greatest("l_quantity", F.col("l_discount") * 100).alias("gst"),
-        F.least("l_extendedprice", F.col("l_quantity") * 1000).alias("lst"),
-        F.nullif("l_returnflag", F.lit("N")).alias("rf_or_null"),
-        F.coalesce(
-            F.nullif("l_returnflag", F.lit("N")), F.lit("none")
-        ).alias("rf_filled"),
-        F.when(F.col("l_discount") > 0.05, "deep")
-        .when(F.col("l_discount") > 0, "light")
-        .otherwise("none")
-        .alias("discount_band"),
-    ).orderBy("l_orderkey", "l_linenumber")

@@ -116,6 +116,29 @@ def deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def windowed_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained stateful operators in one streaming query: the
+    stream doubled via self-union → ``dropDuplicatesWithinWatermark``
+    on event_id restores exactly-once → tumbling 1-hour event-time
+    windows per event_type (complete mode).  The oracle is the plain
+    hourly aggregate of the (unique-keyed) batch table — dedup must
+    collapse the doubled stream exactly for the hash to match."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user — the streaming
     twin of operators.windows.sessionize."""
