@@ -15,8 +15,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from play_bq_gcp_spark.catalog import read_table
-from play_bq_gcp_spark.functions.scalar import last_n_chars, surrogate_key
+from play_bq_gcp_spark.functions.scalar import (
+    last_n_chars,
+    sanitize_ascii,
+    surrogate_key,
+)
 from play_bq_gcp_spark.operators import aggregates, merge, relational
+from play_bq_gcp_spark.sources.rest_api import trophy_document
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -358,6 +363,10 @@ def merge_full_upsert(spark: SparkSession, sf: str) -> DataFrame:
            datediff('day', cast(o_orderdate AS DATE), DATE '1998-01-01')
                                                          AS days_to_98,
            cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           trim(replace(regexp_replace(o_orderstatus || ' é—λ' || chr(10) || 'ok',
+                '[^\\x00-\\x7F]+', ' ', 'g'), chr(10), ''))  AS cleaned,
+           3::BIGINT AS bronze, 2::BIGINT AS silver,
+           1::BIGINT AS gold,   0::BIGINT AS platinum,
            round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
                       ELSE o_totalprice / (o_orderkey % 3) END, 4) AS safe_div,
            try_cast(o_orderpriority AS INT)              AS prio_int,
@@ -385,6 +394,11 @@ def scalar_suite_orders(spark: SparkSession, sf: str) -> DataFrame:
       casts THROW): try_divide, try_cast.
     * Conditional scalars: greatest/least, nullif, coalesce, CASE
       ladder.
+    * F9 sanitize (main.py:81-82): non-ASCII + newline strip over a
+      deliberately dirty concat.
+    * F10 dict→columns transpose (main.py:320-323): a profile dict
+      becomes a one-row DataFrame broadcast-cross-joined on (constant
+      dims are exactly the broadcast case).
 
     One scan, zero shuffles at any scale — fusing them costs nothing
     and keeps the checked registry to one entry per operator class."""
@@ -433,6 +447,13 @@ def scalar_suite_orders(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("small")
         .alias("price_band"),
+        sanitize_ascii(
+            F.concat(F.col("o_orderstatus"), F.lit(" é—λ\nok"))
+        ).alias("cleaned"),
+    ).crossJoin(
+        F.broadcast(
+            trophy_document(spark, {"bronze": 3, "silver": 2, "gold": 1})
+        )
     ).orderBy("o_orderkey")
 
 
