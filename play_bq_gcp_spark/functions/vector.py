@@ -26,3 +26,26 @@ def norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def py_norm(vec) -> float:
+    """Driver-side L2 norm with the SAME left-to-right summation order
+    as ``norm``'s ``aggregate`` — bit-identical to evaluating
+    ``norm(lit(vec))`` per row, so it can replace it in oracle-checked
+    cosine expressions without perturbing round()ed output."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def cosine_to_lit(a: Column, vec) -> Column:
+    """``cosine_similarity(a, lit(vec))`` with the literal's norm
+    folded driver-side (``py_norm``): one interpreted aggregate pass
+    instead of two per row.  Bit-identical result — same dot order,
+    same ``norm(a) * norm_b`` multiply order."""
+    b = F.array(*[F.lit(float(x)) for x in vec])
+    return dot(a, b) / (norm(a) * F.lit(py_norm(vec)))

@@ -20,7 +20,8 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-from play_bq_gcp_spark.functions.vector import cosine_similarity, dot
+from play_bq_gcp_spark.functions.vector import cosine_similarity, cosine_to_lit
+from play_bq_gcp_spark.operators.text import bind
 
 
 def _vec_lit(v) -> F.Column:
@@ -31,12 +32,13 @@ def brute_force_topk(
     embeddings: DataFrame, query_vec, k: int = 10
 ) -> DataFrame:
     """Exact top-k by cosine.  orderBy+limit compiles to
-    TakeOrderedAndProject — no global sort materialization."""
-    q = _vec_lit(query_vec)
+    TakeOrderedAndProject — no global sort materialization.  The query
+    vector's norm is folded driver-side (bit-identically), so the per-
+    row work is one dot + one norm."""
     scored = embeddings.select(
         "vec_id",
         F.round(
-            cosine_similarity(F.col("embedding").cast("array<double>"), q), 6
+            cosine_to_lit(F.col("embedding").cast("array<double>"), query_vec), 6
         ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
@@ -48,15 +50,73 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def signature_col(vec_col, planes: np.ndarray):
-    """Sign-bit signature: bit i = (v · plane_i) > 0 — as one native
-    expression per plane, OR-ed into a long."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        bit = F.when(
-            dot(vec_col, _vec_lit(p)) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return sig
+    """Sign-bit signature: bit i = (v · plane_i) > 0, folded into one
+    long.  A single bound pass: the vector is evaluated once, the
+    plane dots run inside one ``transform`` over the plane-matrix
+    literal, and the bits fold via ``aggregate`` — one interpreted HOF
+    tree instead of n_planes sibling subtrees (which Catalyst would
+    re-expand per reference)."""
+    planes_lit = F.array(*[_vec_lit(p) for p in planes])
+    pows = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(len(planes))]
+    )
+    return bind(
+        vec_col,
+        lambda vv: F.aggregate(
+            F.zip_with(
+                F.transform(
+                    planes_lit,
+                    lambda p: F.aggregate(
+                        F.zip_with(vv, p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                ),
+                pows,
+                lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _sims_to_cents(vec_col, cents: list):
+    """Array of cosine similarities from ``vec_col`` to every centroid
+    in ONE bound pass: the row vector and its norm are each evaluated
+    once (lambda-bound), centroid norms are driver-side literals, and
+    the dots run inside a single ``zip_with`` over the centroid-matrix
+    literal — versus len(cents) sibling cosine subtrees each
+    recomputing norm(v)."""
+    from play_bq_gcp_spark.functions.vector import norm, py_norm
+
+    cents_lit = F.array(*[_vec_lit(c) for c in cents])
+    norms_lit = F.array(*[F.lit(py_norm(c)) for c in cents])
+    return bind(
+        vec_col,
+        lambda vv: bind(
+            norm(vv),
+            lambda nv: F.zip_with(
+                cents_lit,
+                norms_lit,
+                lambda c, cn: F.aggregate(
+                    F.zip_with(vv, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (nv * cn),
+            ),
+        ),
+    )
+
+
+def _nearest_cent_col(vec_col, cents: list):
+    """Index of the nearest centroid (argmax over ``_sims_to_cents``),
+    ties to the first max."""
+    return bind(
+        _sims_to_cents(vec_col, cents),
+        lambda sa: (F.array_position(sa, F.array_max(sa)) - 1).cast("int"),
+    )
 
 
 def lsh_topk(
@@ -97,11 +157,11 @@ def lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         }
-    q = _vec_lit(query_vec)
     bucket = tagged.filter(F.col("sig").isin([int(s) for s in probes]))
     return (
         bucket.select(
-            "vec_id", F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine")
+            "vec_id",
+            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
@@ -116,14 +176,9 @@ def _refine_centroids(embeddings: DataFrame, cents: list) -> list:
     mean rows are collected.  Lists that captured no vectors keep
     their previous centroid."""
     v = F.col("embedding").cast("array<double>")
-    sims = [
-        cosine_similarity(v, _vec_lit(c)).alias(f"s{i}") for i, c in enumerate(cents)
-    ]
-    best = F.greatest(*[F.col(f"s{i}") for i in range(len(cents))])
-    assign = F.lit(0)
-    for i in range(len(cents)):
-        assign = F.when(F.col(f"s{i}") == best, F.lit(i)).otherwise(assign)
-    assigned = embeddings.select(v.alias("v"), *sims).withColumn("list_id", assign)
+    assigned = embeddings.select(
+        v.alias("v"), _nearest_cent_col(v, cents).alias("list_id")
+    )
     means = (
         assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
         .groupBy("list_id", "pos")
@@ -161,16 +216,11 @@ def ivf_topk(
     v = F.col("embedding").cast("array<double>")
     for _ in range(refine_passes):
         cents = _refine_centroids(embeddings, [c for _, c in cents])
-    # nearest centroid per vector via greatest-of-similarities chain
-    sims = [
-        cosine_similarity(v, _vec_lit(c)).alias(f"s{idx}") for idx, (_, c) in enumerate(cents)
-    ]
-    best = F.greatest(*[F.col(f"s{i}") for i in range(len(cents))])
-    assign = F.lit(0)
-    for i in range(len(cents)):
-        assign = F.when(F.col(f"s{i}") == best, F.lit(i)).otherwise(assign)
-    assigned = embeddings.select("vec_id", v.alias("v"), *sims).withColumn(
-        "list_id", assign
+    # nearest centroid per vector — one bound sims pass, argmax
+    assigned = embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        _nearest_cent_col(v, [c for _, c in cents]).alias("list_id"),
     )
     qv = np.asarray(query_vec, dtype=float)
     qsims = [
@@ -178,10 +228,12 @@ def ivf_topk(
         for i, (_, c) in enumerate(cents)
     ]
     probe = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
-    q = _vec_lit(query_vec)
     return (
         assigned.filter(F.col("list_id").isin(probe))
-        .select("vec_id", F.round(cosine_similarity(F.col("v"), q), 6).alias("cosine"))
+        .select(
+            "vec_id",
+            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
@@ -200,18 +252,27 @@ def knn_join_bruteforce(
     Ties broken by corpus id for determinism."""
     from pyspark.sql import Window
 
+    from play_bq_gcp_spark.functions.vector import dot, norm
+
+    # norms are computed once per SIDE (|Q|+|C| rows) before the join,
+    # so the |Q|·|C| pair stage pays only the dot — bit-identical to
+    # cosine_similarity(qv, cv) (same norm(q)*norm(c) multiply order)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
+        norm(F.col("embedding").cast("array<double>")).alias("qn"),
     )
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
+        norm(F.col("embedding").cast("array<double>")).alias("cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
