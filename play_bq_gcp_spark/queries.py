@@ -94,8 +94,19 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 def agg_group_analytics(spark: SparkSession, sf: str) -> DataFrame:
     """§2.4 multi-dimensional grouping trio — ROLLUP (over a broadcast
     star join), CUBE, and explicit GROUPING SETS — harmonized into one
-    tagged result.  Each leg partial-aggregates before its shuffle;
-    the union is plan-level (no extra exchange)."""
+    tagged result.
+
+    The cube and grouping-sets legs share ONE cube pass carrying both
+    measures: GROUPING SETS ((flag),(status),()) is exactly the cube's
+    grouping_id ∈ {1,2,3} slice, so instead of a second lineitem scan +
+    Expand + shuffle, each cube output row explodes into its 'cube' row
+    plus (when gid ∈ {1,2,3}) its 'gsets' row — a per-row fan-out over
+    the ~|flag|·|status| aggregate rows, not over the fact table.  (A
+    two-branch union of the same cube DataFrame would NOT be shared:
+    per-branch column pruning makes the aggregates differ, so
+    ReuseExchange can't kick in — hence the explode form.)
+    grouping_id — not NULL-ness — distinguishes subtotal rows, so the
+    slice is correct even for NULL-valued real groups."""
     ro = aggregates.agg_rollup(
         _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
     ).select(
@@ -105,23 +116,44 @@ def agg_group_analytics(spark: SparkSession, sf: str) -> DataFrame:
         F.col("total_price").alias("measure"),
         F.col("n_orders").alias("n"),
     )
-    cu = aggregates.agg_cube(_t(spark, sf, "lineitem")).select(
-        F.lit("cube").alias("tag"),
-        F.col("l_returnflag").alias("k1"),
-        F.col("l_linestatus").alias("k2"),
-        F.col("sum_qty").alias("measure"),
-        F.col("n_rows").alias("n"),
+    cube_all = (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
     )
-    gs = aggregates.agg_grouping_sets(_t(spark, sf, "lineitem")).select(
-        F.lit("gsets").alias("tag"),
-        F.col("l_returnflag").alias("k1"),
-        F.col("l_linestatus").alias("k2"),
-        F.col("sum_price").alias("measure"),
-        F.lit(None).cast("bigint").alias("n"),
+    cube_gs = (
+        cube_all.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("cube").alias("tag"),
+                        F.col("l_returnflag").alias("k1"),
+                        F.col("l_linestatus").alias("k2"),
+                        F.col("sum_qty").alias("measure"),
+                        F.col("n_rows").alias("n"),
+                        F.lit(True).alias("keep"),
+                    ),
+                    F.struct(
+                        F.lit("gsets").alias("tag"),
+                        F.col("l_returnflag").alias("k1"),
+                        F.col("l_linestatus").alias("k2"),
+                        F.col("sum_price").alias("measure"),
+                        F.lit(None).cast("bigint").alias("n"),
+                        F.col("gid").isin(1, 2, 3).alias("keep"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .filter("r.keep")
+        .select("r.tag", "r.k1", "r.k2", "r.measure", "r.n")
     )
     return (
-        ro.unionByName(cu)
-        .unionByName(gs)
+        ro.unionByName(cube_gs)
         .orderBy("tag", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first())
     )
 
@@ -1756,18 +1788,51 @@ def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "text_top_tokens",
     f"""
-    WITH tok AS (SELECT {_SQL_TOKS} AS toks FROM documents)
-    SELECT token, count(*) AS freq
-    FROM (SELECT unnest(toks) AS token FROM tok)
-    GROUP BY token
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+    SELECT token, count(*) AS freq,
+           count(DISTINCT doc_id)           AS df,
+           round(ln(nd / count(DISTINCT doc_id)), 4) AS idf,
+           round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS avg_tf
+    FROM tok, n
+    GROUP BY token, nd
     ORDER BY freq DESC, token
     LIMIT 20
     """,
 )
 def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    from play_bq_gcp_spark.operators.text import corpus_token_frequencies
+    """Corpus token statistics + TF-IDF components for the top-20
+    tokens: corpus term frequency, document frequency (exact distinct),
+    idf = ln(N/df), and mean within-document tf.  ONE shuffle on the
+    token key with map-side partial aggregation (the doc-count scalar
+    is a 1-row broadcast); at 100 TB the explode never materializes —
+    tokens stream through the partial agg."""
+    from play_bq_gcp_spark.catalog import spread
+    from play_bq_gcp_spark.operators.text import tokens
 
-    return corpus_token_frequencies(_t(spark, sf, "documents"), top_n=20)
+    docs = spread(_t(spark, sf, "documents"))
+    n_docs = float(docs.count())
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .select(
+            "token",
+            "freq",
+            "df",
+            F.round(F.log(F.lit(n_docs) / F.col("df")), 4).alias("idf"),
+            F.round(F.col("freq").cast("double") / F.col("df"), 4).alias(
+                "avg_tf"
+            ),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
 
 
 @register(
@@ -1825,6 +1890,7 @@ def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, n_tokens, quality
     FROM kept
     WHERE doc_id = (SELECT min(k2.doc_id) FROM kept k2 WHERE k2.text_fp = kept.text_fp)
+      AND substring(md5(doc_id::VARCHAR), 1, 1) < 'c'
     ORDER BY doc_id
     """,
 )
@@ -1832,10 +1898,14 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end corpus cleaning (the composition a training-data
     pipeline actually runs): quality-score → threshold filter →
     exact-dedup (keep min doc_id per normalized-text digest) →
-    kept-document list.  The quality columns AND the dedup digest are
-    computed in the SAME select over one scan (text.quality_columns),
-    so document bodies are read once and NEVER shuffled — the only
-    exchanges move (digest, doc_id) and the final semi-join key."""
+    deterministic hash sample → kept-document list.  The quality
+    columns AND the dedup digest are computed in the SAME select over
+    one scan (text.quality_columns), so document bodies are read once
+    and NEVER shuffled — the only exchanges move (digest, doc_id) and
+    the final semi-join key.  The sample is an md5-bucket draw (first
+    hex nibble < 'c' ⇒ 12/16 = 75%): reproducible across engines,
+    rounds, and partitionings — the property a training-subset draw
+    needs that rand()-based sampling lacks."""
     from play_bq_gcp_spark.catalog import spread
     from play_bq_gcp_spark.operators.text import quality_columns, tokens
 
@@ -1853,6 +1923,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     keepers = scored.groupBy("text_fp").agg(F.min("doc_id").alias("doc_id"))
     return (
         scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     )
