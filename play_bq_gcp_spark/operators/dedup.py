@@ -298,6 +298,7 @@ def embedding_cosine_pairs(
     bits_per_table: int = 10,
     dim: int = 64,
     seed: int = 7,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH candidate
     generation + exact-cosine verify — never an all-pairs join.
@@ -399,7 +400,10 @@ def embedding_cosine_pairs(
             )
             .filter(F.col("cosine") >= threshold)
         )
-        out = out.localCheckpoint(eager=True)
+        # checkpoint=False keeps the plan inspectable (tests assert the
+        # candidate join is an equi-join, never a nested loop)
+        if checkpoint:
+            out = out.localCheckpoint(eager=True)
     finally:
         docs.unpersist()
     return out

@@ -126,3 +126,62 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final and "coalesced" in final
+
+
+def test_group_analytics_single_fact_scan(spark, sf_dir):
+    """agg_group_analytics derives the grouping-sets leg from the cube
+    output (grouping_id slice + per-row explode), so the plan scans
+    lineitem exactly ONCE — a second scan would mean the sharing
+    regressed to a two-branch union."""
+    from play_bq_gcp_spark.queries import QUERIES
+
+    df = QUERIES["agg_group_analytics"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_knn_join_broadcasts_query_side(spark, sf_dir):
+    """knn_join_bruteforce broadcasts the (small) query side; the
+    corpus is never shuffled for the scoring pass."""
+    from play_bq_gcp_spark.operators.similarity import knn_join_bruteforce
+
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    df = knn_join_bruteforce(qs, e, k=3)
+    assert "BroadcastNestedLoopJoin" in plan_of(df)
+
+
+def test_scalar_suite_is_one_scan_no_shuffle(spark, sf_dir):
+    """The fused scalar suite stays a pure map pass: one orders scan,
+    no Exchange before the final sort (the crossJoin side is a 1-row
+    broadcast)."""
+    from play_bq_gcp_spark.queries import QUERIES
+
+    df = QUERIES["scalar_suite_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("orders.parquet") == 1
+    # the only exchanges allowed are the 1-row broadcast and the
+    # rangepartitioning for the final orderBy
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    hash_exchanges = [
+        ln for ln in body.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert hash_exchanges == []
+
+
+def test_embedding_dedup_has_no_nested_loop(spark, sf_dir):
+    """embedding_cosine_pairs candidates come from LSH bucket
+    equi-joins — a BroadcastNestedLoopJoin or CartesianProduct anywhere
+    in the plan means the all-pairs path crept back.  checkpoint=False
+    keeps the full logical plan inspectable (the production path
+    localCheckpoints, which would hide it)."""
+    from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
+
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_cosine_pairs(e, threshold=0.9, checkpoint=False)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
