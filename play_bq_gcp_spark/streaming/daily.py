@@ -139,6 +139,47 @@ def windowed_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INNER join (§2.8): every purchase
+    joined to the same user's clicks in the preceding 30 minutes.
+
+    Both sides carry event-time watermarks and the join condition
+    bounds c_ts to [p_ts - 30 min, p_ts], so Spark can prove when a
+    buffered row can never match again and evict it — the state-bounded
+    form of stream-stream join (an unbounded-condition join would grow
+    state forever at 100 TB/day).  Append mode: matches emit exactly
+    once.  The batch twin is the identical join of the two filtered
+    frames, asserted in tests/test_streaming.py."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+    return _run_to_memory(joined, "append").orderBy("purchase_id", "click_id")
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user — the streaming
     twin of operators.windows.sessionize."""

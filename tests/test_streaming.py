@@ -181,3 +181,30 @@ def test_tws_running_totals_match_batch(spark, sf_dir):
     got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
     want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join emits exactly the
+    batch join's matches (single micro-batch over the fixture, so no
+    cross-batch-late subtleties cloud the equivalence)."""
+    out = daily.purchase_click_interval_join(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
