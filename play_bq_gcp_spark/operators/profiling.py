@@ -1,0 +1,54 @@
+"""Column-level table profiling (data-quality sweep before a training
+run): per-column row/null/distinct counts and min/max, computed in ONE
+aggregation pass over one scan.
+
+Scale shape: every statistic is an algebraic or sketch aggregate with
+map-side partials — rows scanned once, one 1-row shuffle, never a
+per-column job.  Distinct counts use HLL++ (``approx_count_distinct``)
+because exact distinct per column would add an Expand×columns blow-up;
+the sketch merges across 1000 executors the same way it merges across
+32 local partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """One-pass profile: (column, n_rows, n_nulls, null_frac,
+    approx_distinct, min, max) per column, min/max rendered as strings
+    so the long result has a uniform schema across column types.
+
+    The single wide agg row (4 stats × n_cols) explodes driver-free
+    into the per-column long form — no second pass, no collect.
+    """
+    cols = df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__dist__{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min__{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max__{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__nulls__{c}").alias("n_nulls"),
+                F.round(
+                    F.col(f"__nulls__{c}")
+                    / F.greatest(F.col("__rows"), F.lit(1)).cast("double"),
+                    6,
+                ).alias("null_frac"),
+                F.col(f"__dist__{c}").alias("approx_distinct"),
+                F.col(f"__min__{c}").alias("min_value"),
+                F.col(f"__max__{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("r")).select("r.*")

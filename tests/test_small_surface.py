@@ -109,3 +109,24 @@ def test_udtf_chunking(spark):
     assert by_doc[1] == [(0, 32), (1, 32), (2, 6)]
     assert by_doc[2] == [(0, 3)]
     assert 3 not in by_doc  # empty doc → no chunks
+
+
+def test_profile_table_one_pass(spark, sf_dir):
+    """profile_table: per-column stats correct (exact fields checked
+    exactly, sketch field within HLL++ tolerance) and the plan is ONE
+    aggregation over ONE scan — no per-column jobs."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.profiling import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    prof = {r.column: r for r in profile_table(orders).collect()}
+    assert set(prof) == set(orders.columns)
+    n = orders.count()
+    ok = prof["o_orderkey"]
+    assert ok.n_rows == n and ok.n_nulls == 0 and ok.null_frac == 0.0
+    # o_orderkey is unique: HLL++ at rsd=0.02 must land within 5%
+    assert abs(ok.approx_distinct - n) / n < 0.05
+    st = prof["o_orderstatus"]
+    assert st.min_value == "F" and st.max_value == "P"
+    plan = profile_table(orders)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
