@@ -1,0 +1,68 @@
+"""Deterministic sampling for corpus curation (SURVEY.md §2.10
+adjacents): the draws a training-data pipeline actually needs are
+REPRODUCIBLE — same subset for every rerun, every engine, every
+partitioning — which rules out ``rand()``/``sample()`` (seeded per
+partition-split, so any repartition changes the subset).  Everything
+here keys off md5 of a stable id instead.
+
+Scale shape: ``hash_sample`` and ``stratified_sample`` are pure map
+passes (filter pushes to the scan); ``cap_per_key`` is one window pass
+shuffling only on the cap key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 16^6 four-bit buckets from the first 6 md5 hex chars — granular
+# enough that a rate of 0.123456 is off by < 1e-7 of mass
+_BUCKETS = 16 ** 6
+
+
+def _hash_frac(id_col: Column | str) -> Column:
+    """Uniform [0,1) value derived from md5(id) — stable across runs,
+    engines, and partitionings."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("double")
+        / F.lit(float(_BUCKETS))
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Keep rows whose md5-derived fraction < ``rate`` — a
+    deterministic Bernoulli(rate) draw keyed on content identity."""
+    return df.filter(_hash_frac(id_col) < rate)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. downsample 'en' to 10%,
+    keep low-resource languages whole).  One map pass: the per-row rate
+    is a literal map lookup, the draw the same md5 fraction."""
+    rate_map = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    rate = F.coalesce(
+        rate_map.getItem(F.col(stratum_col)), F.lit(float(default_rate))
+    )
+    return df.filter(_hash_frac(id_col) < rate)
+
+
+def cap_per_key(
+    df: DataFrame, key_col: str, n: int, id_col: str | None = None
+) -> DataFrame:
+    """At most ``n`` rows per key (the per-domain/per-source cap that
+    keeps one crawl host from dominating a corpus).  Deterministic
+    priority: rows are ranked by md5(id) inside each key, so the kept
+    subset is stable under reruns and repartitioning — a seeded
+    reservoir without randomness.  One shuffle on the key."""
+    order = _hash_frac(id_col) if id_col else F.md5(F.concat_ws("\x00", *df.columns))
+    w = Window.partitionBy(key_col).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

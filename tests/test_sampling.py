@@ -1,0 +1,63 @@
+"""Deterministic sampling: same subset on every run and every
+partitioning — the property rand()-based sampling lacks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.operators.sampling import (
+    cap_per_key,
+    hash_sample,
+    stratified_sample,
+)
+
+
+def test_hash_sample_rate_and_determinism(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s1 = hash_sample(docs, "doc_id", 0.25)
+    got = s1.count()
+    # md5 is uniform; 25% ± generous tolerance at fixture size
+    assert abs(got / n - 0.25) < 0.08
+    # identical subset under a different partitioning
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.25)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_stratified_rates_per_stratum(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.1, "fr": 1.0}, default_rate=0.0
+    )
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    assert set(by_lang) <= {"en", "fr"}  # default 0 drops other strata
+    assert by_lang.get("fr") == n_fr  # rate 1.0 keeps everything
+    assert 0 < by_lang.get("en", 0) < 0.25 * n_en  # en heavily downsampled
+
+
+def test_cap_per_key_bounds_and_determinism(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    capped = cap_per_key(docs, "source", 5, id_col="doc_id")
+    sizes = capped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    assert sizes.agg(F.max("n")).first()[0] <= 5
+    # keys smaller than the cap survive whole
+    small = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).filter("n <= 5")
+    for r in small.collect():
+        assert capped.filter(F.col("source") == r.source).count() == r.n
+    ids1 = {r.doc_id for r in capped.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in cap_per_key(docs.repartition(11), "source", 5, id_col="doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
