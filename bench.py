@@ -63,14 +63,21 @@ def main() -> None:
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    # warm the HOF-heavy dedup plan shape (interpreted higher-order
-    # funcs + nested codegen): first-run Catalyst+Janino cost on the
-    # MinHash pipeline is ~5s and would otherwise be billed to the
-    # first timed dedup query.  Run it at the smallest sf available.
+    # warm the HOF-heavy plan shapes (interpreted higher-order funcs +
+    # nested codegen): first-run Catalyst+Janino cost is seconds per
+    # family and would otherwise be billed to the first timed run of
+    # each.  Generated code embeds the literals, so the k=2 and k=3
+    # shingle pipelines and the ANN matrix pass each need their own
+    # warm.  Run them at the smallest sf available.
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    q.QUERIES["dedup_minhash_lsh"](spark, warm_dir).count()
+    for warm_q in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "similarity_ann_suite",
+    ):
+        q.QUERIES[warm_q](spark, warm_dir).count()
     # chunk-file landing for the stateful-streaming query is one-time
     # data setup (like fixture generation), not query execution
     from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
