@@ -92,6 +92,59 @@ def byte_features(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(featurize, FEATURE_SCHEMA)
 
 
+def fake_decode_gray(payload: bytes):
+    """Deterministic stand-in for an image decoder: interpret the
+    payload as a square grayscale image of side floor(sqrt(len)).
+    Replaced by PIL's ``Image.open`` in a real deployment — the
+    downstream resize/feature code is decoder-agnostic."""
+    import numpy as np
+
+    side = max(int(len(payload) ** 0.5), 1)
+    return np.frombuffer(payload[: side * side], dtype=np.uint8).reshape(
+        side, side
+    )
+
+
+THUMB_SCHEMA = "doc_id long, thumb array<double>"
+
+
+def thumbnail_features(media: DataFrame, out_side: int = 8) -> DataFrame:
+    """Decode → resize → flatten, the standard image-embedding front
+    half: each payload is decoded (stubbed deterministically — see
+    ``fake_decode_gray``), block-averaged down to ``out_side²`` pixels,
+    and emitted as an ``array<double>`` feature vector that feeds the
+    similarity/dedup stack unchanged (sign-bit LSH buckets, cosine
+    verify).  Arrow-batched ``mapInPandas``; per-image work is pure
+    numpy, no JVM round-trips inside the batch."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def thumb(b: bytes) -> list[float]:
+            img = fake_decode_gray(b)
+            side = img.shape[0]
+            if side < out_side:
+                img = np.pad(img, (0, out_side - side), mode="edge")
+                side = out_side
+            crop = side - side % out_side
+            img = img[:crop, :crop].astype(np.float64)
+            block = crop // out_side
+            pooled = img.reshape(
+                out_side, block, out_side, block
+            ).mean(axis=(1, 3))
+            return [round(float(x), 4) for x in pooled.ravel()]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": pdf["payload"].map(thumb),
+                }
+            )
+
+    return spread(media).mapInPandas(resize, THUMB_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Plumbing for frame sampling: emits (doc_id, frame_index) rows a
     video decoder would fill — demonstrates fan-out schema/partitioning

@@ -157,3 +157,35 @@ def test_knn_join_lsh_subset_of_bruteforce(spark, sf_dir):
     assert len(lsh) > 0
     for r in lsh:
         assert brute[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_multimodal_thumbnail_resize_pipeline(spark, sf_dir):
+    """decode(stub) → block-average resize → 64-dim vector: shape and
+    determinism pinned, and the output composes with the similarity
+    stack (identical payloads ⇒ identical thumbs ⇒ cosine 1)."""
+    import numpy as np
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.attach_binary(docs)
+    out = multimodal.thumbnail_features(media, out_side=8)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.thumb) == 64 for r in rows)
+    # deterministic: second run bit-identical
+    again = {r.doc_id: r.thumb for r in multimodal.thumbnail_features(
+        media, out_side=8).collect()}
+    assert all(again[r.doc_id] == r.thumb for r in rows)
+    # hand-check one: block mean of the fake-decoded square
+    one = docs.filter(F.col("doc_id") == rows[0].doc_id).first()
+    img = multimodal.fake_decode_gray(one.text.encode("utf-8"))
+    side = img.shape[0]
+    crop = side - side % 8
+    want = (
+        img[:crop, :crop]
+        .astype(np.float64)
+        .reshape(8, crop // 8, 8, crop // 8)
+        .mean(axis=(1, 3))
+        .ravel()
+    )
+    got = dict(again)[rows[0].doc_id]
+    assert [round(float(x), 4) for x in want] == got
