@@ -266,3 +266,58 @@ def corpus_token_frequencies(documents: DataFrame, top_n: int = 20) -> DataFrame
         .orderBy(F.col("freq").desc(), F.col("token"))
         .limit(top_n)
     )
+
+
+def lm_perplexity_score(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """Bigram-LM fluency score per document: mean negative log
+    probability of the doc's token bigrams under add-alpha-smoothed
+    corpus bigram statistics — the classic cheap LM filter that ranks
+    gibberish above fluent text (lower = more fluent).
+
+    Two-pass shape that survives 100 TB:
+
+    1. corpus pass — bigram and unigram counts via explode → groupBy
+       (map-side partial aggregation; the model IS the aggregate, no
+       driver materialization);
+    2. scoring pass — each doc explodes to its bigrams once, joins the
+       (broadcastable-at-vocab-scale) count tables, and averages
+       -ln p(w2|w1) back per doc_id.
+
+    p(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·V), V = unigram
+    vocabulary size.  Unseen bigrams get the smoothed floor rather
+    than -inf, so scoring a NEW document against a trained model is
+    well-defined."""
+    from play_bq_gcp_spark.catalog import spread
+
+    toks = spread(documents.select("doc_id", tokens("text").alias("tk")))
+    bigrams = bind(
+        F.col("tk"),
+        lambda tk: F.zip_with(
+            F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+            F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    )
+    doc_bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = toks.select("doc_id", F.explode("tk").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    v = uni_counts.count()
+    scored = (
+        doc_bg.withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
+        .join(bg_counts, "bg", "left")
+        .join(uni_counts, F.col("w1") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha * v))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("nll"), 4).alias("lm_score"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

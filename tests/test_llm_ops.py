@@ -189,3 +189,17 @@ def test_multimodal_thumbnail_resize_pipeline(spark, sf_dir):
     )
     got = dict(again)[rows[0].doc_id]
     assert [round(float(x), 4) for x in want] == got
+
+
+def test_lm_perplexity_ranks_gibberish_above_fluent(spark):
+    """The bigram-LM score: repeated fluent phrasing scores low (its
+    bigrams dominate the corpus model), shuffled/gibberish text scores
+    high; n_bigrams = tokens-1."""
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(1, 9)]
+    rows.append((9, "rug the on mat dog and cat the sat zq xv wk jj"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.lm_perplexity_score(docs).collect()}
+    assert out[1].n_bigrams == len(fluent.split()) - 1
+    fluent_scores = [out[i].lm_score for i in range(1, 9)]
+    assert max(fluent_scores) < out[9].lm_score
