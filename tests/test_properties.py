@@ -83,3 +83,51 @@ def test_salted_join_equals_plain(spark, left, right):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user key
+        st.integers(min_value=0, max_value=10_000), # epoch seconds
+        st.integers(min_value=-100, max_value=100), # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(lrows=events, rrows=events)
+@settings(**_SETTINGS)
+def test_asof_window_equals_pandas_merge_asof(spark, lrows, rrows):
+    """The two as-of implementations — pure window composition and
+    grouped applyInPandas around pd.merge_asof — must agree row-for-row
+    on arbitrary data (backward as-of, no tolerance).  Right timestamps
+    are deduped per (key, ts) because the implementations break that
+    tie differently (merge_asof takes the last input row, the window
+    takes the last in __src order) — real feeds key right rows
+    uniquely by (key, ts)."""
+    from play_bq_gcp_spark.operators.joins_advanced import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    seen = set()
+    rdedup = []
+    for k, ts, v in rrows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rdedup.append((k, ts, v))
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts, _) in enumerate(lrows)],
+        "k int, lts int, lid int",
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    right = spark.createDataFrame(
+        rdedup or [(None, None, None)], "k int, rts int, rv int"
+    ).filter(F.col("k").isNotNull()).withColumn(
+        "rts", F.timestamp_seconds("rts")
+    )
+    a = asof_join(left, right, "k", "lts", "rts", ["rv"])
+    b = asof_join_pandas(left, right, "k", "lts", "rts", ["rv"])
+    got_a = {(r.lid, r.rv) for r in a.collect()}
+    got_b = {(r.lid, r.rv) for r in b.collect()}
+    assert got_a == got_b
