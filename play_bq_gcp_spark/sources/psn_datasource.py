@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 # Column layout of one title-stats record (main.py:91's projection).
 _SCHEMA_DDL = (
@@ -74,6 +80,68 @@ class GameSnapshotReader(DataSourceReader):
             )
 
 
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    def __init__(self, staged: str, rows: int) -> None:
+        self.staged = staged
+        self.rows = rows
+
+
+class GameSnapshotWriter(DataSourceWriter):
+    """S5-shaped sink through the same DataSource: each task stages its
+    partition as a JSON-lines file under ``path`` (standing in for the
+    'POST one batch per partition' call a REST sink would make), and
+    the driver-side ``commit`` publishes them atomically — rename away
+    the staged prefix, then write a ``_MANIFEST.json`` listing
+    (file, rows).  A failed/speculated task's ``abort`` deletes its
+    stage, so readers keyed on the manifest never observe partial
+    output — the standard two-phase commit shape every exactly-once
+    Spark sink follows.  ``path`` must be shared storage on a real
+    cluster (tasks and driver see the same filesystem)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("game_snapshot writer requires .option('path', dir)")
+        self.path = path
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f"_staged_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = []
+        for m in messages:
+            final = m.staged.replace("_staged_", "part_")
+            os.rename(m.staged, final)
+            manifest.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(sorted(manifest, key=lambda e: e["file"]), f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass
+
+
 class GameSnapshotDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -84,3 +152,6 @@ class GameSnapshotDataSource(DataSource):
 
     def reader(self, schema) -> GameSnapshotReader:
         return GameSnapshotReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> GameSnapshotWriter:
+        return GameSnapshotWriter(self.options)

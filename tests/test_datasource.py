@@ -36,3 +36,30 @@ def test_feeds_pipeline_transform(spark):
     assert len(rows) == 50
     # surrogate key: last-7 of stripped title_id ++ ddHHyyyyMM stamp
     assert all(len(r.id) == 17 for r in rows)
+
+
+def test_datasource_write_two_phase_commit(spark, tmp_path):
+    """The write path: tasks stage JSONL files, driver commit renames
+    them and publishes a manifest; round-trip row counts match and no
+    staged files survive."""
+    import json
+    import os
+
+    spark.dataSource.register(GameSnapshotDataSource)
+    df = (
+        spark.read.format("game_snapshot")
+        .option("pages", 3)
+        .option("page_size", 10)
+        .load()
+    )
+    out = str(tmp_path / "sink")
+    df.write.format("game_snapshot").mode("append").option("path", out).save()
+    files = os.listdir(out)
+    assert "_MANIFEST.json" in files
+    assert not [f for f in files if f.startswith("_staged_")]
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(e["rows"] for e in manifest) == 30
+    assert all(e["file"].startswith("part_") for e in manifest)
+    back = spark.read.json(os.path.join(out, "part_*.jsonl"))
+    assert back.count() == 30
+    assert set(df.columns) == set(back.columns)
