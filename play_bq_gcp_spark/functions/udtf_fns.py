@@ -32,8 +32,43 @@ class ChunkDocument:
             yield i, " ".join(part), len(part)
 
 
+@udtf
+class NgramWindows:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze``): sliding n-gram windows
+    over a document, with the output schema decided at ANALYSIS time
+    from the call's literal ``n`` — ``gram_1 .. gram_n`` columns plus
+    the ordinal.  One registration serves every n; the planner sees an
+    exact per-call schema instead of a generic blob, so downstream
+    projection/pruning work as if the schema were hand-written."""
+
+    @staticmethod
+    def analyze(text, n):  # noqa: ANN001, ANN205
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        if n.value is None or int(n.value) < 1:
+            raise ValueError("n must be a positive integer literal")
+        fields = [StructField("pos", IntegerType())]
+        fields += [
+            StructField(f"gram_{i + 1}", StringType())
+            for i in range(int(n.value))
+        ]
+        return AnalyzeResult(StructType(fields))
+
+    def eval(self, text: str, n: int):  # noqa: ANN201
+        toks = _CLEAN.sub(" ", (text or "").lower()).split()
+        for i in range(max(len(toks) - n + 1, 0)):
+            yield (i, *toks[i : i + n])
+
+
 def register_udtfs(spark: SparkSession) -> None:
     spark.udtf.register("chunk_document", ChunkDocument)
+    spark.udtf.register("ngram_windows", NgramWindows)
 
 
 def chunk_documents(

@@ -130,3 +130,23 @@ def test_profile_table_one_pass(spark, sf_dir):
     assert st.min_value == "F" and st.max_value == "P"
     plan = profile_table(orders)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("orders.parquet") == 1
+
+
+def test_polymorphic_udtf_schema_follows_literal(spark):
+    """ngram_windows (UDTF with analyze()): output schema is decided
+    per call site from the literal n — gram_1..gram_n — and the window
+    contents are correct."""
+    import pytest
+    from play_bq_gcp_spark.functions.udtf_fns import register_udtfs
+
+    register_udtfs(spark)
+    df2 = spark.sql("SELECT * FROM ngram_windows('a b c d', 2)")
+    df3 = spark.sql("SELECT * FROM ngram_windows('a b c d', 3)")
+    assert df2.columns == ["pos", "gram_1", "gram_2"]
+    assert df3.columns == ["pos", "gram_1", "gram_2", "gram_3"]
+    assert [(r.gram_1, r.gram_2) for r in df2.collect()] == [
+        ("a", "b"), ("b", "c"), ("c", "d")
+    ]
+    assert df3.count() == 2
+    with pytest.raises(Exception, match="positive integer"):
+        spark.sql("SELECT * FROM ngram_windows('a b', 0)").collect()
