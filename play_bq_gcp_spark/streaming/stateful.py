@@ -246,3 +246,175 @@ def running_user_stats_tws(
         )
         .orderBy("user_id")
     )
+
+
+_ORDERED_CHUNK_DIRS: dict[tuple[str, int], tuple[str, list[int]]] = {}
+
+SESSION_SCHEMA = "user_id long, n_events long, start_us long, end_us long"
+SESSION_STATE_SCHEMA = "n_events long, start_us long, end_us long"
+
+
+def _time_ordered_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int
+) -> tuple[str, list[int]]:
+    """Land events as ``n_chunks`` files covering CONSECUTIVE time
+    ranges, mtime-ordered so FileStreamSource delivers them
+    chronologically (batch order = file modification time; same-second
+    writes tie-break nondeterministically, hence the explicit utime).
+    Returns (dir, max event-time µs per chunk) — the per-batch
+    watermark inputs the tests reason with."""
+    import os
+    import shutil
+
+    from play_bq_gcp_spark.catalog import read_table
+
+    key = (sf_dir, n_chunks)
+    if key not in _ORDERED_CHUNK_DIRS:
+        d = tempfile.mkdtemp(prefix="events_ordered_")
+        ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        maxes: list[int] = []
+        # deterministic equal-size time ranges: global sort, ntile
+        ranked = ev.withColumn(
+            "__tile",
+            F.ntile(n_chunks).over(Window.orderBy(F.col("ts"), F.col("event_id"))),
+        )
+        for i in range(1, n_chunks + 1):
+            part = ranked.filter(F.col("__tile") == i).drop("__tile")
+            tmp = tempfile.mkdtemp(prefix="chunk_tmp_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"chunk_{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+            mx = part.agg(F.max("ts")).first()[0]
+            maxes.append(int(mx.timestamp() * 1_000_000))
+        _ORDERED_CHUNK_DIRS[key] = (d, maxes)
+    return _ORDERED_CHUNK_DIRS[key]
+
+
+def session_close_on_timeout(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Event-time-timeout sessionization (the GroupStateTimeout surface
+    ``running_user_stats`` doesn't use): per-user sessions accumulate in
+    GroupState; a session EMITS when (a) a later row opens the next
+    session (gap exceeded — in-batch or cross-batch), or (b) the
+    event-time watermark passes session_end + gap and the state times
+    out with no new data.  ``AvailableNow`` runs a closing no-data
+    batch that advances the watermark over everything seen, so final
+    sessions whose horizon has passed time out there too; only sessions
+    still inside the horizon at stream end stay in state, unemitted —
+    exactly the rows a restart would resume.
+
+    Chunks arrive chronologically (``_time_ordered_chunks``), so the
+    watermark advances batch by batch and closures are deterministic;
+    tests derive the expected set from batch sessionize + the final
+    watermark."""
+    chunk_dir, _ = _time_ordered_chunks(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    gap_us = gap_s * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, s_us, e_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "start_us": [s_us],
+                    "end_us": [e_us],
+                }
+            )
+            return
+        ts_us = sorted(
+            int(v.value // 1_000)  # pandas Timestamp ns → µs
+            for pdf in pdfs
+            for v in pd.to_datetime(pdf["ts"])
+        )
+        sessions: list[tuple[int, int, int]] = []
+        if state.exists:
+            cur = state.get
+        else:
+            cur = None
+        for t in ts_us:
+            if cur is None:
+                cur = (1, t, t)
+            elif t - cur[2] >= gap_us:
+                sessions.append(cur)
+                cur = (1, t, t)
+            else:
+                cur = (cur[0] + 1, cur[1], t)
+        out = pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "n_events": [s[0] for s in sessions],
+                "start_us": [s[1] for s in sessions],
+                "end_us": [s[2] for s in sessions],
+            }
+        )
+        wm_ms = state.getCurrentWatermarkMs()
+        close_at_ms = (cur[2] + gap_us) // 1_000
+        if close_at_ms <= wm_ms:
+            # already past the horizon: close now, keep no state
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [cur[0]],
+                            "start_us": [cur[1]],
+                            "end_us": [cur[2]],
+                        }
+                    ),
+                ]
+            )
+            state.remove()
+        else:
+            state.update(cur)
+            state.setTimeoutTimestamp(close_at_ms)
+        if len(out):
+            yield out
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        SESSION_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+    import uuid
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("user_id", "start_us")

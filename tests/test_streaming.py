@@ -208,3 +208,57 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     got = {(r.purchase_id, r.click_id) for r in out.collect()}
     want = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_event_time_timeout_sessions(spark, sf_dir):
+    """EventTimeTimeout sessionization: emitted sessions are exactly
+    the batch sessions that CLOSED — every session with a successor
+    (gap-closed when the next session's rows arrived) plus final
+    sessions whose end+gap fell behind the last watermark (timeout- or
+    inline-closed). Still-open sessions stay in state, unemitted."""
+    from play_bq_gcp_spark.operators.windows import sessionize
+    from play_bq_gcp_spark.streaming.stateful import (
+        _time_ordered_chunks,
+        session_close_on_timeout,
+    )
+
+    gap_s = 1800
+    out = session_close_on_timeout(spark, sf_dir, gap_s=gap_s, n_chunks=4)
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events) for r in out.collect()
+    }
+
+    # batch truth: sessionize the whole table, aggregate per session
+    ev = read_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", gap_s // 60)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        )
+    )
+    # final watermark = GLOBAL max event time: AvailableNow runs a
+    # closing no-data batch after the last file, advancing the
+    # watermark over everything seen and firing remaining timeouts
+    _, maxes = _time_ordered_chunks(spark, sf_dir, 4)
+    wm_us = (maxes[-1] // 1000) * 1000
+    rows = sess.collect()
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r.user_id)
+        if cur is None or r.session_id > cur.session_id:
+            last_per_user[r.user_id] = r
+
+    def us(ts):
+        return int(ts.timestamp() * 1_000_000)
+
+    want = set()
+    for r in rows:
+        is_last = last_per_user[r.user_id].session_id == r.session_id
+        closed = (not is_last) or (us(r.end_ts) + gap_s * 1_000_000 <= wm_us)
+        if closed:
+            want.add((r.user_id, us(r.start_ts), us(r.end_ts), r.n_events))
+    assert got == want
+    assert len(got) > 0
