@@ -273,7 +273,10 @@ def _time_ordered_chunks(
         d = tempfile.mkdtemp(prefix="events_ordered_")
         ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
         maxes: list[int] = []
-        # deterministic equal-size time ranges: global sort, ntile
+        # deterministic equal-size time ranges: global sort + ntile.
+        # Fixture-prep only (single-partition window sort): a real
+        # backfill would repartitionByRange(n, "ts") — ranges there are
+        # sampled, good enough when exact chunk sizes don't matter.
         ranked = ev.withColumn(
             "__tile",
             F.ntile(n_chunks).over(Window.orderBy(F.col("ts"), F.col("event_id"))),
