@@ -70,3 +70,76 @@ def merge_insert_and_upsert(
         target.select(*keys), on=keys, how="left_anti"
     )
     return updated.unionByName(new_rows)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply a batch of attribute
+    updates to a versioned dimension, KEEPING history — the richer form
+    of the reference's in-place UPDATE (main.py:274-284), which is SCD
+    Type 1 and destroys it.
+
+    ``dim`` rows carry (key, attrs..., effective_ts, end_ts,
+    is_current) — ``end_ts`` NULL and ``is_current`` true on the open
+    version.  For each update row:
+
+    * the key's current version (if any, and only when an attr actually
+      changed) is CLOSED — ``end_ts`` = update ts, ``is_current`` false;
+    * a NEW open version is inserted with the update's attrs;
+    * no-op updates (identical attrs) are dropped, so reruns of the
+      same batch are idempotent;
+    * brand-new keys simply insert their first version.
+
+    One plan: closed = inner join current⋈changes; new = changes (+
+    carried ts); untouched = everything else.  Shuffles only on the
+    key; history rows pass through untouched (at 100 TB partition the
+    dimension by is_current so the closed/current scan prunes).
+    """
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    upd = updates.select(
+        key, *attrs, F.col(ts_col).alias("__new_ts")
+    )
+    # changed = current versions whose attrs differ from the update
+    changed_cond = F.lit(False)
+    for a in attrs:
+        changed_cond = changed_cond | ~F.col(f"cur.{a}").eqNullSafe(
+            F.col(f"upd.{a}")
+        )
+    joined = cur.alias("cur").join(upd.alias("upd"), key, "inner")
+    closing = joined.filter(changed_cond)
+    closed = closing.select(
+        key,
+        *[F.col(f"cur.{a}").alias(a) for a in attrs],
+        F.col(f"cur.{ts_col}").alias(ts_col),
+        F.col("upd.__new_ts").alias("end_ts"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = closing.select(
+        key,
+        *[F.col(f"upd.{a}").alias(a) for a in attrs],
+        F.col("upd.__new_ts").alias(ts_col),
+        F.lit(None).cast(dict(dim.dtypes)["end_ts"]).alias("end_ts"),
+        F.lit(True).alias("is_current"),
+    )
+    first_versions = upd.join(cur.select(key), key, "left_anti").select(
+        key,
+        *attrs,
+        F.col("__new_ts").alias(ts_col),
+        F.lit(None).cast(dict(dim.dtypes)["end_ts"]).alias("end_ts"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched_cur = cur.join(closing.select(key), key, "left_anti")
+    cols = [key, *attrs, ts_col, "end_ts", "is_current"]
+    return (
+        hist.select(*cols)
+        .unionByName(untouched_cur.select(*cols))
+        .unionByName(closed)
+        .unionByName(opened)
+        .unionByName(first_versions)
+    )

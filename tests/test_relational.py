@@ -66,6 +66,62 @@ def test_merge_upsert_null_update_value(spark):
     assert out[0].n == 1
 
 
+def _scd2_dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id string, tier string, region string, "
+        "effective_ts timestamp, end_ts timestamp, is_current boolean",
+    )
+
+
+def test_scd2_apply_versions(spark):
+    """SCD Type 2: changed keys close + reopen, no-ops drop, new keys
+    insert, history is never touched."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    t2 = dt.datetime(2024, 9, 1)
+    dim = _scd2_dim(
+        spark,
+        [
+            ("a", "gold", "eu", t0, t1, False),       # closed history
+            ("a", "plat", "eu", t1, None, True),      # current, will change
+            ("b", "silver", "us", t0, None, True),    # current, no-op update
+            ("c", "gold", "ap", t0, None, True),      # current, untouched
+        ],
+    )
+    updates = spark.createDataFrame(
+        [
+            ("a", "plat", "us", t2),     # region changed → version
+            ("b", "silver", "us", t2),   # identical → no-op
+            ("d", "bronze", "eu", t2),   # brand new key
+        ],
+        "id string, tier string, region string, effective_ts timestamp",
+    )
+    out = merge.scd2_apply(dim, updates, "id", ["tier", "region"])
+    rows = {(r.id, r.effective_ts): r for r in out.collect()}
+    assert len(rows) == 6  # 4 original + 1 new version for a + 1 first for d
+    # a's old current is closed at t2
+    closed = rows[("a", t1)]
+    assert closed.end_ts == t2 and closed.is_current is False
+    # a's new open version carries the update attrs
+    opened = rows[("a", t2)]
+    assert (opened.tier, opened.region) == ("plat", "us")
+    assert opened.end_ts is None and opened.is_current is True
+    # b unchanged (no-op dropped), c untouched, history row intact
+    assert rows[("b", t0)].is_current is True and rows[("b", t0)].end_ts is None
+    assert rows[("c", t0)].is_current is True
+    assert rows[("a", t0)].is_current is False and rows[("a", t0)].end_ts == t1
+    # d got its first version
+    d = rows[("d", t2)]
+    assert (d.tier, d.is_current, d.end_ts) == ("bronze", True, None)
+    # idempotency: re-applying the same batch is a no-op for a/b, and d's
+    # row now exists & matches, so only nothing changes
+    again = merge.scd2_apply(out, updates, "id", ["tier", "region"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
 def test_project_filter(spark):
     df = spark.createDataFrame([(1, "O", 5.0), (2, "F", 3.0)], "k int, st string, v double")
     out = relational.project_filter(df, ["k", "v"], F.col("st") == "O").collect()
