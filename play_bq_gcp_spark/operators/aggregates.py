@@ -126,10 +126,13 @@ def stats_summary(lineitem: DataFrame) -> DataFrame:
 
 
 def stats_percentiles(lineitem: DataFrame) -> DataFrame:
-    """min/max/stddev plus EXACT interpolated percentiles in one agg —
-    the checkable twin of the approx sketches (Spark ``percentile`` ≡
-    SQL ``quantile_cont``).  One shuffle; the percentile buffers are
-    per-group, bounded by group cardinality."""
+    """min/max/stddev plus EXACT interpolated percentiles plus the
+    bivariate co-moment family (corr / covar / regression slope) in one
+    agg — the checkable twin of the approx sketches (Spark
+    ``percentile`` ≡ SQL ``quantile_cont``).  One shuffle; the
+    percentile buffers are per-group, bounded by group cardinality; the
+    co-moments are algebraic partials (count/means/XY sums) that merge
+    associatively across executors."""
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
@@ -142,6 +145,15 @@ def stats_percentiles(lineitem: DataFrame) -> DataFrame:
             ),
             F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias(
                 "p90_price"
+            ),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "price_per_qty"
             ),
             F.count(F.lit(1)).alias("n"),
         )

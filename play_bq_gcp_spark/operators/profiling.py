@@ -15,20 +15,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
+def profile_table(df: DataFrame, rsd: float = 0.02, exact: bool = False) -> DataFrame:
     """One-pass profile: (column, n_rows, n_nulls, null_frac,
-    approx_distinct, min, max) per column, min/max rendered as strings
+    n_distinct, min, max) per column, min/max rendered as strings
     so the long result has a uniform schema across column types.
 
     The single wide agg row (4 stats × n_cols) explodes driver-free
     into the per-column long form — no second pass, no collect.
+
+    ``exact=True`` swaps HLL++ for exact ``count_distinct`` — the
+    oracle-checkable form for differential testing at small scale; the
+    default stays approximate because exact multi-column distinct at
+    100 TB costs an Expand×columns pass the sketch avoids.
     """
     cols = df.columns
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
-            F.approx_count_distinct(c, rsd).alias(f"__dist__{c}"),
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c, rsd)
+            ).alias(f"__dist__{c}"),
             F.min(F.col(c).cast("string")).alias(f"__min__{c}"),
             F.max(F.col(c).cast("string")).alias(f"__max__{c}"),
         ]
@@ -44,7 +53,7 @@ def profile_table(df: DataFrame, rsd: float = 0.02) -> DataFrame:
                     / F.greatest(F.col("__rows"), F.lit(1)).cast("double"),
                     6,
                 ).alias("null_frac"),
-                F.col(f"__dist__{c}").alias("approx_distinct"),
+                F.col(f"__dist__{c}").alias("n_distinct"),
                 F.col(f"__min__{c}").alias("min_value"),
                 F.col(f"__max__{c}").alias("max_value"),
             )

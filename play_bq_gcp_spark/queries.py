@@ -1103,6 +1103,9 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty,
            round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
            round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -1112,7 +1115,11 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
 def agg_stats_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """§2.4 stats bundle (min/max/stddev/sum) + EXACT interpolated
     percentiles (Spark `percentile` ≡ SQL quantile_cont — the approx
-    sketch's checkable twin) in one grouped pass."""
+    sketch's checkable twin) + the bivariate co-moment family
+    (corr / covar_samp / regr_slope) in ONE grouped pass: every
+    statistic here is algebraic with map-side partials, so the single
+    shuffle merges partial sketches unchanged on a 1000-executor
+    cluster."""
     return aggregates.stats_percentiles(_t(spark, sf, "lineitem"))
 
 

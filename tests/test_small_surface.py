@@ -125,7 +125,13 @@ def test_profile_table_one_pass(spark, sf_dir):
     ok = prof["o_orderkey"]
     assert ok.n_rows == n and ok.n_nulls == 0 and ok.null_frac == 0.0
     # o_orderkey is unique: HLL++ at rsd=0.02 must land within 5%
-    assert abs(ok.approx_distinct - n) / n < 0.05
+    assert abs(ok.n_distinct - n) / n < 0.05
+    # exact mode: count_distinct, no sketch error
+    exact = {
+        r.column: r
+        for r in profile_table(orders.select("o_orderkey"), exact=True).collect()
+    }
+    assert exact["o_orderkey"].n_distinct == n
     st = prof["o_orderstatus"]
     assert st.min_value == "F" and st.max_value == "P"
     plan = profile_table(orders)._jdf.queryExecution().executedPlan().toString()
