@@ -40,12 +40,24 @@ def table_path(sf_dir: str, name: str) -> str:
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table (S3: projection/pruning left to Catalyst).
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Idempotently enable ``spark.sql.legacy.parquet.nanosAsLong``.
 
-    ``spark.sql.legacy.parquet.nanosAsLong`` is set once at session
-    build (session.get_spark), not here — reads must not mutate shared
-    session state."""
+    The conf is runtime-settable and must hold on ANY session that scans
+    the events fixture — including bare sessions built outside
+    session.get_spark (e.g. an external driver's own
+    ``SparkSession.builder.getOrCreate()``).  Setting it only at session
+    build broke every events read under such sessions
+    (PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)); setting it here, guarded,
+    is both safe (no-op when already true) and driver-proof."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S3: projection/pruning left to Catalyst)."""
+    ensure_nanos_conf(spark)
     nanos_cols = NANOS_TS_COLS.get(name, ())
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nanos_cols:

@@ -23,7 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from play_bq_gcp_spark.catalog import table_path
+from play_bq_gcp_spark.catalog import ensure_nanos_conf, table_path
 
 
 _STREAM_DIRS: dict[str, str] = {}
@@ -44,8 +44,9 @@ def _as_stream_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.  Streams require a
     declared schema; ts is stored as parquet TIMESTAMP(NANOS) → read as
-    long (nanosAsLong, set at session build) and floor to µs, as in
+    long (nanosAsLong, ensured at read time) and floor to µs, as in
     catalog.read_table."""
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

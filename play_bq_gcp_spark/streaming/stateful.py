@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from play_bq_gcp_spark.catalog import table_path
+from play_bq_gcp_spark.catalog import ensure_nanos_conf, table_path
 
 _CHUNK_DIRS: dict[tuple[str, int], str] = {}
 
@@ -44,7 +44,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     key = (sf_dir, n_chunks)
     if key not in _CHUNK_DIRS:
         d = tempfile.mkdtemp(prefix="events_chunks_")
-        # nanosAsLong is set once at session build (session.get_spark)
+        ensure_nanos_conf(spark)
         (
             spark.read.parquet(table_path(sf_dir, "events"))
             .repartition(n_chunks)

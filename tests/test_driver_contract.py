@@ -1,0 +1,58 @@
+"""Tripwire for the external driver's session contract.
+
+The correctness driver builds its OWN bare SparkSession (plain
+``SparkSession.builder.getOrCreate()``, never ``session.get_spark``), so
+every fixture-reading code path must work without any conf set at
+session build.  Round 2 regressed exactly this: moving
+``spark.sql.legacy.parquet.nanosAsLong`` into get_spark broke all 12
+events-table queries under the driver's bare session
+(PARQUET_TYPE_ILLEGAL).  This test runs in a subprocess — a genuinely
+fresh JVM with no inherited conf — and fails if anyone reintroduces a
+get_spark-only dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("bare-driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+from play_bq_gcp_spark.catalog import read_table
+
+df = read_table(spark, "/root/testdata/sf0.001", "events")
+n = df.count()
+assert n > 0, "events read returned no rows"
+ts_type = df.schema["ts"].dataType.typeName()
+assert ts_type == "timestamp", f"ts decoded as {ts_type}, expected timestamp"
+
+import __spark_entry__ as entry_mod
+
+q = entry_mod.queries()["window_events_suite"]
+rows = q(spark, "/root/testdata/sf0.001").count()
+print(json.dumps({"events_rows": n, "query_rows": rows}))
+"""
+
+
+def test_bare_session_reads_events_and_runs_registry_entry():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"bare-session run failed:\n{proc.stderr[-4000:]}"
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["events_rows"] > 0
+    assert out["query_rows"] > 0
