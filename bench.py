@@ -76,6 +76,11 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "similarity_ann_suite",
+        # first createDataFrame (Python local-relation path) and first
+        # BroadcastNestedLoopJoin execution each cost ~1.5-2 s of
+        # one-time session warmup; without this the band join bills ~3 s
+        # of JIT to its timed run (observed 4.4 s first / 0.8 s after)
+        "range_join_price_bands",
     ):
         q.QUERIES[warm_q](spark, warm_dir).count()
     # chunk-file landing for the stateful-streaming query is one-time

@@ -29,10 +29,81 @@ buckets only — band width / LSH table count tune recall vs cost.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from play_bq_gcp_spark.catalog import spread
 from play_bq_gcp_spark.operators.text import bind, shingle_hashes, token_set, tokens
+
+_log = logging.getLogger(__name__)
+
+# In-bucket pair expansion is O(m²); one degenerate bucket (boilerplate
+# corpus before exact-dedup, an all-zeros embedding cluster) would put
+# its whole membership in one task and OOM it.  m=1000 bounds a task at
+# ~500k pair structs (a few MB) — generous for real buckets under r>1
+# AND-amplification, tight enough that no single task can blow up.
+MAX_BUCKET_SIZE = 1000
+
+
+def _bucket_candidate_pairs(
+    buckets: DataFrame,
+    key_cols: tuple[str, str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    max_bucket_size: int,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Expand LSH buckets to distinct candidate pairs, guarding against
+    degenerate buckets.
+
+    One groupBy shuffle collects bucket membership; buckets above
+    ``max_bucket_size`` are dropped from pair expansion with a LOGGED
+    count (never silently): a pair lost this way means the corpus needs
+    exact-dedup first or wider AND-amplification, and the log line says
+    so.  The aggregate (keys, id-array) is far smaller than the corpus,
+    so caching it for the overflow count costs little even at scale."""
+    agg = (
+        buckets.groupBy(*key_cols)
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .cache()
+    )
+    try:
+        n_over = agg.filter(F.size("ids") > max_bucket_size).count()
+        if n_over:
+            _log.warning(
+                "%d LSH bucket(s) exceeded max_bucket_size=%d and were "
+                "dropped from pair expansion — run exact dedup first or "
+                "increase AND-amplification (rows per band / bits per "
+                "table)",
+                n_over,
+                max_bucket_size,
+            )
+        ids = F.array_sort(F.col("ids"))
+        in_bucket_pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+                ),
+            )
+        )
+        cand = (
+            agg.filter(F.size("ids") <= max_bucket_size)
+            .select(F.explode(in_bucket_pairs).alias("p"))
+            .select(f"p.{out_a}", f"p.{out_b}")
+            .distinct()
+        )
+        if checkpoint:
+            # materialize while agg is cached: candidate pairs are few,
+            # and the bucket shuffle should not recompute downstream
+            cand = cand.localCheckpoint(eager=True)
+        return cand
+    finally:
+        agg.unpersist()
 
 
 def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
@@ -254,23 +325,13 @@ def _minhash_banded_pairs(
         buckets = docs.select(
             "doc_id", F.posexplode(band_keys).alias("band", "key")
         )
-        ids = F.array_sort(F.col("ids"))
-        in_bucket_pairs = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-            )
-        )
-        cand = (
-            buckets.groupBy("band", "key")
-            .agg(F.collect_set("doc_id").alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode(in_bucket_pairs).alias("p"))
-            .select("p.doc_a", "p.doc_b")
-            .distinct()
+        cand = _bucket_candidate_pairs(
+            buckets,
+            key_cols=("band", "key"),
+            id_col="doc_id",
+            out_a="doc_a",
+            out_b="doc_b",
+            max_bucket_size=MAX_BUCKET_SIZE,
         )
         ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
         tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
@@ -368,23 +429,14 @@ def embedding_cosine_pairs(
         buckets = docs.select(
             "vec_id", F.posexplode(table_keys).alias("tbl", "key")
         )
-        ids = F.array_sort(F.col("ids"))
-        in_bucket_pairs = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
-                ),
-            )
-        )
-        cand = (
-            buckets.groupBy("tbl", "key")
-            .agg(F.collect_set("vec_id").alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode(in_bucket_pairs).alias("p"))
-            .select("p.vec_a", "p.vec_b")
-            .distinct()
+        cand = _bucket_candidate_pairs(
+            buckets,
+            key_cols=("tbl", "key"),
+            id_col="vec_id",
+            out_a="vec_a",
+            out_b="vec_b",
+            max_bucket_size=MAX_BUCKET_SIZE,
+            checkpoint=checkpoint,
         )
         va = docs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
         vb = docs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))

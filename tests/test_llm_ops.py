@@ -203,3 +203,40 @@ def test_lm_perplexity_ranks_gibberish_above_fluent(spark):
     assert out[1].n_bigrams == len(fluent.split()) - 1
     fluent_scores = [out[i].lm_score for i in range(1, 9)]
     assert max(fluent_scores) < out[9].lm_score
+
+
+def test_bucket_cap_drops_degenerate_bucket_with_logged_count(spark, caplog):
+    """A bucket above max_bucket_size must be excluded from pair
+    expansion (one degenerate bucket would put m²/2 pairs in one task
+    at scale) and the drop must be LOGGED, never silent."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    # one bucket of 5 ids (over a cap of 3) and one bucket of 2 ids
+    buckets = spark.createDataFrame(
+        [(0, 1, i) for i in range(5)] + [(0, 2, 10), (0, 2, 11)],
+        "band int, key int, doc_id long",
+    )
+    with caplog.at_level(logging.WARNING, logger="play_bq_gcp_spark.operators.dedup"):
+        pairs = dedup._bucket_candidate_pairs(
+            buckets,
+            key_cols=("band", "key"),
+            id_col="doc_id",
+            out_a="doc_a",
+            out_b="doc_b",
+            max_bucket_size=3,
+        ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(10, 11)}
+    assert any("max_bucket_size" in r.message for r in caplog.records)
+
+    # under the default cap nothing is dropped: all 11 pairs emerge
+    all_pairs = dedup._bucket_candidate_pairs(
+        buckets,
+        key_cols=("band", "key"),
+        id_col="doc_id",
+        out_a="doc_a",
+        out_b="doc_b",
+        max_bucket_size=dedup.MAX_BUCKET_SIZE,
+    )
+    assert all_pairs.count() == 11
