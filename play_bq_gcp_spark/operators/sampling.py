@@ -56,11 +56,17 @@ def cap_per_key(
 ) -> DataFrame:
     """At most ``n`` rows per key (the per-domain/per-source cap that
     keeps one crawl host from dominating a corpus).  Deterministic
-    priority: rows are ranked by md5(id) inside each key, so the kept
-    subset is stable under reruns and repartitioning — a seeded
-    reservoir without randomness.  One shuffle on the key."""
-    order = _hash_frac(id_col) if id_col else F.md5(F.concat_ws("\x00", *df.columns))
-    w = Window.partitionBy(key_col).orderBy(order)
+    priority: rows are ranked by md5(id) inside each key — with the id
+    itself as tie-break, since the 24-bit hash prefix CAN collide — so
+    the kept subset is stable under reruns, repartitioning, and across
+    engines — a seeded reservoir without randomness.  One shuffle on
+    the key."""
+    if id_col:
+        w = Window.partitionBy(key_col).orderBy(_hash_frac(id_col), F.col(id_col))
+    else:
+        w = Window.partitionBy(key_col).orderBy(
+            F.md5(F.concat_ws("\x00", *df.columns))
+        )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)

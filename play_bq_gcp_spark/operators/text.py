@@ -302,17 +302,24 @@ def lm_perplexity_score(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
     bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     uni = toks.select("doc_id", F.explode("tk").alias("w"))
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    v = uni_counts.count()
+    # vocab size as a 1-row aggregate cross-joined into the scoring
+    # plan (broadcast of a single row) — not a driver-side .count(),
+    # which would run an extra job per invocation
+    vocab = uni_counts.agg(F.count(F.lit(1)).cast("double").alias("__v"))
     scored = (
         doc_bg.withColumn("w1", F.split_part("bg", F.lit(" "), F.lit(1)))
         .join(bg_counts, "bg", "left")
         .join(uni_counts, F.col("w1") == F.col("w"), "left")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             (
                 -F.log(
                     (F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(alpha))
-                    / (F.coalesce(F.col("c_w"), F.lit(0)) + F.lit(alpha * v))
+                    / (
+                        F.coalesce(F.col("c_w"), F.lit(0))
+                        + F.lit(alpha) * F.col("__v")
+                    )
                 )
             ).alias("nll"),
         )
