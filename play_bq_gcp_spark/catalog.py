@@ -55,14 +55,31 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
         spark.conf.set(key, "true")
 
 
+def normalize_nanos_ts(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Normalize parquet TIMESTAMP(NANOS) columns to plain TimestampType,
+    whatever the runtime decoded them as.  Spark builds differ here:
+    older readers surface NANOS only as long (under nanosAsLong) and
+    error otherwise; newer 4.x readers decode NANOS natively as
+    TIMESTAMP_NTZ (µs-truncated).  Branching on the OBSERVED dtype makes
+    every session — ours or an external driver's bare one — converge on
+    the same TimestampType values (ns floored to µs, matching DuckDB's
+    ns→µs conversion).  The NTZ→timestamp cast is wall-clock-preserving
+    under a UTC session timezone (get_spark pins UTC; bare sessions
+    inherit the UTC container default)."""
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t == "long":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S3: projection/pruning left to Catalyst)."""
     ensure_nanos_conf(spark)
-    nanos_cols = NANOS_TS_COLS.get(name, ())
     df = spark.read.parquet(table_path(sf_dir, name))
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return normalize_nanos_ts(df, NANOS_TS_COLS.get(name, ()))
 
 
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:

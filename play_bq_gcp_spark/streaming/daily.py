@@ -23,7 +23,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from play_bq_gcp_spark.catalog import ensure_nanos_conf, table_path
+from play_bq_gcp_spark.catalog import (
+    ensure_nanos_conf,
+    normalize_nanos_ts,
+    table_path,
+)
 
 
 _STREAM_DIRS: dict[str, str] = {}
@@ -43,13 +47,13 @@ def _as_stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture.  Streams require a
-    declared schema; ts is stored as parquet TIMESTAMP(NANOS) → read as
-    long (nanosAsLong, ensured at read time) and floor to µs, as in
-    catalog.read_table."""
+    declared schema; ts is stored as parquet TIMESTAMP(NANOS) — decoded
+    as long or TIMESTAMP_NTZ depending on the Spark build, normalized
+    to plain TimestampType either way, as in catalog.read_table."""
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_nanos_ts(raw, ("ts",))
 
 
 def _run_to_memory(
