@@ -6,10 +6,13 @@ The reference pulls API pages in a driver-side loop
 mirrors that shape; THIS module is the scale path: a registered
 ``DataSource`` whose reader maps **one API page to one input
 partition**, so a 1000-page scan runs as 1000 parallel tasks with no
-driver materialization.  Real deployments put the HTTP call inside
-``read`` (plus rate limiting); this container has no network, so the
-page fetch is a deterministic fake keyed by (seed, page, row) — the
-partitioning, schema, and option plumbing are the real thing.
+driver materialization.  Each task fetches its page through the full
+HTTP seam (sources/http_client.py: injected transport, token-bucket
+rate limit, bounded retries with deterministic jitter); this container
+has no network, so the TRANSPORT is a deterministic fake keyed by
+(seed, page, row) — the client machinery, partitioning, schema, and
+option plumbing are the real thing, and a deployment swaps in
+``UrllibTransport`` only.
 
 Usage::
 
@@ -45,6 +48,50 @@ class _PagePartition(InputPartition):
         self.seed = seed
 
 
+class _FakePsnTransport:
+    """Offline stand-in for the API host: serves one JSON page per URL,
+    deterministically derived from (seed, page, row).  Every third page
+    fails its FIRST delivery with a 503 + Retry-After so the retry
+    machinery stays exercised on the actual data path, not just in unit
+    tests (the zero-cost sleeper keeps that free).  A deployment swaps
+    this single object for ``UrllibTransport`` — nothing else changes."""
+
+    def __init__(self, seed: int) -> None:
+        self.seed = seed
+        self._failed_once: set[str] = set()
+
+    def send(self, request):
+        import json
+        import re
+
+        from play_bq_gcp_spark.sources.http_client import Response
+
+        m = re.search(r"page=(\d+)&size=(\d+)", request.url)
+        page, size = int(m.group(1)), int(m.group(2))
+        if page % 3 == 1 and request.url not in self._failed_once:
+            self._failed_once.add(request.url)
+            return Response(503, b"", {"Retry-After": "0"})
+        base_h = 0  # hours offset of 2024-01-01T00:00Z, the epoch below
+        titles = []
+        for i in range(size):
+            n = page * size + i
+            h = (n * 2654435761 + self.seed) % (1 << 31)
+            first_h = base_h + h % 8760
+            titles.append(
+                {
+                    "title_id": f"CUSA{n:05d}_00",
+                    "title_name": f"Game {n}",
+                    "image": f"https://img.example/{n}.png",
+                    "category": f"ps4_game_{h % 7}",
+                    "first_played_hours": first_h,
+                    "last_played_hours": first_h + (h >> 3) % 2000,
+                    "play_count": (h % 500) + 1,
+                    "play_duration_seconds": float((h % 360000) + 60),
+                }
+            )
+        return Response(200, json.dumps({"titles": titles}).encode())
+
+
 class GameSnapshotReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.pages = int(options.get("pages", 4))
@@ -58,25 +105,42 @@ class GameSnapshotReader(DataSourceReader):
         ]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        """One API page → one task.  Deterministic fake of the HTTP
-        response; a real client would page through the API here."""
+        """One API page → one task, fetched through the full HTTP seam
+        (sources/http_client.py): per-task RestClient with a token
+        bucket and bounded retries, exactly as a deployment would run it
+        — only the transport is the offline fake.  The task-local
+        client means cluster-wide request rate = rate × concurrent
+        tasks; 10 req/s/task here."""
         import datetime as dt
 
+        from play_bq_gcp_spark.sources.http_client import (
+            RestClient,
+            TokenBucket,
+        )
+
+        client = RestClient(
+            transport=_FakePsnTransport(partition.seed),
+            bucket=TokenBucket(rate=10.0, burst=5),
+            max_attempts=3,
+            sleeper=lambda s: None,  # offline fake: no real pacing
+        )
+        url = (
+            "https://api.example/v1/titles"
+            f"?page={partition.page}&size={partition.page_size}"
+        )
+        doc = client.get(url).json()
         base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-        for i in range(partition.page_size):
-            n = partition.page * partition.page_size + i
-            h = (n * 2654435761 + partition.seed) % (1 << 31)
-            first = base + dt.timedelta(hours=h % 8760)
-            last = first + dt.timedelta(hours=(h >> 3) % 2000)
+        for t in doc["titles"]:
+            first = base + dt.timedelta(hours=t["first_played_hours"])
             yield (
-                f"CUSA{n:05d}_00",
-                f"Game {n}",
-                f"https://img.example/{n}.png",
-                f"ps4_game_{h % 7}",
+                t["title_id"],
+                t["title_name"],
+                t["image"],
+                t["category"],
                 first,
-                last,
-                (h % 500) + 1,
-                float((h % 360000) + 60),
+                base + dt.timedelta(hours=t["last_played_hours"]),
+                t["play_count"],
+                t["play_duration_seconds"],
             )
 
 
