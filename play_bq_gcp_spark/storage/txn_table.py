@@ -1,0 +1,237 @@
+"""Transactional multi-version table on plain parquet (SURVEY.md §4.3-1).
+
+The reference leans on BigQuery for transactional semantics: its upsert
+runs a remote ``UPDATE … FROM`` inside the warehouse's own transaction
+(/root/reference/main.py:274-284), and a mid-run crash can never expose
+readers to half-applied state.  ``catalog.atomic_overwrite`` covers the
+single-directory rename-swap case; THIS module closes the remaining gap
+with the manifest pattern every modern lakehouse format (Delta,
+Iceberg, Hudi — all public designs) is built on:
+
+* **Data files are immutable.** Every commit writes NEW parquet files
+  under ``data/``; nothing is modified or deleted by writers.
+* **A manifest is the table.** ``_versions/v<N>.json`` lists exactly
+  the files that make up version N.  Readers load the manifest and
+  scan those files by name — never a directory listing — so a reader
+  can NEVER observe a half-written commit, regardless of crash timing.
+* **Commit = one atomic file creation.** Publishing version N+1 is a
+  single ``O_CREAT|O_EXCL`` create of the next manifest, the
+  filesystem's compare-and-swap.  Two concurrent writers racing to the
+  same version: exactly one wins; the loser re-reads the new state and
+  retries (append — no logical conflict) or aborts (overwrite).
+* **Old versions stay readable** (time travel / snapshot isolation):
+  a reader holding version N is unaffected by later commits, because
+  N's files are immutable and still present.
+
+Scale shape: the manifest holds file paths + counts, not data — O(files)
+bytes.  On a 1000-executor cluster the only serialization point is the
+tiny manifest create; data writes fan out through normal distributed
+parquet jobs.  On object stores without atomic create, the same design
+swaps the O_EXCL create for a conditional PUT (if-none-match) — the
+protocol is unchanged, which is exactly why the formats above survive
+on S3.  Requires (like all manifest formats) that writers see the same
+filesystem; the local implementation uses POSIX semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer published the version this commit was built
+    against; the caller must re-read and re-apply (or give up)."""
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    files: tuple[str, ...]
+    rows: int
+    action: str
+    committed_at: float
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_versions_dir(path), f"v{version:010d}.json")
+
+
+def init_table(path: str) -> None:
+    """Create an empty table: version 0, no files."""
+    os.makedirs(_versions_dir(path), exist_ok=True)
+    os.makedirs(_data_dir(path), exist_ok=True)
+    try:
+        _publish(path, 0, Snapshot(0, (), 0, "create", time.time()))
+    except CommitConflict:
+        raise FileExistsError(f"table already initialized: {path}")
+
+
+def current_version(path: str) -> int:
+    """Highest committed version, from the manifest directory listing.
+    Listing is only used to find the LATEST version — correctness of
+    any one version never depends on the listing, so an in-flight
+    commit appearing mid-list is harmless (it is complete by
+    construction the moment it is visible)."""
+    vs = [
+        int(f[1:11])
+        for f in os.listdir(_versions_dir(path))
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    if not vs:
+        raise FileNotFoundError(f"not a txn table (no versions): {path}")
+    return max(vs)
+
+
+def snapshot(path: str, version: int | None = None) -> Snapshot:
+    v = current_version(path) if version is None else version
+    with open(_manifest_path(path, v)) as f:
+        doc = json.load(f)
+    return Snapshot(
+        v, tuple(doc["files"]), doc["rows"], doc["action"], doc["committed_at"]
+    )
+
+
+def _publish(path: str, version: int, snap: Snapshot) -> None:
+    """The commit point: O_CREAT|O_EXCL on the next manifest — the
+    filesystem's compare-and-swap.  Write to a temp name first and
+    ``link`` it in so even the manifest's own bytes appear atomically
+    (a reader can never parse a half-written manifest)."""
+    doc = {
+        "files": list(snap.files),
+        "rows": snap.rows,
+        "action": snap.action,
+        "committed_at": snap.committed_at,
+    }
+    tmp = os.path.join(_versions_dir(path), f"_tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(path, version))  # atomic, fails if exists
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed at {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], int]:
+    """Land the DataFrame as new immutable parquet files under a unique
+    commit subdirectory of data/ (so concurrent writers never collide on
+    file names), returning (relative file names, row count)."""
+    commit_id = uuid.uuid4().hex[:12]
+    out = os.path.join(_data_dir(path), commit_id)
+    df.write.mode("error").parquet(out)
+    files = sorted(
+        os.path.join("data", commit_id, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    spark = df.sparkSession
+    rows = spark.read.parquet(out).count()
+    return files, rows
+
+
+def append(df: DataFrame, path: str, max_retries: int = 5) -> Snapshot:
+    """Transactional append.  Data files land first (expensive,
+    conflict-free); the commit loop then retries only the cheap
+    manifest create — appends never logically conflict, so losing a
+    race just means re-publishing on top of the new latest version."""
+    files, rows = _write_data_files(df, path)
+    for _ in range(max_retries):
+        base = snapshot(path)
+        snap = Snapshot(
+            base.version + 1,
+            base.files + tuple(files),
+            base.rows + rows,
+            "append",
+            time.time(),
+        )
+        try:
+            _publish(path, base.version + 1, snap)
+            return snap
+        except CommitConflict:
+            continue  # someone else committed; rebase on their version
+    raise CommitConflict(f"append lost {max_retries} races at {path}")
+
+
+def overwrite(df: DataFrame, path: str, expected_version: int | None = None) -> Snapshot:
+    """Transactional replace.  Unlike append, an overwrite racing
+    another writer IS a logical conflict (it would silently drop their
+    commit), so it never auto-retries: it commits exactly against
+    ``expected_version`` (default: latest at call time) and raises
+    ``CommitConflict`` if anyone committed in between — the caller
+    decides whether re-applying is sound.  Old versions remain
+    readable; no files are deleted."""
+    base_version = (
+        current_version(path) if expected_version is None else expected_version
+    )
+    files, rows = _write_data_files(df, path)
+    snap = Snapshot(base_version + 1, tuple(files), rows, "overwrite", time.time())
+    _publish(path, base_version + 1, snap)
+    return snap
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: scan exactly the manifest's files.  ``version``
+    pins time travel; default is the latest commit at call time.  An
+    empty table returns an empty DataFrame only if Spark can infer a
+    schema — callers that need one should read a specific version
+    known to have files or keep their own schema."""
+    snap = snapshot(path, version)
+    if not snap.files:
+        raise ValueError(
+            f"version {snap.version} of {path} is empty — no schema to infer"
+        )
+    return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+
+
+def history(path: str) -> list[Snapshot]:
+    """All committed snapshots, oldest first."""
+    return [snapshot(path, v) for v in range(current_version(path) + 1)]
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the ``keep_versions`` newest
+    manifests (and drop the older manifests).  The only destructive
+    operation, deliberately separate from the write path — run it when
+    no reader can still hold a pinned old version (the same contract as
+    any lakehouse vacuum/expire-snapshots)."""
+    latest = current_version(path)
+    cutoff = max(0, latest - keep_versions + 1)
+    keep_files: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        keep_files.update(snapshot(path, v).files)
+    removed: list[str] = []
+    dd = _data_dir(path)
+    for commit_id in os.listdir(dd):
+        sub = os.path.join(dd, commit_id)
+        for f in os.listdir(sub):
+            rel = os.path.join("data", commit_id, f)
+            if rel not in keep_files:
+                os.unlink(os.path.join(sub, f))
+                removed.append(rel)
+        if not os.listdir(sub):
+            os.rmdir(sub)
+    for v in range(cutoff):
+        try:
+            os.unlink(_manifest_path(path, v))
+        except FileNotFoundError:
+            pass
+    return removed

@@ -1,0 +1,108 @@
+"""Transactional table (storage/txn_table.py): commit atomicity,
+snapshot isolation, conflict semantics, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from play_bq_gcp_spark.storage import txn_table as tt
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+@pytest.fixture()
+def table(tmp_path):
+    path = str(tmp_path / "t")
+    tt.init_table(path)
+    return path
+
+
+def test_append_read_roundtrip_and_versions(spark, table):
+    s1 = tt.append(_df(spark, 0, 10), table)
+    s2 = tt.append(_df(spark, 10, 15), table)
+    assert (s1.version, s2.version) == (1, 2)
+    assert s2.rows == 15
+    assert tt.read(spark, table).count() == 15
+    # snapshot isolation: version 1 still reads its original 10 rows
+    assert tt.read(spark, table, version=1).count() == 10
+
+
+def test_overwrite_replaces_but_keeps_history(spark, table):
+    tt.append(_df(spark, 0, 10), table)
+    tt.overwrite(_df(spark, 100, 103), table)
+    assert sorted(r.id for r in tt.read(spark, table).collect()) == [100, 101, 102]
+    assert tt.read(spark, table, version=1).count() == 10
+    assert [s.action for s in tt.history(table)] == [
+        "create",
+        "append",
+        "overwrite",
+    ]
+
+
+def test_append_retries_through_lost_race(spark, table, monkeypatch):
+    """A racing writer publishes the version our append targets; the
+    append must rebase onto the new latest and still commit both row
+    sets."""
+    tt.append(_df(spark, 0, 5), table)
+    real_publish = tt._publish
+    raced = {"done": False}
+
+    def racing_publish(path, version, snap):
+        if not raced["done"]:
+            raced["done"] = True
+            competitor = tt.Snapshot(
+                version, tt.snapshot(path).files, tt.snapshot(path).rows,
+                "append", snap.committed_at,
+            )
+            real_publish(path, version, competitor)  # competitor wins v2
+        return real_publish(path, version, snap)
+
+    monkeypatch.setattr(tt, "_publish", racing_publish)
+    s = tt.append(_df(spark, 5, 8), table)
+    assert s.version == 3  # rebased past the competitor's v2
+    assert tt.read(spark, table).count() == 8
+
+
+def test_overwrite_conflict_raises_not_retries(spark, table):
+    tt.append(_df(spark, 0, 5), table)
+    base = tt.current_version(table)
+    tt.append(_df(spark, 5, 6), table)  # someone commits after our read
+    with pytest.raises(tt.CommitConflict):
+        tt.overwrite(_df(spark, 0, 1), table, expected_version=base)
+    # the table is untouched by the failed overwrite
+    assert tt.read(spark, table).count() == 6
+
+
+def test_uncommitted_data_files_invisible(spark, table):
+    tt.append(_df(spark, 0, 5), table)
+    # a crashed writer's orphan data files (no manifest references them)
+    tt._write_data_files(_df(spark, 900, 950), table)
+    assert tt.read(spark, table).count() == 5
+
+
+def test_vacuum_drops_unreferenced_keeps_latest(spark, table):
+    tt.append(_df(spark, 0, 10), table)
+    tt.overwrite(_df(spark, 0, 3), table)
+    removed = tt.vacuum(table, keep_versions=1)
+    assert removed  # v1's files went away
+    assert tt.read(spark, table).count() == 3
+    with pytest.raises(FileNotFoundError):
+        tt.snapshot(table, 1)
+    # no orphan parquet left outside the live manifest
+    live = set(tt.snapshot(table).files)
+    on_disk = {
+        os.path.join("data", c, f)
+        for c in os.listdir(os.path.join(table, "data"))
+        for f in os.listdir(os.path.join(table, "data", c))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+
+def test_init_twice_fails(table):
+    with pytest.raises(FileExistsError):
+        tt.init_table(table)
