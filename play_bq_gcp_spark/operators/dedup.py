@@ -62,16 +62,48 @@ def _bucket_candidate_pairs(
     ``max_bucket_size`` are dropped from pair expansion with a LOGGED
     count (never silently): a pair lost this way means the corpus needs
     exact-dedup first or wider AND-amplification, and the log line says
-    so.  The aggregate (keys, id-array) is far smaller than the corpus,
-    so caching it for the overflow count costs little even at scale."""
+    so.  The overflow count rides the materializing action as an
+    ``Observation`` metric — zero extra jobs, no cache — so the guard
+    costs nothing at any scale.  (With ``checkpoint=False`` nothing
+    runs eagerly, so the cap still filters but the count isn't
+    collected — that mode exists only for plan-inspection tests.)"""
     agg = (
         buckets.groupBy(*key_cols)
         .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
-        .cache()
     )
-    try:
-        n_over = agg.filter(F.size("ids") > max_bucket_size).count()
+    obs = None
+    if checkpoint:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        agg = agg.observe(
+            obs,
+            F.sum(
+                (F.size("ids") > max_bucket_size).cast("long")
+            ).alias("n_over"),
+        )
+    ids = F.array_sort(F.col("ids"))
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    cand = (
+        agg.filter(F.size("ids") <= max_bucket_size)
+        .select(F.explode(in_bucket_pairs).alias("p"))
+        .select(f"p.{out_a}", f"p.{out_b}")
+        .distinct()
+    )
+    if checkpoint:
+        # one action materializes pairs AND collects the overflow count
+        # (bucket shuffle runs once; downstream never recomputes it)
+        cand = cand.localCheckpoint(eager=True)
+        n_over = obs.get["n_over"] or 0
         if n_over:
             _log.warning(
                 "%d LSH bucket(s) exceeded max_bucket_size=%d and were "
@@ -81,29 +113,7 @@ def _bucket_candidate_pairs(
                 n_over,
                 max_bucket_size,
             )
-        ids = F.array_sort(F.col("ids"))
-        in_bucket_pairs = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
-                ),
-            )
-        )
-        cand = (
-            agg.filter(F.size("ids") <= max_bucket_size)
-            .select(F.explode(in_bucket_pairs).alias("p"))
-            .select(f"p.{out_a}", f"p.{out_b}")
-            .distinct()
-        )
-        if checkpoint:
-            # materialize while agg is cached: candidate pairs are few,
-            # and the bucket shuffle should not recompute downstream
-            cand = cand.localCheckpoint(eager=True)
-        return cand
-    finally:
-        agg.unpersist()
+    return cand
 
 
 def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
