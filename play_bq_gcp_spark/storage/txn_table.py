@@ -39,7 +39,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,6 +56,9 @@ class Snapshot:
     rows: int
     action: str
     committed_at: float
+    # commit-scoped application metadata (e.g. the streaming batch_id
+    # an exactly-once sink uses to recognize replays)
+    meta: dict = field(default_factory=dict)
 
 
 def _versions_dir(path: str) -> str:
@@ -101,7 +104,12 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     with open(_manifest_path(path, v)) as f:
         doc = json.load(f)
     return Snapshot(
-        v, tuple(doc["files"]), doc["rows"], doc["action"], doc["committed_at"]
+        v,
+        tuple(doc["files"]),
+        doc["rows"],
+        doc["action"],
+        doc["committed_at"],
+        doc.get("meta", {}),
     )
 
 
@@ -115,6 +123,7 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         "rows": snap.rows,
         "action": snap.action,
         "committed_at": snap.committed_at,
+        "meta": snap.meta,
     }
     tmp = os.path.join(_versions_dir(path), f"_tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -148,7 +157,12 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], int]:
     return files, rows
 
 
-def append(df: DataFrame, path: str, max_retries: int = 5) -> Snapshot:
+def append(
+    df: DataFrame,
+    path: str,
+    max_retries: int = 5,
+    meta: dict | None = None,
+) -> Snapshot:
     """Transactional append.  Data files land first (expensive,
     conflict-free); the commit loop then retries only the cheap
     manifest create — appends never logically conflict, so losing a
@@ -162,6 +176,7 @@ def append(df: DataFrame, path: str, max_retries: int = 5) -> Snapshot:
             base.rows + rows,
             "append",
             time.time(),
+            dict(meta or {}),
         )
         try:
             _publish(path, base.version + 1, snap)
@@ -171,7 +186,12 @@ def append(df: DataFrame, path: str, max_retries: int = 5) -> Snapshot:
     raise CommitConflict(f"append lost {max_retries} races at {path}")
 
 
-def overwrite(df: DataFrame, path: str, expected_version: int | None = None) -> Snapshot:
+def overwrite(
+    df: DataFrame,
+    path: str,
+    expected_version: int | None = None,
+    meta: dict | None = None,
+) -> Snapshot:
     """Transactional replace.  Unlike append, an overwrite racing
     another writer IS a logical conflict (it would silently drop their
     commit), so it never auto-retries: it commits exactly against
@@ -183,7 +203,10 @@ def overwrite(df: DataFrame, path: str, expected_version: int | None = None) -> 
         current_version(path) if expected_version is None else expected_version
     )
     files, rows = _write_data_files(df, path)
-    snap = Snapshot(base_version + 1, tuple(files), rows, "overwrite", time.time())
+    snap = Snapshot(
+        base_version + 1, tuple(files), rows, "overwrite", time.time(),
+        dict(meta or {}),
+    )
     _publish(path, base_version + 1, snap)
     return snap
 
@@ -202,9 +225,19 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
 
 
+def versions(path: str) -> list[int]:
+    """All committed version numbers still on disk, ascending (older
+    manifests may have been dropped by vacuum)."""
+    return sorted(
+        int(f[1:11])
+        for f in os.listdir(_versions_dir(path))
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
 def history(path: str) -> list[Snapshot]:
-    """All committed snapshots, oldest first."""
-    return [snapshot(path, v) for v in range(current_version(path) + 1)]
+    """All still-present committed snapshots, oldest first."""
+    return [snapshot(path, v) for v in versions(path)]
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:
