@@ -513,25 +513,29 @@ def connected_dup_groups(
                 .groupBy("a")
                 .agg(F.min("nl").alias("nbr_label"))
             )
+            from pyspark.sql import Observation
+
+            new_label = F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            )
+            # the convergence count rides the round's checkpoint action
+            # as an Observation metric — the old separate old-vs-new
+            # join + count() doubled the per-round job count
+            obs = Observation()
             new_labels = (
                 labels.join(
                     nbr_min, labels.doc_id == nbr_min.a, "left"
                 )
                 .select(
                     "doc_id",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce("nbr_label", F.col("label")),
-                    ).alias("label"),
+                    new_label.alias("label"),
+                    (new_label != F.col("label")).alias("__chg"),
                 )
+                .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n"))
+                .select("doc_id", "label")
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = obs.get["n"] or 0
             labels = new_labels
             if changed == 0:
                 break
