@@ -131,3 +131,83 @@ def test_asof_window_equals_pandas_merge_asof(spark, lrows, rrows):
     got_a = {(r.lid, r.rv) for r in a.collect()}
     got_b = {(r.lid, r.rv) for r in b.collect()}
     assert got_a == got_b
+
+
+# --- SCD2 invariants ------------------------------------------------------
+
+scd_dims = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key
+        st.sampled_from(["a", "b", "c"]),       # attr
+    ),
+    min_size=0,
+    max_size=7,
+    unique_by=lambda t: t[0],
+)
+scd_upds = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key (may be new)
+        st.sampled_from(["a", "b", "c"]),       # attr (may be a no-op)
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(dim_rows=scd_dims, upd_rows=scd_upds)
+@settings(**_SETTINGS)
+def test_scd2_apply_invariants(spark, dim_rows, upd_rows):
+    """Model-based check of scd2_apply against a dict reference model:
+    per-key version chains stay consistent for ANY update batch —
+    exactly one open version per surviving key, closed versions end at
+    the update ts, no-op updates change nothing, and reapplying the
+    same batch is idempotent."""
+    import datetime as dt
+
+    from play_bq_gcp_spark.operators.merge import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(k, a, t0, None, True) for k, a in dim_rows] or [(0, "a", t0, None, True)],
+        "ck long, attr string, effective_ts timestamp, "
+        "end_ts timestamp, is_current boolean",
+    )
+    if not dim_rows:
+        dim = dim.limit(0)
+    upd = spark.createDataFrame(
+        [(k, a, t1) for k, a in upd_rows] or [(0, "a", t1)],
+        "ck long, attr string, effective_ts timestamp",
+    )
+    if not upd_rows:
+        upd = upd.limit(0)
+
+    out = scd2_apply(dim, upd, "ck", ["attr"])
+    got = sorted(
+        (r.ck, r.attr, r.effective_ts, r.end_ts, r.is_current)
+        for r in out.collect()
+    )
+
+    # reference model in plain python
+    base = dict(dim_rows)
+    upds = dict(upd_rows)
+    expect = []
+    for k, a in base.items():
+        if k in upds and upds[k] != a:
+            expect.append((k, a, t0, t1, False))          # closed
+            expect.append((k, upds[k], t1, None, True))   # new open
+        else:
+            expect.append((k, a, t0, None, True))         # untouched/no-op
+    for k, a in upds.items():
+        if k not in base:
+            expect.append((k, a, t1, None, True))         # first version
+    assert got == sorted(expect)
+
+    # idempotence: applying the SAME batch to the result is a no-op
+    again = scd2_apply(out, upd, "ck", ["attr"])
+    got2 = sorted(
+        (r.ck, r.attr, r.effective_ts, r.end_ts, r.is_current)
+        for r in again.collect()
+    )
+    assert got2 == got
