@@ -2438,3 +2438,44 @@ def similarity_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return knn_join_bruteforce(qs, e, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "rest_source_snapshot",
+    """
+    WITH n AS (SELECT unnest(range(0, 200))::BIGINT AS n),
+    h AS (SELECT n, (n * 2654435761 + 7) % 2147483648 AS h FROM n)
+    SELECT 'CUSA' || lpad(n::VARCHAR, 5, '0') || '_00' AS title_id,
+           'Game ' || n AS title_name,
+           'https://img.example/' || n || '.png' AS image,
+           'ps4_game_' || (h % 7) AS category,
+           TIMESTAMP '2024-01-01' + (h % 8760) * INTERVAL 1 HOUR
+               AS first_played_date_time,
+           TIMESTAMP '2024-01-01'
+               + ((h % 8760) + ((h // 8) % 2000)) * INTERVAL 1 HOUR
+               AS last_played_date_time,
+           (h % 500) + 1 AS play_count,
+           ((h % 360000) + 60)::DOUBLE AS play_duration_seconds
+    FROM h ORDER BY title_id
+    """,
+)
+def rest_source_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 end-to-end through the Spark 4 Python DataSource: 4 API pages
+    → 4 input partitions, each fetched through the full HTTP seam
+    (per-task RestClient + token bucket + retries over the offline
+    transport).  The fake's page arithmetic is replayed in SQL, so the
+    oracle checks the ENTIRE source path — partitioning, client,
+    parsing, typing — value-for-value.  (Below the driver's 50-entry
+    window; checked by tools/compare.py.)"""
+    from play_bq_gcp_spark.sources.psn_datasource import (
+        GameSnapshotDataSource,
+    )
+
+    spark.dataSource.register(GameSnapshotDataSource)
+    return (
+        spark.read.format("game_snapshot")
+        .option("pages", 4)
+        .option("page_size", 50)
+        .load()
+        .orderBy("title_id")
+    )
