@@ -59,6 +59,9 @@ class Snapshot:
     # commit-scoped application metadata (e.g. the streaming batch_id
     # an exactly-once sink uses to recognize replays)
     meta: dict = field(default_factory=dict)
+    # per-file parquet footer stats: {rel_path: {"rows": n,
+    # "cols": {col: [min, max]}}} — powers manifest-level file skipping
+    file_stats: dict = field(default_factory=dict)
 
 
 def _versions_dir(path: str) -> str:
@@ -110,6 +113,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
         doc["action"],
         doc["committed_at"],
         doc.get("meta", {}),
+        doc.get("stats", {}),
     )
 
 
@@ -124,6 +128,7 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         "action": snap.action,
         "committed_at": snap.committed_at,
         "meta": snap.meta,
+        "stats": snap.file_stats,
     }
     tmp = os.path.join(_versions_dir(path), f"_tmp_{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -140,10 +145,61 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         os.unlink(tmp)
 
 
-def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], int]:
+def _file_stats(abs_path: str) -> dict:
+    """Per-file column stats from the parquet footer (metadata-only
+    read): {col: [min, max]} for columns whose row groups all carry
+    stats, plus the footer's exact row count.  JSON-encodable values
+    only — bytes/timestamps fall back to ISO/utf-8 strings, and any
+    non-encodable stat drops the column (pruning then keeps the file:
+    always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    ok = None
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        cols = {}
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            cols[c.path_in_schema] = (st.min, st.max)
+        ok = set(cols) if ok is None else (ok & set(cols))
+        for name, (lo, hi) in cols.items():
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+
+    def enc(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    stats = {}
+    for name in ok or ():
+        try:
+            pair = [enc(mins[name]), enc(maxs[name])]
+            json.dumps(pair)
+        except (TypeError, ValueError):
+            continue
+        stats[name] = pair
+    return {"rows": md.num_rows, "cols": stats}
+
+
+def _write_data_files(
+    df: DataFrame, path: str
+) -> tuple[list[str], int, dict[str, dict]]:
     """Land the DataFrame as new immutable parquet files under a unique
     commit subdirectory of data/ (so concurrent writers never collide on
-    file names), returning (relative file names, row count)."""
+    file names), returning (relative file names, row count, per-file
+    footer stats for manifest-level skipping).  Row counts come from
+    the same footers — no data is re-read."""
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(_data_dir(path), commit_id)
     df.write.mode("error").parquet(out)
@@ -152,9 +208,9 @@ def _write_data_files(df: DataFrame, path: str) -> tuple[list[str], int]:
         for f in os.listdir(out)
         if f.endswith(".parquet")
     )
-    spark = df.sparkSession
-    rows = spark.read.parquet(out).count()
-    return files, rows
+    stats = {f: _file_stats(os.path.join(path, f)) for f in files}
+    rows = sum(s["rows"] for s in stats.values())
+    return files, rows, stats
 
 
 def append(
@@ -167,7 +223,7 @@ def append(
     conflict-free); the commit loop then retries only the cheap
     manifest create — appends never logically conflict, so losing a
     race just means re-publishing on top of the new latest version."""
-    files, rows = _write_data_files(df, path)
+    files, rows, stats = _write_data_files(df, path)
     for _ in range(max_retries):
         base = snapshot(path)
         snap = Snapshot(
@@ -177,6 +233,7 @@ def append(
             "append",
             time.time(),
             dict(meta or {}),
+            {**base.file_stats, **stats},
         )
         try:
             _publish(path, base.version + 1, snap)
@@ -202,10 +259,10 @@ def overwrite(
     base_version = (
         current_version(path) if expected_version is None else expected_version
     )
-    files, rows = _write_data_files(df, path)
+    files, rows, stats = _write_data_files(df, path)
     snap = Snapshot(
         base_version + 1, tuple(files), rows, "overwrite", time.time(),
-        dict(meta or {}),
+        dict(meta or {}), stats,
     )
     _publish(path, base_version + 1, snap)
     return snap
@@ -223,6 +280,52 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
             f"version {snap.version} of {path} is empty — no schema to infer"
         )
     return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Manifest-level file skipping + exact residual filter: scan only
+    files whose footer [min, max] for ``col`` overlaps [lo, hi], then
+    apply the predicate exactly.  This is the move that matters at
+    100 TB: Spark's own row-group pruning still has to OPEN every file
+    and read its footer, while manifest stats skip files without any
+    I/O at all — planning cost is O(manifest), not O(files-opened).
+    Files with no recorded stats for ``col`` are conservatively kept.
+    Result equals ``read(...).filter(...)`` by construction (asserted
+    in tests)."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot(path, version)
+
+    def overlaps(f: str) -> bool:
+        st = snap.file_stats.get(f, {}).get("cols", {}).get(col)
+        if st is None:
+            return True
+        fmin, fmax = st
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+
+    keep = [f for f in snap.files if overlaps(f)]
+    if not keep:
+        # all files skipped: empty result with the table's real schema
+        base = read(spark, path, version=snap.version)
+        return base.filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
 
 
 def versions(path: str) -> list[int]:

@@ -106,3 +106,58 @@ def test_vacuum_drops_unreferenced_keeps_latest(spark, table):
 def test_init_twice_fails(table):
     with pytest.raises(FileExistsError):
         tt.init_table(table)
+
+
+def test_manifest_stats_recorded_and_rows_from_footers(spark, table):
+    s = tt.append(_df(spark, 0, 100), table)
+    assert s.rows == 100
+    assert s.file_stats  # every committed file carries footer stats
+    all_cols = [st["cols"] for st in s.file_stats.values()]
+    assert all("id" in c and "v" in c for c in all_cols)
+    lo = min(c["id"][0] for c in all_cols)
+    hi = max(c["id"][1] for c in all_cols)
+    assert (lo, hi) == (0, 99)
+
+
+def test_read_pruned_skips_files_and_matches_plain_filter(spark, table):
+    # three disjoint commits → disjoint id ranges per file set
+    tt.append(_df(spark, 0, 100).coalesce(1), table)
+    tt.append(_df(spark, 100, 200).coalesce(1), table)
+    tt.append(_df(spark, 200, 300).coalesce(1), table)
+
+    pruned = tt.read_pruned(spark, table, "id", lo=120, hi=180)
+    # file skipping proven by the scan's input: only the middle file
+    scanned = {
+        f for f in pruned.inputFiles()
+    }
+    assert len(scanned) == 1
+
+    expect = sorted(
+        r.id
+        for r in tt.read(spark, table)
+        .filter("id >= 120 AND id <= 180")
+        .collect()
+    )
+    assert sorted(r.id for r in pruned.collect()) == expect
+
+    # fully-out-of-range predicate: zero files, correct (empty) result
+    none = tt.read_pruned(spark, table, "id", lo=10_000)
+    assert none.count() == 0
+
+
+def test_read_pruned_keeps_files_without_stats(spark, table, monkeypatch):
+    """A file lacking stats for the predicate column must be scanned,
+    never skipped — missing metadata degrades to a full read, not to
+    silent row loss."""
+    tt.append(_df(spark, 0, 50), table)
+    real = tt.snapshot
+
+    def stripped(path, version=None):
+        s = real(path, version)
+        return tt.Snapshot(
+            s.version, s.files, s.rows, s.action, s.committed_at, s.meta, {}
+        )
+
+    monkeypatch.setattr(tt, "snapshot", stripped)
+    df = tt.read_pruned(spark, table, "id", lo=0, hi=9)
+    assert sorted(r.id for r in df.collect()) == list(range(10))
