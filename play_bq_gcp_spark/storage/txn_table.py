@@ -192,6 +192,25 @@ def _file_stats(abs_path: str) -> dict:
     return {"rows": md.num_rows, "cols": stats}
 
 
+def _cluster(df: DataFrame, cluster_by, target_files=None) -> DataFrame:
+    """Range-cluster before landing: repartitionByRange + in-partition
+    sort gives each output file a narrow, mostly-disjoint value range on
+    the cluster keys, which is what makes the manifest's min/max stats
+    selective (random placement makes every file's range span the whole
+    domain and skipping prunes nothing).  The linear-order analogue of
+    Z-ordering, right for single-key and prefix predicates.
+    ``target_files`` pins the output file count (one per partition);
+    default lets Spark/AQE size partitions to data volume."""
+    if not cluster_by:
+        return df
+    cols = list(cluster_by)
+    if target_files:
+        df = df.repartitionByRange(target_files, *cols)
+    else:
+        df = df.repartitionByRange(*cols)
+    return df.sortWithinPartitions(*cols)
+
+
 def _write_data_files(
     df: DataFrame, path: str
 ) -> tuple[list[str], int, dict[str, dict]]:
@@ -218,12 +237,16 @@ def append(
     path: str,
     max_retries: int = 5,
     meta: dict | None = None,
+    cluster_by=None,
+    target_files: int | None = None,
 ) -> Snapshot:
     """Transactional append.  Data files land first (expensive,
     conflict-free); the commit loop then retries only the cheap
     manifest create — appends never logically conflict, so losing a
     race just means re-publishing on top of the new latest version."""
-    files, rows, stats = _write_data_files(df, path)
+    files, rows, stats = _write_data_files(
+        _cluster(df, cluster_by, target_files), path
+    )
     for _ in range(max_retries):
         base = snapshot(path)
         snap = Snapshot(
@@ -248,6 +271,8 @@ def overwrite(
     path: str,
     expected_version: int | None = None,
     meta: dict | None = None,
+    cluster_by=None,
+    target_files: int | None = None,
 ) -> Snapshot:
     """Transactional replace.  Unlike append, an overwrite racing
     another writer IS a logical conflict (it would silently drop their
@@ -259,7 +284,9 @@ def overwrite(
     base_version = (
         current_version(path) if expected_version is None else expected_version
     )
-    files, rows, stats = _write_data_files(df, path)
+    files, rows, stats = _write_data_files(
+        _cluster(df, cluster_by, target_files), path
+    )
     snap = Snapshot(
         base_version + 1, tuple(files), rows, "overwrite", time.time(),
         dict(meta or {}), stats,

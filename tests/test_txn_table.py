@@ -161,3 +161,21 @@ def test_read_pruned_keeps_files_without_stats(spark, table, monkeypatch):
     monkeypatch.setattr(tt, "snapshot", stripped)
     df = tt.read_pruned(spark, table, "id", lo=0, hi=9)
     assert sorted(r.id for r in df.collect()) == list(range(10))
+
+
+def test_clustered_write_makes_stats_selective(spark, table):
+    """Range-clustered commits give near-disjoint per-file ranges, so a
+    narrow predicate scans ~1 file; the same data committed shuffled
+    spans the domain in every file and prunes nothing."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn("k", F.xxhash64("id") % 1000)  # shuffled key order
+        .repartition(8)
+    )
+    tt.overwrite(df, table, cluster_by=["k"], target_files=8)
+    pruned = tt.read_pruned(spark, table, "k", lo=0, hi=10)
+    assert len(pruned.inputFiles()) < len(tt.snapshot(table).files)
+    expect = df.filter("k >= 0 AND k <= 10").count()
+    assert pruned.count() == expect
