@@ -99,7 +99,10 @@ def upsert_games(stored: DataFrame, snapshot: DataFrame, deltas: DataFrame) -> D
 
 
 class Warehouse:
-    """Parquet-backed stand-in for the reference's BigQuery dataset."""
+    """Parquet-backed stand-in for the reference's BigQuery dataset.
+    ``append``/``replace`` are the write seam ``run_daily`` goes
+    through, so swapping in ``TxnWarehouse`` upgrades the whole daily
+    pipeline to transactional commits without touching its logic."""
 
     def __init__(self, root: str):
         self.root = root
@@ -113,11 +116,64 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    def append(self, df: DataFrame, table: str) -> None:
+        df.write.mode("append").parquet(self.path(table))
+
+    def replace(self, df: DataFrame, table: str) -> None:
+        """Stage-write + rename swap: the live table stays readable as
+        the plan's own input (no checkpoint needed), and a crash can
+        never leave the table deleted-but-unwritten."""
+        atomic_overwrite(df, self.path(table))
+
+
+class TxnWarehouse(Warehouse):
+    """The same dataset on manifest-committed transactional tables
+    (storage/txn_table): every append/replace is an atomic versioned
+    commit, readers are snapshot-isolated, and history stays
+    time-travelable — the crash-safety the reference outsourced to
+    BigQuery (main.py:274-284), now intrinsic to the pipeline."""
+
+    def _ensure(self, table: str) -> None:
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        try:
+            tt.current_version(self.path(table))
+        except FileNotFoundError:
+            tt.init_table(self.path(table))
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        return tt.read(spark, self.path(table))
+
+    def exists(self, table: str) -> bool:
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        try:
+            return tt.snapshot(self.path(table)).rows > 0
+        except FileNotFoundError:
+            return False
+
+    def append(self, df: DataFrame, table: str) -> None:
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        self._ensure(table)
+        tt.append(df, self.path(table))
+
+    def replace(self, df: DataFrame, table: str) -> None:
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        self._ensure(table)
+        # read-own-input is safe without staging: the new commit's data
+        # files land BESIDE the old version's (immutable) files, and
+        # the swap is the manifest create
+        tt.overwrite(df, self.path(table))
+
 
 def bootstrap(wh: Warehouse, snapshot: DataFrame) -> None:
     """First full load (load_data_first.py:118,147): replace-write the
     dimension; facts start empty."""
-    transform_snapshot(snapshot).write.mode("overwrite").parquet(wh.path("game"))
+    wh.replace(transform_snapshot(snapshot), "game")
 
 
 def run_daily(
@@ -141,7 +197,7 @@ def run_daily(
     deltas = time_play_deltas(stored, snapshot, run_date).cache()
     stats["time_play"] = deltas.count()
     if stats["time_play"] > 0:
-        deltas.write.mode("append").parquet(wh.path("time_play"))
+        wh.append(deltas, "time_play")
 
     # 2+4. next dimension state = stored with changed rows upserted,
     # plus the new rows — ONE overwrite so appends and updates cannot
@@ -150,16 +206,14 @@ def run_daily(
     if stats["new_games"] > 0 or stats["time_play"] > 0:
         updated = upsert_games(stored, snapshot, deltas)
         final_dim = updated.unionByName(fresh)
-        # stage-write + rename swap: the live table stays readable as
-        # this plan's own input (no checkpoint materialization), and a
-        # crash can never leave the dimension deleted-but-unwritten
-        atomic_overwrite(final_dim, wh.path("game"))
+        wh.replace(final_dim, "game")
 
     # 5. trophy snapshot append (main.py:35-64)
     if trophy_row is not None and is_nonempty(trophy_row):
-        trophy_row.withColumn(
-            "date", F.lit(run_date).cast("timestamp")
-        ).write.mode("append").parquet(wh.path("trophee"))
+        wh.append(
+            trophy_row.withColumn("date", F.lit(run_date).cast("timestamp")),
+            "trophee",
+        )
         stats["trophee"] = 1
 
     snapshot.unpersist()

@@ -106,3 +106,39 @@ def test_trophy_append(spark, wh):
     row = wh.read(spark, "trophee").first()
     assert (row.bronze, row.silver, row.gold, row.platinum) == (100, 50, 10, 2)
     assert row.date == dt.datetime(2024, 1, 2)
+
+
+def test_run_daily_on_txn_warehouse_matches_parquet_and_time_travels(
+    spark, tmp_path
+):
+    """The SAME pipeline logic on TxnWarehouse: identical observable
+    results, plus what BigQuery gave the reference for free — every
+    write is a versioned atomic commit, so yesterday's dimension is
+    still readable after today's run."""
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    wh = pipeline.TxnWarehouse(str(tmp_path / "txn_wh"))
+    pipeline.bootstrap(wh, _snapshot(spark, D1))
+    stats = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
+    assert stats["new_games"] == 1 and stats["time_play"] == 1
+
+    game = {r.title_id: r for r in wh.read(spark, "game").collect()}
+    assert set(game) == {"CUSA000000100", "CUSA000000200",
+                         "CUSA000000300", "CUSA000000400"}
+    assert game["CUSA000000100"].play_count == 12
+    tp = wh.read(spark, "time_play").collect()
+    assert len(tp) == 1 and tp[0].play_count_diff == 2
+
+    # time travel: the pre-run dimension (bootstrap commit) is intact
+    game_path = wh.path("game")
+    pre = tt.read(spark, game_path, version=1)
+    assert pre.count() == 3
+    assert [s.action for s in tt.history(game_path)] == [
+        "create", "overwrite", "overwrite",
+    ]
+
+    # idempotent rerun: same day again → no new versions of the facts
+    v_before = tt.current_version(wh.path("time_play"))
+    stats2 = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
+    assert stats2["new_games"] == 0 and stats2["time_play"] == 0
+    assert tt.current_version(wh.path("time_play")) == v_before
