@@ -2479,3 +2479,43 @@ def rest_source_snapshot(spark: SparkSession, sf: str) -> DataFrame:
         .load()
         .orderBy("title_id")
     )
+
+
+def _profile_oracle_sql() -> str:
+    """Per-column profile legs share ONE aggregate CTE, mirroring the
+    single wide-agg pass of operators/profiling.profile_table."""
+    cols = ("doc_id", "lang", "n_chars", "source", "text")
+    aggs = ", ".join(
+        f"sum(({c} IS NULL)::BIGINT) AS nulls_{c}, "
+        f"count(DISTINCT {c}) AS dist_{c}, "
+        f"min({c}::VARCHAR) AS min_{c}, max({c}::VARCHAR) AS max_{c}"
+        for c in cols
+    )
+    legs = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS "column", n_rows, nulls_{c} AS n_nulls,
+           round(nulls_{c} / greatest(n_rows, 1)::DOUBLE, 6) AS null_frac,
+           dist_{c} AS n_distinct,
+           min_{c} AS min_value, max_{c} AS max_value
+    FROM s"""
+        for c in cols
+    )
+    return (
+        f"WITH s AS (SELECT count(*) AS n_rows, {aggs} FROM documents)\n"
+        f"{legs}\n    ORDER BY \"column\""
+    )
+
+
+@register("profile_documents", _profile_oracle_sql())
+def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiler (operators/profiling.profile_table) in
+    its exact form: per-column rows/nulls/null-frac/distinct/min/max
+    from a single wide aggregation — rows scanned once, one 1-row
+    shuffle, driver-free explode to long form.  The default
+    (approx_count_distinct) is the 100 TB path; ``exact=True`` is the
+    differential-check twin.  (Below the driver's 50-entry window;
+    checked by tools/compare.py.)"""
+    from play_bq_gcp_spark.operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf, "documents"), exact=True).orderBy(
+        "column"
+    )
