@@ -95,51 +95,61 @@ def scd2_apply(
       same batch are idempotent;
     * brand-new keys simply insert their first version.
 
-    One plan: closed = inner join current⋈changes; new = changes (+
-    carried ts); untouched = everything else.  Shuffles only on the
-    key; history rows pass through untouched (at 100 TB partition the
-    dimension by is_current so the closed/current scan prunes).
+    One plan, ONE shuffle: a single full-outer join of the current
+    versions against the updates covers all four cases per key —
+    update-only (first version), current-only (pass through), matched
+    unchanged (pass through, drop the no-op), matched changed (emit
+    close + open via a 2-struct explode).  The earlier formulation
+    spent an inner join plus two anti-joins — three scans of the
+    current side; this is the same answer from one.  History rows
+    union in untouched (at 100 TB partition the dimension by
+    is_current so the current scan prunes).
     """
+    end_ts_type = dict(dim.dtypes)["end_ts"]
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
-    upd = updates.select(
-        key, *attrs, F.col(ts_col).alias("__new_ts")
+    c = cur.select(
+        F.col(key).alias("__ck"),
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+        F.col(ts_col).alias("__c_ts"),
     )
-    # changed = current versions whose attrs differ from the update
-    changed_cond = F.lit(False)
-    for a in attrs:
-        changed_cond = changed_cond | ~F.col(f"cur.{a}").eqNullSafe(
-            F.col(f"upd.{a}")
+    u = updates.select(
+        F.col(key).alias("__uk"),
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(ts_col).alias("__u_ts"),
+    )
+    j = c.join(u, F.col("__ck") == F.col("__uk"), "full_outer")
+
+    def row(side: str, ts, end_ts, is_cur: bool):
+        k = F.col("__ck") if side == "c" else F.col("__uk")
+        return F.struct(
+            k.alias(key),
+            *[F.col(f"__{side}_{a}").alias(a) for a in attrs],
+            ts.alias(ts_col),
+            end_ts.cast(end_ts_type).alias("end_ts"),
+            F.lit(is_cur).alias("is_current"),
         )
-    joined = cur.alias("cur").join(upd.alias("upd"), key, "inner")
-    closing = joined.filter(changed_cond)
-    closed = closing.select(
-        key,
-        *[F.col(f"cur.{a}").alias(a) for a in attrs],
-        F.col(f"cur.{ts_col}").alias(ts_col),
-        F.col("upd.__new_ts").alias("end_ts"),
-        F.lit(False).alias("is_current"),
+
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"__c_{a}").eqNullSafe(F.col(f"__u_{a}"))
+    keep_cur = row("c", F.col("__c_ts"), F.lit(None), True)
+    emitted = (
+        F.when(F.col("__uk").isNull(), F.array(keep_cur))
+        .when(
+            F.col("__ck").isNull(),  # brand-new key: first version
+            F.array(row("u", F.col("__u_ts"), F.lit(None), True)),
+        )
+        .when(
+            changed,  # close the old version, open the new one
+            F.array(
+                row("c", F.col("__c_ts"), F.col("__u_ts"), False),
+                row("u", F.col("__u_ts"), F.lit(None), True),
+            ),
+        )
+        .otherwise(F.array(keep_cur))  # no-op update: dropped
     )
-    opened = closing.select(
-        key,
-        *[F.col(f"upd.{a}").alias(a) for a in attrs],
-        F.col("upd.__new_ts").alias(ts_col),
-        F.lit(None).cast(dict(dim.dtypes)["end_ts"]).alias("end_ts"),
-        F.lit(True).alias("is_current"),
-    )
-    first_versions = upd.join(cur.select(key), key, "left_anti").select(
-        key,
-        *attrs,
-        F.col("__new_ts").alias(ts_col),
-        F.lit(None).cast(dict(dim.dtypes)["end_ts"]).alias("end_ts"),
-        F.lit(True).alias("is_current"),
-    )
-    untouched_cur = cur.join(closing.select(key), key, "left_anti")
     cols = [key, *attrs, ts_col, "end_ts", "is_current"]
-    return (
-        hist.select(*cols)
-        .unionByName(untouched_cur.select(*cols))
-        .unionByName(closed)
-        .unionByName(opened)
-        .unionByName(first_versions)
+    return hist.select(*cols).unionByName(
+        j.select(F.explode(emitted).alias("r")).select("r.*")
     )
