@@ -329,6 +329,23 @@ def read_pruned(
     from pyspark.sql import functions as F
 
     snap = snapshot(path, version)
+    keep = _overlapping(snap, col, lo, hi)
+    if not keep:
+        # all files skipped: empty result with the table's real schema
+        base = read(spark, path, version=snap.version)
+        return base.filter(F.lit(False))
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    return df.filter(pred)
+
+
+def _overlapping(snap: Snapshot, col: str, lo, hi) -> list[str]:
+    """Files whose recorded [min, max] for ``col`` may intersect
+    [lo, hi]; files without stats are conservatively included."""
 
     def overlaps(f: str) -> bool:
         st = snap.file_stats.get(f, {}).get("cols", {}).get(col)
@@ -341,18 +358,92 @@ def read_pruned(
             return False
         return True
 
-    keep = [f for f in snap.files if overlaps(f)]
-    if not keep:
-        # all files skipped: empty result with the table's real schema
-        base = read(spark, path, version=snap.version)
-        return base.filter(F.lit(False))
-    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
-    pred = F.lit(True)
-    if lo is not None:
-        pred = pred & (F.col(col) >= F.lit(lo))
-    if hi is not None:
-        pred = pred & (F.col(col) <= F.lit(hi))
-    return df.filter(pred)
+    return [f for f in snap.files if overlaps(f)]
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune_col: str | None = None,
+    lo=None,
+    hi=None,
+    expected_version: int | None = None,
+) -> Snapshot:
+    """Copy-on-write row-level DELETE: rewrite ONLY the files that can
+    contain matching rows (manifest-stats pruned via ``prune_col``
+    bounds when given), keep every other file by reference, and commit
+    the new file list as one atomic manifest — the Delta/Iceberg
+    copy-on-write shape.  At 100 TB a delete touching one day rewrites
+    that day's files, not the table.  Old versions still see the
+    deleted rows (time travel); overwrite-style conflict semantics
+    (raises rather than clobbering a racing commit)."""
+    from pyspark.sql import functions as F
+
+    base_version = (
+        current_version(path) if expected_version is None else expected_version
+    )
+    snap = snapshot(path, base_version)
+    targets = (
+        _overlapping(snap, prune_col, lo, hi)
+        if prune_col is not None
+        else list(snap.files)
+    )
+    untouched = [f for f in snap.files if f not in set(targets)]
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    if targets:
+        kept_rows = spark.read.parquet(
+            *[os.path.join(path, f) for f in targets]
+        ).filter(~F.expr(condition))
+        new_files, _, new_stats = _write_data_files(kept_rows, path)
+    untouched_stats = {f: snap.file_stats[f] for f in untouched
+                       if f in snap.file_stats}
+    rows = sum(
+        s["rows"] for s in {**untouched_stats, **new_stats}.values()
+    )
+    out = Snapshot(
+        base_version + 1,
+        tuple(untouched) + tuple(new_files),
+        rows,
+        "delete",
+        time.time(),
+        {"condition": condition},
+        {**untouched_stats, **new_stats},
+    )
+    _publish(path, base_version + 1, out)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    cluster_by=None,
+    expected_version: int | None = None,
+) -> Snapshot:
+    """Bin-pack the table's files (the OPTIMIZE maintenance action):
+    rewrite the current snapshot into ``target_files`` files —
+    optionally range-clustered so the rewrite also tightens stats —
+    and commit the identical DATA as a new version.  Many-small-files
+    is the classic failure mode of streaming appends; compaction keeps
+    scan planning O(target) without blocking readers (old versions
+    remain intact until vacuum)."""
+    base_version = (
+        current_version(path) if expected_version is None else expected_version
+    )
+    df = read(spark, path, version=base_version)
+    df = (
+        _cluster(df, cluster_by, target_files)
+        if cluster_by
+        else df.coalesce(target_files)
+    )
+    files, rows, stats = _write_data_files(df, path)
+    out = Snapshot(
+        base_version + 1, tuple(files), rows, "compact", time.time(), {}, stats
+    )
+    _publish(path, base_version + 1, out)
+    return out
 
 
 def versions(path: str) -> list[int]:

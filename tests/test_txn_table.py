@@ -179,3 +179,45 @@ def test_clustered_write_makes_stats_selective(spark, table):
     assert len(pruned.inputFiles()) < len(tt.snapshot(table).files)
     expect = df.filter("k >= 0 AND k <= 10").count()
     assert pruned.count() == expect
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, table):
+    tt.append(_df(spark, 0, 100).coalesce(1), table)
+    tt.append(_df(spark, 100, 200).coalesce(1), table)
+    tt.append(_df(spark, 200, 300).coalesce(1), table)
+    before = tt.snapshot(table)
+
+    s = tt.delete_where(
+        spark, table, "id >= 150 AND id < 160", prune_col="id", lo=150, hi=159
+    )
+    assert s.action == "delete" and s.rows == 290
+    # the two non-overlapping files survive by reference (same paths)
+    survivors = set(before.files) & set(s.files)
+    assert len(survivors) == 2
+    got = sorted(r.id for r in tt.read(spark, table).collect())
+    assert got == [i for i in range(300) if not (150 <= i < 160)]
+    # time travel still sees the deleted rows
+    assert tt.read(spark, table, version=before.version).count() == 300
+
+
+def test_delete_without_prune_hint_still_correct(spark, table):
+    tt.append(_df(spark, 0, 50), table)
+    s = tt.delete_where(spark, table, "v % 4 = 0")  # v = 2*id → id even
+    assert sorted(r.id for r in tt.read(spark, table).collect()) == list(
+        range(1, 50, 2)
+    )
+    assert s.rows == 25
+
+
+def test_compact_merges_files_data_unchanged(spark, table):
+    for lo in range(0, 300, 100):
+        tt.append(_df(spark, lo, lo + 100).coalesce(1), table)
+    before_files = len(tt.snapshot(table).files)
+    assert before_files == 3
+    s = tt.compact(spark, table, target_files=1)
+    assert s.action == "compact" and len(s.files) == 1
+    assert sorted(r.id for r in tt.read(spark, table).collect()) == list(
+        range(300)
+    )
+    # compaction does not destroy history
+    assert tt.read(spark, table, version=s.version - 1).count() == 300
