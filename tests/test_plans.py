@@ -185,3 +185,43 @@ def test_embedding_dedup_has_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+
+
+def test_scd2_is_one_join(spark, sf_dir):
+    """SCD2's four per-key cases must come out of ONE full-outer join —
+    an inner + two anti-joins creeping back means three scans of the
+    current side at 100 TB."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["merge_scd2"](spark, sf_dir), "simple")
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1
+    assert "FullOuter" in plan
+
+
+def test_lsh_knn_join_is_equi_never_nested_loop(spark, sf_dir):
+    """The scale k-NN path must candidate-join on the signature (hash
+    or sort-merge) — a BroadcastNestedLoopJoin/CartesianProduct in this
+    plan means the |Q|×|C| form crept back."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["knn_join_lsh"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_sampling_suite_is_joinless_map_side(spark, sf_dir):
+    """Both sample draws are pure filters (pushable map work); the only
+    shuffles allowed are the per-key-cap window and output ordering —
+    never a join."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["sampling_suite"](spark, sf_dir), "simple")
+    assert "Join" not in plan
