@@ -1,0 +1,73 @@
+"""Streaming source over txn tables (storage/txn_stream.py): version
+offsets, incremental delivery across restarts, compaction transparency,
+and the loud replace policy."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from play_bq_gcp_spark.storage import txn_table as tt
+from play_bq_gcp_spark.storage.txn_stream import (
+    TxnTableStreamReader,
+    TxnTableStreamSource,
+)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    path = str(tmp_path / "t")
+    tt.init_table(path)
+    tt.append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), path)
+    return path
+
+
+def _drain(spark, table, out, ckpt):
+    spark.dataSource.register(TxnTableStreamSource)
+    df = spark.readStream.format("txn_table_stream").option("path", table).load()
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_incremental_delivery_across_restarts(spark, table, tmp_path):
+    """Version offsets checkpoint: a restarted stream delivers exactly
+    the commits made since the last run — no replays, no gaps — and
+    compaction (byte rewrite, same data) is invisible to the stream."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    tt.append(spark.range(10, 15).selectExpr("id", "id * 2 AS v"), table)
+    _drain(spark, table, out, ckpt)
+    assert spark.read.parquet(out).count() == 15
+
+    tt.append(spark.range(15, 18).selectExpr("id", "id * 2 AS v"), table)
+    tt.compact(spark, table, target_files=1)
+    tt.append(spark.range(18, 20).selectExpr("id", "id * 2 AS v"), table)
+    _drain(spark, table, out, ckpt)
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))  # exactly once, in spite of compact
+
+
+def test_replace_commit_errors_loudly_by_default(spark, table):
+    tt.delete_where(spark, table, "id < 3")
+    reader = TxnTableStreamReader({"path": table})
+    with pytest.raises(RuntimeError, match="append changelog"):
+        reader.read({"version": 0})
+
+
+def test_replace_skip_policy_streams_appends_only(spark, table):
+    tt.delete_where(spark, table, "id < 3")
+    tt.append(spark.range(100, 103).selectExpr("id", "id * 2 AS v"), table)
+    reader = TxnTableStreamReader({"path": table, "on_replace": "skip"})
+    rows, end = reader.read({"version": 0})
+    ids = sorted(r[0] for r in rows)
+    # the delete's rewrite files DO appear (they are "added" files);
+    # skip mode only promises not to fail — it is appends-only in the
+    # sense that removals are not retracted
+    assert set(range(100, 103)) <= set(ids)
+    assert end["version"] == tt.current_version(table)
