@@ -143,6 +143,14 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         ) from None
     finally:
         os.unlink(tmp)
+    # durability of the LINK itself: fsync the directory so a crash
+    # after "committed" cannot roll the commit back (file fsync covers
+    # bytes, not the directory entry)
+    dfd = os.open(_versions_dir(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _file_stats(abs_path: str) -> dict:
@@ -227,7 +235,15 @@ def _write_data_files(
         for f in os.listdir(out)
         if f.endswith(".parquet")
     )
-    stats = {f: _file_stats(os.path.join(path, f)) for f in files}
+    # footer reads are tiny but driver-side; a thousand-file commit
+    # should not serialize a thousand metadata round-trips
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        stat_list = list(
+            ex.map(lambda f: _file_stats(os.path.join(path, f)), files)
+        )
+    stats = dict(zip(files, stat_list))
     rows = sum(s["rows"] for s in stats.values())
     return files, rows, stats
 
