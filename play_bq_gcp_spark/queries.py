@@ -2519,3 +2519,46 @@ def profile_documents(spark: SparkSession, sf: str) -> DataFrame:
     return profile_table(_t(spark, sf, "documents"), exact=True).orderBy(
         "column"
     )
+
+
+@register(
+    "text_lm_fluency",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]
+               )) AS bg
+        FROM tok
+    ),
+    bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+    uni AS (SELECT unnest(tk) AS w FROM tok),
+    unic AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+    v AS (SELECT count(*)::DOUBLE AS v FROM unic),
+    scored AS (
+        SELECT doc_id,
+               -ln((coalesce(c_bg, 0) + 1.0)
+                   / (coalesce(c_w, 0) + 1.0 * v)) AS nll
+        FROM bg
+        LEFT JOIN bgc USING (bg)
+        LEFT JOIN unic ON split_part(bg, ' ', 1) = w
+        CROSS JOIN v
+    )
+    SELECT doc_id, round(avg(nll), 4) AS lm_score,
+           count(*) AS n_bigrams
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM fluency scoring (operators/text.lm_perplexity_score):
+    add-alpha-smoothed mean bigram NLL per document — the classic cheap
+    LM quality filter, model-as-aggregate (two explode→groupBy passes,
+    no driver materialization).  The oracle replays counts, smoothing,
+    and the mean in SQL.  (Below the driver's 50-entry window; checked
+    by tools/compare.py.)"""
+    from play_bq_gcp_spark.operators.text import lm_perplexity_score
+
+    return lm_perplexity_score(_t(spark, sf, "documents"), alpha=1.0).orderBy(
+        "doc_id"
+    )
