@@ -2562,3 +2562,51 @@ def text_lm_fluency(spark: SparkSession, sf: str) -> DataFrame:
     return lm_perplexity_score(_t(spark, sf, "documents"), alpha=1.0).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "streaming_timeout_sessions",
+    """
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(boundary) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM b
+    ),
+    agg AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM s GROUP BY user_id, sid
+    ),
+    wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm_us FROM events),
+    mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT user_id, n_events, start_us, end_us
+    FROM agg JOIN mx USING (user_id) CROSS JOIN wm
+    WHERE sid < last_sid OR end_us + 1800000000 <= wm_us
+    ORDER BY user_id, start_us
+    """,
+)
+def streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 GroupStateTimeout.EventTimeTimeout sessionization
+    (streaming/stateful.session_close_on_timeout): per-user sessions
+    close when a later row opens the next one OR the watermark passes
+    session end + gap; sessions still inside the horizon at stream end
+    stay in state, unemitted.  The oracle is batch sessionize plus the
+    final-watermark closure rule — non-last sessions always emit, the
+    last session only if the (ms-truncated) global-max watermark passed
+    its end + gap.  (Below the driver's 50-entry window; checked by
+    tools/compare.py.)"""
+    from play_bq_gcp_spark.streaming.stateful import session_close_on_timeout
+
+    return session_close_on_timeout(spark, sf, gap_s=1800, n_chunks=4).orderBy(
+        "user_id", "start_us"
+    )
