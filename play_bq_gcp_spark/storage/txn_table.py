@@ -311,18 +311,32 @@ def overwrite(
     return snap
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Snapshot read: scan exactly the manifest's files.  ``version``
     pins time travel; default is the latest commit at call time.  An
     empty table returns an empty DataFrame only if Spark can infer a
     schema — callers that need one should read a specific version
-    known to have files or keep their own schema."""
+    known to have files or keep their own schema.
+
+    ``merge_schema=True`` enables additive schema evolution: a commit
+    may append files carrying NEW columns, and the read unions all
+    file schemas with NULL backfill for files written before the
+    column existed (parquet mergeSchema — pays one footer read per
+    file at planning, so leave it off for fixed-schema tables)."""
     snap = snapshot(path, version)
     if not snap.files:
         raise ValueError(
             f"version {snap.version} of {path} is empty — no schema to infer"
         )
-    return spark.read.parquet(*[os.path.join(path, f) for f in snap.files])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in snap.files])
 
 
 def read_pruned(

@@ -221,3 +221,22 @@ def test_compact_merges_files_data_unchanged(spark, table):
     )
     # compaction does not destroy history
     assert tt.read(spark, table, version=s.version - 1).count() == 300
+
+
+def test_schema_evolution_merge_on_read(spark, table):
+    """An appended commit may add columns; merge_schema reads union the
+    file schemas with NULL backfill for pre-evolution files, while
+    default reads of old versions are unaffected."""
+    tt.append(_df(spark, 0, 5), table)
+    evolved = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "'en' AS lang"
+    )
+    tt.append(evolved, table)
+
+    df = tt.read(spark, table, merge_schema=True)
+    assert set(df.columns) == {"id", "v", "lang"}
+    by_id = {r.id: r.lang for r in df.collect()}
+    assert by_id[0] is None and by_id[5] == "en"
+    assert len(by_id) == 8
+    # time travel to the pre-evolution version needs no merge flag
+    assert tt.read(spark, table, version=1).columns == ["id", "v"]
