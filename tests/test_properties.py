@@ -211,3 +211,56 @@ def test_scd2_apply_invariants(spark, dim_rows, upd_rows):
         for r in again.collect()
     )
     assert got2 == got
+
+
+# --- txn-table op-sequence model ------------------------------------------
+
+txn_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(min_value=0, max_value=3)),
+        st.tuples(st.just("delete"), st.integers(min_value=0, max_value=9)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=txn_ops)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_txn_table_matches_model_under_op_sequences(spark, ops):
+    """Any interleaving of append / copy-on-write delete / compact must
+    leave the table equal to a plain python model of the same ops, with
+    one committed version per op and the model state reproducible at
+    every intermediate version via time travel."""
+    import tempfile
+
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    path = tempfile.mkdtemp(prefix="txn_fuzz_") + "/t"
+    tt.init_table(path)
+    model: set[int] = set()
+    states = [set()]  # model state after each committed version
+    ops = [("append", 0)] + ops  # never delete/compact an empty table
+
+    for op, arg in ops:
+        if op == "append":
+            lo = arg * 10
+            tt.append(
+                spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v"), path
+            )
+            model |= set(range(lo, lo + 10))
+        elif op == "delete":
+            tt.delete_where(spark, path, f"id % 10 = {arg}")
+            model = {i for i in model if i % 10 != arg}
+        else:
+            tt.compact(spark, path, target_files=2)
+        states.append(set(model))
+
+    assert tt.current_version(path) == len(ops)
+    for v, want in enumerate(states):
+        if v == 0 or not want:
+            continue  # v0 is the empty create; empty states lack a schema
+        got = {r.id for r in tt.read(spark, path, version=v).collect()}
+        assert got == want, f"version {v}"
