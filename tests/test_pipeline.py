@@ -142,3 +142,31 @@ def test_run_daily_on_txn_warehouse_matches_parquet_and_time_travels(
     stats2 = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
     assert stats2["new_games"] == 0 and stats2["time_play"] == 0
     assert tt.current_version(wh.path("time_play")) == v_before
+
+
+def test_cli_bootstrap_then_incremental_daily(spark, tmp_path, capsys):
+    """python -m play_bq_gcp_spark: first invocation bootstraps, the
+    next loads incrementally — growing the API page count between runs
+    surfaces the anti-join append path."""
+    import json
+
+    from play_bq_gcp_spark.__main__ import main
+
+    wh_dir = str(tmp_path / "cli_wh")
+    assert main(["--warehouse", wh_dir, "--txn", "--pages", "2"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["run"] == "bootstrap"
+
+    assert (
+        main(
+            ["--warehouse", wh_dir, "--txn", "--pages", "3",
+             "--date", "2024-06-02"]
+        )
+        == 0
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["run"] == "daily" and out2["new_games"] == 100
+
+    from play_bq_gcp_spark.plans.pipeline import TxnWarehouse
+
+    assert TxnWarehouse(wh_dir).read(spark, "game").count() == 300
