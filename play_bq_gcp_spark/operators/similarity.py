@@ -292,23 +292,40 @@ def knn_join_lsh(
     seed: int = 42,
     dim: int = 64,
     multi_probe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Batch k-NN join, bucket-pruned: both sides get sign-bit LSH
     signatures; queries explode to their probe set (own bucket +
-    flip-one-bit buckets when ``multi_probe``); candidates come from an
-    EQUI-join on the signature — never |Q|×|C| scoring.  Top-k per
-    query over candidates only.  Approximate (recall < 1 where true
-    neighbors differ in ≥2 sign bits); validate against
-    ``knn_join_bruteforce`` — every returned (query, neighbor, score)
-    is exact, only the candidate set is pruned."""
+    flip-one-bit buckets when ``multi_probe``, × ``n_tables``
+    independent plane sets); candidates come from an EQUI-join on
+    (table, signature) — never |Q|×|C| scoring.  Top-k per query over
+    candidates only.  Approximate; two orthogonal recall knobs:
+
+    * ``multi_probe`` — probe Hamming-1 buckets of the same table
+      (cheap: more probe rows, same signatures);
+    * ``n_tables`` — OR-amplification with independent plane sets
+      (recall 1-(1-p)^L for per-table collision p; the same multi-table
+      scheme as ``dedup.embedding_cosine_pairs``) — the knob that
+      matters, since a true neighbor differing in ≥2 bits of ONE
+      table's signature is simply re-drawn in the next table.
+
+    Every returned (query, neighbor, score) is exact; only the
+    candidate set is pruned.  Validated against
+    ``knn_join_bruteforce`` (subset + recall) in tests."""
     from pyspark.sql import Window
 
-    planes = _hyperplanes(dim, n_planes, seed)
     qv = F.col("embedding").cast("array<double>")
+    all_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    # per-table signatures as one array column; posexplode tags the
+    # table id so the equi-join key is (table, sig)
+    def sigs(col):
+        return F.array(*[signature_col(col, p) for p in all_planes])
+
     q_sig = queries.select(
-        F.col("vec_id").alias("query_id"),
-        qv.alias("qv"),
-        signature_col(qv, planes).alias("sig"),
+        F.col("vec_id").alias("query_id"), qv.alias("qv"),
+        F.posexplode(sigs(qv)).alias("tbl", "sig"),
     )
     probe_sigs = F.array(
         F.col("sig"),
@@ -319,14 +336,13 @@ def knn_join_lsh(
         ),
     )
     q_probes = q_sig.select(
-        "query_id", "qv", F.explode(probe_sigs).alias("sig")
+        "query_id", "qv", "tbl", F.explode(probe_sigs).alias("sig")
     )
     c_sig = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        qv.alias("cv"),
-        signature_col(qv, planes).alias("sig"),
+        F.col("vec_id").alias("neighbor_id"), qv.alias("cv"),
+        F.posexplode(sigs(qv)).alias("tbl", "sig"),
     )
-    cand = q_probes.join(c_sig, "sig").filter(
+    cand = q_probes.join(c_sig, ["tbl", "sig"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = cand.select(
