@@ -206,7 +206,8 @@ def _cluster(df: DataFrame, cluster_by, target_files=None) -> DataFrame:
     the cluster keys, which is what makes the manifest's min/max stats
     selective (random placement makes every file's range span the whole
     domain and skipping prunes nothing).  The linear-order analogue of
-    Z-ordering, right for single-key and prefix predicates.
+    Z-ordering, right for single-key and prefix predicates — use
+    ``z_order`` when predicates hit the non-leading column too.
     ``target_files`` pins the output file count (one per partition);
     default lets Spark/AQE size partitions to data volume."""
     if not cluster_by:
@@ -217,6 +218,58 @@ def _cluster(df: DataFrame, cluster_by, target_files=None) -> DataFrame:
     else:
         df = df.repartitionByRange(*cols)
     return df.sortWithinPartitions(*cols)
+
+
+def _zvalue(df: DataFrame, cols, bits: int = 16):
+    """Z-order key for 2+ columns: rank-normalize each column to a
+    ``bits``-bit integer (percent_rank is distribution-free — skewed or
+    categorical-ish columns still spread over the full grid), then
+    bit-interleave.  Rows close in z are close in EVERY clustered
+    column, so each output file covers a small hyper-rectangle and
+    min/max skipping works for predicates on ANY of the columns — the
+    property linear sort only gives its leading key.  One window pass
+    per column (rank shuffle) + a foldable bit expression."""
+    from pyspark.sql import Window, functions as F
+
+    scaled = []
+    for c in cols:
+        r = F.percent_rank().over(Window.orderBy(F.col(c)))
+        scaled.append(
+            F.least(
+                (r * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+            )
+        )
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for j, sc in enumerate(scaled):
+            z = z + (
+                F.shiftleft(
+                    F.shiftrightunsigned(sc, bit).bitwiseAND(F.lit(1)),
+                    bit * n + j,
+                )
+            )
+    return z
+
+
+def z_order(
+    df: DataFrame, cols, target_files: int, bits: int = 16
+) -> DataFrame:
+    """Multi-column clustering for commits: sort by the interleaved
+    z-value so file-level min/max stats prune on any clustered column.
+    NOTE the rank windows are unpartitioned (single-task sort per
+    column) — fine for the per-commit batches this clusters; a full
+    100 TB table rewrite should approximate ranks from a sample
+    (``approxQuantile``-style binning) instead of exact percent_rank.
+    Pass the result to ``append``/``overwrite`` WITHOUT ``cluster_by``
+    (the z-sort already determines placement)."""
+    zc = _zvalue(df, list(cols), bits).alias("__z")
+    out = df.select("*", zc)
+    return (
+        out.repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 def _write_data_files(

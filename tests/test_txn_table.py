@@ -240,3 +240,34 @@ def test_schema_evolution_merge_on_read(spark, table):
     assert len(by_id) == 8
     # time travel to the pre-evolution version needs no merge flag
     assert tt.read(spark, table, version=1).columns == ["id", "v"]
+
+
+def test_z_order_prunes_on_every_clustered_column(spark, table, tmp_path):
+    """Z-ordered commits give hyper-rectangular per-file ranges: a
+    narrow predicate on EITHER clustered column skips files, where
+    linear clustering only serves its leading key."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 4096).select(
+        "id",
+        (F.xxhash64("id") % 1000).alias("a"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("b"),
+    )
+    tt.overwrite(tt.z_order(df, ["a", "b"], target_files=16), table)
+    n_files = len(tt.snapshot(table).files)
+    assert n_files == 16
+
+    for col in ("a", "b"):
+        pruned = tt.read_pruned(spark, table, col, lo=-999, hi=-800)
+        assert len(pruned.inputFiles()) < n_files, f"no pruning on {col}"
+        expect = df.filter(f"{col} BETWEEN -999 AND -800").count()
+        assert pruned.count() == expect
+
+    # contrast: linear clustering on a cannot prune on b
+    linear = str(tmp_path / "linear")
+    tt.init_table(linear)
+    tt.overwrite(df, linear, cluster_by=["a"], target_files=16)
+    assert (
+        len(tt.read_pruned(spark, linear, "b", lo=-999, hi=-800).inputFiles())
+        == 16
+    )
