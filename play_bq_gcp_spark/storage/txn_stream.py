@@ -9,12 +9,12 @@ micro-batch reads the data files added by versions (start, end]; a
 recovery replays from the checkpointed version, so the source is
 exactly-once end-to-end when paired with ``streaming/txn_sink``.
 
-Spark 4 Python Data Source streaming API: ``SimpleDataSourceStreamReader``
-(offsets are plain dicts; rows yielded as tuples).  The simple reader
-funnels rows through the driver — right for commit-log tailing where a
-micro-batch is one table's recent appends; a partition-per-file
-``DataSourceStreamReader`` is the fan-out upgrade when single commits
-are huge.
+Spark 4 Python Data Source streaming API — the FULL
+``DataSourceStreamReader``: the driver only plans (``latestOffset`` +
+``partitions`` map added files to input partitions), and each file is
+read ON AN EXECUTOR as its own partition, so a commit of a thousand
+files fans out as a thousand parallel tasks with zero driver
+materialization.
 
 Usage::
 
@@ -22,26 +22,34 @@ Usage::
     stream = (spark.readStream.format("txn_table_stream")
               .option("path", table_path).load())
 
-Overwrite/delete/compact commits REPLACE files rather than append; a
-pure changelog cannot represent them (the public formats fail the
-stream there too unless told to ignore changes).  Policy via option
-``on_replace``: ``error`` (default, loud) or ``skip`` (appends only).
+Overwrite/delete commits REPLACE files rather than append; a pure
+changelog cannot represent them (the public formats fail the stream
+there too unless told to ignore changes).  Compaction (byte rewrite,
+same data) is transparently skipped.  Policy via option
+``on_replace``: ``error`` (default, loud) or ``skip`` (appends only —
+removals are not retracted).
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 
 from play_bq_gcp_spark.storage import txn_table as tt
 
 
-class TxnTableStreamReader(SimpleDataSourceStreamReader):
+class _FilePartition(InputPartition):
+    def __init__(self, abs_path: str) -> None:
+        self.abs_path = abs_path
+
+
+class TxnTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
         if not path:
@@ -53,6 +61,9 @@ class TxnTableStreamReader(SimpleDataSourceStreamReader):
         """Start of stream = version 0 (the empty create): the first
         batch delivers every row ever appended."""
         return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        return {"version": tt.current_version(self.path)}
 
     def _files_between(self, start_v: int, end_v: int) -> list[str]:
         """Data files added by commits in (start_v, end_v]."""
@@ -78,42 +89,23 @@ class TxnTableStreamReader(SimpleDataSourceStreamReader):
             prev = cur
         return files
 
-    def _read_files(self, files: Sequence[str]) -> list[tuple]:
-        """Materialized (the simple-reader harness prefetches on the
-        driver and COPIES the batch for replay — a generator cannot be
-        copied).  Bounded by commit size, which is the contract of the
-        simple reader; huge commits belong on the partition-per-file
-        DataSourceStreamReader upgrade path."""
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """Driver-side planning only: one input partition per file
+        added in (start, end] — a large commit fans out across the
+        cluster instead of through the driver."""
+        files = self._files_between(int(start["version"]), int(end["version"]))
+        return [_FilePartition(os.path.join(self.path, f)) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        """Executor-side: stream one immutable data file's rows."""
         import pyarrow.parquet as pq
 
-        rows: list[tuple] = []
-        for rel in files:
-            table = pq.read_table(os.path.join(self.path, rel))
-            for batch in table.to_batches():
-                cols = [
-                    batch.column(i).to_pylist()
-                    for i in range(batch.num_columns)
-                ]
-                rows.extend(zip(*cols))
-        return rows
-
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
-        """One micro-batch: everything committed since ``start``."""
-        end_v = tt.current_version(self.path)
-        start_v = int(start["version"])
-        if end_v <= start_v:
-            return [], {"version": start_v}
-        return (
-            self._read_files(self._files_between(start_v, end_v)),
-            {"version": end_v},
-        )
-
-    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        """Deterministic replay for recovery: immutable files + the
-        version order make this exact."""
-        return self._read_files(
-            self._files_between(int(start["version"]), int(end["version"]))
-        )
+        table = pq.read_table(partition.abs_path)
+        for batch in table.to_batches():
+            cols = [
+                batch.column(i).to_pylist() for i in range(batch.num_columns)
+            ]
+            yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean: offsets are table versions
@@ -142,5 +134,5 @@ class TxnTableStreamSource(DataSource):
 
         return from_arrow_schema(schema)
 
-    def simpleStreamReader(self, schema) -> TxnTableStreamReader:
+    def streamReader(self, schema) -> TxnTableStreamReader:
         return TxnTableStreamReader(self.options)

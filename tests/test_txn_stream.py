@@ -57,15 +57,18 @@ def test_replace_commit_errors_loudly_by_default(spark, table):
     tt.delete_where(spark, table, "id < 3")
     reader = TxnTableStreamReader({"path": table})
     with pytest.raises(RuntimeError, match="append changelog"):
-        reader.read({"version": 0})
+        reader.partitions({"version": 0}, reader.latestOffset())
 
 
 def test_replace_skip_policy_streams_appends_only(spark, table):
     tt.delete_where(spark, table, "id < 3")
     tt.append(spark.range(100, 103).selectExpr("id", "id * 2 AS v"), table)
     reader = TxnTableStreamReader({"path": table, "on_replace": "skip"})
-    rows, end = reader.read({"version": 0})
-    ids = sorted(r[0] for r in rows)
+    end = reader.latestOffset()
+    parts = reader.partitions({"version": 0}, end)
+    ids = sorted(
+        r[0] for part in parts for r in reader.read(part)
+    )
     # the delete's rewrite files DO appear (they are "added" files);
     # skip mode only promises not to fail — it is appends-only in the
     # sense that removals are not retracted
