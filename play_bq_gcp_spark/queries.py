@@ -3014,3 +3014,127 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH sales AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM sales GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market for a
+    product type, per year — the deepest dimension chain in the fixture
+    star (7 broadcastable joins around one fact scan), conditional
+    aggregation for the share."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q19_bracketed_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_bracketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: no shipmode/shipinstruct columns in
+    the fixture): disjunctive bracket predicates spanning BOTH join
+    sides — the OR cannot push below the join as-is, but each bracket's
+    part-side conjuncts could derive a part prefilter at scale."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+
+    def bracket(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(
+            bracket("Brand#1", 15, 1, 21)
+            | bracket("Brand#2", 25, 10, 30)
+            | bracket("Brand#3", 35, 20, 40)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
