@@ -225,3 +225,28 @@ def test_sampling_suite_is_joinless_map_side(spark, sf_dir):
 
     plan = plan_of(q.QUERIES["sampling_suite"](spark, sf_dir), "simple")
     assert "Join" not in plan
+
+
+def test_q6_predicates_all_reach_scan(spark, sf_dir):
+    """Q6 is pure filter+agg: every predicate must push to the parquet
+    scan and the plan must contain no Join and at most the single
+    partial/final aggregate exchange."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q6_forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_discount" in pushed and "l_quantity" in pushed
+    assert "l_shipdate" in pushed
+    assert "Join" not in plan
+
+
+def test_q8_dimension_chain_broadcasts(spark, sf_dir):
+    """Q8's seven-way star must broadcast every dimension — exactly one
+    shuffle-bearing join family (the fact-fact orders join) is allowed
+    to be sort-merge under AQE."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q8_market_share"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
