@@ -145,13 +145,19 @@ def quality_columns() -> dict[str, Column]:
         "n_tokens": F.size(toks).cast("bigint"),
         "punct_ratio": punct_ratio,
         "stopword_ratio": stop_ratio,
-        # composite: long enough, low punctuation, some stopwords
-        "quality": F.round(
+        # composite: long enough, low punctuation, some stopwords.
+        # FLOOR-truncated to 4 decimals, not rounded: the factors are
+        # 4-digit decimals, so their product can land EXACTLY on a
+        # .00005 rounding tie (observed: 0.9 × 0.3335 = 0.30015), and
+        # Spark's HALF_UP disagrees with other engines there.  floor of
+        # bit-identical doubles is tie-free on every engine.
+        "quality": F.floor(
             F.least(n_toks / F.lit(50.0), F.lit(1.0))
             * (1 - punct_ratio)
-            * F.least(stop_ratio * 5, F.lit(1.0)),
-            4,
-        ),
+            * F.least(stop_ratio * 5, F.lit(1.0))
+            * 10000
+        )
+        / 10000,
     }
 
 

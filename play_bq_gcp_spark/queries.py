@@ -1893,8 +1893,8 @@ def knn_join_lsh_entry(spark: SparkSession, sf: str) -> DataFrame:
            round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)::DOUBLE
                  / greatest(len(toks), 1)::DOUBLE, 4) AS avg_token_len,
            n_chars, punct_ratio, stopword_ratio,
-           round(least(len(toks) / 50.0, 1.0) * (1 - punct_ratio)
-                 * least(stopword_ratio * 5, 1.0), 4) AS quality,
+           floor(least(len(toks) / 50.0, 1.0) * (1 - punct_ratio)
+                 * least(stopword_ratio * 5, 1.0) * 10000) / 10000 AS quality,
            lang,
            CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
@@ -2017,8 +2017,9 @@ def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
         FROM tok
     ), scored AS (
         SELECT doc_id, toks, n_tokens,
-               round(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
-                     * least(stopword_ratio * 5, 1.0), 4) AS quality
+               floor(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
+                     * least(stopword_ratio * 5, 1.0) * 10000) / 10000
+                   AS quality
         FROM ratios
     ), kept AS (
         SELECT doc_id, n_tokens, quality,
