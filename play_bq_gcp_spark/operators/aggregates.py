@@ -140,12 +140,27 @@ def stats_percentiles(lineitem: DataFrame) -> DataFrame:
             F.max("l_extendedprice").alias("max_price"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias(
-                "p90_price"
-            ),
+            # percentiles interpolate over INTEGER CENTS: prices are
+            # 2-decimal, so even-count medians land on exact half-cents
+            # where engines' round-tie rules disagree (observed:
+            # 52724.245 → .24 vs .25).  On integer-valued doubles the
+            # midpoint arithmetic is binary-exact in every engine, so
+            # the interpolated value — and any rounding of it — agrees.
+            (
+                F.percentile(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+                    F.lit(0.5),
+                )
+                / 100.0
+            ).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+                    F.lit(0.9),
+                )
+                / 100.0,
+                2,
+            ).alias("p90_price"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
                 "qty_price_corr"
             ),

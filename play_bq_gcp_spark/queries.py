@@ -1179,8 +1179,10 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
            max(l_extendedprice) AS max_price,
            round(stddev_samp(l_extendedprice), 4) AS stddev_price,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.5)
+               / 100.0 AS median_price,
+           round(quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.9)
+               / 100.0, 2) AS p90_price,
            round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
            round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
