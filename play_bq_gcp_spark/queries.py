@@ -3141,3 +3141,444 @@ def q19_bracketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth batch 4 (round 4): the remaining shapes — correlated
+# scalar subqueries, EXISTS / NOT EXISTS, NOT IN, HAVING-vs-global,
+# nested IN chains — completing the 22-query suite (adapted to the
+# fixture star schema: no partsupp / commitdate / shipmode columns, so
+# the part-supplier link is derived from lineitem and lateness from
+# l_shipdate vs o_orderdate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    elig AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost,
+               s_name, n_name, s_acctbal,
+               min(c.unit_cost) OVER (PARTITION BY c.l_partkey) AS best_cost
+        FROM costs c
+        JOIN supplier ON s_suppkey = c.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND c.l_partkey IN (
+              SELECT p_partkey FROM part
+              WHERE p_type = 'LARGE' AND p_size <= 10)
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           CAST(floor(unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+    FROM elig JOIN part ON p_partkey = l_partkey
+    WHERE unit_cost = best_cost
+    ORDER BY p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated scalar
+    MIN subquery), adapted — unit cost is derived from lineitem
+    (min extendedprice/quantity per part-supplier pair) since the
+    fixture has no partsupp.  The correlated subquery becomes a window
+    MIN over the part key: one shuffle on l_partkey serves both the
+    per-pair aggregate and the per-part minimum; the part filter is
+    broadcast into the aggregate's scan side so only qualifying parts
+    ever reach the shuffle.  The cost column is emitted as
+    floor(cost*1e4) — floor of bit-identical doubles is deterministic
+    across engines, where round()'s decimal conversion is not."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    costs = (
+        li.join(F.broadcast(p.select("p_partkey", "p_name")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    elig = (
+        costs.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    return (
+        elig.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.floor(F.col("unit_cost") * 10000).alias("unit_cost_e4"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q4_priority_late_orders",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — correlated EXISTS
+    becomes a LEFT SEMI join on the order key with the lateness
+    predicate (l_shipdate > o_orderdate + 30 days) as an extra join
+    conjunct; the quarter filter prunes the probe side before the
+    shuffle, and the semi join short-circuits per key (no duplicate
+    inflation, no distinct needed)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & F.expr("l_shipdate > o_orderdate + INTERVAL 30 DAY"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation_name, year(l_shipdate) AS o_year,
+           sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity) * 100) AS BIGINT))
+               AS profit_cents
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by supplier nation and
+    year, adapted — cost-of-goods proxied as a retail-price fraction
+    (no ps_supplycost in the fixture).  All three dimensions broadcast;
+    the fact scans once and the only shuffle is the final (nation,
+    year) aggregate with map-side partials.  Per-row profit is floored
+    to integer cents BEFORE the sum so the aggregate is exact integer
+    arithmetic — order-independent across engines, unlike
+    round(sum(double)) whose last bit depends on accumulation order."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+                    )
+                    * 100
+                )
+            ).alias("profit_cents")
+        )
+        .orderBy("nation_name", "o_year")
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH partval AS (
+        SELECT l_partkey AS p_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS part_value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, part_value_cents
+    FROM partval
+    WHERE part_value_cents > (SELECT avg(part_value_cents) * 1.5 FROM partval)
+    ORDER BY part_value_cents DESC, p_partkey
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a multiple of
+    the regional average — the scalar subquery over the SAME aggregate
+    becomes a 1-row global agg cross-joined (broadcast) onto the
+    per-part aggregate, so the grouped result is computed once and
+    reused for both sides of the HAVING comparison.  The threshold is
+    avg-relative (not total-relative) so selectivity is scale-free:
+    10x the parts does not empty the result.  Values are exact integer
+    cents (per-row floor before the sum) so the grouped sums and the
+    threshold are order-independent across engines."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    partval = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                )
+            ).alias("part_value_cents")
+        )
+    )
+    total = partval.agg((F.avg("part_value_cents") * 1.5).alias("__threshold"))
+    return (
+        partval.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") > F.col("__threshold"))
+        .select("p_partkey", "part_value_cents")
+        .orderBy(F.desc("part_value_cents"), "p_partkey")
+    )
+
+
+@register(
+    "q12_latency_priority_classes",
+    """
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+                ELSE 'SLOW' END AS latency_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY latency_class
+    ORDER BY latency_class
+    """,
+)
+def q12_latency_priority_classes(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts by class — the shipmode
+    bucket becomes a computed ship-latency class (days between order
+    and ship date), and the high/low priority split is a pair of
+    SUM(CASE…) conditional aggregates folded into one grouped pass
+    over the order join."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn(
+            "latency_class",
+            F.when(lat <= 30, "FAST").when(lat <= 90, "MEDIUM").otherwise("SLOW"),
+        )
+        .groupBy("latency_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("latency_class")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per part attribute with a
+    NOT IN exclusion — the part-supplier relation is the distinct
+    (partkey, suppkey) projection of lineitem, and the NOT IN becomes
+    a LEFT ANTI join against the (broadcast, tiny) excluded-supplier
+    list.  s_suppkey is non-nullable in the fixture so anti-join and
+    null-aware NOT IN coincide; with nullable keys Spark would need
+    the NullAwareAntiJoin form (`NOT IN` in SQL) instead."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_type") != "PROMO")
+    bad = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM shipped
+          WHERE qty > (SELECT avg(qty) * 1.5 FROM shipped))
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested IN chain (parts by name → heavy
+    shippers of those parts → suppliers in a region) becomes two
+    LEFT SEMI joins — part filter broadcast into the fact scan, the
+    per-supplier quantity aggregate thresholded against its own
+    average (1-row broadcast, scale-free selectivity) and reduced to
+    a supplier list that semi-filters the supplier dimension."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    shipped = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = shipped.agg((F.avg("qty") * 1.5).alias("__thr"))
+    heavy = (
+        shipped.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("__thr"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH order_stats AS (
+        SELECT l_orderkey AS so_key,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE
+                   WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                   THEN l_suppkey END) AS n_late_supp
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN order_stats ON so_key = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_supp >= 2 AND n_late_supp = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders.  The classic EXISTS (another supplier on the order) +
+    NOT EXISTS (another LATE supplier) pair collapses into ONE
+    per-order aggregate — n_supp >= 2 replaces the EXISTS, and
+    n_late_supp = 1 replaces the NOT EXISTS (the late line's own
+    supplier is necessarily in the late set).  One shuffle on the
+    order key serves the aggregate and the join back; the correlated
+    subqueries' two extra fact scans disappear."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = _t(spark, sf, "supplier")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")
+    fl = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).withColumn(
+        "is_late", late
+    )
+    stats = fl.groupBy(F.col("l_orderkey").alias("so_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        fl.filter(F.col("is_late"))
+        .join(stats, F.col("so_key") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

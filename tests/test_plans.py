@@ -250,3 +250,51 @@ def test_q8_dimension_chain_broadcasts(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_quarter(spark, sf_dir):
+    """Q4's correlated EXISTS must compile to a LeftSemi hash join (no
+    duplicate-inflating inner join + distinct) with the quarter filter
+    pushed to the orders scan."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q4_priority_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "o_orderdate" in pushed
+
+
+def test_q16_not_in_is_anti_join_never_nested_loop(spark, sf_dir):
+    """Q16's NOT IN exclusion (non-null keys) must be a broadcast
+    LeftAnti hash join, not a null-aware nested loop."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q16_supplier_variety"](spark, sf_dir), "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_fact_aggregate_no_extra_scans(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is folded into ONE per-order
+    aggregate: the plan must scan lineitem at most twice (the late
+    lines and the per-order stats share the join input), never the
+    three scans the naive correlated form would need."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q21_waiting_suppliers"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_single_partkey_shuffle_serves_agg_and_window(spark, sf_dir):
+    """Q2's correlated-min rewrite: the per-pair aggregate and the
+    per-part window minimum must reuse one l_partkey exchange — at
+    most one shuffle over the fact side beyond AQE reads."""
+    from play_bq_gcp_spark import queries as q
+
+    plan = plan_of(q.QUERIES["q2_min_cost_supplier"](spark, sf_dir), "simple")
+    # dimensions broadcast; the only hash-partitioned exchanges allowed
+    # are the partkey agg/window pair and the final sort boundary
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
