@@ -153,3 +153,63 @@ def scd2_apply(
     return hist.select(*cols).unionByName(
         j.select(F.explode(emitted).alias("r")).select("r.*")
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    version: str,
+    op_col: str,
+    update_cols: Sequence[str],
+) -> DataFrame:
+    """CDC apply: materialize the current state of a table from a base
+    snapshot plus a change feed of upserts and deletes — the engine
+    form of consuming a Debezium/CDC stream into a warehouse table
+    (generalizes the reference's UPDATE…FROM, main.py:274-284, with
+    inserts and deletes the reference cannot express).
+
+    ``changes`` rows carry (key, version, op, update_cols...) with op
+    'U' (upsert) or 'D' (delete).  Last-writer-wins PER KEY by
+    ``version`` (ties impossible when version is unique, e.g. a log
+    offset).  Semantics per key:
+
+    * no change row            → snapshot row passes through;
+    * latest op 'U', matched   → snapshot row with update_cols replaced;
+    * latest op 'U', unmatched → new row inserted (non-updated columns
+      NULL — the feed is the only source of truth for new keys);
+    * latest op 'D'            → row absent from the result, whether or
+      not it existed in the snapshot.
+
+    Scale shape: ONE shuffle on the key for the latest-change window
+    (map-side combine does not apply to row_number, but the feed is
+    the small side by construction) and ONE full-outer join against
+    the snapshot.  Applying feeds incrementally in version order is
+    idempotent: replaying an already-applied prefix changes nothing.
+    """
+    from pyspark.sql import Window
+
+    latest = (
+        changes.select(
+            F.col(key).alias("__k"),
+            F.col(version).alias("__v"),
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        )
+        .withColumn("__rn", F.row_number().over(Window.partitionBy("__k").orderBy(F.col("__v").desc())))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__v")
+    )
+    j = snapshot.join(latest, snapshot[key] == F.col("__k"), "full_outer")
+    kept = j.filter(
+        F.col("__op").isNull() | (F.col("__op") != F.lit("D"))
+    )
+    out = kept.withColumn(key, F.coalesce(F.col(key), F.col("__k")))
+    for c in update_cols:
+        out = out.withColumn(
+            c,
+            F.when(F.col("__op") == "U", F.col(f"__u_{c}")).otherwise(
+                F.col(c)
+            ),
+        )
+    return out.select(*snapshot.columns)

@@ -376,3 +376,61 @@ def knn_join_lsh(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
     )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    4x compression step before shipping an embedding corpus to an ANN
+    index (codes in [-127, 127], scale = 127 / max|x|), plus the
+    reconstruction-error audit a pipeline runs to decide whether the
+    compression is lossy enough to matter.
+
+    Scale shape: pure row-local array HOFs — one map pass, no shuffle,
+    no UDF.  Determinism: codes use floor(x*scale + 0.5) (half-up on
+    bit-identical doubles, engine-independent, unlike decimal round),
+    and the per-dimension squared error is floored to integer 1e-9
+    units BEFORE summing so the error total is exact integer
+    arithmetic in any accumulation order.
+    """
+    from play_bq_gcp_spark.operators.text import bind as _bind
+
+    def profile(vec: F.Column) -> F.Column:
+        amax = F.array_max(F.transform(vec, F.abs))
+        scale = F.lit(127.0) / amax
+        codes = F.transform(
+            vec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+        )
+        # squared error via plain multiplication, not pow(): pow's
+        # libm implementation may differ in the last ulp across
+        # engines, multiplication is IEEE-exact everywhere
+        err_units = F.zip_with(
+            vec,
+            codes,
+            lambda x, c: F.floor(
+                (x - c.cast("double") / scale)
+                * (x - c.cast("double") / scale)
+                * 1e9
+            ),
+        )
+        return F.struct(
+            F.size(vec).cast("int").alias("n_dims"),
+            F.floor(amax * 1e6).alias("amax_e6"),
+            F.aggregate(
+                codes, F.lit(0).cast("long"), lambda a, c: a + c
+            ).alias("code_sum"),
+            F.array_max(codes).alias("code_max"),
+            F.array_min(codes).alias("code_min"),
+            F.aggregate(
+                err_units, F.lit(0).cast("long"), lambda a, e: a + e
+            ).alias("sq_err_1e9"),
+        )
+
+    prof = _bind(F.col("embedding"), profile)
+    return (
+        embeddings.filter(
+            F.array_max(F.transform("embedding", F.abs)) > 0
+        )
+        .select("vec_id", prof.alias("p"))
+        .select("vec_id", "p.*")
+        .orderBy("vec_id")
+    )

@@ -334,3 +334,81 @@ def lm_perplexity_score(documents: DataFrame, alpha: float = 1.0) -> DataFrame:
         F.round(F.avg("nll"), 4).alias("lm_score"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def repetition_profile(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: type-token ratio,
+    most-frequent-token share, and duplicate bigram / trigram
+    fractions — the standard "repetitious junk" filters an LLM
+    curation pipeline applies before training (repeated boilerplate
+    and degenerate generations score high on all four).
+
+    Scale shape: all n-gram kinds (1/2/3) are built row-locally with
+    array HOFs and exploded ONCE into a single (doc, kind, gram)
+    stream, so the whole profile costs one high-cardinality,
+    skew-free shuffle for the gram counts plus one per-doc aggregate —
+    never a per-kind pass over the corpus.  Per-doc work is linear in
+    document length (no quadratic in-doc matching).
+    """
+    from play_bq_gcp_spark.catalog import spread
+
+    toks = spread(
+        documents.select("doc_id", tokens("text").alias("tk")).filter(
+            F.size("tk") > 0
+        )
+    )
+
+    def grams(k: int) -> Column:
+        if k == 1:
+            return F.col("tk")
+        build = F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("tk"), i, k), " "),
+        )
+        return F.when(F.size("tk") >= k, build).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def tagged(k: int) -> Column:
+        return F.transform(
+            grams(k),
+            lambda g: F.struct(
+                F.lit(k).cast("int").alias("k"), g.alias("gram")
+            ),
+        )
+
+    g = toks.select(
+        "doc_id",
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("g"),
+    )
+    counts = g.groupBy(
+        "doc_id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_kind = counts.groupBy("doc_id", "k").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("dct"),
+        F.max("cnt").alias("top"),
+    )
+
+    def kind(col: str, k: int) -> Column:
+        return F.max(F.when(F.col("k") == k, F.col(col)))
+
+    return (
+        per_kind.groupBy("doc_id")
+        .agg(
+            kind("total", 1).alias("n_tokens"),
+            (kind("dct", 1).cast("double") / kind("total", 1)).alias("ttr"),
+            (kind("top", 1).cast("double") / kind("total", 1)).alias(
+                "top_token_frac"
+            ),
+            F.coalesce(
+                1 - kind("dct", 2).cast("double") / kind("total", 2),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
+            F.coalesce(
+                1 - kind("dct", 3).cast("double") / kind("total", 3),
+                F.lit(0.0),
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

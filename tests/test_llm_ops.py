@@ -283,3 +283,49 @@ def test_lsh_topk_multitable_recall(spark):
         hits += len(brute & lsh)
         total += len(brute)
     assert hits / total >= 0.8
+
+
+def test_repetition_profile_separates_degenerate_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # one token repeated
+            (2, "all six tokens here are unique"),     # no repetition
+            (3, "ab cd ab cd ab cd"),                  # repeated bigram loop
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_profile(docs).collect()}
+    # degenerate doc: one type, top token is everything, bigrams all dupes
+    assert rows[1].n_tokens == 6
+    assert rows[1].ttr == pytest.approx(1 / 6)
+    assert rows[1].top_token_frac == pytest.approx(1.0)
+    assert rows[1].dup_bigram_frac == pytest.approx(4 / 5)
+    # clean doc: everything distinct, no duplicate n-grams
+    assert rows[2].ttr == pytest.approx(1.0)
+    assert rows[2].top_token_frac == pytest.approx(1 / 6)
+    assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
+    # bigram loop: 5 bigrams, 2 distinct ('ab cd' x3, 'cd ab' x2)
+    assert rows[3].dup_bigram_frac == pytest.approx(3 / 5)
+
+
+def test_repetition_profile_short_docs_have_zero_ngram_fracs(spark):
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text.repetition_profile(docs).collect()}
+    assert rows[1].dup_bigram_frac == 0.0 and rows[1].dup_trigram_frac == 0.0
+    assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
+
+
+def test_quantize_int8_codes_bounded_and_error_small(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(50)
+    out = similarity.quantize_int8(emb)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert -127 <= r.code_min <= r.code_max <= 127
+        assert r.n_dims == 64
+        # max per-dim quantization error is (0.5/scale)^2 = (amax/254)^2;
+        # total over 64 dims stays far under amax^2
+        amax = r.amax_e6 / 1e6
+        assert r.sq_err_1e9 / 1e9 <= 64 * ((amax + 1e-6) / 254) ** 2 * 1.01

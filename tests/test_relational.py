@@ -126,3 +126,52 @@ def test_project_filter(spark):
     df = spark.createDataFrame([(1, "O", 5.0), (2, "F", 3.0)], "k int, st string, v double")
     out = relational.project_filter(df, ["k", "v"], F.col("st") == "O").collect()
     assert out == [(1, 5.0)] or (out[0].k, out[0].v) == (1, 5.0)
+
+
+def test_apply_changes_covers_all_four_cdc_cases(spark):
+    from play_bq_gcp_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    feed = spark.createDataFrame(
+        # key 2: two updates, later version wins; key 3: deleted;
+        # key 4: inserted; key 1: untouched
+        [(2, 1, "U", 21.0), (2, 5, "U", 25.0), (3, 2, "D", None),
+         (4, 3, "U", 40.0)],
+        "k long, v long, op string, bal double",
+    )
+    out = apply_changes(snap, feed, "k", "v", "op", ["bal"])
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].bal == 10.0 and rows[1].name == "a"
+    assert rows[2].bal == 25.0 and rows[2].name == "b"
+    assert rows[4].bal == 40.0 and rows[4].name is None
+
+
+def test_apply_changes_is_idempotent_on_replay(spark):
+    from play_bq_gcp_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, bal double"
+    )
+    feed = spark.createDataFrame(
+        [(1, 1, "U", 11.0), (2, 2, "D", None)], "k long, v long, op string, bal double"
+    )
+    once = apply_changes(snap, feed, "k", "v", "op", ["bal"])
+    twice = apply_changes(once, feed, "k", "v", "op", ["bal"])
+    assert sorted((r.k, r.bal) for r in once.collect()) == sorted(
+        (r.k, r.bal) for r in twice.collect()
+    ) == [(1, 11.0)]
+
+
+def test_apply_changes_delete_of_absent_key_is_noop(spark):
+    from play_bq_gcp_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    feed = spark.createDataFrame(
+        [(9, 1, "D", None)], "k long, v long, op string, bal double"
+    )
+    out = apply_changes(snap, feed, "k", "v", "op", ["bal"]).collect()
+    assert [(r.k, r.bal) for r in out] == [(1, 10.0)]
