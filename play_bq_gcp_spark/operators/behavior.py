@@ -1,0 +1,197 @@
+"""Event-sequence / behavioral analytics over the events stream table:
+ordered-funnel conversion, cohort retention, and per-key time-series
+resampling with gap-fill + LOCF.
+
+The reference's whole pipeline is one behavioral metric (daily
+play-time deltas per game, /root/reference/main.py:193-207); these are
+the standard generalizations a product-analytics engine serves from
+the same event-log shape.
+
+Scale notes: every shuffle here keys on ``user_id`` (or the
+(user, day) pair) — high-cardinality, naturally balanced keys.  The
+funnel's staged minima reuse the same key across consecutive
+aggregates, so AQE/exchange-reuse keeps the data co-partitioned
+instead of re-shuffling.  Money/metric sums are floored to integer
+cents BEFORE aggregation so results are order-independent (exact
+integer arithmetic) across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion: a user reaches step k only via the
+    EARLIEST qualifying timestamp strictly after their step-(k-1)
+    time (min-of-firsts semantics — the standard product-funnel
+    definition, robust to event repetition).
+
+    One row out: users reaching each step, step-to-step converting
+    fractions, and the exact summed conversion lags in microseconds
+    (sums of int64 — deterministic; consumers divide by the count
+    themselves if they want a mean).
+
+    Shape: one staged aggregate + join per step, ALL keyed on
+    ``user_col`` — k-1 extra passes over the (already user-keyed)
+    event subsets, never a per-user collect_list that could blow up
+    on a power user.
+    """
+    reached = events.filter(F.col(type_col) == steps[0]).groupBy(
+        F.col(user_col).alias("u")
+    ).agg(F.min(ts_col).alias("t0"))
+    ts_cols = ["t0"]
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("u2"), F.col(ts_col).alias("t"))
+            .join(reached, F.col("u2") == F.col("u"))
+            .filter(F.col("t") > F.col(f"t{i - 1}"))
+            .groupBy("u2")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        reached = reached.join(
+            nxt, F.col("u") == F.col("u2"), "left"
+        ).drop("u2")
+        ts_cols.append(f"t{i}")
+
+    def micros(c: str) -> Column:
+        return F.unix_micros(F.col(c))
+
+    aggs = []
+    for i in range(len(steps)):
+        aggs.append(F.count(F.col(f"t{i}")).alias(f"n_step{i + 1}"))
+    for i in range(1, len(steps)):
+        aggs.append(
+            F.sum(micros(f"t{i}") - micros(f"t{i - 1}")).alias(
+                f"lag_micros_{i}_{i + 1}"
+            )
+        )
+    out = reached.agg(*aggs)
+    for i in range(1, len(steps)):
+        out = out.withColumn(
+            f"conv_{i}_{i + 1}",
+            F.col(f"n_step{i + 1}").cast("double") / F.col(f"n_step{i}"),
+        )
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen ISO week,
+    counted distinct per week offset, with the retained fraction
+    against week-0 cohort size.
+
+    Shape: first-seen aggregate (user shuffle) → join back (same key,
+    co-partitioned) → (cohort, offset) aggregate.  The retained
+    fraction divides two exact integers, so it is bit-identical in
+    any engine.
+    """
+    first_seen = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.date_trunc("week", F.min(ts_col))).alias("cohort_week")
+    )
+    activity = events.select(
+        F.col(user_col).alias("u2"),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("activity_week"),
+    ).distinct()
+    matrix = (
+        activity.join(first_seen, F.col("u2") == F.col("u"))
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("u2").alias("active_users"))
+    )
+    size = Window.partitionBy("cohort_week")
+    return (
+        matrix.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("week_offset") == 0, F.col("active_users"))).over(
+                size
+            ),
+        )
+        .withColumn(
+            "retained_frac",
+            F.col("active_users").cast("double") / F.col("cohort_size"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def resample_daily_gapfill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user daily resample over the corpus' full date span with
+    zero-filled gaps, last-observation-carried-forward of the day
+    value, and an exact running total — the gap-free per-key series a
+    forecasting/feature pipeline consumes.
+
+    Shape: (user, day) aggregate → date spine as a 1-row global
+    min/max broadcast exploded per user (the spine join is on the
+    co-partitioned (user, day) key) → one user-keyed window pass for
+    LOCF + running sum.  Values are floored to integer cents per
+    event before summing, so every number here is exact int64.
+    """
+    day = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    daily = events.groupBy(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).agg(F.sum(F.floor(F.col(value_col) * 100)).alias("day_cents"))
+
+    span = events.agg(
+        F.to_date(F.date_trunc("day", F.min(ts_col))).alias("dmin"),
+        F.to_date(F.date_trunc("day", F.max(ts_col))).alias("dmax"),
+    )
+    users = events.select(F.col(user_col).alias("u")).distinct()
+    spine = users.crossJoin(F.broadcast(span)).select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("dmin"), F.col("dmax"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["u", "day"], "left")
+    w = Window.partitionBy("u").orderBy("day")
+    return (
+        joined.withColumn(
+            "day_cents_filled", F.coalesce(F.col("day_cents"), F.lit(0))
+        )
+        .withColumn(
+            "locf_cents",
+            F.coalesce(
+                F.last("day_cents", ignorenulls=True).over(w), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "running_cents",
+            F.sum("day_cents_filled").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            F.col("u").alias(user_col),
+            "day",
+            "day_cents_filled",
+            "locf_cents",
+            "running_cents",
+        )
+        .orderBy(user_col, "day")
+    )

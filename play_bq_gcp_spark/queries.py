@@ -3751,3 +3751,136 @@ def merge_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     ).orderBy("c_custkey")
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND e.ts > s1.t0
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t2
+        FROM events e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+        GROUP BY e.user_id
+    )
+    SELECT count(s1.t0) AS n_step1,
+           count(s2.t1) AS n_step2,
+           count(s3.t2) AS n_step3,
+           CAST(sum(epoch_us(s2.t1) - epoch_us(s1.t0)) AS BIGINT)
+               AS lag_micros_1_2,
+           CAST(sum(epoch_us(s3.t2) - epoch_us(s2.t1)) AS BIGINT)
+               AS lag_micros_2_3,
+           CAST(count(s2.t1) AS DOUBLE) / count(s1.t0) AS conv_1_2,
+           CAST(count(s3.t2) AS DOUBLE) / count(s2.t1) AS conv_2_3
+    FROM s1
+    LEFT JOIN s2 ON s1.u = s2.u
+    LEFT JOIN s3 ON s2.u = s3.u
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view → click → purchase with min-of-firsts
+    semantics (operators/behavior.py:funnel): staged per-user minima,
+    every shuffle on user_id, exact integer conversion lags."""
+    from play_bq_gcp_spark.operators.behavior import funnel
+
+    out = funnel(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+    return out.select(
+        "n_step1", "n_step2", "n_step3",
+        "lag_micros_1_2", "lag_micros_2_3",
+        "conv_1_2", "conv_2_3",
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id AS u,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id AS u2,
+               CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events
+    ),
+    matrix AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT u2) AS active_users
+        FROM activity JOIN first_seen ON u2 = u
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, active_users,
+           max(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_week) AS cohort_size,
+           CAST(active_users AS DOUBLE)
+               / max(CASE WHEN week_offset = 0 THEN active_users END)
+                 OVER (PARTITION BY cohort_week) AS retained_frac
+    FROM matrix
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators/behavior.py:cohort_retention): first-seen week x week
+    offset, distinct active users, retained fraction vs week-0."""
+    from play_bq_gcp_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@register(
+    "resample_daily_locf",
+    """
+    WITH daily AS (
+        SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(floor(value * 100) AS BIGINT)) AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS dmin,
+               CAST(date_trunc('day', max(ts)) AS DATE) AS dmax
+        FROM events
+    ),
+    spine AS (
+        SELECT u, CAST(unnest(generate_series(dmin::TIMESTAMP,
+                                              dmax::TIMESTAMP,
+                                              INTERVAL 1 DAY)) AS DATE)
+                      AS day
+        FROM (SELECT DISTINCT user_id AS u FROM events), span
+    )
+    SELECT spine.u AS user_id, spine.day,
+           coalesce(day_cents, 0) AS day_cents_filled,
+           coalesce(last_value(day_cents IGNORE NULLS)
+               OVER (PARTITION BY spine.u ORDER BY spine.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS locf_cents,
+           sum(coalesce(day_cents, 0))
+               OVER (PARTITION BY spine.u ORDER BY spine.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_cents
+    FROM spine LEFT JOIN daily ON spine.u = daily.u AND spine.day = daily.day
+    ORDER BY user_id, spine.day
+    """,
+)
+def resample_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily resample with zero-fill, LOCF, and exact running
+    totals (operators/behavior.py:resample_daily_gapfill) — the
+    gap-free per-key series a feature pipeline consumes.  All values
+    are int64 cents; no FP aggregation anywhere."""
+    from play_bq_gcp_spark.operators.behavior import resample_daily_gapfill
+
+    return resample_daily_gapfill(_t(spark, sf, "events"))

@@ -107,3 +107,85 @@ def test_range_join_bucketed_matches_broadcast_form(spark, sf_dir):
     got_a = sorted((r.o_orderkey, r.band) for r in a.collect())
     got_b = sorted((r.o_orderkey, r.band) for r in b.collect())
     assert got_a == got_b
+
+
+def test_funnel_min_of_firsts_requires_order(spark):
+    """A click BEFORE the first view must not count; the earliest
+    qualifying click after the view does."""
+    from play_bq_gcp_spark.operators.behavior import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # user 2: click precedes view, never re-clicks -> stops at view
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        # user 3: purchase before click -> reaches click only
+        (3, "2024-01-01 08:00:00", "view"),
+        (3, "2024-01-01 08:30:00", "purchase"),
+        (3, "2024-01-01 09:00:00", "click"),
+        # user 4: never views
+        (4, "2024-01-01 07:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in rows],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    out = funnel(ev, ["view", "click", "purchase"]).collect()[0]
+    assert out.n_step1 == 3  # users 1,2,3
+    assert out.n_step2 == 2  # users 1,3
+    assert out.n_step3 == 1  # user 1
+    assert out.lag_micros_1_2 == (3600 + 3600) * 1_000_000
+    assert out.conv_2_3 == 0.5
+
+
+def test_cohort_retention_offsets_and_fractions(spark):
+    from play_bq_gcp_spark.operators.behavior import cohort_retention
+
+    rows = [
+        # two users first seen in ISO week of 2024-01-01 (Monday)
+        (1, "2024-01-02 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        # user 1 returns the following week
+        (1, "2024-01-09 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+    out = {
+        (str(r.cohort_week), r.week_offset): r
+        for r in cohort_retention(ev).collect()
+    }
+    w0 = out[("2024-01-01", 0)]
+    w1 = out[("2024-01-01", 1)]
+    assert w0.active_users == 2 and w0.retained_frac == 1.0
+    assert w1.active_users == 1 and w1.retained_frac == 0.5
+
+
+def test_resample_gapfill_zero_fill_locf_running(spark):
+    from play_bq_gcp_spark.operators.behavior import resample_daily_gapfill
+
+    rows = [
+        (1, "2024-01-01 05:00:00", 1.0),
+        (1, "2024-01-03 05:00:00", 2.5),
+        (2, "2024-01-02 05:00:00", 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    out = {
+        (r.user_id, str(r.day)): r
+        for r in resample_daily_gapfill(ev).collect()
+    }
+    # spine covers the global span for every user: 3 days x 2 users
+    assert len(out) == 6
+    # user 1, day 2 is a gap: zero-filled but LOCF carries day 1
+    gap = out[(1, "2024-01-02")]
+    assert gap.day_cents_filled == 0
+    assert gap.locf_cents == 100
+    assert gap.running_cents == 100
+    assert out[(1, "2024-01-03")].running_cents == 350
+    # user 2 day 1 precedes any observation: locf defaults to 0
+    assert out[(2, "2024-01-01")].locf_cents == 0
