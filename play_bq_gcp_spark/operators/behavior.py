@@ -41,41 +41,54 @@ def funnel(
     themselves if they want a mean).
 
     Shape: one staged aggregate + join per step, ALL keyed on
-    ``user_col`` — k-1 extra passes over the (already user-keyed)
-    event subsets, never a per-user collect_list that could blow up
-    on a power user.
+    ``user_col`` — never a per-user collect_list that could blow up on
+    a power user.  Each step's per-user minima table (one narrow row
+    per reaching user) is lazily localCheckpoint-ed: it is consumed
+    twice (the next step's join and its own 1-row count/lag
+    aggregate), and without the lineage break Spark would re-execute
+    the whole upstream chain per consumer — measured 7 fact scans for
+    a 3-step funnel, vs one scan per step with the break.  The final
+    result is the crossJoin of the tiny per-step aggregates.
     """
-    reached = events.filter(F.col(type_col) == steps[0]).groupBy(
-        F.col(user_col).alias("u")
-    ).agg(F.min(ts_col).alias("t0"))
-    ts_cols = ["t0"]
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(F.col(user_col).alias("u2"), F.col(ts_col).alias("t"))
-            .join(reached, F.col("u2") == F.col("u"))
-            .filter(F.col("t") > F.col(f"t{i - 1}"))
-            .groupBy("u2")
-            .agg(F.min("t").alias(f"t{i}"))
+    minima: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        cur = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
         )
-        reached = reached.join(
-            nxt, F.col("u") == F.col("u2"), "left"
-        ).drop("u2")
-        ts_cols.append(f"t{i}")
+        if prev is None:
+            m = cur.groupBy("u").agg(F.min("t").alias("t_cur"))
+        else:
+            m = (
+                cur.join(
+                    prev.select(F.col("u").alias("up"), F.col("t_cur").alias("t_prev")),
+                    F.col("u") == F.col("up"),
+                )
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                .agg(
+                    F.min("t").alias("t_cur"),
+                    F.min("t_prev").alias("t_prev"),
+                )
+            )
+        m = m.localCheckpoint(eager=False)
+        minima.append(m)
+        prev = m
 
-    def micros(c: str) -> Column:
-        return F.unix_micros(F.col(c))
-
-    aggs = []
-    for i in range(len(steps)):
-        aggs.append(F.count(F.col(f"t{i}")).alias(f"n_step{i + 1}"))
+    parts = [minima[0].agg(F.count(F.lit(1)).alias("n_step1"))]
     for i in range(1, len(steps)):
-        aggs.append(
-            F.sum(micros(f"t{i}") - micros(f"t{i - 1}")).alias(
-                f"lag_micros_{i}_{i + 1}"
+        parts.append(
+            minima[i].agg(
+                F.count(F.lit(1)).alias(f"n_step{i + 1}"),
+                F.sum(
+                    F.unix_micros(F.col("t_cur"))
+                    - F.unix_micros(F.col("t_prev"))
+                ).alias(f"lag_micros_{i}_{i + 1}"),
             )
         )
-    out = reached.agg(*aggs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
     for i in range(1, len(steps)):
         out = out.withColumn(
             f"conv_{i}_{i + 1}",
@@ -93,18 +106,26 @@ def cohort_retention(
     counted distinct per week offset, with the retained fraction
     against week-0 cohort size.
 
-    Shape: first-seen aggregate (user shuffle) → join back (same key,
-    co-partitioned) → (cohort, offset) aggregate.  The retained
-    fraction divides two exact integers, so it is bit-identical in
-    any engine.
+    Shape: ONE scan of the fact — the distinct (user, week) activity
+    relation is computed once (user-keyed shuffle), lazily
+    localCheckpoint-ed, and the first-seen table derives from IT
+    (min week per user) rather than from a second fact scan; the join
+    back shares the user key.  The retained fraction divides two
+    exact integers, so it is bit-identical in any engine.
     """
-    first_seen = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.to_date(F.date_trunc("week", F.min(ts_col))).alias("cohort_week")
+    activity = (
+        events.select(
+            F.col(user_col).alias("u2"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias(
+                "activity_week"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    activity = events.select(
-        F.col(user_col).alias("u2"),
-        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("activity_week"),
-    ).distinct()
+    first_seen = activity.groupBy(F.col("u2").alias("u")).agg(
+        F.min("activity_week").alias("cohort_week")
+    )
     matrix = (
         activity.join(first_seen, F.col("u2") == F.col("u"))
         .groupBy(
@@ -144,22 +165,25 @@ def resample_daily_gapfill(
     value, and an exact running total — the gap-free per-key series a
     forecasting/feature pipeline consumes.
 
-    Shape: (user, day) aggregate → date spine as a 1-row global
-    min/max broadcast exploded per user (the spine join is on the
-    co-partitioned (user, day) key) → one user-keyed window pass for
-    LOCF + running sum.  Values are floored to integer cents per
-    event before summing, so every number here is exact int64.
+    Shape: ONE scan of the fact — the (user, day) aggregate is
+    computed once (lazily localCheckpoint-ed) and both the global
+    date span (1-row broadcast) and the user list derive from it;
+    the spine then left-joins the aggregate on the co-partitioned
+    (user, day) key and one user-keyed window pass adds LOCF + the
+    running sum.  Values are floored to integer cents per event
+    before summing, so every number here is exact int64.
     """
     day = F.to_date(F.date_trunc("day", F.col(ts_col)))
-    daily = events.groupBy(
-        F.col(user_col).alias("u"), day.alias("day")
-    ).agg(F.sum(F.floor(F.col(value_col) * 100)).alias("day_cents"))
-
-    span = events.agg(
-        F.to_date(F.date_trunc("day", F.min(ts_col))).alias("dmin"),
-        F.to_date(F.date_trunc("day", F.max(ts_col))).alias("dmax"),
+    daily = (
+        events.groupBy(F.col(user_col).alias("u"), day.alias("day"))
+        .agg(F.sum(F.floor(F.col(value_col) * 100)).alias("day_cents"))
+        .localCheckpoint(eager=False)
     )
-    users = events.select(F.col(user_col).alias("u")).distinct()
+
+    span = daily.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    users = daily.select("u").distinct()
     spine = users.crossJoin(F.broadcast(span)).select(
         "u",
         F.explode(
