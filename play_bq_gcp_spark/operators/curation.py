@@ -1,0 +1,221 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY.md
+§2.10 adjacents): benchmark decontamination, PII profiling/redaction,
+deterministic sequence packing, and domain-mixture sampling.
+
+These are the steps between "deduplicated corpus" and "training
+batches" that the reference never needed (its data is a game library,
+/root/reference/main.py:85-91) but a 100 TB text pipeline runs daily.
+Every operator is expressed as built-in DataFrame ops — no Python on
+the data path — and every draw/assignment is deterministic (hash- or
+id-ordered), so reruns, repartitions, and different engines agree
+row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from play_bq_gcp_spark.operators.sampling import _hash_frac
+from play_bq_gcp_spark.operators.text import shingle_hashes, tokens
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs that share any word n-gram with an eval set.
+
+    The standard train/test-overlap guard: a training document that
+    contains a contiguous ``n``-gram from a benchmark document leaks
+    the benchmark.  Per doc we report how many DISTINCT eval n-grams it
+    contains and a boolean flag; the caller filters on the flag (or a
+    threshold) to decontaminate.
+
+    Scale shape: the eval set is benchmarks — thousands of docs, not
+    billions — so its distinct n-gram hashes are collected into a
+    broadcast hash table; the corpus side stays a map-only scan
+    (explode → broadcast semi-match), and the only shuffle is the
+    groupBy(doc_id) over MATCHED grams, which is at most
+    |contaminated grams|, a vanishing fraction of the corpus.  N-grams
+    travel as 64-bit hashes (operators/text.shingle_hashes), never as
+    strings.
+    """
+    ev_grams = (
+        eval_set.select(
+            F.explode(shingle_hashes(text_col, n)).alias("g")
+        ).distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("g")
+    )
+    hits = (
+        grams.join(F.broadcast(ev_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII profiling / redaction
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repetition, \b — no
+# lookaround, no backreferences.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts plus a redacted text column.
+
+    One map pass: three ``regexp_extract_all`` counts and a chained
+    ``regexp_replace`` redaction, all JVM-side inside whole-stage
+    codegen — the text is scanned a constant number of times and never
+    shuffled.  Phone is matched before IP cannot clobber it because the
+    replacements are disjoint patterns applied to the ORIGINAL text
+    shape in sequence: email → ip → phone (an IP never contains '@', a
+    phone never contains '.').
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in _PII
+    ]
+    red = c
+    for _, pat, token in _PII:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing
+# ---------------------------------------------------------------------------
+
+
+def sequence_pack(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins.
+
+    Semantics (deterministic, order-defined): within each ``group_col``
+    partition documents are taken in ``id_col`` order; a document's bin
+    is ``floor(tokens_before_it / budget)`` — i.e. bins are filled
+    sequentially and a document straddling the boundary stays in the
+    bin it started in.  This is the streaming-writer formulation of
+    sequence packing: exactly reproducible (no best-fit heuristics,
+    which are order-unstable), one window pass.
+
+    Scale shape: one shuffle on ``group_col`` (the corpus's
+    source/domain key), then a sorted running sum within each group —
+    no global sort.  A skewed mega-source can be pre-split by a coarse
+    id range (salt the group key) without changing bin contents, since
+    bin ids are relative to the in-group prefix sum.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(text_col))
+    d = df.select(
+        F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        F.floor(prior / F.lit(budget)).alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Subsample to a target domain mixture with maximum data retention.
+
+    Given target proportions ``weights`` (e.g. web .5 / wiki .3 /
+    books .2), the largest achievable corpus size is
+    ``N = min_s(count_s / w_s)``; each source then keeps its
+    ``floor(w_s * N)`` highest-priority documents, priority being the
+    same md5-derived fraction the sampling operators use (stable across
+    runs, partitionings, and engines).
+
+    Scale shape: everything stays in one plan — per-source counts are
+    a small agg, the capacity ``N`` is a 1-row agg cross-joined back
+    (no driver-side collect), quotas broadcast to the ranking pass,
+    which shuffles once on the source key.  Weight·capacity products
+    are IEEE-754 double on both engines, so the floor() quota is
+    bit-identical cross-engine.
+    """
+    srcs = list(weights)
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    d = df.filter(F.col(source_col).isin(srcs)).select(
+        F.col(id_col), F.col(source_col), wmap[F.col(source_col)].alias("w")
+    )
+    counts = d.groupBy(source_col).agg(
+        F.count("*").alias("c"), F.first("w").alias("w")
+    )
+    capacity = counts.select(
+        F.min(F.col("c") / F.col("w")).alias("cap_n")
+    )
+    quota = counts.crossJoin(F.broadcast(capacity)).select(
+        source_col, F.floor(F.col("w") * F.col("cap_n")).alias("k")
+    )
+    ranked = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(source_col).orderBy(
+                _hash_frac(id_col), F.col(id_col)
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("rn") <= F.col("k"))
+        .select(id_col, source_col)
+    )

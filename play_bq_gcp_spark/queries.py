@@ -3884,3 +3884,194 @@ def resample_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.behavior import resample_daily_gapfill
 
     return resample_daily_gapfill(_t(spark, sf, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination / PII / packing / mixing (§2.10)
+# ---------------------------------------------------------------------------
+
+# Oracle builds the same word trigrams as strings (Spark travels them
+# as xxhash64 chains — collision-free at differential scale, same
+# precedent as dedup_ngram_jaccard); eval set = doc_id % 17 = 3.
+@register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3),
+    corp AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3),
+    hits AS (
+        SELECT sh.doc_id, count(*) AS n_overlap
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id % 17 <> 3
+        GROUP BY 1
+    )
+    SELECT corp.doc_id,
+           coalesce(n_overlap, 0)     AS n_overlap,
+           coalesce(n_overlap, 0) > 0 AS contaminated
+    FROM corp LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py:decontaminate):
+    flag training docs sharing any word trigram with a held-out eval
+    slice (doc_id % 17 = 3).  Eval n-gram hashes broadcast; the corpus
+    side is a map-only explode, shuffling only matched grams."""
+    from play_bq_gcp_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    pred = F.col("doc_id") % 17 == 3
+    return decontaminate(
+        docs.filter(~pred), docs.filter(pred), n=3
+    ).orderBy("doc_id")
+
+
+# Input synthesizes deterministic PII (the fixture corpus is
+# letters-only), identically in both engines, then counts + redacts.
+@register(
+    "pii_redaction_profile",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat_ws(' ', text,
+                   'contact user' || doc_id || '@example.com',
+                   'from 10.0.' || (doc_id % 256) || '.7',
+                   CASE WHEN doc_id % 3 = 0 THEN
+                       'call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   END) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))          AS n_email,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))         AS n_ip,
+           len(regexp_extract_all(text,
+               '\b\d{3}-\d{3}-\d{4}\b'))                          AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')           AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """PII profiling + redaction (operators/curation.py:pii_profile):
+    email/IPv4/phone counts and a redacted text column, one codegen'd
+    map pass, zero UDFs.  Input is the corpus with deterministic PII
+    stitched in (same expression in the oracle)."""
+    from play_bq_gcp_spark.operators.curation import pii_profile
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("contact user"), d.cast("string"), F.lit("@example.com")
+            ),
+            F.concat(
+                F.lit("from 10.0."), (d % 256).cast("string"), F.lit(".7")
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("call 555-010-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = pii_profile(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    ).orderBy("doc_id")
+
+
+@register(
+    "sequence_pack_bins",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 256.0) AS BIGINT) AS bin_id
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def sequence_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sequence packing
+    (operators/curation.py:sequence_pack): docs fill 256-token training
+    bins per source in id order — bin = floor(prefix-sum/budget), one
+    window pass shuffled only on the source key."""
+    from play_bq_gcp_spark.operators.curation import sequence_pack
+
+    out = sequence_pack(_t(spark, sf, "documents"), budget=256)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+    ).orderBy("doc_id")
+
+
+@register(
+    "domain_mix_sample",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               (CASE source WHEN 'src0' THEN 0.5
+                            WHEN 'src1' THEN 0.3
+                            ELSE 0.2 END)::DOUBLE AS w,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                   / 16777216.0 AS frac
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (SELECT source, count(*) AS c, any_value(w) AS w
+          FROM d GROUP BY 1),
+    cap AS (SELECT min(c / w) AS cap_n FROM c),
+    q AS (SELECT source,
+                 CAST(floor(w * (SELECT cap_n FROM cap)) AS BIGINT) AS k
+          FROM c),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source ORDER BY frac, doc_id
+                 ) AS rn
+          FROM d)
+    SELECT r.doc_id, r.source
+    FROM r JOIN q USING (source)
+    WHERE rn <= k
+    ORDER BY doc_id
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling (operators/curation.py:domain_mix):
+    resample three sources to a 50/30/20 target at maximum retention —
+    capacity N = min(count_s/w_s) as a 1-row agg (no driver collect),
+    quotas broadcast, keep the floor(w·N) lowest md5 fractions per
+    source."""
+    from play_bq_gcp_spark.operators.curation import domain_mix
+
+    return domain_mix(
+        _t(spark, sf, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    ).orderBy("doc_id")

@@ -1,0 +1,112 @@
+"""Corpus-curation operators: decontamination, PII redaction,
+sequence packing, domain mixing — semantics pinned on tiny literal
+inputs where every expected row is hand-computable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from play_bq_gcp_spark.operators.curation import (
+    decontaminate,
+    domain_mix,
+    pii_profile,
+    sequence_pack,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_trigram(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps"),  # shares 'quick brown fox'
+            (2, "completely different words here"),
+            (3, "quick brown fox quick brown fox"),  # same trigram twice
+        ],
+    )
+    ev = _docs(spark, [(100, "a quick brown fox ran")])
+    out = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(corpus, ev, n=3).collect()
+    }
+    # doc1 contains 'quick brown fox' and 'brown fox jumps' — only the
+    # first is in the eval set -> 1 distinct overlapping gram
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    # doc3's grams are distinct per doc, so the repeat counts once;
+    # its other grams ('brown fox quick', 'fox quick brown') miss
+    assert out[3] == (1, True)
+
+
+def test_decontaminate_clean_eval_set_passes_everything(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma delta")])
+    ev = _docs(spark, [(9, "zeta eta theta iota")])
+    row = decontaminate(corpus, ev, n=3).collect()[0]
+    assert (row.n_overlap, bool(row.contaminated)) == (0, False)
+
+
+def test_pii_profile_counts_and_redacts(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a@b.io and c.d@e-f.org ip 10.0.0.1 call 555-010-1234",
+            ),
+            (2, "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_profile(df).collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_ip, r1.n_phone) == (2, 1, 1)
+    assert "<EMAIL>" in r1.redacted and "<IP>" in r1.redacted
+    assert "<PHONE>" in r1.redacted
+    assert "a@b.io" not in r1.redacted and "10.0.0.1" not in r1.redacted
+    r2 = out[2]
+    assert (r2.n_email, r2.n_ip, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted == "nothing sensitive here"
+
+
+def test_sequence_pack_bin_boundaries(spark):
+    # tokens per doc: 3, 3, 3 — budget 5: prefix sums 0,3,6 -> bins 0,0,1
+    df = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e f"),
+            (3, "s", "g h i"),
+            (10, "t", "x y z"),  # independent group restarts at bin 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_id)
+        for r in sequence_pack(df, budget=5).collect()
+    }
+    assert out[1] == (3, 0)
+    assert out[2] == (3, 0)  # straddles the boundary, stays in bin 0
+    assert out[3] == (3, 1)
+    assert out[10] == (3, 0)
+
+
+def test_domain_mix_quota_and_determinism(spark):
+    rows = [(i, "web") for i in range(20)]
+    rows += [(100 + i, "wiki") for i in range(10)]
+    rows += [(200 + i, "books") for i in range(30)]  # ignored source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 0.8, "wiki": 0.2}
+    out = domain_mix(df, weights)
+    per = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # N = min(20/0.8, 10/0.2) = 25 -> quotas floor(0.8*25)=20, floor(0.2*25)=5
+    assert per == {"web": 20, "wiki": 5}
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id for r in domain_mix(df.repartition(7), weights).collect()
+    )
+    assert a == b
