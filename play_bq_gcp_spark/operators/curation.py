@@ -184,11 +184,13 @@ def domain_mix(
     runs, partitionings, and engines).
 
     Scale shape: everything stays in one plan — per-source counts are
-    a small agg, the capacity ``N`` is a 1-row agg cross-joined back
-    (no driver-side collect), quotas broadcast to the ranking pass,
-    which shuffles once on the source key.  Weight·capacity products
-    are IEEE-754 double on both engines, so the floor() quota is
-    bit-identical cross-engine.
+    a small agg, and the capacity ``N = min_s(count_s / w_s)`` is a
+    global window OVER that agg's handful of rows (one row per source),
+    so the corpus is scanned once for ranking and once (source column
+    only) for counting, with no driver-side collect and no cross join.
+    Quotas broadcast to the ranking pass, which shuffles once on the
+    source key.  Weight·capacity products are IEEE-754 double on both
+    engines, so the floor() quota is bit-identical cross-engine.
     """
     srcs = list(weights)
     wmap = F.create_map(
@@ -200,11 +202,15 @@ def domain_mix(
     counts = d.groupBy(source_col).agg(
         F.count("*").alias("c"), F.first("w").alias("w")
     )
-    capacity = counts.select(
-        F.min(F.col("c") / F.col("w")).alias("cap_n")
+    # min over an unpartitioned window: the frame is the per-source agg
+    # (|sources| rows), never the corpus — a single tiny task
+    cap_n = F.min(F.col("c") / F.col("w")).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
     )
-    quota = counts.crossJoin(F.broadcast(capacity)).select(
-        source_col, F.floor(F.col("w") * F.col("cap_n")).alias("k")
+    quota = counts.select(
+        source_col, F.floor(F.col("w") * cap_n).alias("k")
     )
     ranked = d.withColumn(
         "rn",

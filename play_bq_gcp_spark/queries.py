@@ -4066,9 +4066,9 @@ def sequence_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
 def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-mixture sampling (operators/curation.py:domain_mix):
     resample three sources to a 50/30/20 target at maximum retention —
-    capacity N = min(count_s/w_s) as a 1-row agg (no driver collect),
-    quotas broadcast, keep the floor(w·N) lowest md5 fractions per
-    source."""
+    capacity N = min(count_s/w_s) via a global window over the tiny
+    per-source agg (no driver collect, no cross join), quotas
+    broadcast, keep the floor(w·N) lowest md5 fractions per source."""
     from play_bq_gcp_spark.operators.curation import domain_mix
 
     return domain_mix(

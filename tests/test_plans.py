@@ -298,3 +298,48 @@ def test_q2_single_partkey_shuffle_serves_agg_and_window(spark, sf_dir):
     # are the partkey agg/window pair and the final sort boundary
     assert plan.count("BroadcastHashJoin") >= 3
     assert "Window" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval side is benchmarks (small) — its distinct gram hashes
+    must broadcast so the corpus scan never shuffles its grams for the
+    match; only matched grams reach the groupBy shuffle."""
+    from play_bq_gcp_spark.operators.curation import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 17 == 3
+    plan = plan_of(decontaminate(docs.filter(~pred), docs.filter(pred)))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_mix_broadcasts_quotas_and_source_filter_pushes(spark, sf_dir):
+    """Quotas (one row per source) broadcast to the ranking pass; the
+    capacity is a window over the per-source agg (no cross join, no
+    nested loop); the source IN-list reaches the parquet scan."""
+    from play_bq_gcp_spark.operators.curation import domain_mix
+
+    plan = plan_of(
+        domain_mix(
+            read_table(spark, sf_dir, "documents"),
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "source" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0]
+
+
+def test_sequence_pack_single_source_shuffle(spark, sf_dir):
+    """Packing is one window pass: exactly one exchange (hash on the
+    group key), no join, no global sort exchange."""
+    from play_bq_gcp_spark.operators.curation import sequence_pack
+
+    # simple mode lists each physical operator exactly once
+    plan = plan_of(
+        sequence_pack(read_table(spark, sf_dir, "documents"), 256), "simple"
+    )
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
