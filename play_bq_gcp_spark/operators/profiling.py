@@ -61,3 +61,42 @@ def profile_table(df: DataFrame, rsd: float = 0.02, exact: bool = False) -> Data
         ]
     )
     return wide.select(F.explode(per_col).alias("r")).select("r.*")
+
+
+def value_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 2.0,
+    n_deciles: int = 10,
+) -> DataFrame:
+    """Per-key statistical outlier detection: z-score each value
+    against its key's mean/stddev, keep |z| > threshold, and attach the
+    value's within-key decile — the screening pass that finds corrupted
+    measurements or abusive users before training data is trusted.
+
+    One window pass over the key partition computes mean, stddev, and
+    ntile together (shared sort, single shuffle on the key).  The
+    decile order is made deterministic by tie-breaking on ``id_col``.
+    Keys with fewer than 2 rows (stddev undefined) emit nothing.
+    """
+    from pyspark.sql import Window
+
+    stats = Window.partitionBy(key_col)
+    order = Window.partitionBy(key_col).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    z = (F.col(value_col) - F.avg(value_col).over(stats)) / F.stddev_samp(
+        value_col
+    ).over(stats)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col(value_col),
+            z.alias("z"),
+            F.ntile(n_deciles).over(order).alias("decile"),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+    )

@@ -434,3 +434,39 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         .select("vec_id", "p.*")
         .orderBy("vec_id")
     )
+
+
+def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid (element-wise mean) of an embedding column —
+    the class-prototype aggregate behind semantic clustering, nearest-
+    class-mean classification, and IVF coarse quantizers.
+
+    Scale shape: ``posexplode`` fans each vector into (label, pos, val)
+    rows, which a hash aggregate reduces with MAP-SIDE PARTIALS — the
+    shuffle carries one partial sum per (label, dim, map task), i.e.
+    O(|labels| x dim x tasks), never the vectors themselves.  Vector
+    re-assembly sorts the fixed-width dim list inside each label group
+    (collect_list is bounded by dim, a constant).  The dim x rows
+    explode never materializes: whole-stage codegen pipes it straight
+    into the partial aggregate.
+    """
+    flat = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = flat.groupBy("label", "pos").agg(
+        F.avg("val").alias("mean_val"), F.count("*").alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "mean_val"))
+                ),
+                lambda s: s["mean_val"],
+            ).alias("centroid"),
+        )
+    )

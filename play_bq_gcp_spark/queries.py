@@ -4075,3 +4075,83 @@ def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"),
         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
     ).orderBy("doc_id")
+
+
+# Centroid elements are floor-truncated to 1e-6 integer ticks for the
+# cross-engine hash: avg() accumulation order differs between engines,
+# but the FP dust (~1e-12 relative) cannot move a value across a 1e-6
+# tick except at measure-zero boundaries.
+@register(
+    "embedding_label_centroids",
+    """
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, avg(val) AS mean_val, count(*) AS n
+        FROM flat GROUP BY 1, 2
+    )
+    SELECT label, max(n) AS n_vecs,
+           list(CAST(floor(mean_val * 1000000) AS BIGINT) ORDER BY pos)
+               AS centroid_fp
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py:label_centroids): element-wise mean via
+    posexplode + map-side partial agg — shuffle carries per-(label,dim)
+    partials, never vectors."""
+    from play_bq_gcp_spark.operators.similarity import label_centroids
+
+    out = label_centroids(_t(spark, sf, "embeddings"))
+    return out.select(
+        "label",
+        "n_vecs",
+        F.transform(
+            F.col("centroid"),
+            lambda v: F.floor(v * 1000000).cast("long"),
+        ).alias("centroid_fp"),
+    ).orderBy("label")
+
+
+@register(
+    "events_outlier_zscore",
+    """
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               (value - avg(value) OVER (PARTITION BY user_id))
+                   / stddev_samp(value) OVER (PARTITION BY user_id) AS z,
+               ntile(10) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_id, user_id, round(value, 4) AS value,
+           round(z, 4) AS z, decile
+    FROM w
+    WHERE abs(z) > 2.0
+    ORDER BY event_id
+    """,
+)
+def events_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user anomaly screening
+    (operators/profiling.py:value_outliers): z-score against the user's
+    own mean/stddev plus a within-user decile, one shuffle on the user
+    key, outliers only."""
+    from play_bq_gcp_spark.operators.profiling import value_outliers
+
+    out = value_outliers(
+        _t(spark, sf, "events"), "user_id", "value", "event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("z", 4).alias("z"),
+        "decile",
+    ).orderBy("event_id")

@@ -329,3 +329,31 @@ def test_quantize_int8_codes_bounded_and_error_small(spark, sf_dir):
         # total over 64 dims stays far under amax^2
         amax = r.amax_e6 / 1e6
         assert r.sq_err_1e9 / 1e9 <= 64 * ((amax + 1e-6) / 254) ** 2 * 1.01
+
+
+def test_label_centroids_exact_small(spark):
+    from play_bq_gcp_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r.label: (r.n_vecs, r.centroid) for r in label_centroids(df).collect()}
+    assert out[0] == (2, [2.0, 3.0])
+    assert out[1] == (1, [10.0, 20.0])
+
+
+def test_value_outliers_flags_only_extremes(spark):
+    from play_bq_gcp_spark.operators.profiling import value_outliers
+
+    rows = [(i, 1, 10.0) for i in range(9)] + [(9, 1, 100.0)]
+    rows += [(20, 2, 5.0)]  # single-row key: stddev undefined, no output
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    out = value_outliers(df, "user_id", "value", "event_id").collect()
+    assert [r.event_id for r in out] == [9]
+    assert out[0].decile == 10
+    assert out[0].z > 2.0
