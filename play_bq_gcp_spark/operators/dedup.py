@@ -289,6 +289,31 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_keys_expr(num_bands: int, rows_per_band: int, hs_col: str = "hs"):
+    """Banded-MinHash band keys over a shingle-hash array column.
+
+    The whole signature+banding is ONE nested-HOF expression, not
+    ``num_bands*rows_per_band`` separate subtrees: per-row work is
+    identical but the plan tree is ~75× smaller, which cuts first-run
+    Catalyst analysis + codegen from seconds to milliseconds."""
+    n_hashes = num_bands * rows_per_band
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(hs_col, lambda h: F.xxhash64(h, i))
+        ),
+    )
+    return bind(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(s, b * rows_per_band + 1, rows_per_band), b
+            ),
+        ),
+    )
+
+
 def _minhash_banded_pairs(
     documents: DataFrame,
     sim_threshold: float,
@@ -312,26 +337,7 @@ def _minhash_banded_pairs(
         .cache()
     )
     try:
-        n_hashes = num_bands * rows_per_band
-        # the whole signature+banding is ONE nested-HOF expression, not
-        # n_hashes separate subtrees: per-row work is identical but the
-        # plan tree is ~75× smaller, which cuts first-run Catalyst
-        # analysis + codegen from seconds to milliseconds
-        sig = F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform("hs", lambda h: F.xxhash64(h, i))
-            ),
-        )
-        band_keys = bind(
-            sig,
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(s, b * rows_per_band + 1, rows_per_band), b
-                ),
-            ),
-        )
+        band_keys = _band_keys_expr(num_bands, rows_per_band)
         buckets = docs.select(
             "doc_id", F.posexplode(band_keys).alias("band", "key")
         )
@@ -551,3 +557,121 @@ def connected_dup_groups(
         return labels.select("doc_id", F.col("label").alias("group_id"))
     finally:
         edges.unpersist()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    num_bands: int = 25,
+    rows_per_band: int = 3,
+    shingle_k: int = 2,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-indexed corpus — the
+    production shape of text dedup: each crawl/day is checked against
+    the existing index, never corpus-vs-corpus again.
+
+    Two escalating layers, each touching only what the previous one
+    passed:
+
+    1. exact — md5(normalized text) semi/anti join against the corpus
+       digest set; verdict ``exact_dup`` with the count of matching
+       corpus docs.  Shuffles digests only.
+    2. near — banded-MinHash band keys on BOTH sides, equi-join
+       new-survivors × corpus on (band, key) — an asymmetric LSH probe,
+       so corpus-vs-corpus pairs are never generated — then exact
+       shingle-set Jaccard verify at ``threshold``; verdict
+       ``near_dup`` with the distinct matching corpus-doc count.
+
+    Survivors of both layers come back as ``new``: the rows safe to
+    append to the index.  Degenerate corpus buckets (membership above
+    ``max_bucket_size``) are excluded from probing with a logged count,
+    same policy as ``_bucket_candidate_pairs`` — a boilerplate-bucket
+    probe must not quadratically expand one task.
+
+    At 100 TB the corpus side of layers 1-2 is a stored digest/band
+    index (computed once per doc at ingest, reread thereafter); here
+    both sides are derived in-plan from the same fixture table.
+    """
+    def signed(df: DataFrame) -> DataFrame:
+        return (
+            spread(df.select("doc_id", "text"))
+            .select(
+                "doc_id",
+                F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
+                shingle_hashes("text", k=shingle_k).alias("hs"),
+            )
+            .filter(F.size("hs") > 0)
+        )
+
+    new_sig = signed(new_docs).cache()
+    corp_sig = signed(corpus).cache()
+    try:
+        # --- layer 1: exact digests --------------------------------------
+        corp_fp = corp_sig.groupBy("fp").agg(
+            F.count(F.lit(1)).alias("n_matches")
+        )
+        exact = new_sig.join(corp_fp, "fp").select(
+            "doc_id", F.lit("exact_dup").alias("verdict"), "n_matches"
+        )
+        survivors = new_sig.join(corp_fp, "fp", "left_anti")
+
+        # --- layer 2: asymmetric LSH probe + exact verify -----------------
+        band_keys = _band_keys_expr(num_bands, rows_per_band)
+        probe = survivors.select(
+            "doc_id", F.posexplode(band_keys).alias("band", "key")
+        )
+        index = corp_sig.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.posexplode(band_keys).alias("band", "key"),
+        )
+        sizes = index.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("bsz")
+        )
+        index = (
+            index.join(sizes, ["band", "key"])
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
+        cand = (
+            probe.join(index, ["band", "key"])
+            .select("doc_id", "corpus_id")
+            .distinct()
+        )
+        jac = F.round(
+            F.size(F.array_intersect("hs_n", "hs_c")).cast("double")
+            / F.size(F.array_union("hs_n", "hs_c")).cast("double"),
+            4,
+        )
+        near = (
+            cand.join(
+                survivors.select("doc_id", F.col("hs").alias("hs_n")),
+                "doc_id",
+            )
+            .join(
+                corp_sig.select(
+                    F.col("doc_id").alias("corpus_id"),
+                    F.col("hs").alias("hs_c"),
+                ),
+                "corpus_id",
+            )
+            .filter(jac >= threshold)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .select("doc_id", F.lit("near_dup").alias("verdict"), "n_matches")
+        )
+        fresh = (
+            survivors.join(near.select("doc_id"), "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.lit("new").alias("verdict"),
+                F.lit(0).cast("long").alias("n_matches"),
+            )
+        )
+        out = exact.unionByName(near).unionByName(fresh)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        new_sig.unpersist()
+        corp_sig.unpersist()
+    return out

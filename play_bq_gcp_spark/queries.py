@@ -4155,3 +4155,73 @@ def events_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.round("z", 4).alias("z"),
         "decile",
     ).orderBy("event_id")
+
+
+# Oracle: exact two-layer dedup of the new batch (doc_id % 5 = 0)
+# against the corpus — digest equality, then exact all-pairs bigram
+# Jaccard vs corpus docs (Spark generates near candidates from the
+# asymmetric banded-MinHash probe; recall ≥ 0.99997 at 0.7, same
+# precedent as dedup_ngram_jaccard).
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH ntok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    fp AS (
+        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp FROM ntok
+        WHERE len(tk) > 0
+    ),
+    corp_fp AS (
+        SELECT fp, count(*) AS n FROM fp WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    newfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    exact AS (
+        SELECT doc_id, n FROM newfp JOIN corp_fp USING (fp)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ntok
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS did, b.doc_id AS cid, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          AND a.doc_id NOT IN (SELECT doc_id FROM exact)
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT did AS doc_id, count(*) AS n
+        FROM inter
+        JOIN sz x ON x.doc_id = did
+        JOIN sz y ON y.doc_id = cid
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+        GROUP BY 1
+    )
+    SELECT doc_id, 'exact_dup' AS verdict, n AS n_matches FROM exact
+    UNION ALL
+    SELECT doc_id, 'near_dup', n FROM near
+    UNION ALL
+    SELECT doc_id, 'new', 0 FROM newfp
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT doc_id FROM near)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
+    the new batch (doc_id % 5 = 0) checked against the indexed corpus —
+    exact digest layer, then an asymmetric banded-MinHash probe (new ×
+    corpus only, never corpus × corpus) verified by exact bigram
+    Jaccard at 0.7."""
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf, "documents")
+    pred = F.col("doc_id") % 5 == 0
+    return incremental_dedup(
+        docs.filter(pred), docs.filter(~pred)
+    ).orderBy("doc_id")

@@ -357,3 +357,34 @@ def test_value_outliers_flags_only_extremes(spark):
     assert [r.event_id for r in out] == [9]
     assert out[0].decile == 10
     assert out[0].z > 2.0
+
+
+def test_incremental_dedup_layers(spark):
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "totally unrelated corpus text about other things"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact dup of corpus doc 1 (same normalized text)
+            (10, "Alpha beta GAMMA delta epsilon zeta eta theta"),
+            # near dup of corpus doc 2 (one word changed at the end)
+            (20, "one two three four five six seven eight nine eleven"),
+            # genuinely new
+            (30, "completely fresh content never seen before today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.verdict, r.n_matches)
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert out[10] == ("exact_dup", 1)
+    assert out[20] == ("near_dup", 1)
+    assert out[30] == ("new", 0)
