@@ -100,3 +100,40 @@ def value_outliers(
         )
         .filter(F.abs(F.col("z")) > z_threshold)
     )
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the ANALYZE-style
+    statistic an optimizer (or a data-quality report) wants per column.
+
+    Two aggregates, one plan, no driver round-trip: the global min/max
+    is a 1-row aggregate broadcast back to the scan via a cross join
+    (whole-stage codegen folds it into the bucket projection), then a
+    single groupBy on the bucket ordinal — shuffle cardinality is
+    ``n_buckets``, independent of data size.  The max value is clamped
+    into the last bucket (standard right-closed final interval).
+    """
+    bounds = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_buckets)
+    # constant column (hi == lo) degenerates to a single bucket rather
+    # than a divide-by-zero NaN cascade
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value_col) - F.col("lo")) / width),
+            F.lit(n_buckets - 1),
+        )
+    ).cast("int")
+    return (
+        df.select(value_col)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("lo") + bucket * width).alias("lo_edge"),
+        )
+        .groupBy("bucket", "lo_edge")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

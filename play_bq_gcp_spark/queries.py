@@ -4225,3 +4225,31 @@ def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_dedup(
         docs.filter(pred), docs.filter(~pred)
     ).orderBy("doc_id")
+
+
+@register(
+    "profile_value_histogram",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS INT)
+               AS bucket,
+           round(lo + CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9)
+                           AS INT) * ((hi - lo) / 10.0), 4) AS lo_edge,
+           count(*) AS n
+    FROM events, b
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def profile_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of events.value
+    (operators/profiling.py:equi_width_histogram): ANALYZE-style column
+    statistic — 1-row min/max agg broadcast back into the bucket
+    projection, final shuffle cardinality = n_buckets regardless of
+    data size."""
+    from play_bq_gcp_spark.operators.profiling import equi_width_histogram
+
+    out = equi_width_histogram(_t(spark, sf, "events"), "value", 10)
+    return out.select(
+        "bucket", F.round("lo_edge", 4).alias("lo_edge"), "n"
+    ).orderBy("bucket")

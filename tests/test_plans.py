@@ -343,3 +343,31 @@ def test_sequence_pack_single_source_shuffle(spark, sf_dir):
     )
     assert plan.count("Exchange") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_incremental_dedup_probe_is_equi_join(spark, sf_dir):
+    """The asymmetric LSH probe must be (band,key) equi-joins end to
+    end — a nested-loop anywhere means the new batch is being compared
+    all-pairs against the corpus."""
+    from play_bq_gcp_spark.operators.dedup import _band_keys_expr
+    from play_bq_gcp_spark.operators.text import shingle_hashes
+
+    docs = read_table(spark, sf_dir, "documents")
+    pred = F.col("doc_id") % 5 == 0
+
+    def signed(df):
+        return df.select(
+            "doc_id", shingle_hashes("text", k=2).alias("hs")
+        ).filter(F.size("hs") > 0)
+
+    bk = _band_keys_expr(25, 3)
+    probe = signed(docs.filter(pred)).select(
+        "doc_id", F.posexplode(bk).alias("band", "key")
+    )
+    index = signed(docs.filter(~pred)).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode(bk).alias("band", "key"),
+    )
+    plan = plan_of(probe.join(index, ["band", "key"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -156,3 +156,19 @@ def test_polymorphic_udtf_schema_follows_literal(spark):
     assert df3.count() == 2
     with pytest.raises(Exception, match="positive integer"):
         spark.sql("SELECT * FROM ngram_windows('a b', 0)").collect()
+
+
+def test_equi_width_histogram_buckets_and_degenerate(spark):
+    from play_bq_gcp_spark.operators.profiling import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]],
+        "value double",
+    )
+    out = {r.bucket: r.n for r in equi_width_histogram(df, "value", 5).collect()}
+    # width 2: [0,2) [2,4) [4,6) [6,8) [8,10] — max clamped into last
+    assert out == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+
+    const = spark.createDataFrame([(7.0,), (7.0,)], "value double")
+    rows = equi_width_histogram(const, "value", 5).collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 2
