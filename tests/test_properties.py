@@ -264,3 +264,81 @@ def test_txn_table_matches_model_under_op_sequences(spark, ops):
             continue  # v0 is the empty create; empty states lack a schema
         got = {r.id for r in tt.read(spark, path, version=v).collect()}
         assert got == want, f"version {v}"
+
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=99),  # doc_id (deduped below)
+        st.sampled_from(["s1", "s2", "s3"]),     # source
+        st.integers(min_value=1, max_value=12),  # n words
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(data=doc_rows, budget=st.integers(min_value=4, max_value=40))
+@settings(**_SETTINGS)
+def test_sequence_pack_invariants(spark, data, budget):
+    """Packing invariants that must hold for ANY corpus: (1) bin ids
+    are dense from 0 per group in id order; (2) a bin's token total
+    never exceeds budget + (its last doc's tokens - 1) — i.e. only the
+    straddling document overflows; (3) every doc is assigned exactly
+    once."""
+    from play_bq_gcp_spark.operators.curation import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, s, " ".join(f"w{j}" for j in range(n))) for i, s, n in data],
+        "doc_id long, source string, text string",
+    )
+    out = sequence_pack(df, budget=budget).collect()
+    assert len(out) == len(data)
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_group.setdefault(r.source, []).append(r)
+    for rs in by_group.values():
+        # monotone bins from 0; a gap of g bins needs the previous doc
+        # to span them (> (g) x budget tokens of prefix advance)
+        assert rs[0].bin_id == 0
+        for a, b in zip(rs, rs[1:]):
+            gap = b.bin_id - a.bin_id
+            assert gap >= 0
+            assert (gap - 1) * budget < a.n_tokens
+        # overflow only by the straddling doc
+        totals: dict[int, int] = {}
+        for r in rs:
+            totals[r.bin_id] = totals.get(r.bin_id, 0) + r.n_tokens
+        for b, tot in totals.items():
+            last = [r for r in rs if r.bin_id == b][-1]
+            assert tot <= budget + last.n_tokens - 1 or tot == last.n_tokens
+
+
+@given(data=doc_rows)
+@settings(**_SETTINGS)
+def test_domain_mix_quota_feasibility(spark, data):
+    """For any corpus and the fixed 50/30/20 target: each source keeps
+    exactly floor(w_s * N) docs where N = min(count_s / w_s), so the
+    kept mixture never exceeds any source's population and hits the
+    target ratios as closely as floors allow."""
+    import math
+
+    from play_bq_gcp_spark.operators.curation import domain_mix
+
+    weights = {"s1": 0.5, "s2": 0.3, "s3": 0.2}
+    counts: dict[str, int] = {}
+    for _, s, _ in data:
+        counts[s] = counts.get(s, 0) + 1
+    if set(counts) != set(weights):
+        return  # need all three sources present for a defined mixture
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in data], "doc_id long, source string"
+    )
+    out = domain_mix(df, weights)
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_cap = min(counts[s] / w for s, w in weights.items())
+    expect = {s: math.floor(w * n_cap) for s, w in weights.items()}
+    assert {s: got.get(s, 0) for s in weights} == expect
