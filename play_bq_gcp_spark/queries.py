@@ -4253,3 +4253,143 @@ def profile_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "bucket", F.round("lo_edge", 4).alias("lo_edge"), "n"
     ).orderBy("bucket")
+
+
+# Oracle: the full curation chain restated in SQL CTEs — language/length
+# gate, digest dedup (keep min id), exact bigram-Jaccard near-dedup
+# (drop the higher id of every >= 0.7 pair; Spark's banded candidates
+# have recall >= 0.99997 there, same precedent as dedup_ngram_jaccard),
+# trigram decontamination vs the held-out slice, then 256-token packing.
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, {_SQL_TOKS} AS tk FROM documents
+    ),
+    eval_docs AS (SELECT doc_id, tk FROM base WHERE doc_id % 17 = 3),
+    pool AS (
+        SELECT doc_id, source, tk FROM base
+        WHERE doc_id % 17 <> 3 AND lang = 'en'
+          AND len(tk) BETWEEN 15 AND 1000
+    ),
+    fp AS (
+        SELECT doc_id, source, tk,
+               md5(array_to_string(tk, ' ')) AS fp
+        FROM pool
+    ),
+    keep_exact AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    ex AS (SELECT f.* FROM fp f JOIN keep_exact USING (doc_id)),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ex
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    drop_near AS (
+        SELECT DISTINCT db AS doc_id
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    nd AS (
+        SELECT * FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+    ),
+    etok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM eval_docs
+    ),
+    esh AS (
+        SELECT DISTINCT
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                 || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w
+                 || ' ' || lead(t, 5) OVER w || ' ' || lead(t, 6) OVER w
+                 || ' ' || lead(t, 7) OVER w AS s
+        FROM etok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 7) OVER w IS NOT NULL
+    ),
+    ntok8 AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM nd
+    ),
+    nsh8 AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                 || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w
+                 || ' ' || lead(t, 5) OVER w || ' ' || lead(t, 6) OVER w
+                 || ' ' || lead(t, 7) OVER w AS s
+        FROM ntok8 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 7) OVER w IS NOT NULL
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM nsh8 JOIN esh USING (s)
+    ),
+    clean AS (
+        SELECT doc_id, source, len(tk) AS n_tokens FROM nd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 256.0) AS BIGINT) AS bin_id
+    FROM clean
+    ORDER BY doc_id
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end pretraining-corpus pipeline: language + length gate →
+    PII-safe exact dedup (digest, keep min id) → near-dedup (banded-
+    MinHash candidates, exact Jaccard verify, drop the higher id of
+    each pair) → benchmark decontamination (trigram overlap with the
+    held-out slice, 8-token grams — the standard decontamination unit;
+    shorter grams saturate on a shared-vocabulary corpus) →
+    deterministic 256-token sequence packing.  One
+    lazy composition: document bodies are scanned where needed and
+    NEVER shuffled — every join/group moves digests, gram hashes, or
+    (id, token-count) tuples only."""
+    from play_bq_gcp_spark.operators.curation import (
+        decontaminate,
+        sequence_pack,
+    )
+    from play_bq_gcp_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    is_eval = F.col("doc_id") % 17 == 3
+    pool = docs.filter(
+        ~is_eval
+        & (F.col("lang") == "en")
+        & F.size(tokens("text")).between(15, 1000)
+    )
+    ex = exact_dedup(pool)
+    near_drops = (
+        ngram_jaccard_pairs(ex, threshold=0.7)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(near_drops, "doc_id", "left_anti")
+    keep = decontaminate(nd, docs.filter(is_eval), n=8).filter(
+        ~F.col("contaminated")
+    )
+    clean = nd.join(keep.select("doc_id"), "doc_id", "left_semi")
+    out = sequence_pack(clean, budget=256)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+    ).orderBy("doc_id")
