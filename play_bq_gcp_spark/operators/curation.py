@@ -26,7 +26,7 @@ from play_bq_gcp_spark.operators.text import shingle_hashes, tokens
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
-    n: int = 3,
+    n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -36,7 +36,10 @@ def decontaminate(
     contains a contiguous ``n``-gram from a benchmark document leaks
     the benchmark.  Per doc we report how many DISTINCT eval n-grams it
     contains and a boolean flag; the caller filters on the flag (or a
-    threshold) to decontaminate.
+    threshold) to decontaminate.  The default ``n=8`` follows common
+    decontamination practice — short grams saturate: on a
+    shared-vocabulary corpus trigram overlap flags essentially
+    everything, while 8-grams isolate genuinely shared passages.
 
     Scale shape: the eval set is benchmarks — thousands of docs, not
     billions — so its distinct n-gram hashes are collected into a
