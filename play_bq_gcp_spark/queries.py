@@ -4393,3 +4393,112 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "bin_id",
     ).orderBy("doc_id")
+
+
+def _ingest_oracle_sql(n_batches: int = 4) -> str:
+    """Unrolled SQL restatement of the streaming incremental ingest
+    dedup: batch k is screened against corpus ∪ (batches < k accepted),
+    exactly the growing-index semantics of streaming/ingest.py.  Shared
+    shingle/digest relations are computed once; each batch block is
+    pure id-set algebra over them."""
+    head = f"""
+    WITH alldocs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+        WHERE doc_id % 5 = 0 AND (doc_id // 5) % {n_batches} = 0
+    ),
+    ntokall AS MATERIALIZED (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM alldocs
+    ),
+    fps AS MATERIALIZED (
+        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp
+        FROM ntokall WHERE len(tk) > 0
+    ),
+    newdocs AS MATERIALIZED (
+        SELECT doc_id, ((doc_id // 5) % {n_batches}) AS b
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 10000000, 2 FROM documents
+        WHERE doc_id % 5 = 0 AND (doc_id // 5) % {n_batches} = 0
+    ),
+    tok AS MATERIALIZED (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ntokall
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+        FROM sh a
+        JOIN newdocs nd ON nd.doc_id = a.doc_id
+        JOIN sh b ON a.s = b.s AND b.doc_id <> a.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED (
+        SELECT x, y FROM inter
+        JOIN sz sx ON sx.doc_id = x
+        JOIN sz sy ON sy.doc_id = y
+        WHERE round(i::DOUBLE / (sx.n + sy.n - i), 4) >= 0.7
+    ),
+    acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0)"""
+    blocks = []
+    for k in range(n_batches):
+        blocks.append(f""",
+    b{k} AS (SELECT doc_id FROM newdocs WHERE b = {k}),
+    ex{k} AS MATERIALIZED (
+        SELECT nf.doc_id, count(*) AS n
+        FROM fps nf
+        JOIN b{k} USING (doc_id)
+        JOIN fps i ON i.fp = nf.fp AND i.doc_id <> nf.doc_id
+        JOIN acc{k} a ON a.doc_id = i.doc_id
+        GROUP BY 1
+    ),
+    nr{k} AS MATERIALIZED (
+        SELECT x AS doc_id, count(*) AS n
+        FROM jp
+        JOIN b{k} bb ON bb.doc_id = jp.x
+        JOIN acc{k} a ON a.doc_id = jp.y
+        WHERE x NOT IN (SELECT doc_id FROM ex{k})
+        GROUP BY 1
+    ),
+    nw{k} AS MATERIALIZED (
+        SELECT doc_id FROM b{k}
+        WHERE doc_id NOT IN (SELECT doc_id FROM ex{k})
+          AND doc_id NOT IN (SELECT doc_id FROM nr{k})
+    ),
+    acc{k + 1} AS MATERIALIZED (
+        SELECT doc_id FROM acc{k}
+        UNION ALL SELECT doc_id FROM nw{k}
+    )""")
+    legs = []
+    for k in range(n_batches):
+        legs.append(
+            f"SELECT doc_id, 'exact_dup' AS verdict, n AS n_matches FROM ex{k}"
+        )
+        legs.append(f"SELECT doc_id, 'near_dup', n FROM nr{k}")
+        legs.append(f"SELECT doc_id, 'new', 0 FROM nw{k}")
+    tail = "\n    UNION ALL ".join(legs)
+    return head + "".join(blocks) + "\n    " + tail + "\n    ORDER BY doc_id"
+
+
+@register("streaming_ingest_dedup", _ingest_oracle_sql(4))
+def streaming_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest dedup with a GROWING index
+    (streaming/ingest.py): four deterministic micro-batches of new docs
+    (doc_id % 5 = 0, batch = (doc_id div 5) % 4, plus batch-0 docs
+    RE-CRAWLED under new ids in batch 2), each screened — exact digests
+    then asymmetric banded-MinHash probe + exact Jaccard verify —
+    against corpus ∪ earlier batches' accepted docs; survivors join the
+    index before the next batch.  The re-crawls match nothing in the
+    seed corpus, so their exact_dup verdicts prove the index actually
+    grew.  The oracle unrolls the same four steps in SQL."""
+    from play_bq_gcp_spark.streaming.ingest import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(spark, sf, n_batches=4).orderBy(
+        "doc_id"
+    )

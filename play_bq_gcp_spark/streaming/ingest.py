@@ -1,0 +1,129 @@
+"""Streaming ingest dedup: micro-batches of new documents checked
+against a GROWING index — the streaming restatement of
+``operators/dedup.incremental_dedup`` and the shape of a production
+crawl pipeline (each batch's survivors join the index that screens the
+next batch).
+
+Batch assignment is deterministic (``(doc_id div 5) % n``) and the
+batch files are mtime-ordered, so FileStreamSource +
+``maxFilesPerTrigger=1`` delivers the same sequence every run — which
+is what makes the whole stream differentially checkable against an
+unrolled SQL restatement.
+
+The index appends here are plain parquet (fresh work dir per run, run
+driven to completion with AvailableNow, so replays can't interleave);
+the exactly-once variant of the same pattern — batch-id-tagged atomic
+commits that make at-least-once replays idempotent — is
+``streaming/txn_sink.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from play_bq_gcp_spark.catalog import read_table
+
+_BATCH_DIRS: dict[tuple[str, int], str] = {}
+
+
+def _landed_batches(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
+    """Land the new-doc slice (doc_id % 5 = 0) as ``n_batches``
+    single-file parquet chunks, batch ``(doc_id div 5) % n_batches``,
+    mtimes forced ascending so file-stream delivery order is the batch
+    order (same technique as streaming/stateful._time_ordered_chunks).
+
+    Batch-0 docs are additionally RE-INGESTED under new ids
+    (+10 000 000) in batch 2 — the re-crawl shape.  Those copies match
+    nothing in the seed corpus; they are caught only if batch 0's
+    accepted docs actually joined the index, so the differential check
+    genuinely exercises the growing-index semantics."""
+    import shutil
+
+    key = (sf_dir, n_batches)
+    if key not in _BATCH_DIRS:
+        d = tempfile.mkdtemp(prefix="ingest_batches_")
+        base = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                "text",
+                (F.expr("doc_id div 5") % n_batches).alias("b"),
+            )
+        )
+        recrawl = base.filter(F.col("b") == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "text",
+            F.lit(min(2, n_batches - 1)).alias("b"),
+        )
+        docs = base.unionByName(recrawl)
+        for i in range(n_batches):
+            part = docs.filter(F.col("b") == i).drop("b")
+            tmp = tempfile.mkdtemp(prefix="ingest_tmp_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"batch_{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _BATCH_DIRS[key] = d
+    return _BATCH_DIRS[key]
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Run the ingest stream to completion and return per-doc verdicts.
+
+    Each micro-batch runs the two-layer incremental dedup (exact
+    digests, then the asymmetric banded-MinHash probe with exact
+    Jaccard verify) against the CURRENT index, records its verdicts,
+    and appends only the ``new`` survivors to the index — so later
+    batches are screened against earlier batches' accepted docs, not
+    just the seed corpus.  State lives in the index table, not in
+    executor memory: the pattern scales to any corpus because a batch
+    only ever joins against digests/band-keys of the index.
+    """
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    corpus = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "text")
+    )
+    work = tempfile.mkdtemp(prefix="ingest_run_")
+    index_dir = os.path.join(work, "index")
+    verd_dir = os.path.join(work, "verdicts")
+    corpus.write.parquet(index_dir)
+
+    batches = _landed_batches(spark, sf_dir, n_batches)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        index = s.read.parquet(index_dir)
+        verdicts = incremental_dedup(batch_df, index, threshold=threshold)
+        verdicts.write.mode("append").parquet(verd_dir)
+        accepted = batch_df.join(
+            verdicts.filter(F.col("verdict") == "new"), "doc_id", "left_semi"
+        ).select("doc_id", "text")
+        accepted.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(verd_dir)
