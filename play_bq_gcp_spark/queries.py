@@ -4502,3 +4502,33 @@ def streaming_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return streaming_incremental_dedup(spark, sf, n_batches=4).orderBy(
         "doc_id"
     )
+
+
+# The SAME SQL text runs on both engines: Spark executes it via
+# spark.sql over the registered fixture views, DuckDB as the oracle —
+# proving the engine's ANSI-SQL entry point end-to-end, not just the
+# DataFrame API.
+_SQL_SURFACE = """
+    SELECT o_orderpriority,
+           count(*)                                            AS n_orders,
+           round(sum(o_totalprice), 2)                         AS total_price,
+           round(avg(o_totalprice), 4)                         AS avg_price,
+           count(DISTINCT o_custkey)                           AS n_customers
+    FROM orders
+    WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql_surface_orders", _SQL_SURFACE)
+def sql_surface_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-SQL entry point (catalog.register_views + spark.sql): the
+    oracle's EXACT text is executed by Spark SQL over the registered
+    fixture views — filter/group/having/distinct-count parity at the
+    SQL layer, zero DataFrame code on the query path."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_SURFACE)
