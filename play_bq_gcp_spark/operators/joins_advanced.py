@@ -178,3 +178,41 @@ def range_join_bucketed(
     f = facts.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return f.join(r, "__bucket", "inner").filter(cond).drop("__bucket")
+
+
+def temporal_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    eff_col: str = "effective_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension VERSION
+    whose validity interval contains the fact's timestamp —
+    ``eff <= ts < end`` with an open (NULL-end) current version.  The
+    lookup a warehouse does against an SCD2 dimension
+    (operators/merge.scd2_apply builds one), and the reason Type 2
+    beats the reference's in-place UPDATE
+    (/root/reference/main.py:274-284): facts join the attribute values
+    that were true AT THE TIME.
+
+    Scale shape: an equi-join on the key carries the plan (one shuffle
+    per side, or broadcast when the dimension is small); the interval
+    predicate rides along as the join residual.  Because a key's
+    versions are disjoint half-open intervals, each fact matches at
+    most one version — output cardinality ≤ facts, never
+    versions x facts.  Zero-width versions (same-timestamp updates)
+    match nothing, so duplicate effective timestamps cannot fan out.
+    """
+    f = facts.alias("f")
+    v = versions.alias("v")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"v.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col(f"v.{eff_col}"))
+        & (
+            F.col(f"v.{end_col}").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col(f"v.{end_col}"))
+        )
+    )
+    return f.join(v, cond).drop(F.col(f"v.{key}"))

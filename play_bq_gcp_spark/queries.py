@@ -4532,3 +4532,62 @@ def sql_surface_orders(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf)
     return spark.sql(_SQL_SURFACE)
+
+
+@register(
+    "temporal_join_versions",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS effective_ts, value AS tier,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS end_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           round(p.value, 4) AS fact_value,
+           round(v.tier, 4)  AS tier_value,
+           v.effective_ts
+    FROM events p
+    JOIN v ON p.user_id = v.user_id
+          AND p.ts >= v.effective_ts
+          AND (v.end_ts IS NULL OR p.ts < v.end_ts)
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+)
+def temporal_join_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join (operators/joins_advanced.py:temporal_join):
+    purchases pick the click-derived version valid at purchase time —
+    versions are half-open intervals built with one lead() window, the
+    join is key-equi with the interval residual, ≤1 match per fact."""
+    from pyspark.sql import Window
+
+    from play_bq_gcp_spark.operators.joins_advanced import temporal_join
+
+    ev = _t(spark, sf, "events")
+    versions = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.col("ts").alias("effective_ts"),
+                F.col("value").alias("tier"))
+        .withColumn(
+            "end_ts",
+            F.lead("effective_ts").over(
+                Window.partitionBy("user_id").orderBy(
+                    "effective_ts", "event_id"
+                )
+            ),
+        )
+        .drop("event_id")
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts"), "value"
+    )
+    out = temporal_join(facts, versions, "user_id", "fact_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("fact_value"),
+        F.round("tier", 4).alias("tier_value"),
+        "effective_ts",
+    ).orderBy("event_id")

@@ -189,3 +189,42 @@ def test_resample_gapfill_zero_fill_locf_running(spark):
     assert out[(1, "2024-01-03")].running_cents == 350
     # user 2 day 1 precedes any observation: locf defaults to 0
     assert out[(2, "2024-01-01")].locf_cents == 0
+
+
+def test_temporal_join_picks_version_at_fact_time(spark):
+    from play_bq_gcp_spark.operators.joins_advanced import temporal_join
+
+    versions = spark.createDataFrame(
+        [
+            (1, 10, 20, "v1"),
+            (1, 20, None, "v2"),  # open current version
+            (2, 50, 60, "only"),  # closed; facts outside drop
+        ],
+        "user_id long, effective_ts long, end_ts long, tag string",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 15), (101, 1, 20), (102, 1, 99), (103, 2, 60), (104, 2, 5)],
+        "event_id long, user_id long, fact_ts long",
+    )
+    out = {
+        r.event_id: r.tag
+        for r in temporal_join(facts, versions, "user_id", "fact_ts").collect()
+    }
+    # 15 in [10,20) -> v1; 20 hits the boundary -> v2; 99 -> open v2
+    assert out == {100: "v1", 101: "v2", 102: "v2"}
+    # fact at end_ts of a closed version (103) and before any version
+    # (104) match nothing
+
+
+def test_temporal_join_zero_width_version_never_matches(spark):
+    from play_bq_gcp_spark.operators.joins_advanced import temporal_join
+
+    versions = spark.createDataFrame(
+        [(1, 10, 10, "ghost"), (1, 10, None, "real")],
+        "user_id long, effective_ts long, end_ts long, tag string",
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, 10)], "event_id long, user_id long, fact_ts long"
+    )
+    rows = temporal_join(facts, versions, "user_id", "fact_ts").collect()
+    assert [r.tag for r in rows] == ["real"]
