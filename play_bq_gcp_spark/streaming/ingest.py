@@ -73,40 +73,35 @@ def _landed_batches(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
     return _BATCH_DIRS[key]
 
 
-def streaming_incremental_dedup(
+def run_ingest_stream(
     spark: SparkSession,
-    sf_dir: str,
-    n_batches: int = 4,
+    batches_dir: str,
+    corpus: DataFrame,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Run the ingest stream to completion and return per-doc verdicts.
+    """Run an ingest stream to completion and return per-doc verdicts.
 
-    Each micro-batch runs the two-layer incremental dedup (exact
-    digests, then the asymmetric banded-MinHash probe with exact
-    Jaccard verify) against the CURRENT index, records its verdicts,
-    and appends only the ``new`` survivors to the index — so later
-    batches are screened against earlier batches' accepted docs, not
-    just the seed corpus.  State lives in the index table, not in
-    executor memory: the pattern scales to any corpus because a batch
-    only ever joins against digests/band-keys of the index.
+    Each micro-batch (one file of ``batches_dir`` per trigger, mtime
+    order) runs the two-layer incremental dedup (exact digests, then
+    the asymmetric banded-MinHash probe with exact Jaccard verify)
+    against the CURRENT index, records its verdicts, and appends only
+    the ``new`` survivors to the index — so later batches are screened
+    against earlier batches' accepted docs, not just the seed corpus.
+    State lives in the index table, not in executor memory: the
+    pattern scales to any corpus because a batch only ever joins
+    against digests/band-keys of the index.
     """
     from play_bq_gcp_spark.operators.dedup import incremental_dedup
 
-    corpus = (
-        read_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 5 != 0)
-        .select("doc_id", "text")
-    )
     work = tempfile.mkdtemp(prefix="ingest_run_")
     index_dir = os.path.join(work, "index")
     verd_dir = os.path.join(work, "verdicts")
-    corpus.write.parquet(index_dir)
+    corpus.select("doc_id", "text").write.parquet(index_dir)
 
-    batches = _landed_batches(spark, sf_dir, n_batches)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(batches)
+        .parquet(batches_dir)
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -127,3 +122,19 @@ def streaming_incremental_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(verd_dir)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fixture harness for ``run_ingest_stream``: seed corpus =
+    doc_id % 5 != 0, stream = the landed new-doc batches (re-crawls
+    included)."""
+    corpus = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    batches = _landed_batches(spark, sf_dir, n_batches)
+    return run_ingest_stream(spark, batches, corpus, threshold=threshold)

@@ -262,3 +262,50 @@ def test_event_time_timeout_sessions(spark, sf_dir):
             want.add((r.user_id, us(r.start_ts), us(r.end_ts), r.n_events))
     assert got == want
     assert len(got) > 0
+
+
+def test_ingest_stream_grows_index_across_batches(spark, tmp_path):
+    """A batch-1 doc identical to a batch-0 ACCEPTED doc must come back
+    exact_dup even though neither is in the seed corpus — the growing
+    index is what catches it."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_ingest_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document about alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    batches = [
+        # batch 0: one dup of the corpus, one genuinely new doc
+        [
+            (10, "seed corpus document about alpha beta gamma delta"),
+            (11, "fresh passage one two three four five six seven"),
+        ],
+        # batch 1: exact copy of 11 (accepted in batch 0) and a near
+        # copy of it (one word changed)
+        [
+            (20, "fresh passage one two three four five six seven"),
+            (21, "fresh passage one two three four five six eight"),
+        ],
+    ]
+    d = str(tmp_path / "batches")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = str(tmp_path / f"tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(d, f"batch_{i:02d}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = {
+        r.doc_id: (r.verdict, r.n_matches)
+        for r in run_ingest_stream(spark, d, corpus).collect()
+    }
+    assert out[10] == ("exact_dup", 1)   # caught by the seed corpus
+    assert out[11] == ("new", 0)         # accepted -> joins the index
+    assert out[20] == ("exact_dup", 1)   # caught ONLY by grown index
+    assert out[21][0] == "near_dup"      # near match against 11 or 20
+    assert len(out) == 4
