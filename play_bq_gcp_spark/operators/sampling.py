@@ -72,3 +72,25 @@ def cap_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def three_way_split(
+    df: DataFrame,
+    id_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the same md5
+    fraction the samplers use: ``[0, val)`` → val,
+    ``[val, val+test)`` → test, rest → train.  One map pass, no
+    shuffle, and the assignment is a pure function of the row id — so
+    it survives reruns, engines, repartitioning, AND incremental
+    appends (new rows never move old rows between splits, the property
+    random splits lose)."""
+    frac = _hash_frac(id_col)
+    split = (
+        F.when(frac < val_frac, F.lit("val"))
+        .when(frac < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

@@ -4591,3 +4591,31 @@ def temporal_join_versions(spark: SparkSession, sf: str) -> DataFrame:
         F.round("tier", 4).alias("tier_value"),
         "effective_ts",
     ).orderBy("event_id")
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN frac < 0.1 THEN 'val'
+                WHEN frac < 0.2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                   / 16777216.0 AS frac
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split
+    (operators/sampling.py:three_way_split): assignment is a pure
+    function of md5(doc_id) — stable under reruns, engines,
+    repartitioning, and incremental appends.  Map-only, no shuffle."""
+    from play_bq_gcp_spark.operators.sampling import three_way_split
+
+    return three_way_split(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id"
+    ).orderBy("doc_id")
