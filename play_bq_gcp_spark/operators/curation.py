@@ -105,9 +105,11 @@ def pii_profile(
     shuffled.  Phone is matched before IP cannot clobber it because the
     replacements are disjoint patterns applied to the ORIGINAL text
     shape in sequence: email → ip → phone (an IP never contains '@', a
-    phone never contains '.').
+    phone never contains '.').  NULL text counts as empty (zero
+    counts, empty redaction) rather than propagating engine-specific
+    null arithmetic (Spark's size(NULL) is -1; SQL engines say NULL).
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     counts = [
         F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(
             f"n_{name}"

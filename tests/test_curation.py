@@ -110,3 +110,9 @@ def test_domain_mix_quota_and_determinism(spark):
         r.doc_id for r in domain_mix(df.repartition(7), weights).collect()
     )
     assert a == b
+
+
+def test_pii_profile_null_text_counts_zero(spark):
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = pii_profile(df).collect()[0]
+    assert (r.n_email, r.n_ip, r.n_phone, r.redacted) == (0, 0, 0, "")
