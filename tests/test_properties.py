@@ -342,3 +342,41 @@ def test_domain_mix_quota_feasibility(spark, data):
     n_cap = min(counts[s] / w for s, w in weights.items())
     expect = {s: math.floor(w * n_cap) for s, w in weights.items()}
     assert {s: got.get(s, 0) for s in weights} == expect
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+texts = st.lists(st.sampled_from(_WORDS), min_size=3, max_size=8).map(" ".join)
+corpora = st.lists(texts, min_size=1, max_size=8)
+
+
+@given(new_texts=st.lists(texts, min_size=1, max_size=6), corpus_texts=corpora)
+@settings(**_SETTINGS)
+def test_incremental_dedup_partition_and_exact_layer(
+    spark, new_texts, corpus_texts
+):
+    """For ANY batch/corpus: every new doc gets exactly one verdict;
+    exact_dup holds iff the normalized text appears in the corpus, with
+    n_matches = the number of corpus copies; near_dup always names at
+    least one match; new never has a corpus twin."""
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        list(enumerate(new_texts)), "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(new, corpus).collect()}
+    assert sorted(out) == list(range(len(new_texts)))
+    from collections import Counter
+
+    corpus_counts = Counter(corpus_texts)
+    for i, t in enumerate(new_texts):
+        r = out[i]
+        if corpus_counts[t]:
+            assert (r.verdict, r.n_matches) == ("exact_dup", corpus_counts[t])
+        elif r.verdict == "near_dup":
+            assert r.n_matches >= 1
+        else:
+            assert (r.verdict, r.n_matches) == ("new", 0)
