@@ -412,3 +412,49 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def keywords_tfidf(documents: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by TF-IDF.
+
+    Scoring is an INTEGER — ``tf * round(ln(N/df) * 1e4)`` — so the
+    per-doc ranking has no cross-engine FP tie ambiguity: last-ulp ln()
+    differences cannot reorder tokens once the idf is quantized to 1e-4
+    ticks, and remaining ties break on the token string.
+
+    Scale shape: one shuffle keyed on token (tf and df aggregates with
+    map-side partials, idf joined back on the token key), one window
+    shuffle on doc_id for the rank — tokens stream through the explode
+    into the partial aggregates, never materializing the corpus.
+    """
+    from pyspark.sql import Window
+
+    docs = documents.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = docs.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("__nd")
+    )
+    idf = (
+        docs.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.round(F.log(F.col("__nd") / F.col("df")) * 10000)
+            .cast("long")
+            .alias("idf_ticks"),
+        )
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.col("idf_ticks")).alias("score_ticks"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ticks").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "token", "score_ticks")
+    )

@@ -4619,3 +4619,42 @@ def split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
     return three_way_split(
         _t(spark, sf, "documents").select("doc_id"), "doc_id"
     ).orderBy("doc_id")
+
+
+@register(
+    "text_keywords_tfidf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    idf AS (
+        SELECT token,
+               CAST(round(ln(nd / count(DISTINCT doc_id)) * 10000) AS BIGINT)
+                   AS idf_ticks
+        FROM tok, n GROUP BY token, nd
+    ),
+    scored AS (
+        SELECT doc_id, tf.token, tf * idf_ticks AS score_ticks,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * idf_ticks DESC, tf.token
+               ) AS rank
+        FROM tf JOIN idf ON tf.token = idf.token
+    )
+    SELECT doc_id, rank, token, score_ticks
+    FROM scored WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction
+    (operators/text.py:keywords_tfidf): top-3 tokens by integer-scored
+    TF-IDF (idf quantized to 1e-4 ticks, so rank order is FP-ambiguity
+    free), one token-key shuffle + one doc-key window."""
+    from play_bq_gcp_spark.operators.text import keywords_tfidf
+
+    return keywords_tfidf(_t(spark, sf, "documents"), top_k=3).orderBy(
+        "doc_id", "rank"
+    )
