@@ -470,3 +470,83 @@ def label_centroids(embeddings: DataFrame, vec_col: str = "embedding",
             ).alias("centroid"),
         )
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Retrieve-then-rerank with Maximal Marginal Relevance: a
+    distributed exact top-``pool`` cosine retrieval, then a greedy MMR
+    pass that trades relevance against redundancy —
+    ``argmax lam*sim(q,d) - (1-lam)*max_{s in selected} sim(d,s)`` —
+    so near-duplicate hits don't crowd the result.
+
+    Scale shape: stage 1 is the TakeOrderedAndProject retrieval (the
+    corpus is scanned once, never shuffled); stage 2 is inherently
+    sequential-greedy over a BOUNDED pool (``pool`` rows), so it runs
+    as one Arrow-batched ``applyInPandas`` group — the idiomatic home
+    for an O(pool²·dim) loop that must never see the corpus.  Ties
+    break on vec_id, so the rerank is deterministic.
+    """
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+
+    cands = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .select(
+            "vec_id",
+            "emb",
+            cosine_to_lit(F.col("emb"), query_vec).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(pool)
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "vec_id"], ascending=[False, True])
+        mat = np.stack(pdf["emb"].to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = pdf["sim"].to_numpy().astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        selected: list[int] = []
+        out = []
+        red = np.full(n, -np.inf)
+        taken = np.zeros(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            if selected:
+                last = mat[selected[-1]]
+                red = np.maximum(
+                    red, mat @ last
+                )  # incremental max-redundancy update
+                score = lam * sims - (1.0 - lam) * red
+            else:
+                score = sims.copy()
+            score[taken] = -np.inf
+            best = int(np.argmin(-score))  # argmax; numpy breaks ties by
+            # first index, and rows are (sim desc, vec_id asc) sorted →
+            # deterministic
+            selected.append(best)
+            taken[best] = True
+            out.append(
+                (int(rank), int(ids[best]), float(sims[best]), float(score[best]))
+            )
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "sim", "mmr_score"]
+        )
+
+    return (
+        cands.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            mmr, "rank int, vec_id long, sim double, mmr_score double"
+        )
+    )

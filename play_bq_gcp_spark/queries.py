@@ -4658,3 +4658,31 @@ def text_keywords_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     return keywords_tfidf(_t(spark, sf, "documents"), top_k=3).orderBy(
         "doc_id", "rank"
     )
+
+
+# Rows-only by design: greedy MMR is a sequential argmax loop no SQL
+# restatement can express; the pytest floor asserts top-1 = exact
+# argmax, output ⊆ the retrieval pool, and that redundancy is actually
+# penalized on planted duplicates.
+@register("similarity_mmr_rerank")
+def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve-then-rerank (operators/similarity.py:mmr_rerank):
+    distributed exact top-50 cosine retrieval, then greedy MMR
+    diversity re-rank (lambda=0.7) of the bounded pool in one
+    applyInPandas group."""
+    from play_bq_gcp_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    out = mmr_rerank(emb, qv, k=10, pool=50)
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("sim", 4).alias("sim"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    ).orderBy("rank")

@@ -388,3 +388,41 @@ def test_incremental_dedup_layers(spark):
     assert out[10] == ("exact_dup", 1)
     assert out[20] == ("near_dup", 1)
     assert out[30] == ("new", 0)
+
+
+def test_mmr_rerank_diversity_floor(spark):
+    """MMR floor: rank-1 is the exact argmax; output is within the
+    retrieval pool; and with planted duplicates MMR spends its budget
+    on distinct directions where plain top-k drowns in the clones."""
+    import math
+
+    from play_bq_gcp_spark.operators.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    rows = []
+    # 5 clones of the most-relevant direction
+    for i in range(5):
+        rows.append((i, [0.99, 0.1, 0.0, 0.0]))
+    # distinct, slightly-less-relevant directions
+    rows.append((10, [0.9, 0.0, 0.4, 0.0]))
+    rows.append((11, [0.9, 0.0, 0.0, 0.4]))
+    rows.append((12, [0.85, 0.3, 0.3, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # lam=0.5 weighs redundancy and relevance equally; the clones'
+    # mutual cosine is ~1.0 while the distinct directions trade ~0.08
+    # of relevance for ~0.09 less redundancy, so they win the argmax
+    out = mmr_rerank(df, q, k=4, pool=8, lam=0.5).collect()
+    ids = [r.vec_id for r in out]
+    assert len(ids) == 4 and len(set(ids)) == 4
+    # rank 1 must be the exact cosine argmax (a clone, lowest id wins)
+    assert out[0].vec_id == 0
+    sims = {r.vec_id: r.sim for r in out}
+    assert all(0.0 <= s <= 1.0 + 1e-9 for s in sims.values())
+    # diversity: at most 2 of the 5 clones make the cut; plain top-4
+    # would be all clones
+    assert sum(1 for i in ids if i < 5) <= 2
+    # deterministic rerun
+    again = [r.vec_id for r in mmr_rerank(df, q, k=4, pool=8, lam=0.5).collect()]
+    assert again == ids
+    assert not math.isnan(out[0].mmr_score)
