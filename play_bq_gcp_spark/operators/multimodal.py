@@ -157,3 +157,59 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             "frame_index"
         ),
     )
+
+
+def fake_decode_pcm(payload: bytes):
+    """Deterministic stand-in for an audio decoder: interpret the
+    payload as little-endian int16 PCM samples (torchaudio/pyav's
+    ``load`` in a real deployment — the windowed feature code below is
+    decoder-agnostic)."""
+    import numpy as np
+
+    usable = len(payload) - (len(payload) % 2)
+    return np.frombuffer(payload[:usable], dtype="<i2")
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, rms array<double>, zcr array<double>"
+)
+
+
+def waveform_features(media: DataFrame, window: int = 256) -> DataFrame:
+    """Audio front half: decode (stubbed) → fixed windows → per-window
+    RMS energy and zero-crossing rate — the classic cheap features a
+    speech-data pipeline gates on (silence stripping, clipping
+    detection) before an expensive model runs.  Arrow-batched
+    ``mapInPandas``; per-clip work is vectorized numpy (reshape +
+    reductions), never per-sample Python."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b: bytes):
+            x = fake_decode_pcm(b).astype(np.float64) / 32768.0
+            n = len(x)
+            usable = n - (n % window)
+            if usable == 0:
+                return n, [], []
+            w = x[:usable].reshape(-1, window)
+            rms = np.sqrt((w * w).mean(axis=1))
+            sign_flips = (np.diff(np.signbit(w), axis=1) != 0).mean(axis=1)
+            return (
+                n,
+                [round(float(v), 6) for v in rms],
+                [round(float(v), 6) for v in sign_flips],
+            )
+
+        for pdf in batches:
+            trip = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": trip.map(lambda t: t[0]),
+                    "rms": trip.map(lambda t: t[1]),
+                    "zcr": trip.map(lambda t: t[2]),
+                }
+            )
+
+    return spread(media).mapInPandas(feats, AUDIO_SCHEMA)

@@ -4686,3 +4686,26 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         F.round("sim", 4).alias("sim"),
         F.round("mmr_score", 4).alias("mmr_score"),
     ).orderBy("rank")
+
+
+# Rows-only: PCM byte decoding is not SQL-expressible; the pytest
+# hand-check pins the numeric semantics on a constructed waveform.
+@register("multimodal_waveform")
+def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio front half (operators/multimodal.py:waveform_features):
+    binary payloads → int16 PCM (stub decoder) → per-window RMS +
+    zero-crossing rate via Arrow mapInPandas — the silence/clipping
+    gate of a speech pipeline, plumbing real, decode honestly faked."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_binary,
+        waveform_features,
+    )
+
+    media = attach_binary(_t(spark, sf, "documents"))
+    out = waveform_features(media, window=256)
+    return out.select(
+        "doc_id", "n_samples", F.size("rms").alias("n_windows"),
+        # clips shorter than one window have no features — NULL, not error
+        F.round(F.try_element_at("rms", F.lit(1)), 6).alias("rms_w1"),
+        F.round(F.try_element_at("zcr", F.lit(1)), 6).alias("zcr_w1"),
+    ).orderBy("doc_id")

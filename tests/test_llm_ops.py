@@ -426,3 +426,25 @@ def test_mmr_rerank_diversity_floor(spark):
     again = [r.vec_id for r in mmr_rerank(df, q, k=4, pool=8, lam=0.5).collect()]
     assert again == ids
     assert not math.isnan(out[0].mmr_score)
+
+
+def test_waveform_features_hand_check(spark):
+    """256 samples of a square wave alternating every sample between
+    +16384 and -16384: RMS = 0.5 exactly, zcr = 255/255 = 1.0."""
+    import struct
+
+    from play_bq_gcp_spark.operators.multimodal import waveform_features
+
+    samples = [16384 if i % 2 == 0 else -16384 for i in range(256)]
+    payload = struct.pack("<256h", *samples)
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"\x01\x00" * 10)],  # doc 2: under one window
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in waveform_features(df, window=256).collect()}
+    r1 = out[1]
+    assert r1.n_samples == 256 and len(r1.rms) == 1
+    assert abs(r1.rms[0] - 0.5) < 1e-9
+    assert r1.zcr[0] == 1.0
+    r2 = out[2]
+    assert r2.n_samples == 10 and r2.rms == [] and r2.zcr == []
