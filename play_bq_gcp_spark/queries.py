@@ -4709,3 +4709,51 @@ def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.try_element_at("rms", F.lit(1)), 6).alias("rms_w1"),
         F.round(F.try_element_at("zcr", F.lit(1)), 6).alias("zcr_w1"),
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_overview_report",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, len({_SQL_TOKS}) AS n_tokens
+        FROM documents
+    )
+    SELECT count(*)                                   AS n_docs,
+           count(DISTINCT lang)                       AS n_langs,
+           count(DISTINCT source)                     AS n_sources,
+           sum(n_tokens)                              AS total_tokens,
+           round(avg(n_tokens), 4)                    AS avg_tokens,
+           min(n_tokens)                              AS min_tokens,
+           max(n_tokens)                              AS max_tokens,
+           CAST(round(quantile_cont(n_tokens, 0.5), 4) * 10000 AS BIGINT)
+                                                      AS p50_ticks,
+           CAST(round(quantile_cont(n_tokens, 0.9), 4) * 10000 AS BIGINT)
+                                                      AS p90_ticks
+    FROM d
+    """,
+)
+def corpus_overview_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus overview — the report a curation run opens with:
+    doc/lang/source cardinalities, token totals, and exact interpolated
+    length percentiles (integer ticks, same cross-engine discipline as
+    agg_stats_percentiles), all in a single aggregate over one scan."""
+    from play_bq_gcp_spark.operators.text import tokens
+
+    d = _t(spark, sf, "documents").select(
+        "lang", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        (F.round(F.expr("percentile(n_tokens, 0.5)"), 4) * 10000)
+        .cast("long")
+        .alias("p50_ticks"),
+        (F.round(F.expr("percentile(n_tokens, 0.9)"), 4) * 10000)
+        .cast("long")
+        .alias("p90_ticks"),
+    )
