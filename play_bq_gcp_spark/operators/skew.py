@@ -92,3 +92,38 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l_salted.join(r_replicated, [on, "__salt"], "inner").drop("__salt")
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-distribution diagnostic — the measurement you take BEFORE
+    choosing a skew counter (salting, AQE hints, broadcast): the top-N
+    heaviest keys with their row share, plus the corpus-wide mean rows
+    per key, so "hot key k holds 31% of rows, 47× the mean" reads off
+    one result.
+
+    One groupBy(key) with map-side partials feeding two 1-row
+    aggregates (total rows, distinct keys) broadcast back into the
+    share math; TakeOrdered keeps only top-N.  Integer tick shares
+    (1e-6) keep the output hash-stable across engines.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("__total"),
+        F.count(F.lit(1)).cast("double").alias("__keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            "n",
+            (F.floor(F.col("n") / F.col("__total") * 1_000_000))
+            .cast("long")
+            .alias("share_ppm"),
+            F.round(F.col("n") / (F.col("__total") / F.col("__keys")), 4)
+            .alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top_n)
+    )

@@ -4757,3 +4757,26 @@ def corpus_overview_report(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("p90_ticks"),
     )
+
+
+@register(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS keys FROM c)
+    SELECT user_id, n,
+           CAST(floor(n / total * 1000000) AS BIGINT) AS share_ppm,
+           round(n / (total / keys), 4)               AS x_mean
+    FROM c, t
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def skew_key_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:skew_report): top-10
+    heaviest event keys with row share (integer ppm) and
+    multiple-of-mean — the measurement that picks between salting, AQE
+    hints, and broadcast."""
+    from play_bq_gcp_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf, "events"), "user_id", top_n=10)
