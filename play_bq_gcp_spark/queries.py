@@ -4780,3 +4780,30 @@ def skew_key_report(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.skew import skew_report
 
     return skew_report(_t(spark, sf, "events"), "user_id", top_n=10)
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    WITH dim AS (
+        SELECT user_id,
+               CASE WHEN sum(value) >= 100 THEN 'high'
+                    WHEN sum(value) >= 10  THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, dim.tier
+    FROM events e JOIN dim USING (user_id)
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 stream-static join (streaming/daily.py:stream_static_enrich):
+    clicks streamed and enriched with a broadcast static spend-tier
+    dimension — stateless append, so the streamed result equals the
+    batch join the oracle runs."""
+    from play_bq_gcp_spark.streaming.daily import stream_static_enrich
+
+    return stream_static_enrich(spark, sf)

@@ -259,3 +259,35 @@ def foreach_batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_value", F.round("total_value", 4))
         .orderBy("user_id")
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined against a
+    STATIC per-user dimension (lifetime purchase value → spend tier) —
+    the standard Structured Streaming pattern for dimension lookups.
+    The static side is read once per micro-batch plan and broadcast
+    (small dimension), so the stream side never shuffles; stateless
+    inner join in append mode means the complete streamed result
+    equals the batch join, which IS the oracle."""
+    from pyspark.sql import functions as F
+
+    ev_static = spark.read.parquet(table_path(sf_dir, "events"))
+    dim = (
+        ev_static.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total_spend"))
+        .select(
+            "user_id",
+            F.when(F.col("total_spend") >= 100, "high")
+            .when(F.col("total_spend") >= 10, "mid")
+            .otherwise("low")
+            .alias("tier"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "tier"
+    )
+    return _run_to_memory(joined, "append").orderBy("event_id")
