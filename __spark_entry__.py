@@ -26,9 +26,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return aggregates.pricing_summary(lineitem)
 
 
+# The driver's correctness gate checks the first 50 entries of
+# ``queries()`` in insertion order.  Rounds 1-3 attested the first 50
+# registrations (all green in CORRECTNESS_r03); round 4 rotates the
+# window: ~19 representative already-attested entries stay (one per
+# capability area) and 31 slots go to entries that have never had a
+# driver-checked row — the high-risk round-3 surface (pretrain
+# pipeline, streaming ingest dedup, incremental dedup, temporal join,
+# SQL surface, CDC merge), a TPC-H slice (q2, q4, q6-q13), the
+# curation batch, and behavioral/profiling entries.  The remaining
+# TPC-H slice (q14-q22) and text/profiling tail rotate in next round.
+_WINDOW = [
+    # -- representative keepers (attested green in r1-r3) -----------------
+    "q1_pricing_summary",
+    "agg_group_analytics",
+    "proj_filter_orders",
+    "semi_join_customers",
+    "merge_full_upsert",
+    "scalar_suite_orders",
+    "window_events_suite",
+    "sessionize_events",
+    "set_ops_suite",
+    "semistructured_suite",
+    "scan_partition_pruned",
+    "asof_join_purchase_click",
+    "skew_salted_suite",
+    "streaming_window_dedup_counts",
+    "streaming_interval_join",
+    "dedup_minhash_lsh",
+    "knn_join_lsh",
+    "pipeline_corpus_clean",
+    "multimodal_suite",
+    # -- never-driver-checked entries promoted into the window ------------
+    "pipeline_pretrain_corpus",
+    "streaming_ingest_dedup",
+    "dedup_incremental_batch",
+    "temporal_join_versions",
+    "sql_surface_orders",
+    "merge_cdc_apply",
+    "dedup_simhash_pairs",
+    "q2_min_cost_supplier",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_latency_priority_classes",
+    "q13_order_distribution",
+    "decontaminate_eval_overlap",
+    "pii_redaction_profile",
+    "sequence_pack_bins",
+    "domain_mix_sample",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "resample_daily_locf",
+    "streaming_timeout_sessions",
+    "streaming_static_enrich",
+    "rest_source_snapshot",
+    "profile_documents",
+    "split_train_val_test",
+    "embedding_quantize_int8",
+    "events_outlier_zscore",
+]
+
+
+def _windowed(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _WINDOW if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(q.QUERIES)
+    return _windowed(dict(q.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(q.ORACLES)
+    return _windowed(dict(q.ORACLES))

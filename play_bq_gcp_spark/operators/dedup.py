@@ -178,17 +178,38 @@ _BAND_BITS = _N_BITS // _N_BANDS
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: xxhash64(token) per distinct token, each
-    bit votes ±1, sign of the vote is the bit.  Entirely built-in
-    expressions: explode → 64 conditional sums → bit reassembly."""
+    """64-bit SimHash per doc: the first 64 bits of md5(token) per
+    distinct token, each bit votes ±1, sign of the vote is the bit.
+    Entirely built-in expressions: explode → 16 hex-digit extracts →
+    64 conditional sums → bit reassembly.
+
+    md5 (not xxhash64) so the hash is reproducible bit-for-bit in any
+    engine with a standard md5 — the DuckDB differential oracle
+    restates this pipeline exactly.  md5 costs ~2× xxhash64 per token
+    but token hashing is a negligible slice of the banded join."""
     tok = documents.select(
         "doc_id", F.explode(token_set("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = tok.groupBy("doc_id").agg(
+    ).withColumn("h", F.md5("tok"))
+    # hex digit d (0-based) of the md5, as an int 0..15 → 4 bits each
+    digits = tok.select(
+        "doc_id",
+        *[
+            F.conv(F.substring("h", d + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"d{d}")
+            for d in range(_N_BITS // 4)
+        ],
+    )
+    votes = digits.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"d{i // 4}"), i % 4).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(_N_BITS)
         ]

@@ -2401,9 +2401,70 @@ def agg_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     return aggregates.approx_aggregates(_t(spark, sf, "lineitem"))
 
 
-# rows-only: xxhash64-based SimHash has no DuckDB twin
-@register("dedup_simhash_pairs")
+def _simhash_oracle_sql() -> str:
+    """DuckDB restatement of ``dedup.simhash_pairs`` (md5-bit SimHash).
+
+    Never packs the 64-bit signature: the four 16-bit band keys are
+    assembled from the bit votes directly, and hamming distance is the
+    sum of per-band ``bit_count(xor(...))`` — the bands partition the
+    64 bits, so the sum equals the full-signature hamming while
+    staying in INT range (DuckDB's ``<<`` overflows at bit 63)."""
+    digit = (
+        "position(substr(h, {d}, 1) IN '0123456789abcdef') - 1"
+    )
+    votes = ",\n    ".join(
+        "SUM(CASE WHEN (({dig}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        " AS b{i}".format(dig=digit.format(d=i // 4 + 1), b=i % 4, i=i)
+        for i in range(64)
+    )
+    keys = ",\n    ".join(
+        " + ".join(
+            f"(CASE WHEN b{16 * j + t} > 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(16)
+        )
+        + f" AS k{j}"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.k{j}, b.k{j}))" for j in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      string_split_regex(
+        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+      t -> t <> ''))) AS tok
+  FROM documents WHERE doc_id % 5 = 0
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM th GROUP BY doc_id
+), keys AS (
+  SELECT doc_id,
+    {keys}
+  FROM votes
+), banded AS (
+  SELECT doc_id, k0, k1, k2, k3, u.band,
+    CASE u.band WHEN 0 THEN k0 WHEN 1 THEN k1
+                WHEN 2 THEN k2 ELSE k3 END AS key
+  FROM keys, (SELECT unnest([0, 1, 2, 3]) AS band) u
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ({ham})::INT AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 12
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash_pairs", _simhash_oracle_sql())
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded SimHash near-dup pairs, oracle-checked: the md5-bit
+    signature (operators/dedup.py:simhash) is engine-portable, so the
+    DuckDB twin reproduces doc_a/doc_b/hamming exactly."""
     from play_bq_gcp_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)

@@ -21,17 +21,59 @@ def test_exact_dedup_finds_planted_duplicates(spark):
 
 
 def test_simhash_near_dup_vs_distinct(spark):
-    base = "spark catalyst optimizer pushes filters into parquet scans always"
-    near = base.replace("always", "often")  # 1-token change
+    base = (
+        "spark catalyst optimizer pushes filters into parquet scans while "
+        "tungsten codegen fuses stages and adaptive execution replans "
+        "shuffles at runtime for skewed joins across executor partitions "
+        "always"
+    )
+    # this substitution yields hamming 3 — within the 4-band pigeonhole
+    # guarantee (≤3 differing bits cannot touch all four 16-bit bands),
+    # so detection is algorithmic, not hash luck
+    near = base.replace("always", "today")
     far = "completely unrelated words about cooking pasta tonight"
     docs = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], "doc_id long, text string"
     )
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(
         docs, max_hamming=20).collect()}
-    assert (1, 2) in pairs            # near-dup caught
-    assert pairs.get((1, 3), 99) > 20 or (1, 3) not in pairs
-    assert pairs[(1, 2)] <= 20
+    assert (1, 2) in pairs            # near-dup caught (guaranteed)
+    assert pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs        # unrelated doc not paired
+
+
+def test_simhash_pairs_match_bruteforce_contract(spark):
+    """simhash_pairs == brute force over the signatures: pair reported
+    iff some 16-bit band is equal AND hamming ≤ max_hamming."""
+    base_words = [f"tok{i}" for i in range(40)]
+    rows = []
+    for d in range(12):
+        w = list(base_words)
+        for j in range(d % 4):               # 0-3 token substitutions
+            w[5 * j] = f"alt{d}_{j}"
+        if d >= 8:                           # 4 docs of unrelated text
+            w = [f"other{d}_{i}" for i in range(40)]
+        rows.append((d, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash & (2**64 - 1)
+           for r in dedup.simhash(docs).collect()}
+    max_h = 10
+    expected = {}
+    for a in sig:
+        for b in sig:
+            if a >= b:
+                continue
+            band_hit = any(
+                (sig[a] >> (16 * j)) & 0xFFFF == (sig[b] >> (16 * j)) & 0xFFFF
+                for j in range(4)
+            )
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if band_hit and h <= max_h:
+                expected[(a, b)] = h
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_pairs(
+        docs, max_hamming=max_h).collect()}
+    assert got == expected
+    assert expected  # fixture actually plants near-dups
 
 
 def test_minhash_lsh_finds_planted_near_dup(spark):
