@@ -1486,6 +1486,26 @@ def streaming_stateful_user_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_tws",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME running per-user totals on Spark 4's newer
+    arbitrary-state API (transformWithStateInPandas + typed ValueState
+    + RocksDB store), across 4 genuine micro-batches; protobuf runtime
+    stood up by streaming/_protobuf_compat.  Raises (never silently
+    degrades) where no usable protobuf exists."""
+    from play_bq_gcp_spark.streaming.stateful import running_user_stats_tws
+
+    return running_user_stats_tws(spark, sf)
+
+
+@register(
     "streaming_interval_join",
     """
     WITH p AS (

@@ -133,14 +133,12 @@ def running_user_stats(
 
 def tws_available() -> bool:
     """transformWithStateInPandas drives its state protocol over
-    protobuf; gate on the import (this container ships a broken
-    google.protobuf, and installing packages is out of contract)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    protobuf; usable iff ``_protobuf_compat.ensure_protobuf`` can stand
+    up a runtime (pip-installed, or the public pure-Python runtime the
+    host's Cloud SDK ships) and round-trip a real StateMessage."""
+    from play_bq_gcp_spark.streaming._protobuf_compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 def running_user_stats_tws(
@@ -156,7 +154,7 @@ def running_user_stats_tws(
     ``running_user_stats``; having both pins the two stateful surfaces
     against the same batch GROUP BY truth.
 
-    Requires a working ``google.protobuf`` (see ``tws_available``)."""
+    Requires a usable ``google.protobuf`` (see ``tws_available``)."""
     import uuid
 
     if not tws_available():
@@ -167,10 +165,18 @@ def running_user_stats_tws(
         )
 
     import pandas as pd
+    from pyspark import cloudpickle
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    from play_bq_gcp_spark.streaming import _protobuf_compat
+
+    # workers cannot import the repo package — ship the bootstrap by
+    # value so the processor can stand protobuf up inside the worker
+    cloudpickle.register_pickle_by_value(_protobuf_compat)
+    _boot = _protobuf_compat.ensure_protobuf
 
     chunk_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
     schema = spark.read.parquet(chunk_dir).schema
@@ -182,6 +188,18 @@ def running_user_stats_tws(
     )
 
     class RunningStats(StatefulProcessor):
+        # Workers deserialize the UDF (this object) before the state
+        # client sends its first protobuf message — in BOTH the
+        # executor worker (worker.py read_single_udf precedes the api
+        # client) and the PRE_INIT driver worker
+        # (transform_with_state_driver_worker.py read_command precedes
+        # set_handle_state).  Bootstrapping protobuf at unpickle time
+        # is therefore always early enough.  __reduce__, not
+        # __setstate__: pickle skips __setstate__ entirely when the
+        # instance dict is empty, which it is pre-init.
+        def __reduce__(self):
+            return (_rebuild_running_stats, ())
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._agg = handle.getValueState(
                 "agg", "n_events long, total_value double"
@@ -199,6 +217,11 @@ def running_user_stats_tws(
 
         def close(self) -> None:
             pass
+
+    def _rebuild_running_stats():
+        if not _boot():
+            raise RuntimeError("google.protobuf unusable in worker")
+        return RunningStats()
 
     running = ev.groupBy("user_id").transformWithStateInPandas(
         RunningStats(), OUTPUT_SCHEMA, "Update", "None"
