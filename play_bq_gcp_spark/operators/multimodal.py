@@ -4,11 +4,13 @@ Images / audio / video are opaque ``binary`` columns plus a typed
 metadata struct; compute runs as Arrow-batched ``mapInPandas`` so each
 task processes whole record batches without per-row serde.
 
-The actual media decode is STUBBED (``decode_media`` raises
-``NotImplementedError``) — codec libraries are not in this container.
-Everything around it is real and tested: schema, batching, partition
-behavior, deterministic byte-level featurization.  Swapping the stub
-for PIL/torchaudio is a one-function change.
+Audio decode is REAL for 16-bit PCM WAV (stdlib ``wave`` — see
+``decode_wav``; stereo downmixed to mono).  Image/video decode remains
+STUBBED (``decode_media`` raises ``NotImplementedError``) — those
+codec libraries are not in this container.  Everything around the
+stubs is real and tested: schema, batching, partition behavior,
+deterministic byte-level featurization.  Swapping a stub for
+PIL/pyav is a one-function change.
 """
 
 from __future__ import annotations
@@ -160,14 +162,104 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def fake_decode_pcm(payload: bytes):
-    """Deterministic stand-in for an audio decoder: interpret the
-    payload as little-endian int16 PCM samples (torchaudio/pyav's
+    """Deterministic stand-in for a compressed-audio decoder: interpret
+    the payload as little-endian int16 PCM samples (torchaudio/pyav's
     ``load`` in a real deployment — the windowed feature code below is
-    decoder-agnostic)."""
+    decoder-agnostic).  Genuine RIFF/WAV payloads take the REAL
+    stdlib-``wave`` path (``decode_wav``) via ``decode_audio``."""
     import numpy as np
 
     usable = len(payload) - (len(payload) % 2)
     return np.frombuffer(payload[:usable], dtype="<i2")
+
+
+def encode_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Encode int16 samples as a genuine RIFF/WAV container (stdlib
+    ``wave`` — no codec libraries needed for PCM WAV).  For stereo,
+    ``samples`` is the interleaved frame stream."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for PCM WAV via stdlib ``wave``: parses the
+    RIFF container, reads the frames, and downmixes multi-channel audio
+    to mono by per-frame channel mean — no external codec library.
+    Only 16-bit PCM is supported; other sample widths raise rather than
+    silently misdecode."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"{8 * w.getsampwidth()}-bit WAV needs a codec library; "
+                "only 16-bit PCM is decoded natively"
+            )
+        x = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        ch = w.getnchannels()
+        if ch > 1:
+            x = x.reshape(-1, ch).mean(axis=1).astype("<i2")
+        return x
+
+
+def decode_audio(payload: bytes):
+    """Dispatch: genuine RIFF/WAV payloads decode for real
+    (``decode_wav``); anything else falls back to the deterministic
+    raw-PCM interpretation (``fake_decode_pcm``) so non-audio fixture
+    bytes still produce stable features."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return fake_decode_pcm(payload)
+
+
+def attach_wav(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Synthesize a genuine RIFF/WAV payload per document so the real
+    decoder runs end-to-end on the fixture corpus: samples are the
+    utf-8 text bytes recentred to int16 (``(b - 128) << 8``); even
+    doc_ids are encoded as 2-channel WAV with identical channels (the
+    decoder's downmix must return the same samples), odd doc_ids mono.
+    Arrow-batched ``mapInPandas``, stdlib ``wave`` only."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int, text: str) -> bytes:
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            samples = (b.astype(np.int16) - 128) << 8
+            if doc_id % 2 == 0:
+                return encode_wav(np.repeat(samples, 2), sample_rate, 2)
+            return encode_wav(samples, sample_rate, 1)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [
+                        {"mime": "audio/wav", "n_chars": int(n)}
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    return spread(documents.select("doc_id", "text", "n_chars")).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
 
 
 AUDIO_SCHEMA = (
@@ -176,10 +268,11 @@ AUDIO_SCHEMA = (
 
 
 def waveform_features(media: DataFrame, window: int = 256) -> DataFrame:
-    """Audio front half: decode (stubbed) → fixed windows → per-window
-    RMS energy and zero-crossing rate — the classic cheap features a
-    speech-data pipeline gates on (silence stripping, clipping
-    detection) before an expensive model runs.  Arrow-batched
+    """Audio front half: decode (REAL for PCM WAV via stdlib ``wave``,
+    deterministic raw-PCM fallback otherwise) → fixed windows →
+    per-window RMS energy and zero-crossing rate — the classic cheap
+    features a speech-data pipeline gates on (silence stripping,
+    clipping detection) before an expensive model runs.  Arrow-batched
     ``mapInPandas``; per-clip work is vectorized numpy (reshape +
     reductions), never per-sample Python."""
 
@@ -187,7 +280,7 @@ def waveform_features(media: DataFrame, window: int = 256) -> DataFrame:
         import numpy as np
 
         def one(b: bytes):
-            x = fake_decode_pcm(b).astype(np.float64) / 32768.0
+            x = decode_audio(b).astype(np.float64) / 32768.0
             n = len(x)
             usable = n - (n % window)
             if usable == 0:

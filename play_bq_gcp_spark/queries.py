@@ -4769,20 +4769,22 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
-# Rows-only: PCM byte decoding is not SQL-expressible; the pytest
-# hand-check pins the numeric semantics on a constructed waveform.
+# Rows-only: WAV container decoding is not SQL-expressible; the pytest
+# hand-check pins the numeric semantics on constructed waveforms.
 @register("multimodal_waveform")
 def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
     """Audio front half (operators/multimodal.py:waveform_features):
-    binary payloads → int16 PCM (stub decoder) → per-window RMS +
+    each document synthesized into a GENUINE RIFF/WAV payload
+    (attach_wav; even doc_ids stereo, odd mono), decoded for real by
+    stdlib ``wave`` (stereo downmixed), then per-window RMS +
     zero-crossing rate via Arrow mapInPandas — the silence/clipping
-    gate of a speech pipeline, plumbing real, decode honestly faked."""
+    gate of a speech pipeline, decode included."""
     from play_bq_gcp_spark.operators.multimodal import (
-        attach_binary,
+        attach_wav,
         waveform_features,
     )
 
-    media = attach_binary(_t(spark, sf, "documents"))
+    media = attach_wav(_t(spark, sf, "documents"))
     out = waveform_features(media, window=256)
     return out.select(
         "doc_id", "n_samples", F.size("rms").alias("n_windows"),

@@ -490,3 +490,37 @@ def test_waveform_features_hand_check(spark):
     assert r1.zcr[0] == 1.0
     r2 = out[2]
     assert r2.n_samples == 10 and r2.rms == [] and r2.zcr == []
+
+
+def test_waveform_features_real_wav_decode(spark):
+    """GENUINE RIFF/WAV payloads through the stdlib-wave decoder, exact
+    expected values: a mono square wave (+16384/-16384 alternating) has
+    RMS 0.5 and zcr 1.0 per window; the same samples as L=R stereo must
+    decode (downmix) to identical features; a constant-amplitude clip
+    (8192 everywhere) has RMS 0.25 and zcr 0.0."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        waveform_features,
+    )
+
+    square = [16384 if i % 2 == 0 else -16384 for i in range(512)]
+    stereo = [s for s in square for _ in (0, 1)]  # interleave L=R
+    const = [8192] * 512
+    mono_wav = encode_wav(square, sample_rate=16000, n_channels=1)
+    stereo_wav = encode_wav(stereo, sample_rate=16000, n_channels=2)
+    const_wav = encode_wav(const, sample_rate=8000, n_channels=1)
+    assert mono_wav[:4] == b"RIFF" and mono_wav[8:12] == b"WAVE"
+    assert list(decode_wav(mono_wav)) == square
+    assert list(decode_wav(stereo_wav)) == square  # downmix exact
+
+    df = spark.createDataFrame(
+        [(1, mono_wav), (2, stereo_wav), (3, const_wav)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in waveform_features(df, window=256).collect()}
+    for d in (1, 2):
+        assert out[d].n_samples == 512 and len(out[d].rms) == 2
+        assert out[d].rms == [0.5, 0.5]
+        assert out[d].zcr == [1.0, 1.0]
+    assert out[3].rms == [0.25, 0.25] and out[3].zcr == [0.0, 0.0]
