@@ -14,10 +14,11 @@ Iceberg, Hudi — all public designs) is built on:
   the files that make up version N.  Readers load the manifest and
   scan those files by name — never a directory listing — so a reader
   can NEVER observe a half-written commit, regardless of crash timing.
-* **Commit = one atomic file creation.** Publishing version N+1 is a
-  single ``O_CREAT|O_EXCL`` create of the next manifest, the
-  filesystem's compare-and-swap.  Two concurrent writers racing to the
-  same version: exactly one wins; the loser re-reads the new state and
+* **Commit = one atomic exclusive create.** Publishing version N+1 is a
+  single "create manifest iff absent" — the filesystem's link-based
+  compare-and-swap, or an object store's conditional PUT (see
+  ``CommitStrategy``).  Two concurrent writers racing to the same
+  version: exactly one wins; the loser re-reads the new state and
   retries (append — no logical conflict) or aborts (overwrite).
 * **Old versions stay readable** (time travel / snapshot isolation):
   a reader holding version N is unaffected by later commits, because
@@ -26,11 +27,12 @@ Iceberg, Hudi — all public designs) is built on:
 Scale shape: the manifest holds file paths + counts, not data — O(files)
 bytes.  On a 1000-executor cluster the only serialization point is the
 tiny manifest create; data writes fan out through normal distributed
-parquet jobs.  On object stores without atomic create, the same design
-swaps the O_EXCL create for a conditional PUT (if-none-match) — the
-protocol is unchanged, which is exactly why the formats above survive
-on S3.  Requires (like all manifest formats) that writers see the same
-filesystem; the local implementation uses POSIX semantics.
+parquet jobs.  The atomic create itself sits behind an injectable
+``CommitStrategy`` seam: ``PosixExclusiveCreate`` (default; tmp +
+fsync + link) for shared filesystems, ``ConditionalPutCommit``
+(PUT-if-none-match shaped) for object stores — the protocol and every
+caller are identical across strategies, which is exactly why the
+formats above survive on S3.
 """
 
 from __future__ import annotations
@@ -117,11 +119,106 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
     )
 
 
+class CommitStrategy:
+    """Seam for the ONE atomic primitive the manifest protocol needs:
+    "create this manifest iff absent".  Everything else in the module
+    (immutable data files, manifest contents, retry/conflict policy)
+    is strategy-independent, which is exactly why the same protocol
+    runs on POSIX and on object stores."""
+
+    def create_exclusive(self, target: str, payload: bytes) -> bool:
+        """Atomically make ``target`` exist with ``payload``, iff it
+        does not already exist.  True = this caller committed; False =
+        someone else already had — never partial visibility either way."""
+        raise NotImplementedError
+
+
+class PosixExclusiveCreate(CommitStrategy):
+    """Local-filesystem commit: write a temp file, fsync, ``link`` it
+    into place (atomic, fails-if-exists — the filesystem's
+    compare-and-swap), fsync the directory so a crash after "committed"
+    cannot roll the commit back (file fsync covers bytes, not the
+    directory entry)."""
+
+    def create_exclusive(self, target: str, payload: bytes) -> bool:
+        d = os.path.dirname(target)
+        tmp = os.path.join(d, f"_tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
+
+
+class ConditionalPutCommit(CommitStrategy):
+    """Object-store-shaped commit: models S3/GCS ``PUT
+    If-None-Match: *`` — the store's key index decides the race in one
+    atomic step, and the object is fully visible the moment the PUT is
+    accepted (no partial writes, no link/rename primitives).  The
+    "bucket index" here is an in-process dict guarded by a lock, with
+    the object body landed inside the critical section, preserving the
+    real primitive's atomicity; an injectable ``on_commit`` hook lets
+    tests crash a writer at the instant its PUT was accepted.
+
+    This is the strategy a real object-store deployment would swap in
+    (with the lock/dict replaced by the store's own conditional PUT);
+    the protocol — and every caller — is unchanged."""
+
+    def __init__(self, on_commit=None):
+        import threading
+
+        self._lock = threading.Lock()
+        self._index: set[str] = set()
+        self._on_commit = on_commit
+
+    def create_exclusive(self, target: str, payload: bytes) -> bool:
+        with self._lock:
+            if target in self._index or os.path.exists(target):
+                return False
+            # "PUT accepted": key reserved and object landed atomically
+            with open(target, "wb") as f:
+                f.write(payload)
+            self._index.add(target)
+        if self._on_commit is not None:
+            self._on_commit(target)
+        return True
+
+
+_DEFAULT_STRATEGY = PosixExclusiveCreate()
+_COMMIT_STRATEGIES: dict[str, CommitStrategy] = {}
+
+
+def set_commit_strategy(path: str, strategy: CommitStrategy | None) -> None:
+    """Bind a commit strategy to a table path (None restores the POSIX
+    default).  Strategy choice is per-table so one process can serve
+    local and object-store tables side by side."""
+    key = os.path.abspath(path)
+    if strategy is None:
+        _COMMIT_STRATEGIES.pop(key, None)
+    else:
+        _COMMIT_STRATEGIES[key] = strategy
+
+
+def _strategy_for(path: str) -> CommitStrategy:
+    return _COMMIT_STRATEGIES.get(os.path.abspath(path), _DEFAULT_STRATEGY)
+
+
 def _publish(path: str, version: int, snap: Snapshot) -> None:
-    """The commit point: O_CREAT|O_EXCL on the next manifest — the
-    filesystem's compare-and-swap.  Write to a temp name first and
-    ``link`` it in so even the manifest's own bytes appear atomically
-    (a reader can never parse a half-written manifest)."""
+    """The commit point: one exclusive create of the next manifest via
+    the table's ``CommitStrategy`` (POSIX link or conditional PUT); a
+    reader can never parse a half-written manifest because both
+    strategies make the bytes appear atomically."""
     doc = {
         "files": list(snap.files),
         "rows": snap.rows,
@@ -130,27 +227,11 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         "meta": snap.meta,
         "stats": snap.file_stats,
     }
-    tmp = os.path.join(_versions_dir(path), f"_tmp_{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(path, version))  # atomic, fails if exists
-    except FileExistsError:
-        raise CommitConflict(
-            f"version {version} already committed at {path}"
-        ) from None
-    finally:
-        os.unlink(tmp)
-    # durability of the LINK itself: fsync the directory so a crash
-    # after "committed" cannot roll the commit back (file fsync covers
-    # bytes, not the directory entry)
-    dfd = os.open(_versions_dir(path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    payload = json.dumps(doc).encode()
+    if not _strategy_for(path).create_exclusive(
+        _manifest_path(path, version), payload
+    ):
+        raise CommitConflict(f"version {version} already committed at {path}")
 
 
 def _file_stats(abs_path: str) -> dict:

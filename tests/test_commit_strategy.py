@@ -1,0 +1,198 @@
+"""Race/crash property tests for the txn-table commit protocol, run
+over BOTH commit strategies (POSIX link and conditional-PUT shaped).
+
+Writers are modeled as generators that yield at every protocol step
+(read base → attempt publish → conflict/done), and the test enumerates
+EVERY interleaving of two writers' steps (DFS over who-steps-next), so
+the race coverage is exhaustive rather than sleep-based.  No Spark —
+this exercises the manifest protocol itself; manifests may reference
+file names that were never landed."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from play_bq_gcp_spark.storage import txn_table as tt
+from play_bq_gcp_spark.storage.txn_table import (
+    CommitConflict,
+    ConditionalPutCommit,
+    PosixExclusiveCreate,
+    Snapshot,
+)
+
+STRATEGIES = {
+    "posix": PosixExclusiveCreate,
+    "conditional_put": ConditionalPutCommit,
+}
+
+
+def _append_writer(path: str, fname: str, rows: int, max_retries: int = 5):
+    """The append retry loop as a step generator: yields after reading
+    the base snapshot and after each publish attempt, mirroring
+    txn_table.append's read→publish→rebase structure."""
+    for _ in range(max_retries):
+        base = tt.snapshot(path)
+        yield "read"
+        snap = Snapshot(
+            base.version + 1,
+            base.files + (fname,),
+            base.rows + rows,
+            "append",
+            0.0,
+        )
+        try:
+            tt._publish(path, base.version + 1, snap)
+            yield "done"
+            return
+        except CommitConflict:
+            yield "conflict"
+            continue
+    raise CommitConflict(f"exhausted retries at {path}")
+
+
+def _assert_consistent(path: str, expected_files: set[str], expected_rows: int):
+    """Protocol invariants: contiguous versions, monotone growth, final
+    manifest holds exactly the union of committed appends."""
+    top = tt.current_version(path)
+    versions = sorted(
+        int(f[1:11])
+        for f in os.listdir(tt._versions_dir(path))
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert versions == list(range(top + 1)), "version chain has holes"
+    prev_files: set[str] = set()
+    for v in versions:
+        snap = tt.snapshot(path, v)
+        assert set(snap.files) >= prev_files, "append dropped files"
+        prev_files = set(snap.files)
+        # manifests must always be parseable as a whole (atomic bytes)
+        with open(tt._manifest_path(path, v)) as f:
+            json.load(f)
+    final = tt.snapshot(path)
+    assert set(final.files) == expected_files
+    assert final.rows == expected_rows
+
+
+def _interleavings(make_writers, check, max_steps: int = 24):
+    """DFS over every who-steps-next choice for two writers; ``check``
+    runs on each completed schedule with its fresh table path."""
+    import itertools
+    import tempfile
+
+    counter = itertools.count()
+
+    def run(schedule_prefix):
+        # replay: build a fresh table + writers, apply the prefix, then
+        # discover which writers can still step
+        d = tempfile.mkdtemp(prefix=f"race{next(counter)}_")
+        path = os.path.join(d, "t")
+        tt.init_table(path)
+        writers = make_writers(path)
+        alive = [True] * len(writers)
+        for i in schedule_prefix:
+            try:
+                next(writers[i])
+            except StopIteration:
+                alive[i] = False
+        choices = [i for i, a in enumerate(alive) if a]
+        if not choices or len(schedule_prefix) >= max_steps:
+            check(path, tuple(schedule_prefix))
+            return 1
+        total = 0
+        for i in choices:
+            # probe whether writer i is actually exhausted by stepping a
+            # REPLAYED copy — cheaper: step and recurse by replaying the
+            # extended prefix from scratch (tables are cheap tmp dirs)
+            total += run(schedule_prefix + [i])
+        return total
+
+    return run([])
+
+
+@pytest.mark.parametrize("strategy_name", sorted(STRATEGIES))
+def test_two_appenders_every_interleaving(strategy_name, tmp_path):
+    """Both appends land exactly once under EVERY interleaving; the
+    version chain never forks or skips."""
+    strategy = STRATEGIES[strategy_name]
+
+    def make_writers(path):
+        tt.set_commit_strategy(path, strategy())
+        return [
+            _append_writer(path, "data/a.parquet", 10),
+            _append_writer(path, "data/b.parquet", 20),
+        ]
+
+    def check(path, schedule):
+        _assert_consistent(
+            path, {"data/a.parquet", "data/b.parquet"}, 30
+        )
+        tt.set_commit_strategy(path, None)
+
+    n = _interleavings(make_writers, check)
+    assert n >= 6  # exhaustive enumeration really fanned out
+
+
+@pytest.mark.parametrize("strategy_name", sorted(STRATEGIES))
+def test_writer_crash_leaves_table_consistent(strategy_name, tmp_path):
+    """A writer that dies at ANY step (after reading, after losing a
+    race, or right after its PUT is accepted) never breaks the table:
+    the survivor commits, the chain stays contiguous, and the crashed
+    writer's append is either fully present or fully absent."""
+    strategy = STRATEGIES[strategy_name]
+
+    for crash_after in (1, 2, 3):
+        d = tmp_path / f"crash_{strategy_name}_{crash_after}"
+        path = str(d / "t")
+        os.makedirs(d)
+        tt.init_table(path)
+        tt.set_commit_strategy(path, strategy())
+        crasher = _append_writer(path, "data/crash.parquet", 5)
+        survivor = _append_writer(path, "data/ok.parquet", 7)
+        steps = 0
+        for _ in range(crash_after):
+            try:
+                next(crasher)
+                steps += 1
+            except StopIteration:
+                break
+        del crasher  # writer process gone
+        for _ in survivor:
+            pass
+        final = tt.snapshot(path)
+        assert "data/ok.parquet" in final.files
+        committed_crash = "data/crash.parquet" in final.files
+        # crash before publish → absent; crash after publish → present
+        assert committed_crash == (steps >= 2)
+        top = tt.current_version(path)
+        assert sorted(
+            int(f[1:11])
+            for f in os.listdir(tt._versions_dir(path))
+            if f.startswith("v") and f.endswith(".json")
+        ) == list(range(top + 1))
+        tt.set_commit_strategy(path, None)
+
+
+def test_conditional_put_rejects_double_commit(tmp_path):
+    """The PUT-shaped primitive itself: second create of the same key
+    returns False and leaves the first object's bytes untouched."""
+    target = str(tmp_path / "v1.json")
+    s = ConditionalPutCommit()
+    assert s.create_exclusive(target, b'{"first": true}') is True
+    assert s.create_exclusive(target, b'{"second": true}') is False
+    with open(target, "rb") as f:
+        assert f.read() == b'{"first": true}'
+    # a fresh strategy instance (new process) still honors existing keys
+    s2 = ConditionalPutCommit()
+    assert s2.create_exclusive(target, b"{}") is False
+
+
+def test_on_commit_hook_fires_only_for_winner(tmp_path):
+    seen = []
+    s = ConditionalPutCommit(on_commit=seen.append)
+    t1, t2 = str(tmp_path / "a.json"), str(tmp_path / "a.json")
+    assert s.create_exclusive(t1, b"{}") is True
+    assert s.create_exclusive(t2, b"{}") is False
+    assert seen == [t1]
