@@ -129,10 +129,12 @@ def stats_percentiles(lineitem: DataFrame) -> DataFrame:
     """min/max/stddev plus EXACT interpolated percentiles plus the
     bivariate co-moment family (corr / covar / regression slope) in one
     agg — the checkable twin of the approx sketches (Spark
-    ``percentile`` ≡ SQL ``quantile_cont``).  One shuffle; the
-    percentile buffers are per-group, bounded by group cardinality; the
-    co-moments are algebraic partials (count/means/XY sums) that merge
-    associatively across executors."""
+    ``percentile`` ≡ SQL ``quantile_cont``).  One shuffle; the exact
+    percentiles are HOLISTIC — their merge buffer is a per-group
+    value→count map bounded by the group's distinct-value cardinality
+    (swap to percentile_approx for high-cardinality measures at
+    scale); only the co-moments are algebraic partials (count/means/XY
+    sums) that merge associatively across executors."""
     return (
         lineitem.groupBy("l_returnflag")
         .agg(

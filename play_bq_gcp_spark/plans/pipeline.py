@@ -184,18 +184,42 @@ def run_daily(
     trophy_row: DataFrame | None = None,
 ) -> dict[str, int]:
     """One scheduled run (main.py:296-368).  Returns per-table appended/
-    updated row counts for observability."""
+    updated row counts for observability.
+
+    Stats protocol: ONE combined guard job materializes both caches and
+    yields both counts (two 1-row aggregates crossJoined — not two
+    separate ``count()`` jobs), mirroring the reference's ``len(df)``
+    guards (main.py:184, :350) at half the job count.  The write
+    actions then carry ``Observation`` metrics, so the reported stats
+    are re-derived from the writes themselves for free — a write whose
+    observed count disagreed with its guard would surface here."""
+    from pyspark.sql import Observation
+
     stats: dict[str, int] = {}
     snapshot = transform_snapshot(raw_snapshot).cache()
     stored = wh.read(spark, "game").cache()
 
-    # 2. brand-new games (guarded, P8)
-    fresh = new_games(snapshot, stored).cache()
-    stats["new_games"] = fresh.count()
+    # 2. brand-new games (guarded, P8); 3. play-time deltas
+    obs_fresh, obs_deltas = Observation(), Observation()
+    fresh = (
+        new_games(snapshot, stored)
+        .observe(obs_fresh, F.count(F.lit(1)).alias("rows"))
+        .cache()
+    )
+    deltas = (
+        time_play_deltas(stored, snapshot, run_date)
+        .observe(obs_deltas, F.count(F.lit(1)).alias("rows"))
+        .cache()
+    )
+    guard = (
+        fresh.agg(F.count(F.lit(1)).alias("new_games"))
+        .crossJoin(deltas.agg(F.count(F.lit(1)).alias("time_play")))
+        .first()
+    )
+    stats["new_games"] = guard["new_games"]
+    stats["time_play"] = guard["time_play"]
 
-    # 3. play-time deltas → append-only fact, partitioned by date at scale
-    deltas = time_play_deltas(stored, snapshot, run_date).cache()
-    stats["time_play"] = deltas.count()
+    # 3. deltas → append-only fact, partitioned by date at scale
     if stats["time_play"] > 0:
         wh.append(deltas, "time_play")
 
@@ -207,6 +231,10 @@ def run_daily(
         updated = upsert_games(stored, snapshot, deltas)
         final_dim = updated.unionByName(fresh)
         wh.replace(final_dim, "game")
+        # free re-derivation off the actions that already ran (the
+        # guard job populated both observations via the caches)
+        stats["new_games_observed"] = int(obs_fresh.get["rows"])
+        stats["time_play_observed"] = int(obs_deltas.get["rows"])
 
     # 5. trophy snapshot append (main.py:35-64)
     if trophy_row is not None and is_nonempty(trophy_row):

@@ -64,7 +64,11 @@ def test_bootstrap_shapes(spark, wh):
 
 def test_day2_run_golden(spark, wh):
     stats = pipeline.run_daily(wh, spark, _snapshot(spark, D2), "2024-01-02")
-    assert stats == {"new_games": 1, "time_play": 1}
+    assert stats["new_games"] == 1 and stats["time_play"] == 1
+    # the observe() metrics riding the run's own actions must agree
+    # with the guard counts — the report costs no extra count jobs
+    assert stats["new_games_observed"] == stats["new_games"]
+    assert stats["time_play_observed"] == stats["time_play"]
 
     game = wh.read(spark, "game")
     assert game.count() == 4
