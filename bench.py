@@ -42,7 +42,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
-    "similarity_ann_suite",
+    # ANN timed per method (r3 review: regressions must be assignable
+    # to LSH vs IVF); the combined suite remains the correctness entry
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
     "text_doc_profile",
     "pandas_udf_token_count",
     "pipeline_corpus_clean",
@@ -75,7 +78,8 @@ def main() -> None:
     for warm_q in (
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
-        "similarity_ann_suite",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
         # first createDataFrame (Python local-relation path) and first
         # BroadcastNestedLoopJoin execution each cost ~1.5-2 s of
         # one-time session warmup; without this the band join bills ~3 s

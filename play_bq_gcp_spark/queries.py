@@ -2512,6 +2512,31 @@ def similarity_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
     return lsh.unionByName(ivf).select("method", "vec_id", "cosine")
 
 
+# Per-method twins of the suite so the bench attributes time to LSH vs
+# IVF separately (a regression in either is assignable); same params,
+# same recall floors asserted in tests/test_llm_ops.py.
+@register("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return lsh_topk(
+        e, qvec, k=10, n_planes=6, multi_probe=1, n_tables=8
+    ).select("vec_id", "cosine")
+
+
+@register("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from play_bq_gcp_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8).select(
+        "vec_id", "cosine"
+    )
+
+
 @register(
     "similarity_knn_join",
     """

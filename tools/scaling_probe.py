@@ -1,0 +1,202 @@
+"""One-off scale probe for the headline LLM-path operators.
+
+Replicates the sf0.1 ``documents``/``embeddings`` tables 1x/3x/10x with
+structure-preserving perturbations, then times four operators at each
+scale and records output rows, shuffle read/write bytes (Spark UI REST
+API), and LSH bucket-cap overflow warnings.  Near-linear growth in
+time/shuffle and zero overflow is the evidence SCALING.md documents.
+
+Perturbations (why replicas don't corrupt the experiment):
+* documents: replica i>0 gets a salt token injected after every two
+  words (``regexp_replace``).  Docs WITHIN a replica are salted
+  identically, so every planted near-dup stays a near-dup; shingles
+  ACROSS replicas share almost nothing, so replicas don't pair with
+  each other — output pairs scale ~linearly, like a corpus that grew.
+* embeddings: replica i applies a per-(replica, dim) deterministic
+  sign flip — a diagonal orthogonal transform that preserves every
+  within-replica cosine EXACTLY while making cross-replica cosines
+  ~0 (random-sign sums).
+
+Usage:  python tools/scaling_probe.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPLICAS = (1, 3, 10)
+QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "knn_join_lsh",
+    "pipeline_pretrain_corpus",
+)
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_fixture(spark, sf_dir: str, n: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    doc_parts = []
+    emb_parts = []
+    for i in range(n):
+        off = i * 10_000_000
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        if i > 0:
+            d = d.withColumn(
+                "text",
+                F.regexp_replace("text", r"(\S+ \S+) ", f"$1 zq{i}w "),
+            )
+        doc_parts.append(d)
+        e = embs.withColumn("vec_id", F.col("vec_id") + F.lit(off))
+        e = e.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: F.when(
+                    F.pmod(F.hash(j * F.lit(1000003) + F.lit(i)), 2) == 0, x
+                ).otherwise(-x),
+            ),
+        )
+        emb_parts.append(e)
+
+    d_all = doc_parts[0]
+    for p in doc_parts[1:]:
+        d_all = d_all.unionByName(p)
+    e_all = emb_parts[0]
+    for p in emb_parts[1:]:
+        e_all = e_all.unionByName(p)
+    d_all.repartition(max(4, 4 * n)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    e_all.repartition(max(4, 4 * n)).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+class _ShuffleMeter:
+    """Delta of completed-stage shuffle bytes between mark() calls,
+    via the Spark UI REST API (probe session runs with the UI on)."""
+
+    def __init__(self, spark):
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        self.url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        self.seen: set[int] = set()
+
+    def _stages(self):
+        with urllib.request.urlopen(self.url, timeout=10) as r:
+            return json.load(r)
+
+    def mark(self):
+        self.seen = {
+            (s["stageId"], s["attemptId"]) for s in self._stages()
+        }
+
+    def delta(self) -> tuple[int, int]:
+        read = write = 0
+        for s in self._stages():
+            if (s["stageId"], s["attemptId"]) in self.seen:
+                continue
+            read += s.get("shuffleReadBytes", 0)
+            write += s.get("shuffleWriteBytes", 0)
+        return read, write
+
+
+class _OverflowCounter(logging.Handler):
+    def __init__(self):
+        super().__init__()
+        self.n = 0
+
+    def emit(self, record):
+        if "exceeded max_bucket_size" in record.getMessage():
+            self.n += 1
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else None
+    root = "/tmp/scale_probe"
+
+    from play_bq_gcp_spark import queries as q
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scaling_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    meter = _ShuffleMeter(spark)
+    overflow = _OverflowCounter()
+    logging.getLogger("play_bq_gcp_spark.operators.dedup").addHandler(overflow)
+
+    for n in REPLICAS:
+        d = os.path.join(root, f"x{n}")
+        if not os.path.isdir(os.path.join(d, "documents.parquet")):
+            print(f"# building {n}x fixture", file=sys.stderr)
+            build_fixture(spark, sf_dir, n, d)
+
+    # warm codegen/session on the smallest fixture so 1x isn't billed JIT
+    for name in QUERIES:
+        q.QUERIES[name](spark, os.path.join(root, "x1")).count()
+
+    results = []
+    for n in REPLICAS:
+        d = os.path.join(root, f"x{n}")
+        for name in QUERIES:
+            before_over = overflow.n
+            meter.mark()
+            t0 = time.perf_counter()
+            rows = q.QUERIES[name](spark, d).count()
+            wall = time.perf_counter() - t0
+            sread, swrite = meter.delta()
+            results.append(
+                {
+                    "scale": n,
+                    "query": name,
+                    "wall_s": round(wall, 2),
+                    "rows": rows,
+                    "shuffle_read_mb": round(sread / 1e6, 1),
+                    "shuffle_write_mb": round(swrite / 1e6, 1),
+                    "bucket_overflows": overflow.n - before_over,
+                }
+            )
+            print(f"# {n}x {name}: {wall:.2f}s {rows} rows", file=sys.stderr)
+
+    lines = [
+        "| scale | query | wall (s) | rows | shuffle read (MB) | "
+        "shuffle write (MB) | bucket overflows |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['scale']}x | {r['query']} | {r['wall_s']} | {r['rows']} "
+            f"| {r['shuffle_read_mb']} | {r['shuffle_write_mb']} "
+            f"| {r['bucket_overflows']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    print(json.dumps(results))
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
