@@ -389,11 +389,73 @@ def _minhash_banded_pairs(
     return out
 
 
+def auto_planes(
+    n_rows: int, target_bucket: int = 32, lo: int = 6, hi: int = 24
+) -> int:
+    """Hyperplane (AND-bit) count sized to the corpus:
+    ``planes ≈ log2(n / target_bucket)`` keeps EXPECTED bucket
+    occupancy constant as the corpus grows.  The round-4 scaling probe
+    (SCALING.md) showed why this matters: with a FIXED plane count,
+    sign-bit bucket occupancy grows linearly with the corpus and
+    in-bucket candidate expansion quadratically — 10x corpus cost
+    ~200x candidate shuffle.  Recall lost to the extra AND-bits is
+    recovered with OR-amplified tables (more tables, same math as
+    similarity.py's multi-table recall model)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _sign_bucket_keys(
+    docs: DataFrame, n_tables: int, bits_per_table: int, dim: int, seed: int
+) -> DataFrame:
+    """(vec_id, tbl, key) sign-bit LSH bucket rows: per vector,
+    ``n_tables`` keys, each the ``bits_per_table``-bit sign pattern of
+    dot products against fixed seeded hyperplanes, all as ONE nested
+    HOF expression over a 2-D plane literal (no UDF).  ``docs`` must
+    expose ``vec_id`` and ``v: array<double>``."""
+    from play_bq_gcp_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
+    )
+    bits = bind(
+        F.col("v"),
+        lambda vv: F.transform(
+            planes_lit,
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(vv, p, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    table_keys = bind(
+        bits,
+        lambda bs: F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.aggregate(
+                F.slice(bs, t * bits_per_table + 1, bits_per_table),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2 + x,
+            ),
+        ),
+    )
+    return docs.select("vec_id", F.posexplode(table_keys).alias("tbl", "key"))
+
+
 def embedding_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_tables: int = 16,
-    bits_per_table: int = 10,
+    bits_per_table: int | str = 10,
     dim: int = 64,
     seed: int = 7,
     checkpoint: bool = True,
@@ -421,51 +483,23 @@ def embedding_cosine_pairs(
     verified empirically against exact all-pairs at both sf0.01 and
     sf0.1 (fixed seeds make that deterministic round-over-round).  For
     exhaustive low-threshold sweeps, exact all-pairs is inherently
-    O(n²) — use a blocked equi-join, not this."""
-    from play_bq_gcp_spark.operators.similarity import _hyperplanes
+    O(n²) — use a blocked equi-join, not this.
+
+    ``bits_per_table="auto"`` sizes the AND-bits to the corpus via
+    ``auto_planes`` (one cheap count job) so bucket occupancy — and
+    with it the candidate shuffle — stays constant as the corpus
+    grows; the registry entry pins the fixture-scale value so oracle
+    hashes stay stable across rounds."""
     from play_bq_gcp_spark.functions.vector import cosine_similarity
 
-    n_planes = n_tables * bits_per_table
-    planes = _hyperplanes(dim, n_planes, seed)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
     docs = (
         spread(embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
         .cache()
     )
     try:
-        # sign bits for all planes, bound so v is evaluated once
-        bits = bind(
-            F.col("v"),
-            lambda vv: F.transform(
-                planes_lit,
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(vv, p, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    > 0,
-                    F.lit(1).cast("long"),
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-        )
-        # per-table key: fold the table's bit slice into one long
-        table_keys = bind(
-            bits,
-            lambda bs: F.transform(
-                F.sequence(F.lit(0), F.lit(n_tables - 1)),
-                lambda t: F.aggregate(
-                    F.slice(bs, t * bits_per_table + 1, bits_per_table),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc * 2 + x,
-                ),
-            ),
-        )
-        buckets = docs.select(
-            "vec_id", F.posexplode(table_keys).alias("tbl", "key")
-        )
+        if bits_per_table == "auto":
+            bits_per_table = auto_planes(docs.count())
+        buckets = _sign_bucket_keys(docs, n_tables, bits_per_table, dim, seed)
         cand = _bucket_candidate_pairs(
             buckets,
             key_cols=("tbl", "key"),

@@ -306,7 +306,7 @@ def knn_join_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     seed: int = 42,
     dim: int = 64,
     multi_probe: bool = True,
@@ -329,8 +329,18 @@ def knn_join_lsh(
 
     Every returned (query, neighbor, score) is exact; only the
     candidate set is pruned.  Validated against
-    ``knn_join_bruteforce`` (subset + recall) in tests."""
+    ``knn_join_bruteforce`` (subset + recall) in tests.
+
+    ``n_planes="auto"`` sizes the signature bits to the CORPUS via
+    ``dedup.auto_planes`` (one cheap count) so bucket occupancy — and
+    the candidate join's fan-out — stays constant as the corpus grows
+    (SCALING.md); raise ``n_tables`` in step to hold recall."""
     from pyspark.sql import Window
+
+    if n_planes == "auto":
+        from play_bq_gcp_spark.operators.dedup import auto_planes
+
+        n_planes = auto_planes(corpus.count())
 
     qv = F.col("embedding").cast("array<double>")
     all_planes = [

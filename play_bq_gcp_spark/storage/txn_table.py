@@ -579,6 +579,87 @@ def delete_where(
     return out
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str | list[str],
+    update_cols: list[str],
+    insert: bool = True,
+    prune_col: str | None = None,
+    expected_version: int | None = None,
+) -> Snapshot:
+    """Transactional MERGE INTO (the Delta/Iceberg copy-on-write MERGE
+    shape): update ``update_cols`` of rows whose ``key`` matches a
+    source row, optionally insert unmatched source rows, commit as ONE
+    atomic manifest.
+
+    Copy-on-write is file-pruned: with ``prune_col`` (a key column),
+    the source's [min, max] for that column — two values, computed in
+    one tiny aggregate — selects only base files whose footer range
+    overlaps; every other file is carried into the new version BY
+    REFERENCE, unrewritten.  Pruning is sound for the insert leg too:
+    a file skipped by the stats cannot contain any source key, so
+    match detection over the touched files alone is exact.  At 100 TB
+    a merge touching one day's keys rewrites that day's files, not the
+    table.  Overwrite-style conflict semantics (raises on a racing
+    commit rather than clobbering it)."""
+    from pyspark.sql import functions as F
+
+    base_version = (
+        current_version(path) if expected_version is None else expected_version
+    )
+    snap = snapshot(path, base_version)
+    lo = hi = None
+    if prune_col is not None:
+        bounds = source.agg(
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+    targets = (
+        _overlapping(snap, prune_col, lo, hi)
+        if prune_col is not None
+        else list(snap.files)
+    )
+    untouched = [f for f in snap.files if f not in set(targets)]
+
+    from play_bq_gcp_spark.operators.merge import (
+        merge_insert_and_upsert,
+        merge_upsert,
+    )
+
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    if targets:
+        touched = spark.read.parquet(
+            *[os.path.join(path, f) for f in targets]
+        )
+        merged = (
+            merge_insert_and_upsert(touched, source, key, update_cols)
+            if insert
+            else merge_upsert(touched, source, key, update_cols)
+        )
+        new_files, _, new_stats = _write_data_files(merged, path)
+    elif insert:
+        # no base file can match any source key: pure insert commit
+        new_files, _, new_stats = _write_data_files(source, path)
+    untouched_stats = {
+        f: snap.file_stats[f] for f in untouched if f in snap.file_stats
+    }
+    rows = sum(s["rows"] for s in {**untouched_stats, **new_stats}.values())
+    out = Snapshot(
+        base_version + 1,
+        tuple(untouched) + tuple(new_files),
+        rows,
+        "merge",
+        time.time(),
+        {"keys": [key] if isinstance(key, str) else list(key)},
+        {**untouched_stats, **new_stats},
+    )
+    _publish(path, base_version + 1, out)
+    return out
+
+
 def compact(
     spark: SparkSession,
     path: str,

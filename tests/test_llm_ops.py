@@ -524,3 +524,62 @@ def test_waveform_features_real_wav_decode(spark):
         assert out[d].rms == [0.5, 0.5]
         assert out[d].zcr == [1.0, 1.0]
     assert out[3].rms == [0.25, 0.25] and out[3].zcr == [0.0, 0.0]
+
+
+def test_auto_planes_keeps_bucket_occupancy_constant():
+    from play_bq_gcp_spark.operators.dedup import auto_planes
+
+    # occupancy model: n / 2^planes ~= target, so +10x corpus => +log2(10) bits
+    assert auto_planes(100_000) - auto_planes(10_000) in (3, 4)
+    assert auto_planes(32) == 6 and auto_planes(1_000) == 6  # floor
+    assert auto_planes(10**12, hi=24) == 24  # ceiling
+    # monotone non-decreasing
+    vals = [auto_planes(n) for n in (10**3, 10**4, 10**6, 10**9)]
+    assert vals == sorted(vals)
+
+
+def test_embedding_auto_bits_cuts_candidates_keeps_planted_pairs(spark):
+    """At 4k vectors, auto-sized AND-bits (7) vs an undersized fixed 4
+    bits: candidate volume drops by >2x while every planted near-dup
+    pair survives — the SCALING.md mitigation, demonstrated."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        _bucket_candidate_pairs,
+        _sign_bucket_keys,
+        auto_planes,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(2000, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for j in range(20):  # near-dup twins of the first 20 vectors
+        twin = base[j] + rng.normal(scale=0.02, size=64)
+        twin /= np.linalg.norm(twin)
+        rows.append((10_000 + j, [float(x) for x in twin]))
+        planted.append((j, 10_000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = df.selectExpr("vec_id", "embedding as v")
+
+    bits_auto = auto_planes(len(rows))
+    assert bits_auto == 6  # 2020/32 -> ceil(log2(63)) = 6
+    n_cand = {}
+    for bits in (3, bits_auto):
+        buckets = _sign_bucket_keys(docs, 16, bits, 64, 7)
+        n_cand[bits] = _bucket_candidate_pairs(
+            buckets, ("tbl", "key"), "vec_id", "a", "b",
+            MAX_BUCKET_SIZE, checkpoint=False,
+        ).count()
+    assert n_cand[bits_auto] * 2 < n_cand[3]  # >2x candidate reduction
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.95, bits_per_table="auto"
+        ).collect()
+    }
+    assert set(planted) <= got  # recall intact under auto sizing

@@ -271,3 +271,56 @@ def test_z_order_prunes_on_every_clustered_column(spark, table, tmp_path):
         len(tt.read_pruned(spark, linear, "b", lo=-999, hi=-800).inputFiles())
         == 16
     )
+
+
+def test_merge_into_updates_inserts_and_time_travels(spark, table):
+    tt.append(_df(spark, 0, 10).coalesce(1), table)
+    src = spark.createDataFrame(
+        [(3, 999), (7, 777), (20, 40)], "id long, v long"
+    )
+    out = tt.merge_into(spark, table, src, "id", ["v"])
+    assert out.action == "merge" and out.rows == 11
+    got = {r.id: r.v for r in tt.read(spark, table).collect()}
+    assert got[3] == 999 and got[7] == 777      # updated
+    assert got[20] == 40 and len(got) == 11     # inserted
+    assert got[5] == 10                         # untouched
+    # time travel: pre-merge version unchanged
+    assert {r.id: r.v for r in tt.read(spark, table, version=1).collect()}[3] == 6
+
+
+def test_merge_into_prunes_untouched_files(spark, table):
+    # three disjoint single-file commits -> disjoint id ranges per file
+    tt.append(_df(spark, 0, 100).coalesce(1), table)
+    tt.append(_df(spark, 100, 200).coalesce(1), table)
+    tt.append(_df(spark, 200, 300).coalesce(1), table)
+    before = set(tt.snapshot(table).files)
+    src = spark.createDataFrame([(150, -1), (160, -2)], "id long, v long")
+    out = tt.merge_into(spark, table, src, "id", ["v"], prune_col="id")
+    # the two non-overlapping files are carried by reference, unrewritten
+    assert len(set(out.files) & before) == 2
+    got = {r.id: r.v for r in tt.read(spark, table).collect()}
+    assert got[150] == -1 and got[160] == -2 and got[0] == 0
+    assert len(got) == 300
+    # pruned insert leg stays exact: a key outside every file range
+    src2 = spark.createDataFrame([(1000, 1)], "id long, v long")
+    out2 = tt.merge_into(spark, table, src2, "id", ["v"], prune_col="id")
+    assert out2.rows == 301
+    assert {r.v for r in tt.read(spark, table).collect() if r.id == 1000} == {1}
+
+
+def test_merge_into_update_only_ignores_unmatched(spark, table):
+    tt.append(_df(spark, 0, 5).coalesce(1), table)
+    src = spark.createDataFrame([(2, 22), (50, 1)], "id long, v long")
+    out = tt.merge_into(spark, table, src, "id", ["v"], insert=False)
+    assert out.rows == 5
+    got = {r.id: r.v for r in tt.read(spark, table).collect()}
+    assert got[2] == 22 and 50 not in got
+
+
+def test_merge_into_conflicts_like_overwrite(spark, table):
+    tt.append(_df(spark, 0, 5), table)
+    v = tt.current_version(table)
+    tt.append(_df(spark, 5, 6), table)  # racing commit
+    src = spark.createDataFrame([(0, 1)], "id long, v long")
+    with pytest.raises(tt.CommitConflict):
+        tt.merge_into(spark, table, src, "id", ["v"], expected_version=v)
