@@ -2741,6 +2741,52 @@ def streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_session_timers_tws",
+    """
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(boundary) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM b
+    ),
+    agg AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM s GROUP BY user_id, sid
+    ),
+    wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm_us FROM events),
+    mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT user_id, n_events, start_us, end_us
+    FROM agg JOIN mx USING (user_id) CROSS JOIN wm
+    WHERE sid < last_sid OR end_us + 1800000000 <= wm_us
+    ORDER BY user_id, start_us
+    """,
+)
+def streaming_session_timers_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME sessionization on Spark 4's arbitrary-state API with
+    EXPLICIT event-time timers (streaming/stateful.
+    session_close_on_timer_tws): registerTimer/deleteTimer maintain the
+    session-close horizon and handleExpiredTimer emits on watermark
+    passage — the timer surface GroupState's setTimeoutTimestamp only
+    approximates.  Oracle identical to streaming_timeout_sessions;
+    both stateful APIs are pinned to one batch truth."""
+    from play_bq_gcp_spark.streaming.stateful import session_close_on_timer_tws
+
+    return session_close_on_timer_tws(spark, sf, gap_s=1800, n_chunks=4).orderBy(
+        "user_id", "start_us"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytic breadth (below-window; adapted to the fixture
 # schema — no partsupp/commitdate/shipmode columns exist, so q2/q4/q12-

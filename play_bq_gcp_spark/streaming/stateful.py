@@ -444,3 +444,162 @@ def session_close_on_timeout(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("user_id", "start_us")
+
+
+def session_close_on_timer_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Timer-based sessionization on the Spark-4 arbitrary-state API —
+    the transformWithStateInPandas twin of ``session_close_on_timeout``
+    exercising the surface GroupState cannot express directly: explicit
+    EVENT-TIME TIMERS (``handle.registerTimer`` / ``deleteTimer``) with
+    a dedicated ``handleExpiredTimer`` callback, plus typed ValueState.
+
+    Semantics (identical to the GroupState twin, same oracle): a
+    session emits when a later row opens the next session (gap
+    exceeded) or when the watermark passes session_end + gap — here via
+    a registered timer rather than ``setTimeoutTimestamp``.  Extending
+    a session DELETES the stale timer and registers the new horizon;
+    ``handleExpiredTimer`` double-checks the stored horizon so a timer
+    that raced a same-batch extension is ignored, not emitted."""
+    import uuid
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not usable in this environment; use session_close_on_timeout "
+            "(applyInPandasWithState) instead"
+        )
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from play_bq_gcp_spark.streaming import _protobuf_compat
+
+    cloudpickle.register_pickle_by_value(_protobuf_compat)
+    _boot = _protobuf_compat.ensure_protobuf
+
+    chunk_dir, _ = _time_ordered_chunks(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+    )
+    gap_us = gap_s * 1_000_000
+
+    class TimerSessions(StatefulProcessor):
+        def __reduce__(self):
+            return (_rebuild_timer_sessions, ())
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "n_events long, start_us long, end_us long, timer_ms long"
+            )
+
+        def _emit(self, key, sessions):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "n_events": [s[0] for s in sessions],
+                    "start_us": [s[1] for s in sessions],
+                    "end_us": [s[2] for s in sessions],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_us = sorted(
+                int(v.value // 1_000)
+                for pdf in rows
+                for v in pd.to_datetime(pdf["ts"])
+            )
+            old_timer = None
+            cur = None
+            if self._sess.exists():
+                n, s_us, e_us, old_timer = self._sess.get()
+                cur = (n, s_us, e_us)
+            closed = []
+            for t in ts_us:
+                if cur is None:
+                    cur = (1, t, t)
+                elif t - cur[2] >= gap_us:
+                    closed.append(cur)
+                    cur = (1, t, t)
+                else:
+                    cur = (cur[0] + 1, cur[1], t)
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            close_at_ms = (cur[2] + gap_us) // 1_000
+            if old_timer is not None and old_timer != close_at_ms:
+                self._handle.deleteTimer(old_timer)
+            if close_at_ms <= wm_ms:
+                closed.append(cur)
+                self._sess.clear()
+            else:
+                self._sess.update((cur[0], cur[1], cur[2], close_at_ms))
+                if old_timer != close_at_ms:
+                    self._handle.registerTimer(close_at_ms)
+            if closed:
+                yield self._emit(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            n, s_us, e_us, timer_ms = self._sess.get()
+            if timer_ms != expiredTimerInfo.getExpiryTimeInMs():
+                return  # stale timer raced an in-batch extension
+            self._sess.clear()
+            yield self._emit(key, [(n, s_us, e_us)])
+
+        def close(self) -> None:
+            pass
+
+    def _rebuild_timer_sessions():
+        if not _boot():
+            raise RuntimeError("google.protobuf unusable in worker")
+        return TimerSessions()
+
+    sessions = ev.groupBy("user_id").transformWithStateInPandas(
+        TimerSessions(), SESSION_SCHEMA, "Append", "EventTime"
+    )
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(name).orderBy("user_id", "start_us")

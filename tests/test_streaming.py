@@ -309,3 +309,26 @@ def test_ingest_stream_grows_index_across_batches(spark, tmp_path):
     assert out[20] == ("exact_dup", 1)   # caught ONLY by grown index
     assert out[21][0] == "near_dup"      # near match against 11 or 20
     assert len(out) == 4
+
+
+def test_tws_timer_sessions_match_groupstate_twin(spark, sf_dir):
+    """Timer-based TWS sessionization emits the EXACT same session set
+    as the GroupState event-time-timeout twin — including in-batch
+    closures, cross-batch extensions, stale-timer races, and the
+    final-watermark closure rule."""
+    import pytest
+
+    from play_bq_gcp_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        pytest.skip("google.protobuf unusable in this container")
+    timer = [
+        tuple(r)
+        for r in stateful.session_close_on_timer_tws(spark, sf_dir).collect()
+    ]
+    group_state = [
+        tuple(r)
+        for r in stateful.session_close_on_timeout(spark, sf_dir).collect()
+    ]
+    assert timer == group_state
+    assert timer  # sessions actually closed
