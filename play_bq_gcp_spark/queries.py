@@ -2742,6 +2742,50 @@ def streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_left_outer_interval_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id, p.p_user, p.p_ts, c.c_ts
+        FROM p LEFT JOIN c
+          ON p.p_user = c.c_user AND c.c_ts <= p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+            (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c)
+        ) - 3600000000 AS wm_us
+    )
+    SELECT purchase_id, click_id, p_user, p_ts, c_ts
+    FROM j CROSS JOIN wm
+    WHERE click_id IS NOT NULL OR epoch_us(p_ts) <= wm_us
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_left_outer_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (§2.8 — the outer-state
+    eviction path the inner join never exercises): purchases with no
+    same-user click in the prior 30 min emit NULL-completed once the
+    watermark proves no future match; unmatched purchases past the
+    final watermark stay buffered, exactly what a restart resumes.
+    Oracle: batch left join + the final-watermark emission rule
+    (ms-truncated min of both sides' max event time − 1 h)."""
+    from play_bq_gcp_spark.streaming.daily import (
+        purchase_click_left_outer_join,
+    )
+
+    return purchase_click_left_outer_join(spark, sf)
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

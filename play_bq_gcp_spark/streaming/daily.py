@@ -185,6 +185,52 @@ def purchase_click_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append").orderBy("purchase_id", "click_id")
 
 
+def purchase_click_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join (§2.8): every
+    purchase joined to same-user clicks in the preceding 30 minutes —
+    and purchases with NO such click still emit, null-completed, once
+    the watermark proves no future click can match (the outer-join
+    state eviction the inner form never exercises).
+
+    The no-data closing batch of ``AvailableNow`` advances the final
+    watermark to (min of both sides' max event time) − 1 h, so
+    unmatched purchases at or before that horizon emit with null
+    click_id; later unmatched purchases stay buffered, exactly the
+    rows a restart would resume.  The oracle restates this: batch left
+    join, keeping matched rows always and unmatched rows only inside
+    the final-watermark horizon."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+    return _run_to_memory(joined, "append").orderBy(
+        "purchase_id", "click_id"
+    )
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user — the streaming
     twin of operators.windows.sessionize."""
