@@ -877,6 +877,53 @@ def semistructured_suite(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FORMAT_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_csv_json_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def scan_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format breadth (§2.1): the same slice landed ONCE per sf
+    as header'd CSV and as JSONL, then both read back with an EXPLICIT
+    schema — never inferSchema, which at 100 TB is a full extra scan —
+    and verified identical row-for-row (inner join on every column;
+    the entry returns only rows both formats agree on, so a format
+    that mangled even one value would break the oracle's row count).
+    Parquet remains the engine's native layout; CSV/JSONL are the
+    interchange surfaces a real ingest edge needs."""
+    import os
+    import tempfile
+
+    slice_df = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    if sf not in _FORMAT_DIRS:
+        d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+        slice_df.write.option("header", True).csv(os.path.join(d, "csv"))
+        slice_df.write.json(os.path.join(d, "jsonl"))
+        _FORMAT_DIRS[sf] = d
+    d = _FORMAT_DIRS[sf]
+    schema = "doc_id long, lang string, n_chars long"
+    csv_df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(d, "csv"))
+    )
+    json_df = spark.read.schema(schema).json(os.path.join(d, "jsonl"))
+    return (
+        csv_df.join(json_df, ["doc_id", "lang", "n_chars"], "inner")
+        .orderBy("doc_id")
+    )
+
+
 _PRUNED_DIRS: dict[str, str] = {}
 
 

@@ -660,6 +660,42 @@ def merge_into(
     return out
 
 
+def changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """File-granularity change data feed between two committed
+    versions: rows in files ADDED between ``v_from`` and ``v_to`` tag
+    ``_change_type='insert'``, rows in files REMOVED tag ``'delete'``.
+
+    For append-only history this reads ONLY the added files — O(changed
+    data), never a table diff — which is what lets a downstream
+    incremental job follow a 100 TB table by reading each day's commit.
+    Rewrites (delete_where / compact / merge) surface rewritten rows as
+    delete+insert pairs: the honest file-level feed of a format without
+    row-id tracking.  Invariant (tested): applying the feed to
+    ``v_from`` reproduces ``v_to`` exactly as a multiset."""
+    from pyspark.sql import functions as F
+
+    a, b = snapshot(path, v_from), snapshot(path, v_to)
+    added = [f for f in b.files if f not in set(a.files)]
+    removed = [f for f in a.files if f not in set(b.files)]
+    base = read(spark, path, version=v_to if b.files else v_from)
+    out = base.filter(F.lit(False)).withColumn(
+        "_change_type", F.lit("")
+    )
+    if added:
+        out = out.unionByName(
+            spark.read.parquet(*[os.path.join(path, f) for f in added])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if removed:
+        out = out.unionByName(
+            spark.read.parquet(*[os.path.join(path, f) for f in removed])
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    return out
+
+
 def compact(
     spark: SparkSession,
     path: str,

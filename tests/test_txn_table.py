@@ -324,3 +324,43 @@ def test_merge_into_conflicts_like_overwrite(spark, table):
     src = spark.createDataFrame([(0, 1)], "id long, v long")
     with pytest.raises(tt.CommitConflict):
         tt.merge_into(spark, table, src, "id", ["v"], expected_version=v)
+
+
+def test_changes_append_only_reads_only_added_files(spark, table):
+    tt.append(_df(spark, 0, 10).coalesce(1), table)
+    tt.append(_df(spark, 10, 15).coalesce(1), table)
+    cdf = tt.changes(spark, table, 1, 2)
+    rows = cdf.collect()
+    assert {r._change_type for r in rows} == {"insert"}
+    assert sorted(r.id for r in rows) == list(range(10, 15))
+    # O(changed data): the scan touched only the added file
+    v1_files = {os.path.basename(f) for f in tt.snapshot(table, 1).files}
+    assert all(
+        os.path.basename(f) not in v1_files for f in cdf.inputFiles()
+    )
+
+
+def test_changes_replay_reproduces_target_version(spark, table):
+    """v_from minus deletes plus inserts == v_to, as a multiset — for
+    append, row-level delete (rewrite), and merge commits."""
+    import collections
+
+    tt.append(_df(spark, 0, 100).coalesce(2), table)
+    tt.delete_where(spark, table, "id % 10 = 0")
+    src = spark.createDataFrame([(5, -5), (200, 1)], "id long, v long")
+    tt.merge_into(spark, table, src, "id", ["v"])
+    top = tt.current_version(table)
+    for v_from in range(1, top):
+        feed = tt.changes(spark, table, v_from, top).collect()
+        base = collections.Counter(
+            (r.id, r.v) for r in tt.read(spark, table, version=v_from).collect()
+        )
+        for r in feed:
+            if r._change_type == "delete":
+                base[(r.id, r.v)] -= 1
+            else:
+                base[(r.id, r.v)] += 1
+        target = collections.Counter(
+            (r.id, r.v) for r in tt.read(spark, table, version=top).collect()
+        )
+        assert +base == target, f"replay from v{v_from} diverged"
