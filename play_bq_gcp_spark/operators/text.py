@@ -458,3 +458,67 @@ def keywords_tfidf(documents: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "rank", "token", "score_ticks")
     )
+
+
+def classifier_weights(n_buckets: int = 64, seed: int = 101) -> list[float]:
+    """Deterministic dyadic weight vector for the hashing-trick
+    classifier: integers in [-512, 512) scaled by 1/1024, from a
+    seeded xorshift — every weight (and any SUM of weights) is an
+    exact multiple of 2^-10, so inference is order-independent and
+    bit-identical across engines.  A real deployment replaces this
+    with a trained model's head; the plumbing is unchanged."""
+    x = seed & 0xFFFFFFFF or 1
+    out = []
+    for _ in range(n_buckets):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append(((x % 1024) - 512) / 1024)
+    return out
+
+
+def quality_classifier(
+    documents: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 101,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Hashing-trick LINEAR classifier inference (the fastText-style
+    learned quality gate of LLM curation pipelines), entirely built-in
+    expressions — the shape under a trained model is identical:
+
+    token → bucket: two md5 hex digits folded mod ``n_buckets``
+    (engine-portable, so the oracle replays inference exactly);
+    document logit: mean of bucket weights over token INSTANCES (an
+    embedding-bag with bag size 1); label: logit > 0.  Weights travel
+    as a plan literal — map-only, one scan, no shuffle; a 256k-bucket
+    production model would broadcast a lookup table instead.  Dyadic
+    weights (``classifier_weights``) make the sum exact, so results
+    carry zero FP ambiguity across summation orders or engines."""
+    w = weights if weights is not None else classifier_weights(n_buckets, seed)
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    toks = tokens("text")
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        w_lit,
+        (
+            F.conv(F.substring(F.md5(t), 7, 2), 16, 10).cast("int")
+            % n_buckets
+        )
+        + 1,
+    )
+    summed = bind(
+        toks,
+        lambda tk: F.aggregate(
+            tk, F.lit(0.0), lambda acc, t: acc + bucket_w(t)
+        ),
+    )
+    n_tok = F.size(toks)
+    return (
+        documents.filter(F.size(tokens("text")) > 0)
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.round(summed / n_tok, 6).alias("logit"),
+            (summed > 0).alias("label"),
+        )
+    )

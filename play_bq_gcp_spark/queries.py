@@ -1592,6 +1592,44 @@ _SQL_TOKS = (
 )
 
 
+def _quality_clf_oracle() -> str:
+    """DuckDB restatement of ``text.quality_classifier``: same md5
+    bucket fold, same dyadic weight literal, exact sum → identical
+    logits with zero FP ambiguity."""
+    from play_bq_gcp_spark.operators.text import classifier_weights
+
+    wl = "[" + ", ".join(repr(v) for v in classifier_weights()) + "]"
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+    hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+    b AS (SELECT doc_id, (({dig(7)} * 16 + {dig(8)}) % 64) AS bkt FROM hs),
+    wt AS (SELECT doc_id, list_extract({wl}, bkt + 1) AS w FROM b),
+    agg AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+        FROM wt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS logit,
+           s > 0 AS label
+    FROM agg ORDER BY doc_id
+    """
+
+
+@register("text_quality_classifier", _quality_clf_oracle())
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick linear classifier inference
+    (operators/text.quality_classifier): the fastText-style learned
+    quality gate, map-only with the weight vector as a plan literal;
+    md5-fold buckets and dyadic weights make the oracle replay
+    inference bit-for-bit."""
+    from play_bq_gcp_spark.operators.text import quality_classifier
+
+    return quality_classifier(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 @register(
     "dedup_exact_groups",
     f"""

@@ -583,3 +583,32 @@ def test_embedding_auto_bits_cuts_candidates_keeps_planted_pairs(spark):
         ).collect()
     }
     assert set(planted) <= got  # recall intact under auto sizing
+
+
+def test_quality_classifier_exact_and_deterministic(spark):
+    """Inference is exactly reproducible: dyadic weights make the sum
+    order-independent, and a hand-computed doc scores identically."""
+    from play_bq_gcp_spark.operators.text import (
+        classifier_weights,
+        quality_classifier,
+    )
+
+    w = classifier_weights()
+    assert len(w) == 64
+    assert all(v * 1024 == int(v * 1024) for v in w)  # dyadic: exact sums
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "   "), (3, "Gamma!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    assert 2 not in out  # zero-token docs are dropped, not null-scored
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[6:8], 16) % 64
+
+    exp1 = (2 * w[bucket("alpha")] + w[bucket("beta")]) / 3
+    assert out[1].n_tokens == 3
+    assert out[1].logit == round(exp1, 6)
+    assert out[1].label == (2 * w[bucket("alpha")] + w[bucket("beta")] > 0)
+    assert out[3].logit == round(w[bucket("gamma")], 6)  # lowercased
