@@ -497,28 +497,35 @@ def quality_classifier(
     carry zero FP ambiguity across summation orders or engines."""
     w = weights if weights is not None else classifier_weights(n_buckets, seed)
     w_lit = F.array(*[F.lit(float(v)) for v in w])
-    toks = tokens("text")
-    bucket_w = lambda t: F.element_at(  # noqa: E731
-        w_lit,
-        (
-            F.conv(F.substring(F.md5(t), 7, 2), 16, 10).cast("int")
-            % n_buckets
+
+    def bucket_w(t):
+        return F.element_at(
+            w_lit,
+            (
+                F.conv(F.substring(F.md5(t), 7, 2), 16, 10).cast("int")
+                % n_buckets
+            )
+            + 1,
         )
-        + 1,
-    )
-    summed = bind(
-        toks,
-        lambda tk: F.aggregate(
-            tk, F.lit(0.0), lambda acc, t: acc + bucket_w(t)
+
+    # one tokenization + ONE weight-sum per row: tk and s are bound as
+    # lambda variables, and the explode(array(struct)) Generate node is
+    # a CollapseProject barrier — without it, expanding the struct
+    # would re-inline (and re-evaluate) the interpreted HOF aggregate
+    # once per output column (the §9 shared-subtree lesson).
+    row = bind(
+        tokens("text"),
+        lambda tk: bind(
+            F.aggregate(tk, F.lit(0.0), lambda acc, t: acc + bucket_w(t)),
+            lambda s: F.struct(
+                F.size(tk).alias("n_tokens"),
+                F.round(s / F.size(tk), 6).alias("logit"),
+                (s > 0).alias("label"),
+            ),
         ),
     )
-    n_tok = F.size(toks)
     return (
         documents.filter(F.size(tokens("text")) > 0)
-        .select(
-            "doc_id",
-            n_tok.alias("n_tokens"),
-            F.round(summed / n_tok, 6).alias("logit"),
-            (summed > 0).alias("label"),
-        )
+        .select("doc_id", F.explode(F.array(row)).alias("o"))
+        .select("doc_id", "o.n_tokens", "o.logit", "o.label")
     )
