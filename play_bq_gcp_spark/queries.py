@@ -2655,6 +2655,72 @@ def similarity_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "rest_stream_ingest",
+    """
+    WITH n AS (SELECT unnest(range(0, 200))::BIGINT AS n),
+    h AS (SELECT n, (n * 2654435761 + 7) % 2147483648 AS h FROM n)
+    SELECT 'CUSA' || lpad(n::VARCHAR, 5, '0') || '_00' AS title_id,
+           'ps4_game_' || (h % 7) AS category,
+           (h % 500) + 1 AS play_count,
+           TIMESTAMP '2024-01-01' + (h % 8760) * INTERVAL 1 HOUR
+               AS first_played_date_time
+    FROM h ORDER BY title_id
+    """,
+)
+def rest_stream_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """S1 × §2.8: the SAME paged API consumed as a STREAM — the Python
+    DataSource's streamReader exposes page numbers as offsets (the
+    persisted cursor of a tail-the-export-endpoint pipeline), each
+    micro-batch pulling the pages published since the last, one page
+    per input partition through the full HTTP seam.  Four pages arrive
+    over four genuine micro-batches (pages_per_batch=1; asserted in
+    tests); the oracle replays the fake's page arithmetic, so cursor
+    progression, client, parsing, and typing are all value-checked."""
+    import tempfile
+    import time
+    import uuid
+
+    from play_bq_gcp_spark.sources.psn_datasource import (
+        GameSnapshotDataSource,
+    )
+
+    spark.dataSource.register(GameSnapshotDataSource)
+    stream = (
+        spark.readStream.format("game_snapshot")
+        .option("total_pages", 4)
+        .option("pages_per_batch", 1)
+        .option("page_size", 50)
+        .load()
+    )
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        # the cursor advances one page per poll; drain to the end
+        # (availableNow would snapshot only the FIRST poll's offset)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 200:
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+    return (
+        spark.table(name)
+        .select(
+            "title_id", "category", "play_count", "first_played_date_time"
+        )
+        .orderBy("title_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
     "rest_source_snapshot",
     """
     WITH n AS (SELECT unnest(range(0, 200))::BIGINT AS n),

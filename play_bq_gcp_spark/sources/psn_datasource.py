@@ -28,6 +28,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -106,42 +107,88 @@ class GameSnapshotReader(DataSourceReader):
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         """One API page → one task, fetched through the full HTTP seam
-        (sources/http_client.py): per-task RestClient with a token
-        bucket and bounded retries, exactly as a deployment would run it
-        — only the transport is the offline fake.  The task-local
-        client means cluster-wide request rate = rate × concurrent
-        tasks; 10 req/s/task here."""
-        import datetime as dt
+        (``_read_page``), exactly as a deployment would run it — only
+        the transport is the offline fake.  The task-local client means
+        cluster-wide request rate = rate × concurrent tasks;
+        10 req/s/task here."""
+        return _read_page(partition)
 
-        from play_bq_gcp_spark.sources.http_client import (
-            RestClient,
-            TokenBucket,
+
+def _read_page(partition: _PagePartition) -> Iterator[tuple]:
+    """One API page → one task: per-task RestClient with a token bucket
+    and bounded retries over the offline transport (shared by the batch
+    and streaming readers — the seam is identical in both cadences)."""
+    import datetime as dt
+
+    from play_bq_gcp_spark.sources.http_client import (
+        RestClient,
+        TokenBucket,
+    )
+
+    client = RestClient(
+        transport=_FakePsnTransport(partition.seed),
+        bucket=TokenBucket(rate=10.0, burst=5),
+        max_attempts=3,
+        sleeper=lambda s: None,  # offline fake: no real pacing
+    )
+    url = (
+        "https://api.example/v1/titles"
+        f"?page={partition.page}&size={partition.page_size}"
+    )
+    doc = client.get(url).json()
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    for t in doc["titles"]:
+        yield (
+            t["title_id"],
+            t["title_name"],
+            t["image"],
+            t["category"],
+            base + dt.timedelta(hours=t["first_played_hours"]),
+            base + dt.timedelta(hours=t["last_played_hours"]),
+            t["play_count"],
+            t["play_duration_seconds"],
         )
 
-        client = RestClient(
-            transport=_FakePsnTransport(partition.seed),
-            bucket=TokenBucket(rate=10.0, burst=5),
-            max_attempts=3,
-            sleeper=lambda s: None,  # offline fake: no real pacing
+
+class GameSnapshotStreamReader(DataSourceStreamReader):
+    """Cursor-paged STREAMING ingest of the same feed (§2.1 × §2.8):
+    offsets are page numbers — the persisted cursor a production
+    pipeline keeps when tailing a paginated export endpoint.  Each
+    poll "publishes" ``pages_per_batch`` more pages (the offline
+    stand-in for new data appearing) up to ``total_pages``; a
+    micro-batch reads exactly the pages between its start and end
+    offsets, one page per input partition, through the same HTTP seam
+    as the batch reader.  Exactly-once delivery falls out of Spark's
+    offset log + deterministic page contents: a replayed batch
+    re-reads the same pages and produces identical rows."""
+
+    def __init__(self, options: dict) -> None:
+        self.page_size = int(options.get("page_size", 100))
+        self.seed = int(options.get("seed", 7))
+        self.total_pages = int(options.get("total_pages", 4))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        self._latest = min(
+            self._latest + self.pages_per_batch, self.total_pages
         )
-        url = (
-            "https://api.example/v1/titles"
-            f"?page={partition.page}&size={partition.page_size}"
-        )
-        doc = client.get(url).json()
-        base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-        for t in doc["titles"]:
-            first = base + dt.timedelta(hours=t["first_played_hours"])
-            yield (
-                t["title_id"],
-                t["title_name"],
-                t["image"],
-                t["category"],
-                first,
-                base + dt.timedelta(hours=t["last_played_hours"]),
-                t["play_count"],
-                t["play_duration_seconds"],
-            )
+        return {"page": self._latest}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _PagePartition(p, self.page_size, self.seed)
+            for p in range(start["page"], end["page"])
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        return _read_page(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the cursor lives in Spark's offset log
 
 
 class _FileCommit(WriterCommitMessage):
@@ -219,3 +266,6 @@ class GameSnapshotDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> GameSnapshotWriter:
         return GameSnapshotWriter(self.options)
+
+    def streamReader(self, schema) -> GameSnapshotStreamReader:
+        return GameSnapshotStreamReader(self.options)

@@ -63,3 +63,47 @@ def test_datasource_write_two_phase_commit(spark, tmp_path):
     back = spark.read.json(os.path.join(out, "part_*.jsonl"))
     assert back.count() == 30
     assert set(df.columns) == set(back.columns)
+
+
+def test_stream_reader_progresses_cursor_across_micro_batches(spark):
+    """Four pages arrive over FOUR genuine micro-batches (one page per
+    poll), each batch exactly page_size rows — the offset log is a real
+    cursor, not a single drain."""
+    import tempfile
+    import time
+    import uuid
+
+    from play_bq_gcp_spark.sources.psn_datasource import (
+        GameSnapshotDataSource,
+    )
+
+    spark.dataSource.register(GameSnapshotDataSource)
+    stream = (
+        spark.readStream.format("game_snapshot")
+        .option("total_pages", 4)
+        .option("pages_per_batch", 1)
+        .option("page_size", 25)
+        .load()
+    )
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 100:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+    assert spark.table(name).count() == 100
+    assert len(data_batches) == 4
+    assert all(p["numInputRows"] == 25 for p in data_batches)
+    # distinct titles: no page delivered twice despite per-poll offsets
+    assert spark.table(name).select("title_id").distinct().count() == 100
