@@ -2893,6 +2893,27 @@ def streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_tws_mapstate",
+    """
+    SELECT user_id, event_type, count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_tws_mapstate(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed MAP STATE on the Spark-4 arbitrary-state API
+    (streaming/stateful.per_type_user_stats_tws): per-user map of
+    event_type → running (count, sum) updated across 4 genuine
+    micro-batches — the keyed-substate surface GroupState cannot type.
+    Final map must equal the batch GROUP BY truth."""
+    from play_bq_gcp_spark.streaming.stateful import per_type_user_stats_tws
+
+    return per_type_user_stats_tws(spark, sf)
+
+
+@register(
     "streaming_left_outer_interval_join",
     """
     WITH p AS (

@@ -603,3 +603,143 @@ def session_close_on_timer_tws(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.table(name).orderBy("user_id", "start_us")
+
+
+TYPE_STATS_SCHEMA = (
+    "user_id long, event_type string, n_events long, total_value double"
+)
+
+
+def per_type_user_stats_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Per-(user, event_type) running (count, sum) via typed MAP STATE
+    on transformWithStateInPandas — the keyed-substate surface
+    (getMapState: per-key map of event_type → aggregate) that ValueState
+    flattens awkwardly and GroupState cannot type at all.  Each
+    micro-batch updates only the touched map entries; the final batch's
+    full-map emission must equal the batch GROUP BY user_id, event_type
+    truth (the oracle).  Update mode; the max-count row per
+    (user, type) is the final state, monotone within a key."""
+    import uuid
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not usable in this environment"
+        )
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from play_bq_gcp_spark.streaming import _protobuf_compat
+
+    cloudpickle.register_pickle_by_value(_protobuf_compat)
+    _boot = _protobuf_compat.ensure_protobuf
+
+    chunk_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "event_type", "value")
+    )
+
+    class PerTypeStats(StatefulProcessor):
+        def __reduce__(self):
+            return (_rebuild_per_type, ())
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "per_type", "event_type string", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, tuple[int, float]] = {}
+            for pdf in rows:
+                for et, grp in pdf.groupby("event_type"):
+                    n0, t0 = touched.get(et) or (
+                        self._m.getValue((et,)) or (0, 0.0)
+                    )
+                    touched[et] = (
+                        n0 + len(grp), t0 + float(grp["value"].sum())
+                    )
+            for et, (n, tot) in touched.items():
+                self._m.updateValue((et,), (n, tot))
+            # emit the FULL current map so the last update per
+            # (user, type) is the final state even for untouched types
+            out = list(self._m.iterator())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "event_type": [k[0] for k, _ in out],
+                    "n_events": [v[0] for _, v in out],
+                    "total_value": [v[1] for _, v in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def _rebuild_per_type():
+        if not _boot():
+            raise RuntimeError("google.protobuf unusable in worker")
+        return PerTypeStats()
+
+    running = ev.groupBy("user_id").transformWithStateInPandas(
+        PerTypeStats(), TYPE_STATS_SCHEMA, "Update", "None"
+    )
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                running.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
