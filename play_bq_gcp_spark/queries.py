@@ -2893,6 +2893,34 @@ def streaming_timeout_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "streaming_tws_liststate",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS pos,
+               count(*) OVER (PARTITION BY user_id) AS n_seen
+        FROM events
+    )
+    SELECT user_id, n_seen, pos::INT AS pos, event_id, ts_us
+    FROM ranked WHERE pos <= 3
+    ORDER BY user_id, pos
+    """,
+)
+def streaming_tws_liststate(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed LIST STATE on the Spark-4 arbitrary-state API
+    (streaming/stateful.recent_events_tws): per-user most-recent-3
+    buffer merged and trimmed across 4 genuine micro-batches — with
+    ValueState, MapState, and timers this completes the API's
+    state-type coverage.  Final buffer must equal the batch
+    top-3-by-event-time truth."""
+    from play_bq_gcp_spark.streaming.stateful import recent_events_tws
+
+    return recent_events_tws(spark, sf, k=3)
+
+
+@register(
     "streaming_tws_mapstate",
     """
     SELECT user_id, event_type, count(*) AS n_events,

@@ -743,3 +743,140 @@ def per_type_user_stats_tws(
         )
         .orderBy("user_id", "event_type")
     )
+
+
+RECENT_SCHEMA = "user_id long, n_seen long, pos int, event_id long, ts_us long"
+
+
+def recent_events_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Per-user most-recent-``k`` events maintained in typed LIST STATE
+    on transformWithStateInPandas — the bounded-buffer surface
+    (``getListState`` + ``put``) that completes the API's state-type
+    coverage (ValueState: running totals; MapState: keyed substates;
+    timers: sessions).  Each micro-batch merges its rows into the
+    buffer, trims to the ``k`` latest by event time, and emits the
+    buffer tagged with a running seen-count, so the final buffer per
+    user is the max-``n_seen`` emission — which must equal the batch
+    top-``k``-by-time truth (the oracle)."""
+    import uuid
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not usable in this environment"
+        )
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from play_bq_gcp_spark.streaming import _protobuf_compat
+
+    cloudpickle.register_pickle_by_value(_protobuf_compat)
+    _boot = _protobuf_compat.ensure_protobuf
+
+    chunk_dir, _ = _time_ordered_chunks(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "event_id", "ts")
+    )
+
+    class RecentEvents(StatefulProcessor):
+        def __reduce__(self):
+            return (_rebuild_recent, ())
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState(
+                "recent", "event_id long, ts_us long"
+            )
+            self._seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = list(self._buf.get()) if self._buf.exists() else []
+            n_seen = (self._seen.get() or (0,))[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n_seen += len(pdf)
+                ts_us = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
+                )
+                cur.extend(
+                    (int(e), int(t))
+                    for e, t in zip(pdf["event_id"], ts_us)
+                )
+            # latest k by event time (event_id tie-break, deterministic)
+            cur.sort(key=lambda r: (-r[1], -r[0]))
+            cur = cur[:k]
+            self._buf.put(cur)
+            self._seen.update((n_seen,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cur),
+                    "n_seen": [n_seen] * len(cur),
+                    "pos": list(range(1, len(cur) + 1)),
+                    "event_id": [r[0] for r in cur],
+                    "ts_us": [r[1] for r in cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def _rebuild_recent():
+        if not _boot():
+            raise RuntimeError("google.protobuf unusable in worker")
+        return RecentEvents()
+
+    running = ev.groupBy("user_id").transformWithStateInPandas(
+        RecentEvents(), RECENT_SCHEMA, "Update", "None"
+    )
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                running.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    updates = spark.table(name)
+    w = Window.partitionBy("user_id", "pos").orderBy(F.col("n_seen").desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_seen", "pos", "event_id", "ts_us")
+        .orderBy("user_id", "pos")
+    )
