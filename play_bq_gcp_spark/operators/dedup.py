@@ -390,7 +390,7 @@ def _minhash_banded_pairs(
 
 
 def auto_planes(
-    n_rows: int, target_bucket: int = 32, lo: int = 6, hi: int = 24
+    n_rows: int, target_bucket: int = 4, lo: int = 6, hi: int = 24
 ) -> int:
     """Hyperplane (AND-bit) count sized to the corpus:
     ``planes ≈ log2(n / target_bucket)`` keeps EXPECTED bucket
@@ -400,7 +400,12 @@ def auto_planes(
     in-bucket candidate expansion quadratically — 10x corpus cost
     ~200x candidate shuffle.  Recall lost to the extra AND-bits is
     recovered with OR-amplified tables (more tables, same math as
-    similarity.py's multi-table recall model)."""
+    similarity.py's multi-table recall model).
+
+    ``target_bucket=4`` reproduces the hand-tuned fixture-scale
+    operating point (~10 bits at 2k vectors, a few vectors per bucket
+    — candidate generation wants TIGHT buckets) and carries it to any
+    scale: 13 bits at 20k, 24-bit ceiling near a billion."""
     import math
 
     if n_rows <= target_bucket:

@@ -531,7 +531,9 @@ def test_auto_planes_keeps_bucket_occupancy_constant():
 
     # occupancy model: n / 2^planes ~= target, so +10x corpus => +log2(10) bits
     assert auto_planes(100_000) - auto_planes(10_000) in (3, 4)
-    assert auto_planes(32) == 6 and auto_planes(1_000) == 6  # floor
+    assert auto_planes(4) == 6 and auto_planes(100) == 6  # floor
+    assert auto_planes(2_000) == 9   # ~ the hand-tuned 10-bit point
+    assert auto_planes(20_000) == 13  # 10x corpus -> +log2(10) bits
     assert auto_planes(10**12, hi=24) == 24  # ceiling
     # monotone non-decreasing
     vals = [auto_planes(n) for n in (10**3, 10**4, 10**6, 10**9)]
@@ -566,7 +568,7 @@ def test_embedding_auto_bits_cuts_candidates_keeps_planted_pairs(spark):
     docs = df.selectExpr("vec_id", "embedding as v")
 
     bits_auto = auto_planes(len(rows))
-    assert bits_auto == 6  # 2020/32 -> ceil(log2(63)) = 6
+    assert bits_auto == 9  # 2020/4 -> ceil(log2(505)) = 9
     n_cand = {}
     for bits in (3, bits_auto):
         buckets = _sign_bucket_keys(docs, 16, bits, 64, 7)

@@ -1,0 +1,79 @@
+"""Follow-up to scaling_probe: measure what ``bits_per_table="auto"``
+buys on the 10x embedding fixture — candidate volume, shuffle bytes,
+wall — versus the fixture-scale fixed setting.  Appends evidence for
+SCALING.md's mitigation section.
+
+Usage: python tools/auto_planes_probe.py [fixture_dir]
+(default /tmp/scale_probe/x10 — build it with scaling_probe first)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    fixture = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe/x10"
+
+    from tools.scaling_probe import _ShuffleMeter
+    from play_bq_gcp_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        _bucket_candidate_pairs,
+        _sign_bucket_keys,
+        auto_planes,
+        embedding_cosine_pairs,
+    )
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="auto_planes_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    meter = _ShuffleMeter(spark)
+    e = spark.read.parquet(os.path.join(fixture, "embeddings.parquet"))
+    n = e.count()
+    docs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).cache()
+    docs.count()
+
+    results = {"n_vectors": n, "auto_bits": auto_planes(n)}
+    for label, bits in (("fixed_10", 10), ("auto", auto_planes(n))):
+        buckets = _sign_bucket_keys(docs, 16, bits, 64, 7)
+        meter.mark()
+        t0 = time.perf_counter()
+        n_cand = _bucket_candidate_pairs(
+            buckets, ("tbl", "key"), "vec_id", "a", "b",
+            MAX_BUCKET_SIZE, checkpoint=False,
+        ).count()
+        wall = time.perf_counter() - t0
+        sread, swrite = meter.delta()
+        results[label] = {
+            "bits": bits,
+            "candidates": n_cand,
+            "wall_s": round(wall, 2),
+            "shuffle_read_mb": round(sread / 1e6, 1),
+            "shuffle_write_mb": round(swrite / 1e6, 1),
+        }
+        print(f"# {label}: {results[label]}", file=sys.stderr)
+
+    # verified output must be unchanged by the tighter buckets (pairs at
+    # cosine >= 0.9 are near-identical vectors; 16 OR-tables hold recall)
+    a = {(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(
+        e, bits_per_table=10).collect()}
+    b = {(r.vec_a, r.vec_b) for r in embedding_cosine_pairs(
+        e, bits_per_table="auto").collect()}
+    results["verified_pairs_fixed"] = len(a)
+    results["verified_pairs_auto"] = len(b)
+    results["pair_sets_equal"] = a == b
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
