@@ -4930,6 +4930,93 @@ def sql_surface_orders(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_SQL_SURFACE)
 
 
+_SQL_SPINE_SPARK = """
+WITH RECURSIVE spine(m) AS (
+    SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders))
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM spine
+    WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders))
+)
+SELECT date_format(m, 'yyyy-MM') AS month,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+FROM spine LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+GROUP BY m ORDER BY month
+"""
+
+
+@register(
+    "sql_recursive_spine",
+    """
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+    FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m ORDER BY month
+    """,
+)
+def sql_recursive_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE on Spark 4 SQL: generate the complete month spine
+    between the first and last order date (the calendar-dimension
+    pattern), then LEFT-join monthly revenue so gap months surface as
+    explicit zero rows — the recursion the DataFrame API can't express
+    declaratively.  The oracle runs DuckDB's own recursive CTE; only
+    engine-local date formatting differs between the two texts."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_SPINE_SPARK)
+
+
+_SQL_VARIANT_SPARK = """
+WITH js AS (
+    SELECT o_orderkey,
+           parse_json(concat(
+               '{"priority":"', o_orderpriority,
+               '","cents":', cast(round(o_totalprice * 100) AS BIGINT),
+               ',"keys":[', o_orderkey, ',', o_custkey, ']}'
+           )) AS v
+    FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey,
+       variant_get(v, '$.priority', 'string') AS priority,
+       variant_get(v, '$.cents', 'long') AS cents,
+       variant_get(v, '$.keys[1]', 'long') AS custkey
+FROM js ORDER BY o_orderkey
+"""
+
+
+@register(
+    "semistructured_variant",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           round(o_totalprice * 100)::BIGINT AS cents,
+           o_custkey AS custkey
+    FROM orders WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def semistructured_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type: JSON documents parsed once into the binary
+    variant encoding, then typed path extraction (string field, long
+    field, array index) via ``variant_get`` — the open-schema
+    semi-structured surface beyond map/struct/get_json_object.  The
+    oracle computes the SAME values straight from the source columns,
+    so parse → variant → path-extract must be lossless end-to-end,
+    not merely self-consistent."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_VARIANT_SPARK)
+
+
 @register(
     "temporal_join_versions",
     """
