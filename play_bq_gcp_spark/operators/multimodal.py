@@ -306,3 +306,41 @@ def waveform_features(media: DataFrame, window: int = 256) -> DataFrame:
             )
 
     return spread(media).mapInPandas(feats, AUDIO_SCHEMA)
+
+
+ARROW_PROFILE_SCHEMA = (
+    "doc_id long, byte_len long, n_spaces long, n_digits long"
+)
+
+
+def arrow_byte_profile(documents: DataFrame) -> DataFrame:
+    """§2.9 ARROW-NATIVE map path (``mapInArrow``): the featurizer
+    receives pyarrow RecordBatches and runs vectorized
+    ``pyarrow.compute`` kernels — no pandas materialization at all,
+    the lowest-overhead Python boundary Spark offers and the right
+    shape for byte-level work on multimodal payloads (pandas would
+    copy every payload into object cells).  Features chosen to be
+    exactly SQL-expressible so the oracle checks the Arrow path
+    value-for-value: utf-8 byte length, space count, digit count."""
+
+    def feats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[0-9]"), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "byte_len", "n_spaces", "n_digits"],
+            )
+
+    return spread(documents.select("doc_id", "text")).mapInArrow(
+        feats, ARROW_PROFILE_SCHEMA
+    )

@@ -2259,6 +2259,29 @@ def udtf_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "multimodal_arrow_profile",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           (length(text) - length(replace(text, ' ', '')))::BIGINT
+               AS n_spaces,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+               AS n_digits
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_arrow_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 ARROW-NATIVE UDF path (mapInArrow + pyarrow.compute
+    kernels, zero pandas materialization — see
+    operators/multimodal.arrow_byte_profile); features chosen to be
+    exactly SQL-expressible so the Arrow path is value-checked, not
+    just exercised."""
+    from play_bq_gcp_spark.operators.multimodal import arrow_byte_profile
+
+    return arrow_byte_profile(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
     "multimodal_suite",
     """
     SELECT doc_id, 'byte_len' AS metric,
