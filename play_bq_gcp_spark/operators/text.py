@@ -529,3 +529,97 @@ def quality_classifier(
         .select("doc_id", F.explode(F.array(row)).alias("o"))
         .select("doc_id", "o.n_tokens", "o.logit", "o.label")
     )
+
+
+def rolling_fingerprint(
+    documents: DataFrame,
+    gram: int = 8,
+    window: int = 4,
+    base: int = 131,
+    mod: int = 2_147_483_647,
+    keep_set: bool = False,
+) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprints with winnowing
+    (Schleimer et al., SIGMOD 2003 — the MOSS algorithm).
+
+    Per-token values are engine-portable by construction (tokens are
+    ``[a-z0-9]+`` after normalization, so ``31*len(tok) + code(tok[0])``
+    is identical in any engine); the document hash is the polynomial
+    rolling hash of the token stream mod a 31-bit prime (products stay
+    under 2^39 — no overflow), per-position ``gram``-gram hashes are one
+    ``transform(sequence(...))`` pass, and the winnowed fingerprint set
+    is the distinct minima over each ``window`` of consecutive gram
+    hashes.  Everything is native HOFs over ONE bound token array — a
+    map-only pass with no shuffle at any scale; at 100 TB this is the
+    cheap first stage that feeds fingerprint-equality dedup.
+
+    Ref: the reference has no fingerprint op; this is the north-star
+    text-analysis mandate (SURVEY.md §2.10 "document fingerprinting").
+    """
+    B, M = F.lit(base), F.lit(mod)
+
+    def tokval(t: Column) -> Column:
+        return (F.lit(31) * F.length(t) + F.ascii(t)) % M
+
+    def poly(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: (acc * B + x) % M
+        )
+
+    empty = F.array().cast("array<bigint>")
+
+    def build(vals: Column) -> Column:
+        n = F.size(vals)
+        grams = F.when(
+            n >= gram,
+            F.transform(
+                F.sequence(F.lit(1), n - gram + 1),
+                lambda i: poly(F.slice(vals, i, gram)),
+            ),
+        ).otherwise(empty)
+        return bind(
+            grams,
+            lambda g: F.struct(
+                n.alias("n_tokens"),
+                F.when(n > 0, poly(vals))
+                .otherwise(F.lit(0).cast("long"))
+                .alias("full_hash"),
+                F.size(g).alias("n_grams"),
+                bind(
+                    F.when(
+                        F.size(g) >= window,
+                        F.array_distinct(
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1), F.size(g) - window + 1
+                                ),
+                                lambda w: F.array_min(
+                                    F.slice(g, w, window)
+                                ),
+                            )
+                        ),
+                    ).otherwise(empty),
+                    lambda fps: F.struct(
+                        F.size(fps).alias("n_fp"),
+                        F.array_min(fps).alias("fp_min"),
+                        F.array_max(fps).alias("fp_max"),
+                        fps.alias("fps"),
+                    ),
+                ).alias("fp"),
+            ),
+        )
+
+    row = bind(F.transform(tokens("text"), tokval), build)
+    return (
+        documents.select("doc_id", F.explode(F.array(row)).alias("o"))
+        .select(
+            "doc_id",
+            "o.n_tokens",
+            "o.full_hash",
+            "o.n_grams",
+            F.col("o.fp.n_fp").alias("n_fp"),
+            F.col("o.fp.fp_min").alias("fp_min"),
+            F.col("o.fp.fp_max").alias("fp_max"),
+            *([F.col("o.fp.fps").alias("fps")] if keep_set else []),
+        )
+    )

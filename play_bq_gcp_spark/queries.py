@@ -5315,3 +5315,51 @@ def streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.streaming.daily import stream_static_enrich
 
     return stream_static_enrich(spark, sf)
+
+
+@register(
+    "text_fingerprint_rolling",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_SQL_TOKS},
+               tok -> (31 * length(tok) + unicode(tok)) % 2147483647) AS vals
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(vals) AS n_tokens,
+        CASE WHEN len(vals) > 0 THEN
+          list_reduce(vals, (acc, x) -> (acc * 131 + x) % 2147483647)
+        ELSE 0 END AS full_hash,
+        CASE WHEN len(vals) >= 8 THEN
+          list_transform(range(1, len(vals) - 8 + 2),
+            i -> list_reduce(list_slice(vals, i, i + 7),
+                             (acc, x) -> (acc * 131 + x) % 2147483647))
+        ELSE [] END AS grams
+      FROM t
+    ), f AS (
+      SELECT doc_id, n_tokens, full_hash, len(grams) AS n_grams,
+        CASE WHEN len(grams) >= 4 THEN
+          list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+            w -> list_min(list_slice(grams, w, w + 3))))
+        ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, n_tokens, full_hash, n_grams,
+           len(fps)      AS n_fp,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints with winnowing
+    (operators/text.py:rolling_fingerprint): portable per-token values,
+    polynomial full-document hash, per-position 8-gram rolling hashes,
+    and the winnowed fingerprint set (distinct minima over windows of 4
+    gram hashes) — all native HOFs over one bound token array, map-only
+    at any scale.  The oracle restates the identical arithmetic with
+    DuckDB list lambdas (list_reduce seeds with the first element,
+    which equals Spark's 0-seeded fold because 0*B + x = x)."""
+    from play_bq_gcp_spark.operators.text import rolling_fingerprint
+
+    return rolling_fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")

@@ -614,3 +614,62 @@ def test_quality_classifier_exact_and_deterministic(spark):
     assert out[1].logit == round(exp1, 6)
     assert out[1].label == (2 * w[bucket("alpha")] + w[bucket("beta")] > 0)
     assert out[3].logit == round(w[bucket("gamma")], 6)  # lowercased
+
+
+def test_rolling_fingerprint_hand_computed(spark):
+    from play_bq_gcp_spark.operators.text import rolling_fingerprint
+
+    M, B = 2_147_483_647, 131
+    text = "aa bb cc dd ee ff gg hh ii jj kk lm"  # 12 tokens
+    toks = text.split()
+    vals = [(31 * len(t) + ord(t[0])) % M for t in toks]
+
+    def poly(a):
+        acc = 0
+        for x in a:
+            acc = (acc * B + x) % M
+        return acc
+
+    grams = [poly(vals[i : i + 8]) for i in range(len(vals) - 7)]
+    fps = sorted({min(grams[w : w + 4]) for w in range(len(grams) - 3)})
+
+    df = spark.createDataFrame([(1, text), (2, "zh only 中文")], "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict() for r in rolling_fingerprint(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 12
+    assert r1["full_hash"] == poly(vals)
+    assert r1["n_grams"] == 5
+    assert r1["n_fp"] == len(fps)
+    assert r1["fp_min"] == fps[0] and r1["fp_max"] == fps[-1]
+    # short/CJK-stripped doc: tokens exist ("zh", "only") but no grams
+    r2 = out[2]
+    assert r2["n_tokens"] == 2 and r2["n_grams"] == 0 and r2["n_fp"] == 0
+    assert r2["fp_min"] is None and r2["fp_max"] is None
+
+
+def test_rolling_fingerprint_detects_shared_passage(spark):
+    """Two docs sharing a 10-token passage must share a winnowed
+    fingerprint; an unrelated doc must share none with either."""
+    from play_bq_gcp_spark.operators.text import rolling_fingerprint
+
+    # winnowing guarantee: any shared run of >= gram + window - 1
+    # = 11 tokens yields at least one shared fingerprint
+    passage = (
+        "the quick brown fox jumps over the lazy dog before noon "
+        "and then naps in warm sunshine"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage),
+            (2, passage + " closing remarks appended at the end"),
+            (3, "completely different content about spark shuffle plans "
+                "broadcast joins and adaptive execution partitions"),
+        ],
+        "doc_id int, text string",
+    )
+    out = rolling_fingerprint(df, keep_set=True).collect()
+    sets = {r["doc_id"]: set(r["fps"]) for r in out}
+    assert sets[1] and sets[2] and sets[3]
+    assert sets[1] & sets[2], "shared passage must yield a shared fingerprint"
+    assert not sets[1] & sets[3]
+    assert not sets[2] & sets[3]
