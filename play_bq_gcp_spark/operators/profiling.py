@@ -12,7 +12,7 @@ the sketch merges across 1000 executors the same way it merges across
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def profile_table(df: DataFrame, rsd: float = 0.02, exact: bool = False) -> DataFrame:
@@ -137,3 +137,36 @@ def equi_width_histogram(
         .groupBy("bucket", "lo_edge")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def expectations(
+    df: DataFrame, checks: list[tuple[str, Column, object]]
+) -> DataFrame:
+    """Declarative data-quality expectation suite (Deequ-style).
+
+    ``checks`` is a list of ``(name, metric_column, passed_fn)``: every
+    metric is an aggregate expression, so the whole suite is ONE wide
+    aggregation over ONE scan — map-side partials, a 1-row shuffle, and
+    a driver-free explode into the long (check_name, metric, passed)
+    verdict form.  ``passed_fn`` is evaluated on the ROUNDED metric so
+    an external oracle restating the suite reaches bit-identical
+    verdicts.  At 100 TB this is the pre-ingest gate that costs one
+    pass regardless of how many expectations it carries.
+
+    Ref: the reference's only quality gate is an empty-DataFrame guard
+    (main.py:184); this generalizes it to declared constraints.
+    """
+    agg = df.agg(
+        *[F.round(m.cast("double"), 6).alias(n) for n, m, _ in checks]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check_name"),
+                F.col(n).alias("metric"),
+                p(F.col(n)).alias("passed"),
+            )
+            for n, _, p in checks
+        ]
+    )
+    return agg.select(F.explode(rows).alias("c")).select("c.*")

@@ -5363,3 +5363,76 @@ def text_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.text import rolling_fingerprint
 
     return rolling_fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "quality_expectations_orders",
+    """
+    WITH m AS (
+      SELECT round(count(*)::DOUBLE, 6)                                AS row_count,
+             round(avg(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END)::DOUBLE, 6)
+                                                                       AS completeness_o_custkey,
+             round(count(DISTINCT o_orderkey)::DOUBLE / count(*), 6)   AS uniqueness_o_orderkey,
+             round(min(o_totalprice)::DOUBLE, 6)                       AS min_o_totalprice,
+             round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE, 6)
+                                                                       AS membership_o_orderstatus,
+             round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)::DOUBLE, 6)
+                                                                       AS pattern_o_orderpriority
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'row_count' AS check_name, row_count AS metric,
+             row_count >= 1 AS passed FROM m
+      UNION ALL
+      SELECT 'completeness_o_custkey', completeness_o_custkey,
+             completeness_o_custkey = 1.0 FROM m
+      UNION ALL
+      SELECT 'uniqueness_o_orderkey', uniqueness_o_orderkey,
+             uniqueness_o_orderkey = 1.0 FROM m
+      UNION ALL
+      SELECT 'min_o_totalprice', min_o_totalprice,
+             min_o_totalprice > 0 FROM m
+      UNION ALL
+      SELECT 'membership_o_orderstatus', membership_o_orderstatus,
+             membership_o_orderstatus = 1.0 FROM m
+      UNION ALL
+      SELECT 'pattern_o_orderpriority', pattern_o_orderpriority,
+             pattern_o_orderpriority = 1.0 FROM m
+    ) ORDER BY check_name
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style expectation suite (operators/profiling.py:
+    expectations) over orders: row count, completeness, key uniqueness,
+    bound, set membership, and pattern compliance — six declared
+    constraints computed as ONE wide aggregate over one scan, exploded
+    into (check_name, metric, passed) verdicts.  Pass/fail is decided
+    on the rounded metric so the oracle's verdicts are bit-identical."""
+    from play_bq_gcp_spark.operators.profiling import expectations
+
+    orders = _t(spark, sf, "orders")
+    checks = [
+        ("row_count", F.count(F.lit(1)), lambda m: m >= 1),
+        (
+            "completeness_o_custkey",
+            F.avg(F.col("o_custkey").isNotNull().cast("int")),
+            lambda m: m == 1.0,
+        ),
+        (
+            "uniqueness_o_orderkey",
+            F.count_distinct("o_orderkey") / F.count(F.lit(1)),
+            lambda m: m == 1.0,
+        ),
+        ("min_o_totalprice", F.min("o_totalprice"), lambda m: m > 0),
+        (
+            "membership_o_orderstatus",
+            F.avg(F.col("o_orderstatus").isin("O", "F", "P").cast("int")),
+            lambda m: m == 1.0,
+        ),
+        (
+            "pattern_o_orderpriority",
+            F.avg(F.col("o_orderpriority").rlike("^[1-5]-").cast("int")),
+            lambda m: m == 1.0,
+        ),
+    ]
+    return expectations(orders, checks).orderBy("check_name")

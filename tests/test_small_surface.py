@@ -172,3 +172,38 @@ def test_equi_width_histogram_buckets_and_degenerate(spark):
     const = spark.createDataFrame([(7.0,), (7.0,)], "value double")
     rows = equi_width_histogram(const, "value", 5).collect()
     assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 2
+
+
+def test_expectations_one_pass_and_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.profiling import expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "c", 4.0)],
+        "id int, name string, price double",
+    )
+    checks = [
+        ("row_count", F.count(F.lit(1)), lambda m: m >= 1),
+        (
+            "completeness_name",
+            F.avg(F.col("name").isNotNull().cast("int")),
+            lambda m: m == 1.0,
+        ),
+        (
+            "uniqueness_id",
+            F.count_distinct("id") / F.count(F.lit(1)),
+            lambda m: m == 1.0,
+        ),
+        ("min_price", F.min("price"), lambda m: m > 0),
+    ]
+    out = {r.check_name: r for r in expectations(df, checks).collect()}
+    assert out["row_count"].metric == 4.0 and out["row_count"].passed
+    assert out["completeness_name"].metric == 0.75
+    assert not out["completeness_name"].passed
+    assert out["uniqueness_id"].metric == 0.75 and not out["uniqueness_id"].passed
+    assert out["min_price"].metric == -1.0 and not out["min_price"].passed
+    # single job: the whole suite is one aggregate + explode, no
+    # per-check scans — assert the plan has exactly one Aggregate
+    plan = expectations(df, checks)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
