@@ -1,0 +1,80 @@
+"""Incremental materialized-view maintenance for algebraic aggregates.
+
+The MV stores partial-aggregate STATE per group key (count + exact
+integer-cent sum), never finished values: partials merge associatively,
+so refreshing with a new fact batch touches only the delta — the base
+fact table is never re-scanned.  Derived measures (avg, finished
+revenue) are computed from the state at read time.
+
+Scale shape: the delta aggregate is one map-side-combined shuffle of
+the NEW batch only; the merge join shuffles MV-sized state (orders of
+magnitude smaller than facts) and AQE broadcasts the delta side when
+it is small.  Keep the stored MV bucketed by the group key and the
+merge is delta-shuffle-only.  Money rides as integer cents end-to-end
+(the repo-wide exact-decimal discipline), so an incrementally
+maintained MV is BIT-IDENTICAL to a from-scratch recompute — no float
+re-association drift, which is what makes the differential oracle
+(full recompute in SQL) exact.
+
+Ref: the reference recomputes its aggregate views from scratch on
+every run (main.py full-pipeline shape); this is the operator that
+makes the daily cycle incremental at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def aggregate_state(
+    facts: DataFrame, keys: list[str], amount_col: str
+) -> DataFrame:
+    """Partial-aggregate state per key: row count + exact cent sum.
+
+    One map-side-combined shuffle on ``keys``; the result is the
+    mergeable MV representation, not a finished report.
+    """
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    return facts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("mv_cnt"),
+        F.sum(cents).alias("mv_cents"),
+    )
+
+
+def incremental_refresh(
+    mv: DataFrame, delta_state: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge a delta batch's state into the MV state.
+
+    Full-outer on the group key with coalesced partial merge — new keys
+    appear, untouched keys pass through unchanged, overlapping keys add
+    their partials.  Associativity means any number of refresh cycles
+    equals the one-shot recompute exactly.
+    """
+    d = delta_state.select(
+        *keys,
+        F.col("mv_cnt").alias("d_cnt"),
+        F.col("mv_cents").alias("d_cents"),
+    )
+    return mv.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce("mv_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))
+        ).alias("mv_cnt"),
+        (
+            F.coalesce("mv_cents", F.lit(0))
+            + F.coalesce("d_cents", F.lit(0))
+        ).alias("mv_cents"),
+    )
+
+
+def finish(mv: DataFrame, keys: list[str]) -> DataFrame:
+    """Render finished measures from MV state (read-time view)."""
+    return mv.select(
+        *keys,
+        F.col("mv_cnt").alias("order_cnt"),
+        F.round(F.col("mv_cents") / 100.0, 2).alias("total_rev"),
+        F.round(F.col("mv_cents") / 100.0 / F.col("mv_cnt"), 6).alias(
+            "avg_rev"
+        ),
+    )

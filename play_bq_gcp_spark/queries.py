@@ -5436,3 +5436,51 @@ def quality_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ]
     return expectations(orders, checks).orderBy("check_name")
+
+
+@register(
+    "mv_incremental_refresh",
+    """
+    SELECT o_custkey,
+           count(*) AS order_cnt,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_rev,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_rev
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MV maintenance (operators/mv.py): the revenue-by-
+    customer view is built from facts before 1995-06-01, then two later
+    fact batches are merged in as delta partial-aggregates (count +
+    integer-cent sum) — the base facts are never re-scanned.  Because
+    the state is algebraic and money rides as exact cents, the
+    twice-refreshed MV is bit-identical to the oracle's from-scratch
+    recompute over all facts."""
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        finish,
+        incremental_refresh,
+    )
+
+    orders = _t(spark, sf, "orders")
+    keys = ["o_custkey"]
+    base = aggregate_state(
+        orders.filter(F.col("o_orderdate") < "1995-06-01"), keys, "o_totalprice"
+    )
+    d1 = aggregate_state(
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-06-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ),
+        keys,
+        "o_totalprice",
+    )
+    d2 = aggregate_state(
+        orders.filter(F.col("o_orderdate") >= "1997-01-01"), keys, "o_totalprice"
+    )
+    mv = incremental_refresh(incremental_refresh(base, d1, keys), d2, keys)
+    return finish(mv, keys).orderBy("o_custkey")

@@ -82,3 +82,37 @@ def test_rollup_has_grand_total(spark, sf_dir):
     assert grand[0].n_orders == sum(
         r.n_orders for r in out if r.n_name is not None and r.o_orderstatus is not None
     )
+
+
+def test_mv_incremental_equals_recompute(spark, sf_dir):
+    """Any sequence of delta refreshes must be bit-identical to the
+    one-shot recompute (algebraic state + exact cents)."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        finish,
+        incremental_refresh,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    keys = ["o_custkey"]
+    full = finish(aggregate_state(orders, keys, "o_totalprice"), keys)
+
+    # three uneven slices by order key modulus — overlap-free cover
+    mv = aggregate_state(
+        orders.filter(F.col("o_orderkey") % 7 < 2), keys, "o_totalprice"
+    )
+    for lo, hi in ((2, 3), (3, 7)):
+        d = aggregate_state(
+            orders.filter(
+                (F.col("o_orderkey") % 7 >= lo) & (F.col("o_orderkey") % 7 < hi)
+            ),
+            keys,
+            "o_totalprice",
+        )
+        mv = incremental_refresh(mv, d, keys)
+    refreshed = finish(mv, keys)
+    assert refreshed.exceptAll(full).count() == 0
+    assert full.exceptAll(refreshed).count() == 0
