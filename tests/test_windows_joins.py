@@ -228,3 +228,64 @@ def test_temporal_join_zero_width_version_never_matches(spark):
     )
     rows = temporal_join(facts, versions, "user_id", "fact_ts").collect()
     assert [r.tag for r in rows] == ["real"]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """At 100 TB the fact side of a selective dim join cannot broadcast
+    — Spark plans a shuffle join and injects a runtime Bloom filter
+    built from the filtered dim keys, pruning the fact scan before the
+    shuffle.  Broadcast is the right plan at fixture scale, so this
+    pins the at-scale path explicitly with the thresholds a large
+    cluster would clear naturally (broadcast off => shuffle join =>
+    bloom semi-join reduction injected)."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        # a 100 TB fact's dim side exceeds broadcast too — the rule
+        # only injects when the join is shuffle-based
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = read_table(spark, sf_dir, "lineitem")
+        j = (
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # correctness unaffected by the pruning filter
+        expect = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert j.collect() == expect
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
