@@ -219,3 +219,82 @@ def resample_daily_gapfill(
         )
         .orderBy(user_col, "day")
     )
+
+
+def _channel_rank(touch_types: Sequence[str]) -> Column:
+    """0-based rank of the current row's event_type in touch_types."""
+    r = F.lit(0)
+    for i, t in enumerate(touch_types):
+        r = F.when(F.col("event_type") == t, F.lit(i)).otherwise(r)
+    return r
+
+
+def attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("view", "click"),
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """First-touch and last-touch conversion attribution.
+
+    Every conversion credits the earliest (first-touch) and latest
+    (last-touch) touch event by the same user inside the lookback
+    window; conversions with no touch in the window credit ``none``.
+    Output: one row per (model, channel) with conversion count and
+    exact credited cents.
+
+    One union pass + ONE user-keyed window (RANGE frame over epoch
+    seconds, ``min_by``/``max_by`` skip the conversion rows' NULL
+    ordering keys) + a tiny final aggregate — no self-join, no
+    per-conversion probe.  At 100 TB this is a single fact shuffle on
+    user_id; the models share the frame so adding models is free.
+    """
+    touches = F.col("event_type").isin(*touch_types)
+    u = events.filter(
+        touches | (F.col("event_type") == conversion_type)
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.when(touches, F.col("event_type")).alias("touch_type"),
+        # tie-free ordering key: same-microsecond touches of different
+        # channels must pick the same winner in any engine
+        F.when(
+            touches,
+            F.unix_micros("ts") * len(touch_types)
+            + _channel_rank(touch_types),
+        ).alias("touch_key"),
+        F.when(
+            F.col("event_type") == conversion_type,
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("conv_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-lookback_days * 86400 * 1_000_000, 0)
+    )
+    per_conv = u.select(
+        "event_type",
+        "conv_cents",
+        F.min_by("touch_type", "touch_key").over(w).alias("first_touch"),
+        F.max_by("touch_type", "touch_key").over(w).alias("last_touch"),
+    ).filter(F.col("event_type") == conversion_type)
+    models = F.array(
+        F.struct(
+            F.lit("first_touch").alias("model"),
+            F.coalesce("first_touch", F.lit("none")).alias("channel"),
+        ),
+        F.struct(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("last_touch", F.lit("none")).alias("channel"),
+        ),
+    )
+    return (
+        per_conv.select("conv_cents", F.explode(models).alias("m"))
+        .groupBy("m.model", "m.channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum("conv_cents").alias("credited_cents"),
+        )
+    )

@@ -5484,3 +5484,56 @@ def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
     )
     mv = incremental_refresh(incremental_refresh(base, d1, keys), d2, keys)
     return finish(mv, keys).orderBy("o_custkey")
+
+
+@register(
+    "attribution_first_last",
+    """
+    WITH u AS (
+      SELECT user_id,
+             epoch_us(ts) AS ts_us,
+             event_type,
+             CASE WHEN event_type IN ('view','click') THEN event_type END
+                 AS touch_type,
+             CASE WHEN event_type IN ('view','click') THEN
+               epoch_us(ts) * 2 + (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             END AS touch_key,
+             CASE WHEN event_type = 'purchase' THEN
+               CAST(round(value * 100) AS BIGINT)
+             END AS conv_cents
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), per_conv AS (
+      SELECT event_type, conv_cents,
+             arg_min(touch_type, touch_key) OVER w AS first_touch,
+             arg_max(touch_type, touch_key) OVER w AS last_touch
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ), conv AS (
+      SELECT conv_cents, first_touch, last_touch
+      FROM per_conv WHERE event_type = 'purchase'
+    ), long AS (
+      SELECT 'first_touch' AS model,
+             coalesce(first_touch, 'none') AS channel, conv_cents FROM conv
+      UNION ALL
+      SELECT 'last_touch', coalesce(last_touch, 'none'), conv_cents FROM conv
+    )
+    SELECT model, channel,
+           count(*) AS conversions,
+           sum(conv_cents) AS credited_cents
+    FROM long GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def attribution_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """First-/last-touch conversion attribution
+    (operators/behavior.py:attribution): every purchase credits the
+    earliest and latest view/click by the same user within a 7-day
+    lookback (none if no touch), aggregated to (model, channel)
+    conversion counts and exact credited cents.  One user-keyed window
+    with an integer-microsecond RANGE frame and tie-free min_by/max_by
+    keys — no self-join, models share the frame."""
+    from play_bq_gcp_spark.operators.behavior import attribution
+
+    return attribution(_t(spark, sf, "events")).orderBy("model", "channel")

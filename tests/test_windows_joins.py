@@ -289,3 +289,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_attribution_first_last_hand_computed(spark):
+    from datetime import datetime
+
+    from play_bq_gcp_spark.operators.behavior import attribution
+
+    def e(i, day, typ, user=1, value=0.0):
+        return (i, datetime(2024, 1, day, 12, 0, 0), user, typ, value, "{}")
+
+    rows = [
+        e(1, 1, "view"),
+        e(2, 2, "click"),
+        e(3, 3, "purchase", value=10.0),   # first=view, last=click
+        e(4, 20, "purchase", value=5.0),   # touches >7d old -> none
+        e(5, 21, "view"),
+        e(6, 22, "purchase", value=2.5),   # first=last=view
+        e(7, 5, "purchase", user=2, value=1.0),  # user 2: no touches
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    out = {
+        (r.model, r.channel): (r.conversions, r.credited_cents)
+        for r in attribution(df).collect()
+    }
+    assert out[("first_touch", "view")] == (2, 1250)
+    assert out[("last_touch", "click")] == (1, 1000)
+    assert out[("last_touch", "view")] == (1, 250)
+    assert out[("first_touch", "none")] == (2, 600)
+    assert out[("last_touch", "none")] == (2, 600)
