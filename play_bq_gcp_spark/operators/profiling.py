@@ -170,3 +170,44 @@ def expectations(
         ]
     )
     return agg.select(F.explode(rows).alias("c")).select("c.*")
+
+
+def equi_depth_bins(
+    df: DataFrame, value_col: str, k: int = 4
+) -> DataFrame:
+    """Equal-frequency (quantile) binning of a numeric column.
+
+    Boundaries are exact interpolated percentiles of the INTEGER-CENT
+    value, floored to integers, so bucket assignment is pure integer
+    comparison — engine-portable with no FP boundary ambiguity (with
+    k a power of two the interpolation fractions are exact dyadic
+    doubles, so ``floor`` is deterministic).
+
+    Scale shape: ONE aggregate computes all k-1 boundaries, the 1-row
+    result broadcasts into a map-side CASE binning pass, and a k-row
+    groupBy summarizes — no global sort (ntile would single-partition
+    the table), no second scan of anything but the column itself.
+    A 100 TB deployment swaps the exact percentile for
+    ``approx_percentile`` at the same call site.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    d = df.select(cents.alias("cents"))
+    bounds = d.agg(
+        *[
+            F.floor(F.expr(f"percentile(cents, {i / k})")).alias(f"b{i}")
+            for i in range(1, k)
+        ]
+    )
+    bucket = F.lit(0)
+    for i in range(1, k):
+        bucket = bucket + (F.col("cents") > F.col(f"b{i}")).cast("int")
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )

@@ -5537,3 +5537,36 @@ def attribution_first_last(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.behavior import attribution
 
     return attribution(_t(spark, sf, "events")).orderBy("model", "channel")
+
+
+@register(
+    "feature_binning_quantile",
+    """
+    WITH d AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), b AS (
+      SELECT CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS b1,
+             CAST(floor(quantile_cont(cents, 0.50)) AS BIGINT) AS b2,
+             CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS b3
+      FROM d
+    )
+    SELECT (CASE WHEN cents > b1 THEN 1 ELSE 0 END
+          + CASE WHEN cents > b2 THEN 1 ELSE 0 END
+          + CASE WHEN cents > b3 THEN 1 ELSE 0 END) AS bucket,
+           count(*)   AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+    FROM d, b
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feature_binning_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency feature binning (operators/profiling.py:
+    equi_depth_bins): order totals discretized into quartile buckets by
+    exact floored integer-cent percentile boundaries — one boundary
+    aggregate broadcast into a map-side CASE pass, no global sort."""
+    from play_bq_gcp_spark.operators.profiling import equi_depth_bins
+
+    return equi_depth_bins(_t(spark, sf, "orders"), "o_totalprice", 4).orderBy(
+        "bucket"
+    )

@@ -207,3 +207,17 @@ def test_expectations_one_pass_and_verdicts(spark):
     # per-check scans — assert the plan has exactly one Aggregate
     plan = expectations(df, checks)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1
+
+
+def test_equi_depth_bins_quartiles(spark):
+    from play_bq_gcp_spark.operators.profiling import equi_depth_bins
+
+    # 0.01..1.00 — quartile boundaries at 25/50/75 cents
+    df = spark.createDataFrame(
+        [(i / 100.0,) for i in range(1, 101)], "v double"
+    )
+    out = {r.bucket: r for r in equi_depth_bins(df, "v", 4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert [out[b].n for b in range(4)] == [25, 25, 25, 25]
+    assert out[0].min_cents == 1 and out[0].max_cents == 25
+    assert out[3].min_cents == 76 and out[3].max_cents == 100
