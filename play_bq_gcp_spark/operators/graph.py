@@ -1,0 +1,68 @@
+"""Graph analytics over relational edge lists.
+
+PageRank as repeated sparse matrix-vector products: each power
+iteration is one join (edge × rank) + one groupBy (sum into the
+destination) — the textbook Pregel step expressed as DataFrame ops so
+Catalyst/AQE handle partitioning.  Ranks ride as INTEGER fixed-point
+(parts-per-million) with true integer division at every step, so the
+iteration is bit-exact in any engine — that is what lets a SQL oracle
+restate 5 unrolled iterations and hash-match (float PageRank would
+drift in the last bits under different summation orders).
+
+Scale shape: the edge list is the only large table; each iteration
+shuffles ranks on the join key and AQE reuses the exchange.  Degrees
+are computed once.  On a real cluster you'd pre-partition edges by
+``src`` so every iteration's join is co-located (the connected-
+components operator in dedup.py uses the same pattern).
+
+Ref: the reference has no graph surface; this extends the duplicate
+connected-components operator (operators/dedup.py) to weighted
+importance, e.g. ranking users/items in the events interaction graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 1_000_000  # rank unit: parts-per-million
+
+
+def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrize a distinct (src, dst) pair list into a directed edge
+    list with both orientations — PageRank over an undirected graph."""
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 5, damping_pct: int = 85
+) -> DataFrame:
+    """Integer fixed-point PageRank; returns (node, rank_ppm).
+
+    ``r0 = SCALE div N`` for every node;
+    ``r_{t+1}(v) = ((100-d) * (SCALE div N)) div 100
+                   + (d * sum_{u->v} (r_t(u) div deg(u))) div 100``.
+    Every division is integer (``div``), so results are exactly
+    reproducible across engines, partitionings, and summation orders.
+    Symmetrized graphs have no dangling nodes, so no leaked-mass term.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # scalar: number of nodes (intentional tiny action)
+    r_init = SCALE // n
+    base = (100 - damping_pct) * r_init // 100
+
+    ranks = deg.select("src", F.lit(r_init).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * sum(c)) div 100")
+            ).alias("r")
+        ).select(F.col("dst").alias("src"), "r")
+    return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank_ppm"))

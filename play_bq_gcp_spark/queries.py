@@ -5570,3 +5570,82 @@ def feature_binning_quantile(spark: SparkSession, sf: str) -> DataFrame:
     return equi_depth_bins(_t(spark, sf, "orders"), "o_totalprice", 4).orderBy(
         "bucket"
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-power-iteration restatement of graph.pagerank: every
+    iteration is one CTE (join + grouped integer-division sum), exact
+    because ranks are integer ppm with `//` at every step."""
+    step = """
+    r{j} AS (
+      SELECT e.dst AS node,
+             (SELECT base FROM n) + (85 * sum(r{i}.r // deg.d)) // 100 AS r
+      FROM edges e
+      JOIN r{i} ON e.src = r{i}.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+    steps = ",".join(step.format(i=i, j=i + 1) for i in range(iterations))
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, k + 10000000 AS dst FROM pairs
+      UNION ALL
+      SELECT k + 10000000 AS src, u AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    n AS (
+      SELECT count(*) AS n,
+             1000000 // count(*) AS r_init,
+             (15 * (1000000 // count(*))) // 100 AS base
+      FROM deg
+    ),
+    r0 AS (SELECT src AS node, (SELECT r_init FROM n) AS r FROM deg),
+    {steps}
+    SELECT node,
+           CASE WHEN node >= 10000000 THEN 'item' ELSE 'user' END AS node_type,
+           r AS rank_ppm
+    FROM r{iterations}
+    ORDER BY rank_ppm DESC, node
+    LIMIT 20
+    """
+
+
+@register("graph_pagerank_bipartite", _pagerank_oracle_sql())
+def graph_pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the user-item interaction graph
+    (operators/graph.py:pagerank): distinct (user, props.k) pairs
+    symmetrized into an undirected edge list, 5 integer fixed-point
+    power iterations (each one join + one grouped sum), top-20 nodes
+    by rank.  Integer ppm ranks with `div` at every step make the
+    iterative result bit-identical to the oracle's unrolled CTEs."""
+    from play_bq_gcp_spark.operators.graph import pagerank, undirected_edges
+
+    ITEM_OFFSET = 10_000_000
+    pairs = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .select("user_id", (F.col("k") + ITEM_OFFSET).alias("item"))
+        .distinct()
+    )
+    ranks = pagerank(undirected_edges(pairs, "user_id", "item"))
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") >= ITEM_OFFSET, F.lit("item"))
+            .otherwise(F.lit("user"))
+            .alias("node_type"),
+            "rank_ppm",
+        )
+        .orderBy(F.desc("rank_ppm"), "node")
+        .limit(20)
+    )

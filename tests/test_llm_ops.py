@@ -673,3 +673,31 @@ def test_rolling_fingerprint_detects_shared_passage(spark):
     assert sets[1] & sets[2], "shared passage must yield a shared fingerprint"
     assert not sets[1] & sets[3]
     assert not sets[2] & sets[3]
+
+
+def test_pagerank_integer_fixed_point_hand_computed(spark):
+    """Star graph 1-(2,3,4): the hub must outrank the leaves, and the
+    Spark iteration must equal the same integer recurrence in Python."""
+    from play_bq_gcp_spark.operators.graph import pagerank, undirected_edges
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    edges = [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)]
+    deg = {1: 3, 2: 1, 3: 1, 4: 1}
+    n = 4
+    r_init = 1_000_000 // n
+    base = 15 * r_init // 100
+    r = {v: r_init for v in deg}
+    for _ in range(5):
+        s = {v: 0 for v in deg}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {v: base + 85 * s[v] // 100 for v in deg}
+
+    out = {
+        row.node: row.rank_ppm
+        for row in pagerank(undirected_edges(pairs, "a", "b")).collect()
+    }
+    assert out == r
+    assert out[1] > out[2] == out[3] == out[4]
