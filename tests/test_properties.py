@@ -380,3 +380,67 @@ def test_incremental_dedup_partition_and_exact_layer(
             assert r.n_matches >= 1
         else:
             assert (r.verdict, r.n_matches) == ("new", 0)
+
+
+# --- rolling-hash fingerprint vs pure-Python reference ---------------------
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet="abc XYZ012 !?中",  # forces normalization + CJK strip
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_rolling(text: str, gram=8, window=4, base=131, mod=2_147_483_647):
+    import re
+
+    toks = [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
+    vals = [(31 * len(t) + ord(t[0])) % mod for t in toks]
+
+    def poly(a):
+        acc = 0
+        for x in a:
+            acc = (acc * base + x) % mod
+        return acc
+
+    grams = (
+        [poly(vals[i : i + gram]) for i in range(len(vals) - gram + 1)]
+        if len(vals) >= gram
+        else []
+    )
+    fps = (
+        sorted(
+            {
+                min(grams[w : w + window])
+                for w in range(len(grams) - window + 1)
+            }
+        )
+        if len(grams) >= window
+        else []
+    )
+    return {
+        "n_tokens": len(toks),
+        "full_hash": poly(vals),
+        "n_grams": len(grams),
+        "n_fp": len(fps),
+        "fp_min": fps[0] if fps else None,
+        "fp_max": fps[-1] if fps else None,
+    }
+
+
+@given(texts=_doc_texts)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_rolling_fingerprint_matches_python_reference(spark, texts):
+    from play_bq_gcp_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in rolling_fingerprint(df).collect()}
+    for i, t in enumerate(texts):
+        got = {k: v for k, v in out[i].items() if k != "doc_id"}
+        assert got == _py_rolling(t), f"doc {i}: {t!r}"
