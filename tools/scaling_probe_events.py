@@ -1,0 +1,162 @@
+"""Scale probe for the round-4 relational/behavioral operators.
+
+Replicates the sf0.1 ``events``/``orders``/``documents`` tables 1x/10x
+with structure-preserving offsets and times four operators at each
+scale, recording wall-clock, output rows, and shuffle bytes (Spark UI
+REST API) — the same near-linear-growth evidence SCALING.md documents
+for the LLM path.
+
+Replication scheme:
+* events: replica i offsets ``user_id``/``event_id`` — per-user event
+  sequences are preserved exactly, replicas never share a user, so
+  attribution work/output scales linearly.  ``props`` is kept, so the
+  interaction graph keeps the SAME item set — PageRank sees the
+  realistic growth mode (same catalog, 10x the users: denser hubs).
+* orders: ``o_orderkey``/``o_custkey`` offsets — MV keys scale 10x.
+* documents: doc_id offset only (fingerprinting is per-document
+  map-only; content can repeat without affecting the measurement).
+
+Usage:  python tools/scaling_probe_events.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REPLICAS = (1, 10)
+QUERIES = (
+    "attribution_first_last",
+    "graph_pagerank_bipartite",
+    "mv_incremental_refresh",
+    "text_fingerprint_rolling",
+)
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def build_fixture(spark, sf_dir: str, n: int, out_dir: str) -> None:
+    from play_bq_gcp_spark.catalog import read_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    specs = {
+        "events": ("event_id", "user_id"),
+        "orders": ("o_orderkey", "o_custkey"),
+        "documents": ("doc_id",),
+    }
+    for table, id_cols in specs.items():
+        src = read_table(spark, sf_dir, table)
+        parts = []
+        for i in range(n):
+            off = i * 10_000_000
+            d = src
+            for c in id_cols:
+                d = d.withColumn(c, F.col(c) + F.lit(off))
+            parts.append(d)
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        allp.repartition(max(4, 4 * n)).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), dst)
+
+
+class _ShuffleMeter:
+    def __init__(self, spark):
+        import urllib.request  # noqa: F401
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        self.url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        self.seen: set = set()
+
+    def _stages(self):
+        import urllib.request
+
+        with urllib.request.urlopen(self.url, timeout=10) as r:
+            return json.load(r)
+
+    def mark(self):
+        self.seen = {(s["stageId"], s["attemptId"]) for s in self._stages()}
+
+    def delta(self):
+        read = write = 0
+        for s in self._stages():
+            if (s["stageId"], s["attemptId"]) in self.seen:
+                continue
+            read += s.get("shuffleReadBytes", 0)
+            write += s.get("shuffleWriteBytes", 0)
+        return read, write
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    root = "/tmp/scale_probe_events"
+
+    from play_bq_gcp_spark import queries as q
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scaling_probe_events",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    meter = _ShuffleMeter(spark)
+
+    for n in REPLICAS:
+        d = os.path.join(root, f"x{n}")
+        if not os.path.isdir(os.path.join(d, "events.parquet")):
+            print(f"# building {n}x fixture", file=sys.stderr)
+            build_fixture(spark, sf_dir, n, d)
+
+    for name in QUERIES:  # warm codegen so 1x isn't billed JIT
+        q.QUERIES[name](spark, os.path.join(root, "x1")).count()
+
+    results = []
+    for n in REPLICAS:
+        d = os.path.join(root, f"x{n}")
+        for name in QUERIES:
+            meter.mark()
+            t0 = time.perf_counter()
+            rows = q.QUERIES[name](spark, d).count()
+            wall = time.perf_counter() - t0
+            sread, swrite = meter.delta()
+            results.append(
+                {
+                    "scale": n,
+                    "query": name,
+                    "wall_s": round(wall, 2),
+                    "rows": rows,
+                    "shuffle_read_mb": round(sread / 1e6, 1),
+                    "shuffle_write_mb": round(swrite / 1e6, 1),
+                }
+            )
+            print(f"# {n}x {name}: {wall:.2f}s {rows} rows", file=sys.stderr)
+
+    lines = [
+        "| scale | query | wall (s) | rows | shuffle read (MB) | "
+        "shuffle write (MB) |",
+        "| --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['scale']}x | {r['query']} | {r['wall_s']} | {r['rows']} "
+            f"| {r['shuffle_read_mb']} | {r['shuffle_write_mb']} |"
+        )
+    print("\n".join(lines))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
