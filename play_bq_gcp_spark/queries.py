@@ -5649,3 +5649,19 @@ def graph_pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rank_ppm"), "node")
         .limit(20)
     )
+
+
+@register("similarity_ann_pq")
+def similarity_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk):
+    m=8 subspace codebooks (seeded deterministically, one joint Lloyd
+    pass), vectors encoded to 8 sub-codes in a map-only HOF pass,
+    query ranked by asymmetric-distance lookup-table sums, top-4k ADC
+    candidates exact-re-ranked.  Rows-only by design (recall < 1 like
+    the other ANN entries); the pytest floor asserts recall@10 >= 0.8
+    vs brute force on the same fixture."""
+    from play_bq_gcp_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(emb, q, k=10)

@@ -701,3 +701,22 @@ def test_pagerank_integer_fixed_point_hand_computed(spark):
     }
     assert out == r
     assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_pq_topk_recall_floor_and_self_hit(spark, sf_dir):
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = [r.vec_id for r in pq_topk(emb, q, k=10).collect()]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    assert got[0] == 0, "query vector must be its own nearest neighbor"
+    assert len(set(got) & set(exact)) >= 8, (got, exact)
