@@ -332,3 +332,60 @@ def test_tws_timer_sessions_match_groupstate_twin(spark, sf_dir):
     ]
     assert timer == group_state
     assert timer  # sessions actually closed
+
+
+def test_checkpoint_recovery_resumes_state_without_reprocessing(spark, tmp_path):
+    """Kill-and-restart contract: a restarted stateful query on the
+    SAME checkpoint must (a) not re-read files already committed to the
+    source log and (b) resume its aggregation state, so totals emitted
+    after restart include pre-restart history.  The memory sink cannot
+    recover, so emissions are captured through foreachBatch — the
+    production restart path."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    def run_query():
+        emitted = []
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _eid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+        return emitted, progress["numInputRows"] if progress else 0
+
+    write_batch("b1", [(1, 1.0), (1, 2.0), (2, 5.0)])
+    out1, rows1 = run_query()
+    assert rows1 == 3
+
+    write_batch("b2", [(1, 4.0), (3, 7.0)])
+    out2, rows2 = run_query()
+    # (a) only the new file was read on restart
+    assert rows2 == 2
+    got = {r.user_id: (r.n, r.total) for r in out2}
+    # (b) user 1's emitted total includes pre-restart state (1+2+4),
+    # and untouched user 2 is not re-emitted in update mode
+    assert got[1] == (3, 7.0)
+    assert got[3] == (1, 7.0)
+    assert 2 not in got
