@@ -5665,3 +5665,81 @@ def similarity_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(emb, q, k=10)
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format breadth (§2.1, columnar interchange): an orders
+    slice landed ONCE per sf as ORC (the other columnar format a lake
+    edge commonly presents) and read back with an explicit schema;
+    money re-read as exact integer cents.  Predicate pushdown and
+    column pruning work on ORC scans exactly as on parquet, so the
+    engine's scan discipline carries over unchanged."""
+    import os
+    import tempfile
+
+    slice_df = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    if sf not in _ORC_DIRS:
+        d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+        slice_df.write.orc(os.path.join(d, "orc"))
+        _ORC_DIRS[sf] = d
+    schema = "o_orderkey long, o_orderstatus string, cents long"
+    return (
+        spark.read.schema(schema)
+        .orc(os.path.join(_ORC_DIRS[sf], "orc"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_rank_family_full",
+    """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_family_full(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 completion: percent_rank / cume_dist / ntile over one
+    shared window spec (unique ordering key, so ntile assignment is
+    engine-deterministic).  percent_rank and cume_dist are exact
+    rationals of small integers — identical doubles in any engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
