@@ -298,3 +298,48 @@ def attribution(
             F.sum("conv_cents").alias("credited_cents"),
         )
     )
+
+
+def daily_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch_date: str = "2024-01-01",
+) -> DataFrame:
+    """Per-type least-squares trend of daily revenue, in EXACT integer
+    arithmetic: x = day ordinal, y = daily cents, and the OLS slope is
+    returned as the exact integer pair
+    ``num = n*Sxy - Sx*Sy``, ``den = n*Sxx - Sx*Sx`` (plus the rounded
+    ratio for human eyes).  Because every aggregate is an integer sum,
+    the result is bit-identical in any engine and any summation order
+    — unlike ``regr_slope``, whose float co-moments drift in the last
+    ulp.  Types with a single day (den = 0) report a NULL slope.
+
+    Two key-partitioned aggregations, no window, no collect: the day
+    rollup shrinks the fact table to (types x days) before the
+    co-moment pass.
+    """
+    day = F.to_date(ts_col)
+    x = F.datediff(day, F.lit(epoch_date).cast("date")).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = (
+        events.groupBy(F.col(type_col).alias("etype"), x.alias("x"))
+        .agg(F.sum(cents).alias("y"))
+    )
+    agg = daily.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "etype",
+        "n_days",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, F.round(num / den, 6)).alias("slope_cents_per_day"),
+    )

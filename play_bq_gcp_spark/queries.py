@@ -5743,3 +5743,37 @@ def window_rank_family_full(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "trend_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT event_type AS etype,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT etype, count(*) AS n_days,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM daily GROUP BY etype
+    )
+    SELECT etype, n_days,
+           n_days * sxy - sx * sy AS slope_num,
+           n_days * sxx - sx * sx AS slope_den,
+           CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+             round((n_days * sxy - sx * sy) / CAST(n_days * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_day
+    FROM agg ORDER BY etype
+    """,
+)
+def trend_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type OLS revenue trend (operators/behavior.py:
+    daily_trend): day rollup then exact integer co-moments; the slope
+    ships as an exact integer num/den pair (engine- and order-
+    independent) plus the rounded ratio."""
+    from play_bq_gcp_spark.operators.behavior import daily_trend
+
+    return daily_trend(_t(spark, sf, "events")).orderBy("etype")

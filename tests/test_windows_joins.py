@@ -321,3 +321,28 @@ def test_attribution_first_last_hand_computed(spark):
     assert out[("last_touch", "view")] == (1, 250)
     assert out[("first_touch", "none")] == (2, 600)
     assert out[("last_touch", "none")] == (2, 600)
+
+
+def test_daily_trend_exact_slope(spark):
+    """Known arithmetic sequence: daily cents 100,200,300 on days
+    0,1,2 → slope exactly 100 cents/day; single-day key → NULL."""
+    from datetime import datetime
+
+    from play_bq_gcp_spark.operators.behavior import daily_trend
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "a", 1.00, "{}"),
+        (2, datetime(2024, 1, 2), 1, "a", 2.00, "{}"),
+        (3, datetime(2024, 1, 3), 1, "a", 3.00, "{}"),
+        (4, datetime(2024, 1, 5), 1, "b", 9.99, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    out = {r.etype: r for r in daily_trend(df).collect()}
+    a = out["a"]
+    # n=3, Sx=3, Sy=600, Sxy=0*100+1*200+2*300=800, Sxx=5
+    assert (a.slope_num, a.slope_den) == (3 * 800 - 3 * 600, 3 * 5 - 9)
+    assert a.slope_cents_per_day == 100.0
+    assert out["b"].slope_den == 0 and out["b"].slope_cents_per_day is None
