@@ -78,3 +78,26 @@ def finish(mv: DataFrame, keys: list[str]) -> DataFrame:
             "avg_rev"
         ),
     )
+
+
+def cdc_delta_state(
+    changes: DataFrame, keys: list[str], amount_col: str, op_col: str
+) -> DataFrame:
+    """Signed partial-aggregate state from a CDC change batch: inserts
+    contribute (+1, +cents), deletes (-1, -cents) — retraction as plain
+    algebra, so ``incremental_refresh`` applies a mixed insert/delete
+    batch unchanged.  Updates arrive as delete+insert pairs (the
+    standard CDC decomposition).
+    """
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    cents = F.round(F.col(amount_col) * 100).cast("long")
+    return changes.groupBy(*keys).agg(
+        F.sum(sign).alias("mv_cnt"),
+        F.sum(sign * cents).alias("mv_cents"),
+    )
+
+
+def compact(mv: DataFrame) -> DataFrame:
+    """Drop fully-retracted keys (count reached zero) so the MV does
+    not accumulate tombstone rows across refresh cycles."""
+    return mv.filter(F.col("mv_cnt") != 0)

@@ -5777,3 +5777,49 @@ def trend_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.behavior import daily_trend
 
     return daily_trend(_t(spark, sf, "events")).orderBy("etype")
+
+
+@register(
+    "mv_cdc_refresh",
+    """
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey % 10 = 3 AND o_orderdate >= DATE '1996-01-01')
+    )
+    SELECT o_custkey,
+           count(*) AS order_cnt,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_rev,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_rev
+    FROM live
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def mv_cdc_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """MV maintenance under retraction (operators/mv.py:cdc_delta_state):
+    the MV is built over ALL orders, then a CDC batch deletes every
+    order with key % 10 = 3 placed from 1996 on (signed -1/-cents
+    partials merged by the same incremental_refresh), and fully
+    retracted customers are compacted away.  The oracle recomputes
+    from the surviving facts — equality proves deletes retract
+    exactly, not just approximately."""
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        cdc_delta_state,
+        compact,
+        finish,
+        incremental_refresh,
+    )
+
+    orders = _t(spark, sf, "orders")
+    keys = ["o_custkey"]
+    base = aggregate_state(orders, keys, "o_totalprice")
+    deletes = orders.filter(
+        (F.col("o_orderkey") % 10 == 3)
+        & (F.col("o_orderdate") >= "1996-01-01")
+    ).withColumn("__op", F.lit("D"))
+    delta = cdc_delta_state(deletes, keys, "o_totalprice", "__op")
+    mv = compact(incremental_refresh(base, delta, keys))
+    return finish(mv, keys).orderBy("o_custkey")

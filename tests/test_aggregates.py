@@ -116,3 +116,30 @@ def test_mv_incremental_equals_recompute(spark, sf_dir):
     refreshed = finish(mv, keys)
     assert refreshed.exceptAll(full).count() == 0
     assert full.exceptAll(refreshed).count() == 0
+
+
+def test_mv_cdc_retraction_exact(spark):
+    """Insert three orders, retract one: the refreshed MV must equal
+    the recompute over survivors, and a fully-retracted key vanishes."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        cdc_delta_state,
+        compact,
+        finish,
+        incremental_refresh,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10.00), (1, 20.00), (2, 5.00)], "k long, amt double"
+    )
+    base = aggregate_state(facts, ["k"], "amt")
+    changes = spark.createDataFrame(
+        [(1, 20.00, "D"), (2, 5.00, "D"), (3, 7.00, "I")],
+        "k long, amt double, op string",
+    )
+    delta = cdc_delta_state(changes, ["k"], "amt", "op")
+    mv = compact(incremental_refresh(base, delta, ["k"]))
+    out = {r.k: (r.order_cnt, r.total_rev) for r in finish(mv, ["k"]).collect()}
+    assert out == {1: (1, 10.00), 3: (1, 7.00)}  # key 2 fully retracted
