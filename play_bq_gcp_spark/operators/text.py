@@ -623,3 +623,55 @@ def rolling_fingerprint(
             *([F.col("o.fp.fps").alias("fps")] if keep_set else []),
         )
     )
+
+
+def split_divergence(
+    documents: DataFrame,
+    split_col: Column,
+    smoothing: int = 1,
+) -> DataFrame:
+    """Token-distribution drift between two corpus splits: KL(P||Q),
+    KL(Q||P), and total variation distance over the shared vocabulary
+    with add-``smoothing`` Laplace smoothing — the check a curation
+    pipeline runs before trusting a train/validation split (or a
+    re-crawl) to be distributionally comparable.
+
+    Determinism: each token's contribution is floored to integer 1e-9
+    units BEFORE the final sum (the quantize_int8 discipline), so the
+    divergences are exact integer arithmetic in any summation order —
+    ``ln`` of identical rational doubles is bit-identical across
+    IEEE libm implementations for these magnitudes, and flooring
+    removes any residual last-ulp ambiguity.
+
+    Scale: one scan + explode -> one (token) shuffle; vocabulary and
+    split totals fold in as 1-row broadcast aggregates (no collect).
+    """
+    counts = (
+        documents.select(
+            split_col.alias("split"), F.explode(tokens("text")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("a").alias("ta"),
+        F.sum("b").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    p = (F.col("a") + smoothing) / (F.col("ta") + smoothing * F.col("v"))
+    q = (F.col("b") + smoothing) / (F.col("tb") + smoothing * F.col("v"))
+    kl_pq = F.floor(p * F.log(p / q) * 1e9)
+    kl_qp = F.floor(q * F.log(q / p) * 1e9)
+    tv = F.floor(F.abs(p - q) * 1e9)
+    return j.agg(
+        F.sum("a").cast("long").alias("tokens_a"),
+        F.sum("b").cast("long").alias("tokens_b"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(kl_pq).alias("kl_pq_nanos"),
+        F.sum(kl_qp).alias("kl_qp_nanos"),
+        (F.sum(tv) / 2).cast("long").alias("tv_half_nanos"),
+    )

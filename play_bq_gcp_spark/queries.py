@@ -5823,3 +5823,44 @@ def mv_cdc_refresh(spark: SparkSession, sf: str) -> DataFrame:
     delta = cdc_delta_state(deletes, keys, "o_totalprice", "__op")
     mv = compact(incremental_refresh(base, delta, keys))
     return finish(mv, keys).orderBy("o_custkey")
+
+
+@register(
+    "corpus_divergence_kl",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS split, unnest({_SQL_TOKS}) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok,
+             sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS b
+      FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS v FROM counts
+    ), pq AS (
+      SELECT a, b,
+             (a + 1) / CAST(ta + v AS DOUBLE) AS p,
+             (b + 1) / CAST(tb + v AS DOUBLE) AS q
+      FROM counts, totals
+    )
+    SELECT CAST(sum(a) AS BIGINT)                     AS tokens_a,
+           CAST(sum(b) AS BIGINT)                     AS tokens_b,
+           count(*)                                   AS vocab,
+           CAST(sum(floor(p * ln(p / q) * 1e9)) AS BIGINT) AS kl_pq_nanos,
+           CAST(sum(floor(q * ln(q / p) * 1e9)) AS BIGINT) AS kl_qp_nanos,
+           CAST(floor(sum(floor(abs(p - q) * 1e9)) / 2) AS BIGINT)
+                                                      AS tv_half_nanos
+    FROM pq
+    """,
+)
+def corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift check between corpus halves
+    (operators/text.py:split_divergence): symmetric KL and total
+    variation over the shared smoothed vocabulary, every per-token term
+    floored to integer nanos before summing so both engines reach the
+    identical integers."""
+    from play_bq_gcp_spark.operators.text import split_divergence
+
+    docs = _t(spark, sf, "documents")
+    return split_divergence(docs, F.col("doc_id") % 2)

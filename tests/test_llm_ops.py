@@ -720,3 +720,24 @@ def test_pq_topk_recall_floor_and_self_hit(spark, sf_dir):
     exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
     assert got[0] == 0, "query vector must be its own nearest neighbor"
     assert len(set(got) & set(exact)) >= 8, (got, exact)
+
+
+def test_split_divergence_zero_for_identical_and_positive_for_drift(spark):
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.text import split_divergence
+
+    same = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma")],
+        "doc_id int, text string",
+    )
+    r = split_divergence(same, F.col("doc_id") % 2).first()
+    assert r.kl_pq_nanos == 0 and r.kl_qp_nanos == 0 and r.tv_half_nanos == 0
+
+    drift = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "gamma delta delta")],
+        "doc_id int, text string",
+    )
+    d = split_divergence(drift, F.col("doc_id") % 2).first()
+    assert d.kl_pq_nanos > 0 and d.kl_qp_nanos > 0 and d.tv_half_nanos > 0
+    assert d.vocab == 4 and d.tokens_a == 3 and d.tokens_b == 3
