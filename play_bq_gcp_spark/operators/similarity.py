@@ -719,3 +719,108 @@ def pq_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    n_codes: int = 32,
+) -> DataFrame:
+    """IVF-PQ: the industry-standard composed index (Jegou et al.) —
+    IVF coarse quantizer prunes to ``n_probe`` lists, PQ codes rank
+    the survivors by asymmetric-distance lookup sums, and only the
+    ADC top-4k candidates get exact re-ranking.
+
+    Scale shape: at 100 TB the coarse lists are partition keys
+    (partition-pruned scans read only probed lists), the PQ codes are
+    the only per-row payload the ranking touches (~8 bytes vs 512),
+    and the exact re-rank reads full vectors for candidates only.
+    Training reuses the IVF Lloyd pass and the joint PQ subspace pass
+    — two bounded-collect aggregations total.
+    """
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embeddings.orderBy("vec_id").limit(n_lists).collect()
+    ]
+    cents = _refine_centroids(embeddings, [c for _, c in cents])
+    books = _pq_train(embeddings, m, n_codes)
+    d_sub = len(books[0][0])
+
+    v = F.col("embedding").cast("array<double>")
+    books_lit = F.array(
+        *[F.array(*[_vec_lit(c) for c in book]) for book in books]
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: bind(
+            F.slice(v, s * d_sub + 1, d_sub),
+            lambda sv: bind(
+                F.element_at(books_lit, s + 1),
+                lambda book: bind(
+                    F.transform(
+                        book,
+                        lambda c: F.aggregate(
+                            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        ),
+                    ),
+                    lambda dists: (
+                        F.array_position(dists, F.array_min(dists)) - 1
+                    ).cast("int"),
+                ),
+            ),
+        ),
+    )
+    indexed = embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        _nearest_cent_col(v, [c for _, c in cents]).alias("list_id"),
+        codes.alias("codes"),
+    )
+
+    qv = np.asarray(query_vec, dtype=float)
+    qsims = [
+        (
+            i,
+            float(
+                np.dot(qv, np.asarray(c))
+                / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)
+            ),
+        )
+        for i, (_, c) in enumerate(cents)
+    ]
+    probe = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+    lut = [
+        [
+            float(
+                np.sum((qv[s * d_sub : (s + 1) * d_sub] - np.asarray(c)) ** 2)
+            )
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+    lut_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
+    adc = F.aggregate(
+        F.zip_with(lut_lit, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    candidates = (
+        indexed.filter(F.col("list_id").isin(probe))
+        .select("vec_id", "v", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(4 * k)
+    )
+    return (
+        candidates.select(
+            "vec_id",
+            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -5864,3 +5864,17 @@ def corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     return split_divergence(docs, F.col("doc_id") % 2)
+
+
+@register("similarity_ann_ivfpq")
+def similarity_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py:ivfpq_topk): coarse
+    IVF lists prune the scan to 8 of 16 partitions, PQ asymmetric-
+    distance sums rank the survivors from 8-byte codes, exact re-rank
+    touches only the ADC top-4k.  Rows-only like the other ANN entries;
+    pytest floors recall@10 >= 0.8 vs brute force."""
+    from play_bq_gcp_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_topk(emb, q, k=10)

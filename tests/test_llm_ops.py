@@ -741,3 +741,22 @@ def test_split_divergence_zero_for_identical_and_positive_for_drift(spark):
     d = split_divergence(drift, F.col("doc_id") % 2).first()
     assert d.kl_pq_nanos > 0 and d.kl_qp_nanos > 0 and d.tv_half_nanos > 0
     assert d.vocab == 4 and d.tokens_a == 3 and d.tokens_b == 3
+
+
+def test_ivfpq_topk_recall_floor(spark):
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = [r.vec_id for r in ivfpq_topk(emb, q, k=10).collect()]
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
+    assert got[0] == 0
+    assert len(set(got) & set(exact)) >= 8, (got, exact)
