@@ -371,3 +371,35 @@ def test_incremental_dedup_probe_is_equi_join(spark, sf_dir):
     plan = plan_of(probe.join(index, ["band", "key"]))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_budget_pinned(spark, sf_dir):
+    """Regression guard on plan shape: each representative query's
+    Exchange count must not grow past its pinned budget (the observed
+    count at pin time; the output orderBy contributes one range
+    exchange everywhere).  A refactor that sneaks in an extra shuffle
+    fails here before it costs anything at scale."""
+    from play_bq_gcp_spark import queries as q
+
+    budgets = {
+        "q1_pricing_summary": 2,          # agg + output order
+        "proj_filter_orders": 1,          # output order only
+        "semi_join_customers": 2,         # broadcast semi stays shuffle-free
+        "mv_incremental_refresh": 5,      # 3 partial-state aggs + merge + order
+        "attribution_first_last": 3,      # user window + model agg + order
+        "dedup_exact_groups": 3,
+        "text_fingerprint_rolling": 1,    # map-only + output order
+        "feature_binning_quantile": 4,
+        "trend_daily_revenue": 3,         # day rollup + co-moments + order
+        "q3_shipping_priority": 3,
+        "quality_expectations_orders": 2, # one wide agg + order
+    }
+    for name, budget in budgets.items():
+        plan = (
+            q.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got = plan.count("Exchange")
+        assert got <= budget, f"{name}: {got} Exchanges > budget {budget}"
