@@ -735,3 +735,50 @@ def incremental_dedup(
         new_sig.unpersist()
         corp_sig.unpersist()
     return out
+
+
+def canonical_survivors(
+    documents: DataFrame, jaccard_distance: float = 0.3
+) -> DataFrame:
+    """Survivor selection — the step after duplicate clustering: each
+    connected duplicate group keeps ONE canonical document (most
+    tokens; doc_id breaks ties deterministically) and reports what it
+    absorbed.  This is the curation default ("keep the longest
+    near-dup") made explicit and auditable.
+
+    Scale shape: clustering cost dominates (see connected_dup_groups);
+    the selection itself is one group-keyed window over the tiny
+    (doc_id, group_id) result joined map-side to per-doc token counts.
+    """
+    from pyspark.sql import Window
+
+    from play_bq_gcp_spark.operators.text import tokens
+
+    groups = connected_dup_groups(documents, jaccard_distance)
+    sized = groups.join(
+        documents.select(
+            "doc_id", F.size(tokens("text")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    ranked = sized.select(
+        "group_id",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_tokens"))).alias(
+                "canonical_tokens"
+            ),
+        )
+    )

@@ -5878,3 +5878,71 @@ def similarity_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivfpq_topk(emb, q, k=10)
+
+
+@register(
+    "dedup_canonical_survivors",
+    f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT da, db
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    groups AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+    sized AS (
+        SELECT g.group_id, g.doc_id, len({_SQL_TOKS}) AS n_tokens
+        FROM groups g JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+        SELECT group_id, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM sized
+    )
+    SELECT group_id,
+           count(*) AS n_members,
+           max(CASE WHEN rk = 1 THEN doc_id END)  AS canonical_doc_id,
+           max(CASE WHEN rk = 1 THEN n_tokens END) AS canonical_tokens
+    FROM ranked GROUP BY group_id ORDER BY group_id
+    """,
+)
+def dedup_canonical_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor selection after duplicate clustering
+    (operators/dedup.py:canonical_survivors): each connected near-dup
+    group keeps its longest member (doc_id tie-break), reported with
+    group size — the auditable keep-the-longest curation default."""
+    from play_bq_gcp_spark.operators.dedup import canonical_survivors
+
+    return canonical_survivors(_t(spark, sf, "documents")).orderBy("group_id")

@@ -760,3 +760,27 @@ def test_ivfpq_topk_recall_floor(spark):
     exact = [r.vec_id for r in brute_force_topk(emb, q, k=10).collect()]
     assert got[0] == 0
     assert len(set(got) & set(exact)) >= 8, (got, exact)
+
+
+def test_canonical_survivors_keeps_longest(spark):
+    from play_bq_gcp_spark.operators.dedup import canonical_survivors
+
+    near = (
+        "the quick brown fox jumps over the lazy dog near the red barn "
+        "while birds sing"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, near),
+            (2, near + " and one extra tail token"),  # longest -> canonical
+            (3, "totally unrelated text about spark adaptive execution "
+                "and shuffle partition coalescing behavior"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = canonical_survivors(df).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g.n_members == 2
+    assert g.canonical_doc_id == 2
+    assert g.canonical_tokens > 15
