@@ -35,7 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # pipeline, streaming ingest dedup, incremental dedup, temporal join,
 # SQL surface, CDC merge), a TPC-H slice (q2, q4, q6-q13), the
 # curation batch, and behavioral/profiling entries.  The remaining
-# TPC-H slice (q14-q22) and text/profiling tail rotate in next round.
+# TPC-H slice (q14-q22), the text/profiling tail, and the round-4
+# additions (rolling fingerprints, expectation suite, incremental +
+# CDC MV, attribution, quantile binning, PageRank, ORC roundtrip,
+# rank-family window, OLS trend, KL divergence, canonical survivors)
+# rotate into the window next round.
 _WINDOW = [
     # -- representative keepers (attested green in r1-r3) -----------------
     "q1_pricing_summary",
