@@ -389,3 +389,74 @@ def test_checkpoint_recovery_resumes_state_without_reprocessing(spark, tmp_path)
     assert got[1] == (3, 7.0)
     assert got[3] == (1, 7.0)
     assert 2 not in got
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Watermark semantics pinned via the state-operator metrics: an
+    event arriving in a later micro-batch, older than (max event time
+    seen - watermark), must be EXCLUDED from its window's count and
+    show up in numRowsDroppedByWatermark — the operational audit signal
+    a production stream monitors."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, k string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    # batch 1 advances event time to 12:00; watermark 10 min -> 11:50
+    write_batch("b1", [(datetime(2024, 1, 1, 12, 0, 0), "a")])
+    # batch 2 carries a 10:30 straggler — its [10:00, 11:00) window
+    # closed when the watermark reached 11:50, so it MUST be dropped —
+    # and an on-time 12:01 row
+    late_rows = [
+        (datetime(2024, 1, 1, 10, 30, 0), "a"),
+        (datetime(2024, 1, 1, 12, 1, 0), "a"),
+    ]
+
+    emitted, progresses = [], []
+    agg = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def run():
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _eid: emitted.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses.extend(q.recentProgress)
+
+    run()
+    write_batch("b2", late_rows)
+    run()
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"late row not dropped (dropped={dropped})"
+    final = {}
+    for r in emitted:  # update mode: later emissions win
+        final[(r.w.start, r.k)] = r.n
+    # the 10:00 window never got the late row; 12:00 window counts 2
+    assert final[(datetime(2024, 1, 1, 12, 0, 0), "a")] == 2
+    assert (datetime(2024, 1, 1, 10, 0, 0), "a") not in final
