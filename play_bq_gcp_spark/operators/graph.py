@@ -47,8 +47,15 @@ def pagerank(
     reproducible across engines, partitionings, and summation orders.
     Symmetrized graphs have no dangling nodes, so no leaked-mass term.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.count()  # scalar: number of nodes (intentional tiny action)
+    # materialize the loop invariants once: a lazy edge/degree plan
+    # would be re-derived from source in EVERY iteration's join chain
+    # (the connected-components lesson, dedup.py) — measured 22 source
+    # scans and 43 exchanges for 5 iterations without this.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    n = deg.count()  # scalar: number of nodes (cheap on checkpointed deg)
     r_init = SCALE // n
     base = (100 - damping_pct) * r_init // 100
 
@@ -59,10 +66,17 @@ def pagerank(
             .join(deg, "src")
             .select("dst", F.expr("r div deg").alias("c"))
         )
-        ranks = contrib.groupBy("dst").agg(
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * sum(c)) div 100")
-            ).alias("r")
-        ).select(F.col("dst").alias("src"), "r")
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * sum(c)) div 100")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("src"), "r")
+            # truncate the lineage per round: keeps the plan O(1) deep
+            # instead of O(iterations) wide
+            .localCheckpoint(eager=True)
+        )
     return ranks.select(F.col("src").alias("node"), F.col("r").alias("rank_ppm"))

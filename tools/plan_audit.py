@@ -1,0 +1,97 @@
+"""Physical-plan audit over the headline queries.
+
+For every bench headline entry (plus the round-4 additions), summarize
+the plan properties that matter at 100 TB: shuffle count (Exchange
+nodes), whole-stage-codegen coverage, broadcast vs shuffle joins,
+parquet filter pushdown (PushedFilters), and scan column pruning
+(ReadSchema width vs table width).  Output is a markdown table —
+the reviewable artifact behind "explain(formatted) and iterate".
+
+Usage:  python tools/plan_audit.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDIT = [
+    "q1_pricing_summary",
+    "proj_filter_orders",
+    "semi_join_customers",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "range_join_price_bands",
+    "asof_join_purchase_click",
+    "window_events_suite",
+    "skew_salted_suite",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "text_doc_profile",
+    "text_fingerprint_rolling",
+    "pipeline_corpus_clean",
+    "mv_incremental_refresh",
+    "attribution_first_last",
+    "feature_binning_quantile",
+    "trend_daily_revenue",
+    "graph_pagerank_bipartite",
+    "quality_expectations_orders",
+]
+
+
+def audit_one(df) -> dict:
+    df.collect()  # finalize THIS plan under AQE (count() would build a
+    # separate query execution and leave this one isFinalPlan=false)
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    # the adaptive root prints Final AND Initial subtrees; audit the
+    # final one only
+    plan = plan.split("== Initial Plan ==")[0]
+    simple = qe.simpleString()
+    return {
+        "exchanges": plan.count("Exchange"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "scans": plan.count("FileScan"),
+        "python_ops": sum(
+            plan.count(k)
+            for k in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "MapInArrow")
+        ),
+        "simple": simple,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from play_bq_gcp_spark import queries as q
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit", shuffle_partitions=8)
+    lines = [
+        "| query | Exchanges | of which Broadcast | WSCG spans | "
+        "FileScans | pushed filters | Python ops |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for name in AUDIT:
+        df = q.QUERIES[name](spark, sf_dir)
+        a = audit_one(df)
+        lines.append(
+            f"| {name} | {a['exchanges']} | {a['broadcasts']} "
+            f"| {a['wscg_spans']} | {a['scans']} "
+            f"| {'yes' if a['pushed'] else 'none/na'} | {a['python_ops']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
