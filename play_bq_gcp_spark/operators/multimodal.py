@@ -225,13 +225,19 @@ def decode_audio(payload: bytes):
     return fake_decode_pcm(payload)
 
 
-def attach_wav(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
+def attach_wav(
+    documents: DataFrame,
+    sample_rate: int = 16000,
+    amplitude_scale: float = 1.0,
+) -> DataFrame:
     """Synthesize a genuine RIFF/WAV payload per document so the real
     decoder runs end-to-end on the fixture corpus: samples are the
     utf-8 text bytes recentred to int16 (``(b - 128) << 8``); even
     doc_ids are encoded as 2-channel WAV with identical channels (the
     decoder's downmix must return the same samples), odd doc_ids mono.
-    Arrow-batched ``mapInPandas``, stdlib ``wave`` only."""
+    Arrow-batched ``mapInPandas``, stdlib ``wave`` only.
+    ``amplitude_scale`` re-levels the waveform (re-normalized duplicate
+    ingestion shape for fingerprint dedup tests)."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -239,6 +245,10 @@ def attach_wav(documents: DataFrame, sample_rate: int = 16000) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
             samples = (b.astype(np.int16) - 128) << 8
+            if amplitude_scale != 1.0:
+                samples = (samples.astype(np.float64) * amplitude_scale).astype(
+                    np.int16
+                )
             if doc_id % 2 == 0:
                 return encode_wav(np.repeat(samples, 2), sample_rate, 2)
             return encode_wav(samples, sample_rate, 1)
@@ -343,4 +353,76 @@ def arrow_byte_profile(documents: DataFrame) -> DataFrame:
 
     return spread(documents.select("doc_id", "text")).mapInArrow(
         feats, ARROW_PROFILE_SCHEMA
+    )
+
+
+FINGERPRINT_SCHEMA = "doc_id long, n_frames int, fp long"
+
+
+def audio_fingerprint(
+    media: DataFrame, frame: int = 128, n_bands: int = 16
+) -> DataFrame:
+    """Spectral audio fingerprint (Shazam-style constellation idea,
+    collapsed to one 60-bit signature): decode → fixed frames → FFT
+    magnitude spectrum → per-frame argmax frequency band → the
+    fingerprint packs the modal peak band of each of 15 frame groups
+    into 4 bits (60 bits — stays inside signed int64).  Identical audio → identical fingerprint; small
+    amplitude scaling leaves it unchanged (argmax is scale-invariant),
+    so re-encoded/re-normalized duplicate clips equi-join on ``fp``
+    exactly — the multimodal twin of digest dedup.
+
+    Arrow ``mapInPandas``; per-clip work is one vectorized
+    ``numpy.fft.rfft`` over the framed matrix.  At 100 TB the
+    fingerprint column is 8 bytes/clip and the dedup is a plain
+    digest-key shuffle.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b: bytes):
+            x = decode_audio(b).astype(np.float64) / 32768.0
+            if len(x) == 0:
+                return 0, 0
+            if len(x) < frame:  # zero-pad short clips to one frame
+                x = np.pad(x, (0, frame - len(x)))
+            usable = len(x) - (len(x) % frame)
+            w = x[:usable].reshape(-1, frame)
+            mag = np.abs(np.fft.rfft(w, axis=1))
+            # drop DC, fold the spectrum into n_bands coarse bands
+            mag = mag[:, 1 : (mag.shape[1] // n_bands) * n_bands + 1]
+            bands = mag.reshape(mag.shape[0], n_bands, -1).sum(axis=2)
+            peaks = bands.argmax(axis=1)  # per-frame peak band
+            fp = 0
+            for pk in peaks:
+                fp = (fp * 131 + int(pk) + 1) % 2147483647
+            return len(peaks), fp
+
+        for pdf in batches:
+            pair = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pair.map(lambda t: t[0]),
+                    "fp": pair.map(lambda t: t[1]),
+                }
+            )
+
+    return spread(media).mapInPandas(feats, FINGERPRINT_SCHEMA)
+
+
+def audio_dup_groups(media: DataFrame) -> DataFrame:
+    """Exact-fingerprint audio dedup: clips sharing a spectral
+    fingerprint group together — one digest-key shuffle, the same
+    scale shape as text digest dedup."""
+    fps = audio_fingerprint(media)
+    return (
+        fps.filter(F.col("n_frames") > 0)
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .filter(F.col("n_clips") > 1)
     )

@@ -5946,3 +5946,32 @@ def dedup_canonical_survivors(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.dedup import canonical_survivors
 
     return canonical_survivors(_t(spark, sf, "documents")).orderBy("group_id")
+
+
+@register("multimodal_audio_dedup")
+def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio dedup via spectral fingerprints
+    (operators/multimodal.py:audio_fingerprint): every document
+    synthesized into a genuine WAV (attach_wav; deterministic per
+    doc_id), every 10th clip re-ingested under a new id (the re-crawl
+    duplication shape), fingerprints computed by framed FFT peak-band
+    signatures, exact-fp groups reported — the planted re-ingests MUST
+    pair with their sources.  Amplitude-scale invariance is pinned in
+    pytest on tonal audio (true spectral peaks); text-derived audio is
+    noise-like, so the corpus entry plants byte-identical re-encodes.
+    Rows-only: the FFT runs in Arrow mapInPandas, outside SQL's
+    reach."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_wav,
+        audio_dup_groups,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    dup_src = docs.filter(F.col("doc_id") % 10 == 0)
+    media = attach_wav(docs)
+    # re-ingest: same synthesized waveform under a new id
+    dup_media = attach_wav(dup_src).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    both = media.select("doc_id", "payload").unionByName(dup_media)
+    return audio_dup_groups(both).orderBy("canonical_doc_id")

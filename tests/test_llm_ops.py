@@ -784,3 +784,56 @@ def test_canonical_survivors_keeps_longest(spark):
     assert g.n_members == 2
     assert g.canonical_doc_id == 2
     assert g.canonical_tokens > 15
+
+
+def test_audio_fingerprint_matches_rescaled_duplicate(spark):
+    """Identical tone -> identical fingerprint; half-amplitude copy ->
+    SAME fingerprint (argmax is scale-invariant); different tone ->
+    different fingerprint."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators.multimodal import (
+        audio_dup_groups,
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+
+    def tone(freq, amp):
+        return (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+    rows = [
+        (1, encode_wav(tone(440, 0.9), sr)),
+        (2, encode_wav(tone(440, 0.45), sr)),   # re-normalized duplicate
+        (3, encode_wav(tone(3100, 0.9), sr)),   # different content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = {r.doc_id: r.fp for r in audio_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+    groups = audio_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0].members == [1, 2] and groups[0].canonical_doc_id == 1
+
+
+def test_audio_dedup_recovers_planted_reingests(spark, sf_dir):
+    """Every planted re-ingest (same waveform, new id) must co-group
+    with its source on the fixture corpus."""
+    from play_bq_gcp_spark.queries import QUERIES
+
+    groups = QUERIES["multimodal_audio_dedup"](spark, sf_dir).collect()
+    member_sets = [set(g.members) for g in groups]
+    planted = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id % 10 = 0")
+        .collect()
+    ]
+    for src in planted:
+        assert any(
+            {src, src + 1_000_000} <= ms for ms in member_sets
+        ), f"planted pair for doc {src} not grouped"
