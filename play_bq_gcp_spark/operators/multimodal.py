@@ -426,3 +426,95 @@ def audio_dup_groups(media: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_clips") > 1)
     )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image: thumbnail to 8x8 (decode
+    stubbed — see fake_decode_gray), then bit i = block i brighter than
+    the thumbnail mean, packed into one long.  Everything after the
+    decode is NATIVE Spark HOFs over the thumb array — the perceptual-
+    hash step adds zero Python beyond the decoder the thumbnail front
+    half already pays for."""
+    from play_bq_gcp_spark.operators.text import bind
+
+    t = thumbnail_features(media)  # 64 block means
+    row = bind(
+        F.col("thumb"),
+        lambda th: bind(
+            F.aggregate(th, F.lit(0.0), lambda a, x: a + x) / F.size(th),
+            lambda mean: bind(
+                F.transform(th, lambda x: (x > mean).cast("long")),
+                lambda bits: F.struct(
+                    *[
+                        F.aggregate(
+                            F.slice(bits, 16 * j + 1, 16),
+                            F.lit(0).cast("long"),
+                            lambda acc, b: acc * 2 + b,
+                        ).alias(f"k{j}")
+                        for j in range(4)
+                    ]
+                ),
+            ),
+        ),
+    )
+    # four 16-bit band keys, never one 64-bit value: bit 63 would
+    # overflow signed long under ANSI, and the bands are what the
+    # near-dup join keys on anyway (the simhash-oracle packing trick)
+    return t.select("doc_id", F.explode(F.array(row)).alias("h")).select(
+        "doc_id", "h.k0", "h.k1", "h.k2", "h.k3"
+    )
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual image near-dup pairs: 4x16-bit band equi-join over
+    the aHash (docs sharing any band are compared — never all-pairs),
+    survivors kept at Hamming <= max_hamming.  Same scale shape as the
+    text SimHash pipeline: one band-key shuffle, candidates only."""
+    h = image_ahash(media)
+    banded = h.select(
+        "doc_id",
+        "k0",
+        "k1",
+        "k2",
+        "k3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col(f"k{i}").alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "k0", "k1", "k2", "k3",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.k{j}").alias(f"a{j}") for j in range(4)],
+            *[F.col(f"b.k{j}").alias(f"b{j}") for j in range(4)],
+        )
+        .distinct()
+    )
+    # the bands partition the 64 bits, so summed per-band bit_count IS
+    # the full-hash hamming
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(4)
+    )
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

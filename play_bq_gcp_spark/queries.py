@@ -5975,3 +5975,36 @@ def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     both = media.select("doc_id", "payload").unionByName(dup_media)
     return audio_dup_groups(both).orderBy("canonical_doc_id")
+
+
+@register("multimodal_image_near_dup")
+def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (operators/multimodal.py:image_ahash
+    + image_near_dup_pairs): documents wrapped as image payloads
+    (decode stubbed deterministically), 8x8 thumbnail aHash computed
+    with native HOFs, 4x16-bit band equi-join, Hamming <= 6 survivors.
+    Every 10th payload is re-ingested with its LAST byte flipped — a
+    1-byte perturbation the 8x8 block average absorbs, so each planted
+    pair MUST appear at Hamming 0-1 (pinned in pytest).  Rows-only:
+    the stub decode is Python-side by design."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_binary,
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    media = attach_binary(docs).select("doc_id", "payload")
+    perturbed = (
+        attach_binary(docs.filter(F.col("doc_id") % 10 == 0))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(payload, 1, length(payload) - 1)"),
+                F.lit(b"\x7a"),
+            ).alias("payload"),
+        )
+    )
+    return (
+        image_near_dup_pairs(media.unionByName(perturbed))
+        .orderBy("doc_a", "doc_b")
+    )

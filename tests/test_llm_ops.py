@@ -837,3 +837,23 @@ def test_audio_dedup_recovers_planted_reingests(spark, sf_dir):
         assert any(
             {src, src + 1_000_000} <= ms for ms in member_sets
         ), f"planted pair for doc {src} not grouped"
+
+
+def test_image_near_dup_planted_pairs_and_hamming(spark, sf_dir):
+    """Every planted 1-byte-perturbed re-ingest must pair with its
+    source at tiny Hamming; identical payloads pair at Hamming 0."""
+    from play_bq_gcp_spark.queries import QUERIES
+
+    pairs = QUERIES["multimodal_image_near_dup"](spark, sf_dir).collect()
+    by_pair = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    planted = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .where("doc_id % 10 = 0")
+        .collect()
+    ]
+    for src in planted:
+        h = by_pair.get((src, src + 1_000_000))
+        assert h is not None, f"planted pair for doc {src} missing"
+        assert h <= 1, f"doc {src}: hamming {h} too large for a 1-byte edit"
