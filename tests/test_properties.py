@@ -444,3 +444,60 @@ def test_rolling_fingerprint_matches_python_reference(spark, texts):
     for i, t in enumerate(texts):
         got = {k: v for k, v in out[i].items() if k != "doc_id"}
         assert got == _py_rolling(t), f"doc {i}: {t!r}"
+
+
+# --- attribution vs pure-pandas reference ----------------------------------
+
+_attr_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                 # user
+        st.integers(min_value=0, max_value=20 * 86400),        # ts offset sec
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=9999),              # cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_attribution(rows, lookback_s=7 * 86400):
+    out = {}
+    for u, ts, et, cents in rows:
+        if et != "purchase":
+            continue
+        touches = [
+            (t, e)
+            for (uu, t, e, _c) in rows
+            if uu == u and e in ("view", "click") and ts - lookback_s <= t <= ts
+        ]
+        # tie-free key: (ts, channel rank) — view=0, click=1
+        key = lambda te: (te[0], 0 if te[1] == "view" else 1)
+        first = min(touches, key=key)[1] if touches else "none"
+        last = max(touches, key=key)[1] if touches else "none"
+        for model, ch in (("first_touch", first), ("last_touch", last)):
+            n, c = out.get((model, ch), (0, 0))
+            out[(model, ch)] = (n + 1, c + cents)
+    return out
+
+
+@given(rows=_attr_events)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_attribution_matches_pandas_reference(spark, rows):
+    from datetime import datetime, timedelta
+
+    from play_bq_gcp_spark.operators.behavior import attribution
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(seconds=ts), u, et, c / 100.0, "{}")
+            for i, (u, ts, et, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    got = {
+        (r.model, r.channel): (r.conversions, r.credited_cents)
+        for r in attribution(df).collect()
+    }
+    assert got == _py_attribution(rows)
