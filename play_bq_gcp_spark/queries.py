@@ -6008,3 +6008,142 @@ def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         image_near_dup_pairs(media.unionByName(perturbed))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS run_len,
+             min(d) AS run_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           count(*)      AS n_streaks,
+           max(run_len)  AS longest_streak,
+           sum(run_len)  AS active_days,
+           min(run_start) AS first_day
+    FROM runs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands on the activity calendar: per user, runs of
+    consecutive active days found with the classic day-minus-dense_rank
+    constant (pure integers — no timestamps survive past the day
+    ordinal), then streak count / longest streak / active days.  One
+    user-keyed window + two aggregations, all on the deduplicated
+    (user, day) set — the engagement metric behind retention dashboards
+    and streak features."""
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.dense_rank().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("d").alias("run_start")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("active_days"),
+            F.min("run_start").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT))
+                 AS last_day,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, last_day, freq, monetary,
+             ntile(4) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey)     AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*)                 AS n_customers,
+           sum(monetary)            AS cents,
+           min(o_custkey)           AS sample_custkey
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary from
+    one orders aggregate, each scored into quartiles with tie-free
+    ntile ordering (metric DESC, then custkey — identical total order
+    in any engine), reported as 64 segment cells.  Recency rides as an
+    integer day ordinal, money as exact cents.  Note the global ntile
+    sorts the (already tiny) per-customer aggregate, never the fact
+    table."""
+    from pyspark.sql import Window
+
+    rfm = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+                ).cast("long")
+            ).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary"
+            ),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_day"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("cents"),
+            F.min("o_custkey").alias("sample_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
