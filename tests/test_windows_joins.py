@@ -346,3 +346,32 @@ def test_daily_trend_exact_slope(spark):
     assert (a.slope_num, a.slope_den) == (3 * 800 - 3 * 600, 3 * 5 - 9)
     assert a.slope_cents_per_day == 100.0
     assert out["b"].slope_den == 0 and out["b"].slope_cents_per_day is None
+
+
+def test_activity_streaks_hand_computed(spark):
+    from datetime import datetime
+
+    from play_bq_gcp_spark.queries import QUERIES
+    import tempfile, os
+
+    rows = [
+        # user 1: days 0,1,2 then 5,6 -> streaks 3 and 2
+        (1, datetime(2024, 1, 1, 9)),
+        (1, datetime(2024, 1, 2, 9)),
+        (1, datetime(2024, 1, 3, 9)),
+        (1, datetime(2024, 1, 6, 9)),
+        (1, datetime(2024, 1, 7, 9)),
+        # duplicate same-day event must not split or extend streaks
+        (1, datetime(2024, 1, 1, 23)),
+        # user 2: one day
+        (2, datetime(2024, 1, 10, 12)),
+    ]
+    d = tempfile.mkdtemp(prefix="streaks_")
+    spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    out = {r.user_id: r for r in QUERIES["events_activity_streaks"](spark, d).collect()}
+    assert (out[1].n_streaks, out[1].longest_streak, out[1].active_days) == (2, 3, 5)
+    assert (out[2].n_streaks, out[2].longest_streak, out[2].active_days) == (1, 1, 1)
