@@ -6147,3 +6147,85 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "basket_part_pairs_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), freq AS (
+      SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           fa.n_part AS n_a, fb.n_part AS n_b,
+           (n_ab * n.n_orders * 1000000) // (fa.n_part * fb.n_part)
+               AS lift_ppm
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs within an order with
+    support count and exact integer-ppm lift
+    ``floor(n_ab * n_orders * 1e6 / (n_a * n_b))`` — the co-purchase
+    statistic behind "frequently bought together".  The pair self-join
+    keys on l_orderkey (baskets are small, ~4 items, so the pair
+    expansion is bounded ~6x orders, never quadratic in the table);
+    part frequencies and the basket count fold in as broadcast-sized
+    aggregates."""
+    items = (
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
