@@ -6229,3 +6229,55 @@ def basket_part_pairs_lift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+                 AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n,
+           (count(*) * 1000000) // sum(count(*)) OVER (PARTITION BY prev_type)
+               AS row_share_ppm
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (Markov counts): each
+    user's events ordered by a tie-free (timestamp, event_id) key, one
+    lag window yields (prev, next) pairs, and the grouped counts carry
+    an exact integer-ppm row share (count * 1e6 div row total).  One
+    user-keyed window + one small aggregate — the behavioral statistic
+    behind next-action prediction features and funnel anomaly
+    detection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = _t(spark, sf, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000) div sum(n) over (partition by prev_type)")
+            .alias("row_share_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
