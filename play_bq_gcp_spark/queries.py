@@ -2789,7 +2789,7 @@ def _profile_oracle_sql() -> str:
     single wide-agg pass of operators/profiling.profile_table."""
     cols = ("doc_id", "lang", "n_chars", "source", "text")
     aggs = ", ".join(
-        f"sum(({c} IS NULL)::BIGINT) AS nulls_{c}, "
+        f"CAST(sum(({c} IS NULL)::BIGINT) AS BIGINT) AS nulls_{c}, "
         f"count(DISTINCT {c}) AS dist_{c}, "
         f"min({c}::VARCHAR) AS min_{c}, max({c}::VARCHAR) AS max_{c}"
         for c in cols
@@ -3694,9 +3694,9 @@ def q4_priority_late_orders(spark: SparkSession, sf: str) -> DataFrame:
     "q9_profit_by_nation_year",
     """
     SELECT n_name AS nation_name, year(l_shipdate) AS o_year,
-           sum(CAST(floor((l_extendedprice * (1 - l_discount)
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
                      - 0.4 * p_retailprice * l_quantity) * 100) AS BIGINT))
-               AS profit_cents
+               AS BIGINT) AS profit_cents
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -3747,8 +3747,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH partval AS (
         SELECT l_partkey AS p_partkey,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
-                        AS BIGINT)) AS part_value_cents
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS part_value_cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON n_nationkey = s_nationkey
@@ -3804,10 +3804,10 @@ def q11_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
                 WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
                 ELSE 'SLOW' END AS latency_class,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4266,7 +4266,8 @@ def cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH daily AS (
         SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
-               sum(CAST(floor(value * 100) AS BIGINT)) AS day_cents
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
         FROM events GROUP BY 1, 2
     ),
     span AS (
@@ -4287,10 +4288,10 @@ def cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
                OVER (PARTITION BY spine.u ORDER BY spine.day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                AS locf_cents,
-           sum(coalesce(day_cents, 0))
+           CAST(sum(coalesce(day_cents, 0))
                OVER (PARTITION BY spine.u ORDER BY spine.day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS running_cents
+               AS BIGINT) AS running_cents
     FROM spine LEFT JOIN daily ON spine.u = daily.u AND spine.day = daily.day
     ORDER BY user_id, spine.day
     """,
@@ -5229,7 +5230,7 @@ def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
     SELECT count(*)                                   AS n_docs,
            count(DISTINCT lang)                       AS n_langs,
            count(DISTINCT source)                     AS n_sources,
-           sum(n_tokens)                              AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
            round(avg(n_tokens), 4)                    AS avg_tokens,
            min(n_tokens)                              AS min_tokens,
            max(n_tokens)                              AS max_tokens,
@@ -5521,7 +5522,7 @@ def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT model, channel,
            count(*) AS conversions,
-           sum(conv_cents) AS credited_cents
+           CAST(sum(conv_cents) AS BIGINT) AS credited_cents
     FROM long GROUP BY model, channel
     ORDER BY model, channel
     """,
@@ -5609,7 +5610,7 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     {steps}
     SELECT node,
            CASE WHEN node >= 10000000 THEN 'item' ELSE 'user' END AS node_type,
-           r AS rank_ppm
+           CAST(r AS BIGINT) AS rank_ppm
     FROM r{iterations}
     ORDER BY rank_ppm DESC, node
     LIMIT 20
@@ -5761,8 +5762,8 @@ def window_rank_family_full(spark: SparkSession, sf: str) -> DataFrame:
       FROM daily GROUP BY etype
     )
     SELECT etype, n_days,
-           n_days * sxy - sx * sy AS slope_num,
-           n_days * sxx - sx * sx AS slope_den,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
            CASE WHEN n_days * sxx - sx * sx <> 0 THEN
              round((n_days * sxy - sx * sy) / CAST(n_days * sxx - sx * sx AS DOUBLE), 6)
            END AS slope_cents_per_day
@@ -6029,7 +6030,7 @@ def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id,
            count(*)      AS n_streaks,
            max(run_len)  AS longest_streak,
-           sum(run_len)  AS active_days,
+           CAST(sum(run_len) AS BIGINT) AS active_days,
            min(run_start) AS first_day
     FROM runs GROUP BY user_id
     ORDER BY user_id
@@ -6093,7 +6094,7 @@ def events_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            count(*)                 AS n_customers,
-           sum(monetary)            AS cents,
+           CAST(sum(monetary) AS BIGINT) AS cents,
            min(o_custkey)           AS sample_custkey
     FROM scored
     GROUP BY r_score, f_score, m_score
@@ -6243,8 +6244,9 @@ def basket_part_pairs_lift(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT prev_type, event_type AS next_type,
            count(*) AS n,
-           (count(*) * 1000000) // sum(count(*)) OVER (PARTITION BY prev_type)
-               AS row_share_ppm
+           CAST((count(*) * 1000000)
+                // sum(count(*)) OVER (PARTITION BY prev_type)
+               AS BIGINT) AS row_share_ppm
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
     ORDER BY prev_type, next_type

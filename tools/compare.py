@@ -15,6 +15,52 @@ import sys
 import duckdb
 
 
+def _arrow_kind(t) -> str:
+    """Canonical 'kind' of a pyarrow type for hash-faithful comparison.
+
+    The driver's value hash is Arrow-type-sensitive: DuckDB typing a
+    bare integer ``sum()`` as HUGEINT (exported as decimal128) vs
+    Spark's int64 mismatches even when values are equal (the round-4
+    red class).  Numeric kind/width differences are hard failures.
+    String flavor (string vs large_string), integer width (q8's
+    int32-vs-int64 ``year`` column was driver-green in r4), float
+    width, and timestamp tz/unit are soft — driver-green history
+    shows those don't trip the hash.  Decimal (DuckDB's HUGEINT
+    export) vs int is the attested hard mismatch.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "bin"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{_arrow_kind(t.value_type)}>"
+    return str(t)
+
+
+def _arrow_type_problems(s_tbl, d_tbl) -> list[str]:
+    """Per-column Arrow kind mismatches between Spark and DuckDB
+    results, columns aligned by sorted name."""
+    out = []
+    s_types = {f.name: f.type for f in s_tbl.schema}
+    d_types = {f.name: f.type for f in d_tbl.schema}
+    for c in sorted(set(s_types) & set(d_types)):
+        sk, dk = _arrow_kind(s_types[c]), _arrow_kind(d_types[c])
+        if sk != dk:
+            out.append(
+                f"arrow type mismatch on '{c}': spark={s_types[c]} "
+                f"duckdb={d_types[c]}"
+            )
+    return out
+
+
 def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -68,12 +114,21 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = [c for c in rel.columns]
+            d_tbl = con.sql(
+                f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+            ).arrow()
             d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        try:
+            problems.extend(
+                _arrow_type_problems(sdf.limit(0).toArrow(), d_tbl)
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"     {name}: arrow type check skipped: {e}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
