@@ -363,10 +363,12 @@ def audio_fingerprint(
     media: DataFrame, frame: int = 128, n_bands: int = 16
 ) -> DataFrame:
     """Spectral audio fingerprint (Shazam-style constellation idea,
-    collapsed to one 60-bit signature): decode → fixed frames → FFT
+    collapsed to one signature): decode → fixed frames → FFT
     magnitude spectrum → per-frame argmax frequency band → the
-    fingerprint packs the modal peak band of each of 15 frame groups
-    into 4 bits (60 bits — stays inside signed int64).  Identical audio → identical fingerprint; small
+    per-frame peak-band sequence folds into a single rolling
+    polynomial hash (``fp = fp*131 + peak+1  mod  2^31-1``, a 31-bit
+    value — order-sensitive, so clips agree only when their whole
+    peak sequences agree).  Identical audio → identical fingerprint; small
     amplitude scaling leaves it unchanged (argmax is scale-invariant),
     so re-encoded/re-normalized duplicate clips equi-join on ``fp``
     exactly — the multimodal twin of digest dedup.

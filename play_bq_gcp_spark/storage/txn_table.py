@@ -186,9 +186,21 @@ class ConditionalPutCommit(CommitStrategy):
         with self._lock:
             if target in self._index or os.path.exists(target):
                 return False
-            # "PUT accepted": key reserved and object landed atomically
-            with open(target, "wb") as f:
-                f.write(payload)
+            # "PUT accepted": key reserved and object landed atomically.
+            # The body goes down as tmp + rename so a writer crashing
+            # mid-write can never leave a partial manifest at ``target``
+            # (rename is atomic on POSIX; a real object store gives the
+            # same guarantee natively — the PUT is all-or-nothing).
+            d = os.path.dirname(target)
+            tmp = os.path.join(d, f"_put_{uuid.uuid4().hex}.json")
+            try:
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.rename(tmp, target)
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
             self._index.add(target)
         if self._on_commit is not None:
             self._on_commit(target)

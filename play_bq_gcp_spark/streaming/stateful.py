@@ -394,7 +394,10 @@ def session_close_on_timeout(
             }
         )
         wm_ms = state.getCurrentWatermarkMs()
-        close_at_ms = (cur[2] + gap_us) // 1_000
+        # ceil to ms: the session closes when wm passes end+gap in µs;
+        # floor truncation would fire the timer up to 1 ms EARLY for
+        # sub-millisecond event times and diverge from the µs oracle
+        close_at_ms = (cur[2] + gap_us + 999) // 1_000
         if close_at_ms <= wm_ms:
             # already past the horizon: close now, keep no state
             out = pd.concat(
@@ -539,7 +542,10 @@ def session_close_on_timer_tws(
                 else:
                     cur = (cur[0] + 1, cur[1], t)
             wm_ms = timerValues.getCurrentWatermarkInMs()
-            close_at_ms = (cur[2] + gap_us) // 1_000
+            # ceil to ms: the session closes when wm passes end+gap in
+            # µs; floor truncation would fire the timer up to 1 ms
+            # EARLY for sub-ms event times and diverge from the oracle
+            close_at_ms = (cur[2] + gap_us + 999) // 1_000
             if old_timer is not None and old_timer != close_at_ms:
                 self._handle.deleteTimer(old_timer)
             if close_at_ms <= wm_ms:

@@ -460,3 +460,38 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     # the 10:00 window never got the late row; 12:00 window counts 2
     assert final[(datetime(2024, 1, 1, 12, 0, 0), "a")] == 2
     assert (datetime(2024, 1, 1, 10, 0, 0), "a") not in final
+
+
+def test_session_horizon_submillisecond_boundary(spark, tmp_path):
+    """Pinned boundary rule (ADVICE r4): a session closes only when the
+    watermark passes ``end_us + gap_us`` in MICROSECONDS.  The ms-floor
+    horizon used to fire the timeout up to 1 ms early for sub-ms event
+    times; with ceil-to-ms, a horizon 100 µs past the watermark must
+    stay OPEN (unemitted) while a clearly-passed horizon still closes.
+    """
+    import datetime as dt
+
+    from play_bq_gcp_spark.streaming import stateful
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # control user 9: horizon 9.0s + 1s = 10.0s <= final wm -> closes
+        (9, base + dt.timedelta(seconds=9), 1),
+        # user 1: horizon 10.0005s + 1s = 11.0005s, final wm 11.0004s
+        # -> 100 µs short of the horizon; must NOT close
+        (1, base + dt.timedelta(seconds=10, microseconds=500), 2),
+        # user 2: the watermark driver (latest event, stays open)
+        (2, base + dt.timedelta(seconds=11, microseconds=400), 3),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    sf = str(tmp_path / "subms")
+    (tmp_path / "subms").mkdir()
+    ev.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    for fn in (
+        stateful.session_close_on_timeout,
+        stateful.session_close_on_timer_tws,
+    ):
+        out = fn(spark, sf, gap_s=1, n_chunks=3)
+        emitted = {r.user_id for r in out.collect()}
+        assert emitted == {9}, f"{fn.__name__}: {emitted}"
