@@ -27,72 +27,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 entries of
-# ``queries()`` in insertion order.  Rounds 1-3 attested the first 50
-# registrations (all green in CORRECTNESS_r03); round 4 rotates the
-# window: 16 representative already-attested entries stay (one per
-# capability area) and 34 slots go to entries that have never had a
-# driver-checked row — the high-risk round-3 surface (pretrain
-# pipeline, streaming ingest dedup, incremental dedup, temporal join,
-# SQL surface, CDC merge), a TPC-H slice (q2, q4, q6-q13), the
-# curation batch, and behavioral/profiling entries.  The remaining
-# TPC-H slice (q14-q22), the text/profiling tail, and the round-4
-# additions (rolling fingerprints, expectation suite, incremental +
-# CDC MV, attribution, quantile binning, PageRank, ORC roundtrip,
-# rank-family window, OLS trend, KL divergence, canonical survivors)
-# rotate into the window next round.
+# ``queries()`` in insertion order.  Rounds 1-4 attested 87 distinct
+# entries; round 5 rotates the window onto everything that has never
+# had a driver-checked row: all 40 never-checked oracle-backed entries
+# (the TPC-H q14-q22 tail, the text/profiling tail, the round-4
+# additions, the streaming TWS List/MapState twins, the REST stream),
+# the 5 round-4 reds whose oracles were re-typed to BIGINT (HUGEINT
+# hash fix — they re-attest here), the 3 entries promoted to oracles
+# this round (sketch bounds, PQ exact replay, ANN recall floors), and
+# 2 representative keepers (flagship aggregate + merge upsert).  If
+# all go green, cumulative driver attestation reaches 132 of 137.
 _WINDOW = [
-    # -- representative keepers (attested green in r1-r3) -----------------
+    # -- representative keepers (attested green r1-r4) --------------------
     "q1_pricing_summary",
-    "agg_group_analytics",
-    "proj_filter_orders",
     "merge_full_upsert",
-    "scalar_suite_orders",
-    "window_events_suite",
-    "semistructured_suite",
-    "scan_partition_pruned",
-    "asof_join_purchase_click",
-    "skew_salted_suite",
-    "streaming_window_dedup_counts",
-    "streaming_interval_join",
-    "dedup_minhash_lsh",
-    "knn_join_lsh",
-    "pipeline_corpus_clean",
-    "multimodal_suite",
-    # -- never-driver-checked entries promoted into the window ------------
-    "pipeline_pretrain_corpus",
-    "streaming_ingest_dedup",
-    "dedup_incremental_batch",
-    "temporal_join_versions",
-    "sql_surface_orders",
-    "merge_cdc_apply",
-    "dedup_simhash_pairs",
-    "streaming_stateful_tws",
-    "streaming_session_timers_tws",
-    "text_quality_classifier",
-    "q2_min_cost_supplier",
-    "q4_priority_late_orders",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
+    # -- round-4 reds, oracles re-typed to BIGINT (re-attest) -------------
     "q9_profit_by_nation_year",
-    "q10_returned_items",
     "q11_important_part_value",
     "q12_latency_priority_classes",
-    "q13_order_distribution",
-    "decontaminate_eval_overlap",
-    "pii_redaction_profile",
-    "sequence_pack_bins",
-    "domain_mix_sample",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
     "resample_daily_locf",
-    "streaming_timeout_sessions",
-    "streaming_static_enrich",
-    "rest_source_snapshot",
     "profile_documents",
-    "split_train_val_test",
-    "embedding_quantize_int8",
-    "events_outlier_zscore",
+    # -- promoted from rows-only to oracle-backed this round --------------
+    "agg_approx_sketches",
+    "similarity_pq_adc_exact",
+    "similarity_ann_recall_floors",
+    # -- never-driver-checked entries (the full remaining tail) -----------
+    "scan_csv_json_roundtrip",
+    "multimodal_arrow_profile",
+    "rest_stream_ingest",
+    "text_lm_fluency",
+    "streaming_tws_liststate",
+    "streaming_tws_mapstate",
+    "streaming_left_outer_interval_join",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "text_repetition_profile",
+    "embedding_label_centroids",
+    "profile_value_histogram",
+    "sql_recursive_spine",
+    "semistructured_variant",
+    "text_keywords_tfidf",
+    "corpus_overview_report",
+    "skew_key_report",
+    "text_fingerprint_rolling",
+    "quality_expectations_orders",
+    "mv_incremental_refresh",
+    "attribution_first_last",
+    "feature_binning_quantile",
+    "graph_pagerank_bipartite",
+    "scan_orc_roundtrip",
+    "window_rank_family_full",
+    "trend_daily_revenue",
+    "mv_cdc_refresh",
+    "corpus_divergence_kl",
+    "dedup_canonical_survivors",
+    "events_activity_streaks",
+    "customer_rfm_segments",
+    "basket_part_pairs_lift",
+    "events_transition_matrix",
 ]
 
 

@@ -638,8 +638,9 @@ def pq_topk(
     embeddings: DataFrame,
     query_vec,
     k: int = 10,
-    m: int = 8,
+    m: int = 16,
     n_codes: int = 32,
+    rerank: int = 8,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC; Jegou et al., TPAMI 2011 — the IVF-PQ building block).
@@ -649,13 +650,18 @@ def pq_topk(
     query builds an ``m x n_codes`` lookup table of exact subspace
     distances driver-side, and approximate distance is the sum of m
     table lookups — no vector arithmetic per row at query time.  The
-    top-k by ADC distance is exact-re-ranked (candidates only).
+    top ``rerank * k`` by ADC distance are exact-re-ranked (candidates
+    only).  Defaults (m=16 -> 4-dim subspaces, 8x re-rank pool) hold
+    recall@10 >= 0.9 at every fixture scale — the r5 probe showed the
+    old m=8/4x pool dropping to 0.5 as the corpus outgrew the codebook
+    resolution; the re-rank pool and m are THE quality knobs to turn
+    before touching n_codes.
 
     Scale shape: training shuffles one (sub, code, pos) pass; encoding
     and querying are map-only + TakeOrderedAndProject.  The codebook
     and LUT are literals (bytes, not a join).  At 100 TB the encoded
-    corpus is ~100x smaller than the raw vectors — PQ is what makes
-    the index RAM-resident.
+    corpus is m bytes/vector (~16x smaller than raw float32 at the
+    defaults) — PQ is what makes the index RAM-resident.
     """
     books = _pq_train(embeddings, m, n_codes)
     d_sub = len(books[0][0])
@@ -709,7 +715,7 @@ def pq_topk(
     candidates = (
         embeddings.select("vec_id", v.alias("v"), adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-        .limit(4 * k)
+        .limit(rerank * k)
     )
     return (
         candidates.select(
@@ -727,13 +733,14 @@ def ivfpq_topk(
     k: int = 10,
     n_lists: int = 16,
     n_probe: int = 8,
-    m: int = 8,
+    m: int = 16,
     n_codes: int = 32,
+    rerank: int = 8,
 ) -> DataFrame:
     """IVF-PQ: the industry-standard composed index (Jegou et al.) —
     IVF coarse quantizer prunes to ``n_probe`` lists, PQ codes rank
     the survivors by asymmetric-distance lookup sums, and only the
-    ADC top-4k candidates get exact re-ranking.
+    ADC top ``rerank * k`` candidates get exact re-ranking.
 
     Scale shape: at 100 TB the coarse lists are partition keys
     (partition-pruned scans read only probed lists), the PQ codes are
@@ -814,7 +821,7 @@ def ivfpq_topk(
         indexed.filter(F.col("list_id").isin(probe))
         .select("vec_id", "v", adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
-        .limit(4 * k)
+        .limit(rerank * k)
     )
     return (
         candidates.select(
@@ -823,4 +830,117 @@ def ivfpq_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+def pq_adc_exact(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    scale: int = 1000,
+    query_id: int = 0,
+    k: int = 50,
+) -> DataFrame:
+    """Integer-exact PQ codebook assignment + ADC ranking — the
+    oracle-checkable twin of ``pq_topk``'s mechanics (same structure as
+    the r4 SimHash promotion: make the signature arithmetic engine-
+    portable, then replay the WHOLE pipeline in SQL).
+
+    Every float step that makes float-PQ unreplayable is made exact:
+    vectors quantize to integers (``floor(x * scale)`` — identical IEEE
+    ops in any engine), codebooks are the first ``n_codes`` vectors'
+    quantized subvectors (seed discipline of ``_pq_train``, no Lloyd
+    pass — refined means are order-dependent floats), subspace
+    distances are integer sums of squares, assignment is argmin with
+    first-index tie-break, and ADC is an integer LUT sum.  The float
+    path's recall is covered separately by the pytest floors and the
+    ``similarity_ann_recall_floors`` entry.
+
+    Scale shape identical to ``pq_topk``: codebook + LUT ride as
+    literals (only ``n_codes`` rows ever collected), encode + ADC are
+    map-only HOF passes, top-k is TakeOrderedAndProject.
+    """
+    seeds = [
+        [int(np.floor(float(x) * scale)) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(n_codes).collect()
+    ]
+    qrow = embeddings.filter(F.col("vec_id") == query_id).first()
+    qv = [int(np.floor(float(x) * scale)) for x in qrow.embedding]
+    dim = len(seeds[0])
+    d_sub = dim // m
+    books = [
+        [s[sub * d_sub : (sub + 1) * d_sub] for s in seeds]
+        for sub in range(m)
+    ]
+    lut = [
+        [
+            sum(
+                (qv[sub * d_sub + i] - c[i]) ** 2 for i in range(d_sub)
+            )
+            for c in books[sub]
+        ]
+        for sub in range(m)
+    ]
+
+    vq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
+            for book in books
+        ]
+    )
+    lut_lit = F.array(
+        *[F.array(*[F.lit(int(x)) for x in row]) for row in lut]
+    )
+    # per-subspace argmin of exact integer squared distance
+    codes = bind(
+        vq,
+        lambda v: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: bind(
+                F.slice(v, s * d_sub + 1, d_sub),
+                lambda sv: bind(
+                    F.element_at(books_lit, s + 1),
+                    lambda book: bind(
+                        F.transform(
+                            book,
+                            lambda c: F.aggregate(
+                                F.zip_with(
+                                    sv, c, lambda x, y: (x - y) * (x - y)
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x,
+                            ),
+                        ),
+                        lambda dists: (
+                            F.array_position(dists, F.array_min(dists)) - 1
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        ),
+    )
+    adc = bind(
+        codes,
+        lambda cs: F.aggregate(
+            F.zip_with(lut_lit, cs, lambda row, c: F.element_at(row, c + 1)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    ranked = (
+        embeddings.select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        ),
     )

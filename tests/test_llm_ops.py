@@ -857,3 +857,32 @@ def test_image_near_dup_planted_pairs_and_hamming(spark, sf_dir):
         h = by_pair.get((src, src + 1_000_000))
         assert h is not None, f"planted pair for doc {src} missing"
         assert h <= 1, f"doc {src}: hamming {h} too large for a 1-byte edit"
+
+
+def test_pq_adc_exact_query_self_rank_and_integer_dists(spark):
+    """Integer-exact PQ ADC: the query vector (vec_id 0 is also seed
+    code 0) must rank first with distance 0, distances are non-negative
+    integers, and ranks are dense from 1."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import pq_adc_exact
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = pq_adc_exact(emb).collect()
+    assert rows[0].vec_id == 0 and rows[0].adc_dist == 0
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.adc_dist >= 0 for r in rows)
+    assert sorted(rows, key=lambda r: (r.adc_dist, r.vec_id)) == rows
+
+
+def test_approx_sketch_bounds_all_true(spark):
+    """The sketch-bounds entry must report TRUE for every group — a
+    FALSE means the HLL++ or GK sketch drifted outside its tolerance
+    and the driver differential would go red."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.aggregates import approx_sketch_bounds
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    rows = approx_sketch_bounds(li).collect()
+    assert len(rows) > 0
+    assert all(r.hll_ok and r.median_ok for r in rows)
+    assert all(r.exact_orders > 0 for r in rows)
