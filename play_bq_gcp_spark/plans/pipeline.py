@@ -85,17 +85,18 @@ def time_play_deltas(
     ).withColumn("date", F.lit(run_date).cast("timestamp"))
 
 
+# the dimension's mutable columns — shared by the DataFrame-level
+# upsert and the transactional MERGE INTO path so the two warehouses
+# cannot drift
+DIM_UPDATE_COLS = ["last_played_date_time", "play_count", "play_duration"]
+
+
 def upsert_games(stored: DataFrame, snapshot: DataFrame, deltas: DataFrame) -> DataFrame:
     """Updated dimension: only ids with activity (semi-join pre-filter,
     J2; main.py:243-246) get their mutable columns refreshed
     (UPDATE…FROM semantics, J4; main.py:274-284)."""
     changed = semi_join(snapshot, deltas.select("id"), "id")
-    return merge_upsert(
-        stored,
-        changed,
-        "id",
-        ["last_played_date_time", "play_count", "play_duration"],
-    )
+    return merge_upsert(stored, changed, "id", DIM_UPDATE_COLS)
 
 
 class Warehouse:
@@ -124,6 +125,24 @@ class Warehouse:
         the plan's own input (no checkpoint needed), and a crash can
         never leave the table deleted-but-unwritten."""
         atomic_overwrite(df, self.path(table))
+
+    def merge_dim(
+        self,
+        spark: SparkSession,
+        table: str,
+        stored: DataFrame,
+        snapshot: DataFrame,
+        deltas: DataFrame,
+        fresh: DataFrame,
+    ) -> None:
+        """Dimension update seam: updated-changed-rows plus inserted
+        fresh rows, as ONE atomic write.  The parquet warehouse can
+        only express this as full-overwrite (compute the next state,
+        swap); ``TxnWarehouse`` overrides with a true transactional
+        MERGE INTO that rewrites only the files the changed keys
+        touch."""
+        updated = upsert_games(stored, snapshot, deltas)
+        self.replace(updated.unionByName(fresh), table)
 
 
 class TxnWarehouse(Warehouse):
@@ -168,6 +187,35 @@ class TxnWarehouse(Warehouse):
         # files land BESIDE the old version's (immutable) files, and
         # the swap is the manifest create
         tt.overwrite(df, self.path(table))
+
+    def merge_dim(
+        self,
+        spark: SparkSession,
+        table: str,
+        stored: DataFrame,
+        snapshot: DataFrame,
+        deltas: DataFrame,
+        fresh: DataFrame,
+    ) -> None:
+        """The reference's UPDATE…FROM + insert (main.py:274-284) as a
+        single transactional MERGE INTO commit: changed rows (activity
+        semi-join) update ``DIM_UPDATE_COLS``, brand-new rows insert,
+        and key-range pruning rewrites only the base files the source
+        keys overlap — at 100 TB a daily merge touches the day's
+        files, never the table.  CDF (``txn_table.changes``) exposes
+        exactly the rewritten files to downstream incrementals."""
+        from play_bq_gcp_spark.storage import txn_table as tt
+
+        changed = semi_join(snapshot, deltas.select("id"), "id")
+        tt.merge_into(
+            spark,
+            self.path(table),
+            changed.unionByName(fresh),
+            key="id",
+            update_cols=DIM_UPDATE_COLS,
+            insert=True,
+            prune_col="id",
+        )
 
 
 def bootstrap(wh: Warehouse, snapshot: DataFrame) -> None:
@@ -228,9 +276,7 @@ def run_daily(
     # clobber each other (the reference relies on BigQuery doing the
     # append and the UPDATE as separate remote transactions).
     if stats["new_games"] > 0 or stats["time_play"] > 0:
-        updated = upsert_games(stored, snapshot, deltas)
-        final_dim = updated.unionByName(fresh)
-        wh.replace(final_dim, "game")
+        wh.merge_dim(spark, "game", stored, snapshot, deltas, fresh)
         # free re-derivation off the actions that already ran (the
         # guard job populated both observations via the caches)
         stats["new_games_observed"] = int(obs_fresh.get["rows"])

@@ -886,3 +886,55 @@ def test_approx_sketch_bounds_all_true(spark):
     assert len(rows) > 0
     assert all(r.hll_ok and r.median_ok for r in rows)
     assert all(r.exact_orders > 0 for r in rows)
+
+
+def test_auto_planes_holds_at_10x_scale(spark):
+    """The 100 TB knob, pinned at the SCALING.md probe scale (r4 ask):
+    at 10x the fixture corpus (20 200 vectors) ``auto_planes`` must
+    tighten buckets enough that the candidate shuffle stays ~linear —
+    >=4x fewer candidates than the fixture-pinned 10-bit setting (the
+    probe measured 6.6x) — while every planted near-dup twin still
+    verifies.  If someone weakens auto sizing, this goes red before
+    the cluster bill does."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators.dedup import (
+        MAX_BUCKET_SIZE,
+        _bucket_candidate_pairs,
+        _sign_bucket_keys,
+        auto_planes,
+        embedding_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    base = rng.normal(size=(n, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = []
+    for j in range(20):
+        twin = base[j] + rng.normal(scale=0.02, size=64)
+        twin /= np.linalg.norm(twin)
+        rows.append((10_000_000 + j, [float(x) for x in twin]))
+        planted.append((j, 10_000_000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = df.selectExpr("vec_id", "embedding as v")
+
+    bits_auto = auto_planes(len(rows))
+    assert bits_auto == 13  # 20020/4 -> ceil(log2(5005)) = 13
+    n_cand = {}
+    for bits in (10, bits_auto):
+        buckets = _sign_bucket_keys(docs, 16, bits, 64, 7)
+        n_cand[bits] = _bucket_candidate_pairs(
+            buckets, ("tbl", "key"), "vec_id", "a", "b",
+            MAX_BUCKET_SIZE, checkpoint=False,
+        ).count()
+    assert n_cand[bits_auto] * 4 < n_cand[10], n_cand
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_pairs(
+            df, threshold=0.95, bits_per_table="auto"
+        ).collect()
+    }
+    assert set(planted) <= got

@@ -118,7 +118,11 @@ def test_run_daily_on_txn_warehouse_matches_parquet_and_time_travels(
     """The SAME pipeline logic on TxnWarehouse: identical observable
     results, plus what BigQuery gave the reference for free — every
     write is a versioned atomic commit, so yesterday's dimension is
-    still readable after today's run."""
+    still readable after today's run.  The dimension update runs as a
+    true transactional MERGE INTO (r4 ask: the storage layer's
+    MERGE/CDF path proven under the reference's daily workload, not
+    just unit fuzz), and the change feed between the pre- and
+    post-merge versions must replay to exactly the post-merge state."""
     from play_bq_gcp_spark.storage import txn_table as tt
 
     wh = pipeline.TxnWarehouse(str(tmp_path / "txn_wh"))
@@ -138,8 +142,25 @@ def test_run_daily_on_txn_warehouse_matches_parquet_and_time_travels(
     pre = tt.read(spark, game_path, version=1)
     assert pre.count() == 3
     assert [s.action for s in tt.history(game_path)] == [
-        "create", "overwrite", "overwrite",
+        "create", "overwrite", "merge",
     ]
+
+    # CDF across the daily merge: applying the feed to the pre-merge
+    # version reproduces the post-merge table exactly (multiset), and
+    # the inserted side contains the brand-new game + updated rows
+    feed = tt.changes(spark, game_path, 1, 2).collect()
+    ins = {r.title_id for r in feed if r._change_type == "insert"}
+    assert "CUSA000000400" in ins  # the day's brand-new game
+    assert "CUSA000000100" in ins  # rewritten (play_count 10 -> 12)
+    key = lambda r: (r.title_id, r.play_count)  # noqa: E731
+    pre_keys = sorted(key(r) for r in pre.collect())
+    post_keys = sorted(key(r) for r in wh.read(spark, "game").collect())
+    replayed = sorted(
+        [key(r) for r in pre.collect()
+         if (r.title_id, "delete") not in {(x.title_id, x._change_type) for x in feed}]
+        + [key(r) for r in feed if r._change_type == "insert"]
+    )
+    assert replayed == post_keys and pre_keys != post_keys
 
     # idempotent rerun: same day again → no new versions of the facts
     v_before = tt.current_version(wh.path("time_play"))
