@@ -100,7 +100,11 @@ def running_user_stats(
 
     name = f"s_{uuid.uuid4().hex[:12]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # NoTimeout + no watermark: the closing no-data micro-batch can
+    # never emit or evict anything here — skip its state commit
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
@@ -114,6 +118,9 @@ def running_user_stats(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     updates = spark.table(name)
 
     # n_events is strictly increasing within a key → the max-count row
