@@ -34,13 +34,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions, the streaming TWS List/MapState twins, the REST stream),
 # the 5 round-4 reds whose oracles were re-typed to BIGINT (HUGEINT
 # hash fix — they re-attest here), the 3 entries promoted to oracles
-# this round (sketch bounds, PQ exact replay, ANN recall floors), and
-# 2 representative keepers (flagship aggregate + merge upsert).  If
-# all go green, cumulative driver attestation reaches 132 of 137.
+# this round (sketch bounds, PQ exact replay, ANN recall floors), the
+# round-5 full-outer interval join, and the flagship keeper.  If
+# all go green, every oracle-backed entry (129 of 138 registered)
+# has a driver-attested row; the other 9 are rows-only by design.
 _WINDOW = [
-    # -- representative keepers (attested green r1-r4) --------------------
+    # -- representative keeper (attested green r1-r4) ---------------------
     "q1_pricing_summary",
-    "merge_full_upsert",
+    # -- new this round: the full-outer completes the §2.8 join family ----
+    "streaming_full_outer_interval_join",
     # -- round-4 reds, oracles re-typed to BIGINT (re-attest) -------------
     "q9_profit_by_nation_year",
     "q11_important_part_value",

@@ -3025,6 +3025,55 @@ def streaming_left_outer_interval_join(spark: SparkSession, sf: str) -> DataFram
 
 
 @register(
+    "streaming_full_outer_interval_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id, p.p_user, c.c_user,
+               p.p_ts, c.c_ts
+        FROM p FULL JOIN c
+          ON p.p_user = c.c_user AND c.c_ts <= p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+            (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c)
+        ) - 3600000000 AS wm_us
+    )
+    SELECT purchase_id, click_id, p_user, c_user, p_ts, c_ts
+    FROM j CROSS JOIN wm
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND epoch_us(p_ts) <= wm_us)
+       OR (purchase_id IS NULL
+           AND epoch_us(c_ts) + 1800000000 <= wm_us)
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_full_outer_interval_join(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (§2.8 — completes the
+    inner/left/full outer family): both sides null-complete, each on
+    its own watermark horizon (purchase time for the left side, click
+    time + 30 min for the right).  Oracle: batch FULL JOIN + the
+    final-watermark emission rule per side
+    (streaming/daily.py:purchase_click_full_outer_join)."""
+    from play_bq_gcp_spark.streaming.daily import (
+        purchase_click_full_outer_join,
+    )
+
+    return purchase_click_full_outer_join(spark, sf)
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

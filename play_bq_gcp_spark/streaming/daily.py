@@ -231,6 +231,58 @@ def purchase_click_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def purchase_click_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join (§2.8 —
+    completes the outer family: inner and left-outer are registered
+    separately): matched purchase/click pairs emit as they join;
+    purchases with no same-user click in the prior 30 min emit
+    null-completed once the watermark passes the purchase time; clicks
+    that never preceded a purchase emit null-completed once the
+    watermark passes click time + 30 min (the last instant a future
+    purchase could still match them).  Both sides' state evicts on
+    those same horizons — the bounded-state shape that keeps a
+    100 TB/day full-outer join runnable.
+
+    The AvailableNow closing no-data batch advances the final
+    watermark to (min of both sides' max event time, ms-truncated)
+    − 1 h; the oracle restates the batch FULL JOIN plus exactly that
+    emission rule for each null-completed side."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        "purchase_id", "click_id", "p_user", "c_user", "p_ts", "c_ts"
+    )
+    return _run_to_memory(joined, "append").orderBy(
+        "purchase_id", "click_id"
+    )
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user — the streaming
     twin of operators.windows.sessionize."""

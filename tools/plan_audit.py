@@ -39,6 +39,10 @@ AUDIT = [
     "trend_daily_revenue",
     "graph_pagerank_bipartite",
     "quality_expectations_orders",
+    # round 5
+    "similarity_pq_adc_exact",
+    "customer_rfm_segments",
+    "events_transition_matrix",
 ]
 
 
