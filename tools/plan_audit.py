@@ -93,6 +93,17 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if out_md:
+        # replace only the table block if the doc already exists, so
+        # the surrounding prose ("Reading the table") survives re-runs
+        if os.path.exists(out_md):
+            doc = open(out_md).read()
+            start = doc.find("| query |")
+            end = doc.find("\n\n", start)
+            if start >= 0:
+                doc = doc[:start] + table + (doc[end:] if end >= 0 else "\n")
+                with open(out_md, "w") as f:
+                    f.write(doc)
+                return
         with open(out_md, "w") as f:
             f.write(table + "\n")
 
