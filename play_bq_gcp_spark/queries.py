@@ -2641,6 +2641,9 @@ def similarity_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
 # same recall floors asserted in tests/test_llm_ops.py.
 @register("similarity_ann_lsh")
 def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Permanently rows-only BY DESIGN (approximate result set, no SQL
+    twin); recall@10 >= 0.8 is driver-attested via
+    ``similarity_ann_recall_floors`` and pinned in pytest."""
     from play_bq_gcp_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
@@ -2652,6 +2655,9 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("similarity_ann_ivf")
 def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Permanently rows-only BY DESIGN (approximate result set, no SQL
+    twin); recall@10 >= 0.8 is driver-attested via
+    ``similarity_ann_recall_floors`` and pinned in pytest."""
     from play_bq_gcp_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf, "embeddings")
@@ -5241,7 +5247,9 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieve-then-rerank (operators/similarity.py:mmr_rerank):
     distributed exact top-50 cosine retrieval, then greedy MMR
     diversity re-rank (lambda=0.7) of the bounded pool in one
-    applyInPandas group."""
+    applyInPandas group.  Permanently rows-only BY DESIGN (the greedy
+    re-rank is iterative, no SQL twin); the diversity/relevance
+    trade-off is pinned in pytest."""
     from play_bq_gcp_spark.operators.similarity import mmr_rerank
 
     emb = _t(spark, sf, "embeddings")
@@ -5269,7 +5277,10 @@ def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
     (attach_wav; even doc_ids stereo, odd mono), decoded for real by
     stdlib ``wave`` (stereo downmixed), then per-window RMS +
     zero-crossing rate via Arrow mapInPandas — the silence/clipping
-    gate of a speech pipeline, decode included."""
+    gate of a speech pipeline, decode included.  Permanently rows-only
+    BY DESIGN (the PCM decode + windowed DSP runs in Arrow batches,
+    outside SQL's reach); exact expected values on constructed payloads
+    are pinned in pytest."""
     from play_bq_gcp_spark.operators.multimodal import (
         attach_wav,
         waveform_features,
