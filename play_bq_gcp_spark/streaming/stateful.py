@@ -239,7 +239,11 @@ def running_user_stats_tws(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # TimeMode "None": no timers, no watermark — the closing no-data
+    # micro-batch cannot emit or evict anything; skip its store commit
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -263,6 +267,9 @@ def running_user_stats_tws(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
 
     updates = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -716,7 +723,11 @@ def per_type_user_stats_tws(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # TimeMode "None": no timers, no watermark — the closing no-data
+    # micro-batch cannot emit or evict anything; skip its store commit
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -740,6 +751,9 @@ def per_type_user_stats_tws(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
 
     updates = spark.table(name)
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -860,7 +874,11 @@ def recent_events_tws(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # TimeMode "None": no timers, no watermark — the closing no-data
+    # micro-batch cannot emit or evict anything; skip its store commit
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -884,6 +902,9 @@ def recent_events_tws(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
 
     updates = spark.table(name)
     w = Window.partitionBy("user_id", "pos").orderBy(F.col("n_seen").desc())

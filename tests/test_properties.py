@@ -501,3 +501,59 @@ def test_attribution_matches_pandas_reference(spark, rows):
         for r in attribution(df).collect()
     }
     assert got == _py_attribution(rows)
+
+
+_gl_entry = st.tuples(
+    st.integers(min_value=1, max_value=6),    # title number
+    st.integers(min_value=0, max_value=20),   # play_count
+)
+_gl_snapshot = st.lists(
+    _gl_entry, min_size=1, max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(d1=_gl_snapshot, d2=_gl_snapshot)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_merge_dim_equivalent_across_warehouses(spark, tmp_path_factory, d1, d2):
+    """The dimension-update seam's two implementations — the parquet
+    warehouse's compute-next-state + atomic overwrite and the
+    transactional warehouse's key-pruned MERGE INTO — must produce the
+    IDENTICAL game table for ANY pair of day snapshots (new titles,
+    increased counts, decreased counts, disappeared titles)."""
+    import datetime as dt
+
+    from play_bq_gcp_spark.plans import pipeline
+    from play_bq_gcp_spark.sources.rest_api import GAME_SNAPSHOT_SCHEMA
+
+    def rows(day, entries):
+        return [
+            (
+                f"CUSA_{tid:07d}_00", f"Game{tid}", f"http://img/{tid}",
+                "ps4_game" if tid % 2 else "ps5_native_game",
+                dt.datetime(2020, 1, tid, 13),
+                dt.datetime(2024, 1, day),
+                count, count * 360.0,
+            )
+            for tid, count in entries
+        ]
+
+    snaps = [
+        spark.createDataFrame(rows(1, d1), GAME_SNAPSHOT_SCHEMA),
+        spark.createDataFrame(rows(2, d2), GAME_SNAPSHOT_SCHEMA),
+    ]
+    results = []
+    for cls, tag in ((pipeline.Warehouse, "pq"), (pipeline.TxnWarehouse, "tx")):
+        root = str(tmp_path_factory.mktemp(f"wheq_{tag}"))
+        wh = cls(root)
+        pipeline.bootstrap(wh, snaps[0])
+        pipeline.run_daily(wh, spark, snaps[1], "2024-01-02")
+        results.append(
+            sorted(
+                (r.title_id, r.play_count, r.play_duration,
+                 r.last_played_date_time)
+                for r in wh.read(spark, "game").collect()
+            )
+        )
+    assert results[0] == results[1]
