@@ -34,13 +34,24 @@ _STREAM_DIRS: dict[str, str] = {}
 
 
 def _as_stream_dir(sf_dir: str) -> str:
-    """The file-stream source wants a directory; the fixture is a single
-    parquet file → expose it through a symlink in a temp dir (cached)."""
+    """The file-stream source wants a flat directory of data files; the
+    fixture may be a single parquet file OR a directory of part files
+    (every real table at scale is the latter).  Symlink the file — or
+    each part file — into a temp dir (cached).  Without the directory
+    branch the source listed the symlinked subdirectory, found no
+    files, and silently streamed zero rows (caught by the r5 scaling
+    probe on directory-shaped fixtures)."""
     import os
 
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(table_path(sf_dir, "events"), os.path.join(d, "events.parquet"))
+        src = table_path(sf_dir, "events")
+        if os.path.isdir(src):
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    os.symlink(os.path.join(src, f), os.path.join(d, f))
+        else:
+            os.symlink(src, os.path.join(d, "events.parquet"))
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 

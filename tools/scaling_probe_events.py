@@ -36,6 +36,10 @@ QUERIES = (
     "graph_pagerank_bipartite",
     "mv_incremental_refresh",
     "text_fingerprint_rolling",
+    # round 5
+    "streaming_full_outer_interval_join",
+    "customer_rfm_segments",
+    "events_transition_matrix",
 )
 TABLES = (
     "region nation customer supplier part orders lineitem events "
