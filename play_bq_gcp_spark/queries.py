@@ -3080,6 +3080,51 @@ def streaming_full_outer_interval_join(
 
 
 @register(
+    "streaming_right_outer_interval_join",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.purchase_id, c.click_id, c.c_user, p.p_ts, c.c_ts
+        FROM p RIGHT JOIN c
+          ON p.p_user = c.c_user AND c.c_ts <= p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+    ),
+    wm AS (
+        SELECT least(
+            (SELECT (epoch_us(max(p_ts)) // 1000) * 1000 FROM p),
+            (SELECT (epoch_us(max(c_ts)) // 1000) * 1000 FROM c)
+        ) - 3600000000 AS wm_us
+    )
+    SELECT purchase_id, click_id, c_user, p_ts, c_ts
+    FROM j CROSS JOIN wm
+    WHERE purchase_id IS NOT NULL
+       OR epoch_us(c_ts) + 1800000000 <= wm_us
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_right_outer_interval_join(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Stream-stream RIGHT OUTER interval join — the mirror of the
+    left-outer entry; unmatched clicks null-complete once the watermark
+    passes click time + 30 min (the last instant a purchase could still
+    match).  Oracle: batch RIGHT JOIN + that emission rule
+    (streaming/daily.py:purchase_click_right_outer_join)."""
+    from play_bq_gcp_spark.streaming.daily import (
+        purchase_click_right_outer_join,
+    )
+
+    return purchase_click_right_outer_join(spark, sf)
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

@@ -68,7 +68,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(
-    df: DataFrame, output_mode: str, state_partitions: int = 8
+    df: DataFrame,
+    output_mode: str,
+    state_partitions: int = 8,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drive a streaming DF to completion (AvailableNow) into a memory
     sink and return the materialized result as a batch DataFrame.
@@ -76,11 +79,25 @@ def _run_to_memory(
     The state-store partition count is fixed at first start for the
     query's lifetime; size it to the key space (here: hours×types /
     users — hundreds), not the batch shuffle setting — every extra
-    partition is an empty state store committed per micro-batch."""
+    partition is an empty state store committed per micro-batch.
+
+    ``no_data_batches=False`` skips AvailableNow's closing no-data
+    micro-batch.  ONLY legal when the query's OUTPUT doesn't depend on
+    the final watermark advance: complete-mode aggregation (the full
+    result re-emits every data batch) or stateless maps.  Append-mode
+    windows, outer-join null completion, and timeout/timer sessions
+    all EMIT in that closing batch — they must keep the default.
+    Measured r5: the closing batch costs ~1.4 s on the dedup-counts
+    entry — pure state-commit overhead for a result already final."""
     name = f"s_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
@@ -94,6 +111,9 @@ def _run_to_memory(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+        )
     # the memory-sink table stays registered in the session after stop
     return spark.table(name)
 
@@ -149,7 +169,10 @@ def windowed_deduped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
-    out = _run_to_memory(agg, "complete")
+    # complete mode: the last DATA batch already emits the final
+    # result; the closing no-data batch only evicts state (~1.4 s of
+    # commit overhead here) — skip it
+    out = _run_to_memory(agg, "complete", no_data_batches=False)
     return out.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
@@ -291,6 +314,49 @@ def purchase_click_full_outer_join(
     )
     return _run_to_memory(joined, "append").orderBy(
         "purchase_id", "click_id"
+    )
+
+
+def purchase_click_right_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER interval join — the mirror
+    of the left-outer form: every click emits, null-completed when the
+    watermark passes click time + 30 min with no same-user purchase
+    having matched (the right side's state horizon); matched pairs emit
+    as they join.  Together with the inner, left-outer, and full-outer
+    entries this closes the §2.8 stream-join family."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "right_outer",
+    ).select(
+        "purchase_id", "click_id", "c_user", "p_ts", "c_ts"
+    )
+    return _run_to_memory(joined, "append").orderBy(
+        "click_id", "purchase_id"
     )
 
 

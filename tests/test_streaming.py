@@ -495,3 +495,28 @@ def test_session_horizon_submillisecond_boundary(spark, tmp_path):
         out = fn(spark, sf, gap_s=1, n_chunks=3)
         emitted = {r.user_id for r in out.collect()}
         assert emitted == {9}, f"{fn.__name__}: {emitted}"
+
+
+def test_stream_source_reads_directory_shaped_tables(spark, tmp_path, sf_dir):
+    """Pinned r5 probe find: every real table at scale is a DIRECTORY
+    of part files, and the stream source used to list a symlinked
+    subdirectory and silently stream zero rows.  A directory-shaped
+    events table must stream the same rows the batch reader sees."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.streaming import daily
+
+    src = read_table(spark, sf_dir, "events")
+    d = str(tmp_path / "dirshaped")
+    (tmp_path / "dirshaped").mkdir()
+    # write as a MULTI-FILE directory (the at-scale shape)
+    src.repartition(4).write.parquet(f"{d}/events.parquet")
+
+    streamed = daily.windowed_counts(spark, d)
+    batch = (
+        src.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.window_start, r.event_type, r.n) for r in streamed.collect()}
+    want = {(r.w.start, r.event_type, r.n) for r in batch.collect()}
+    assert got == want and len(got) > 0
