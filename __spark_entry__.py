@@ -36,8 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash fix — they re-attest here), the 3 entries promoted to oracles
 # this round (sketch bounds, PQ exact replay, ANN recall floors), the
 # round-5 full-outer interval join, and the flagship keeper.  If
-# all go green, every oracle-backed entry (129 of 138 registered)
-# has a driver-attested row; the other 9 are rows-only by design.
+# all go green, every oracle-backed entry except the just-landed
+# right-outer mirror (130 of 139 registered) has a driver-attested
+# row; the other 9 are rows-only by design.  The right-outer joins
+# the r6 rotation.
 _WINDOW = [
     # -- representative keeper (attested green r1-r4) ---------------------
     "q1_pricing_summary",
