@@ -196,3 +196,43 @@ def test_on_commit_hook_fires_only_for_winner(tmp_path):
     assert s.create_exclusive(t1, b"{}") is True
     assert s.create_exclusive(t2, b"{}") is False
     assert seen == [t1]
+
+
+def test_conditional_put_crash_mid_write_leaves_no_partial(tmp_path, monkeypatch):
+    """A writer crashing while the PUT body is going down must leave
+    NOTHING at the target (the object-store PUT is all-or-nothing; the
+    local model achieves it with tmp+rename inside the critical
+    section).  Before the r5 fix a crash left a partial, unparseable
+    manifest that permanently blocked that version."""
+    import builtins
+
+    strat = ConditionalPutCommit()
+    target = str(tmp_path / "v0000000001.json")
+
+    real_open = builtins.open
+
+    def exploding_open(path, *a, **k):
+        f = real_open(path, *a, **k)
+        if str(path).startswith(str(tmp_path)) and "wb" in a:
+            class Boom:
+                def __enter__(self):
+                    return self
+                def __exit__(self, *exc):
+                    f.close()
+                    return False
+                def write(self, data):
+                    f.write(data[: len(data) // 2])  # partial bytes land
+                    raise OSError("crash mid-write")
+            return Boom()
+        return f
+
+    monkeypatch.setattr(builtins, "open", exploding_open)
+    with pytest.raises(OSError):
+        strat.create_exclusive(target, b'{"version": 1, "files": []}')
+    monkeypatch.undo()
+
+    # nothing visible at the target, no tmp litter, version not burned
+    assert not os.path.exists(target)
+    assert [f for f in os.listdir(tmp_path)] == []
+    assert strat.create_exclusive(target, b'{"version": 1, "files": []}')
+    assert json.load(open(target))["version"] == 1
