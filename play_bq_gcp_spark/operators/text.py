@@ -675,3 +675,50 @@ def split_divergence(
         F.sum(kl_qp).alias("kl_qp_nanos"),
         (F.sum(tv) / 2).cast("long").alias("tv_half_nanos"),
     )
+
+
+def boilerplate_spans(
+    documents: DataFrame, n: int = 8, min_docs: int = 3
+) -> DataFrame:
+    """Common-span (boilerplate) mining: word ``n``-grams appearing in
+    at least ``min_docs`` DISTINCT documents, summarized per
+    document-frequency level — the curation pass that surfaces shared
+    headers/footers/templates before near-dedup, and the complement of
+    ``decontaminate`` (there the reference set is external benchmarks;
+    here the corpus is mined against itself).
+
+    Output: one row per document-frequency level — (n_docs, n_spans,
+    sample_doc) — deterministic and engine-portable (the per-span hash
+    keys never leave the plan).
+
+    Scale shape: grams travel as distinct 64-bit xxhash64 chains
+    (operators/text.shingle_hashes — no shingle strings materialize);
+    ONE shuffle groups gram hashes (map-side partial counts), the
+    ``min_docs`` filter drops the heavy unique-gram tail BEFORE the
+    second, tiny aggregate.  At 100 TB the first aggregate is the cost
+    of one corpus token scan, and its output is bounded by the number
+    of REPEATED grams — the quantity boilerplate mining exists to find.
+    """
+    # docs shorter than n tokens fold to a prefix-chain hash in
+    # shingle_hashes (right for MinHash, wrong here: a repeated SHORT
+    # doc would count as a span the string-level definition doesn't
+    # have) — only full n-grams participate
+    grams = documents.filter(F.size(tokens("text")) >= n).select(
+        F.col("doc_id"), F.explode(shingle_hashes("text", n)).alias("g")
+    )
+    spans = (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("sample"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        spans.groupBy("n_docs")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.min("sample").alias("sample_doc"),
+        )
+        .orderBy("n_docs")
+    )

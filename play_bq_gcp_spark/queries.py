@@ -3125,6 +3125,41 @@ def streaming_right_outer_interval_join(
 
 
 @register(
+    "text_boilerplate_spans",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w || ' ' || lead(t, 5) OVER w || ' ' || lead(t, 6) OVER w || ' ' || lead(t, 7) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 7) OVER w IS NOT NULL
+    ),
+    spans AS (
+        SELECT s, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS sample
+        FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 3
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           min(sample) AS sample_doc
+    FROM spans GROUP BY n_docs ORDER BY n_docs
+    """,
+)
+def text_boilerplate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate mining (operators/text.py:boilerplate_spans): word
+    8-grams shared by >= 3 distinct documents, summarized per
+    document-frequency level.  Grams travel as xxhash64 chains in
+    Spark; the oracle mines the SAME spans as strings — counts agree
+    because the chained 64-bit hash is collision-free at corpus scale
+    (the decontaminate entry's precedent)."""
+    from play_bq_gcp_spark.operators.text import boilerplate_spans
+
+    return boilerplate_spans(_t(spark, sf, "documents"))
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

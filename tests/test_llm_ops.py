@@ -938,3 +938,24 @@ def test_auto_planes_holds_at_10x_scale(spark):
         ).collect()
     }
     assert set(planted) <= got
+
+
+def test_boilerplate_spans_planted_header_and_short_doc_guard(spark):
+    """Planted 8-word header shared by 4 docs must surface as one span
+    at n_docs=4; three byte-identical SHORT docs (3 words) must NOT
+    count as a span — only full n-grams participate (the string-level
+    definition the oracle mines)."""
+    from play_bq_gcp_spark.operators.text import boilerplate_spans
+
+    header = "all rights reserved by the example press inc"
+    # tails unique in EVERY position so only the pure-header 8-gram
+    # is shared
+    rows = [
+        (i, header + " " + " ".join(f"w{i}x{j}" for j in range(6)))
+        for i in range(4)
+    ]
+    rows += [(10 + i, "tiny repeated doc") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_spans(docs, n=8, min_docs=3).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 4 and out[0].n_spans == 1 and out[0].sample_doc == 0
