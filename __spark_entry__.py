@@ -38,8 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-5 full-outer interval join, and the flagship keeper.  If
 # all go green, every oracle-backed entry except the just-landed
 # right-outer mirror (130 of 139 registered) has a driver-attested
-# row; the other 9 are rows-only by design.  The right-outer joins
-# the r6 rotation.
+# row; the other 9 are rows-only by design.  The right-outer mirror
+# and the boilerplate-spans miner (landed late in r5, both tri-scale
+# green locally) join the r6 rotation.
 _WINDOW = [
     # -- representative keeper (attested green r1-r4) ---------------------
     "q1_pricing_summary",
