@@ -211,3 +211,41 @@ def equi_depth_bins(
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+def referential_integrity(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key orphan audit across a star schema: for each
+    (name, child, fk, parent, pk) spec, count child rows whose
+    FK value has no matching parent PK (NULL FKs reported separately —
+    a NULL is a missing link, not a dangling one).
+
+    One left-anti join per edge — each is a broadcast when the parent
+    is a dim (Catalyst decides from size), and the result is ONE row
+    per edge, so the union is driver-cheap.  At 100 TB this is the
+    standing data-quality gate that runs after every load: orphan
+    counts must be zero, and a nonzero count names the edge that broke.
+    """
+    parts = []
+    for name, child, fk, parent, pk in pairs:
+        nn = child.filter(F.col(fk).isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias(fk)), fk, "left_anti"
+        )
+        parts.append(
+            child.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+            ).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "edge", "n_child", "n_null_fk", "n_orphans",
+        (F.col("n_orphans") == 0).alias("intact"),
+    ).orderBy("edge")

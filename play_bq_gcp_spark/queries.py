@@ -3160,6 +3160,89 @@ def text_boilerplate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "quality_referential_integrity",
+    """
+    WITH edges AS (
+      SELECT 'lineitem.orderkey' AS edge,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(sum((l_orderkey IS NULL)::BIGINT) AS BIGINT)
+                FROM lineitem) AS n_null_fk,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+               WHERE l_orderkey IS NOT NULL
+                 AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                 AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.partkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(sum((l_partkey IS NULL)::BIGINT) AS BIGINT)
+                FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+               WHERE l_partkey IS NOT NULL
+                 AND l_partkey NOT IN (SELECT p_partkey FROM part))
+      UNION ALL
+      SELECT 'lineitem.suppkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(sum((l_suppkey IS NULL)::BIGINT) AS BIGINT)
+                FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+               WHERE l_suppkey IS NOT NULL
+                 AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      UNION ALL
+      SELECT 'orders.custkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(sum((o_custkey IS NULL)::BIGINT) AS BIGINT)
+                FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+               WHERE o_custkey IS NOT NULL
+                 AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL
+      SELECT 'customer.nationkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(sum((c_nationkey IS NULL)::BIGINT) AS BIGINT)
+                FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer
+               WHERE c_nationkey IS NOT NULL
+                 AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+      UNION ALL
+      SELECT 'nation.regionkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM nation),
+             (SELECT CAST(sum((n_regionkey IS NULL)::BIGINT) AS BIGINT)
+                FROM nation),
+             (SELECT CAST(count(*) AS BIGINT) FROM nation
+               WHERE n_regionkey IS NOT NULL
+                 AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    )
+    SELECT edge, n_child, n_null_fk, n_orphans,
+           n_orphans = 0 AS intact
+    FROM edges ORDER BY edge
+    """,
+)
+def quality_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key orphan audit over the star schema's six edges
+    (operators/profiling.py:referential_integrity): per edge, child
+    rows, NULL FKs, dangling FKs, and an intact boolean — the standing
+    post-load data-quality gate.  Each edge is one left-anti join
+    (dims broadcast); output is six rows."""
+    from play_bq_gcp_spark.operators.profiling import referential_integrity
+
+    li = _t(spark, sf, "lineitem")
+    return referential_integrity([
+        ("customer.nationkey", _t(spark, sf, "customer"), "c_nationkey",
+         _t(spark, sf, "nation"), "n_nationkey"),
+        ("lineitem.orderkey", li, "l_orderkey",
+         _t(spark, sf, "orders"), "o_orderkey"),
+        ("lineitem.partkey", li, "l_partkey",
+         _t(spark, sf, "part"), "p_partkey"),
+        ("lineitem.suppkey", li, "l_suppkey",
+         _t(spark, sf, "supplier"), "s_suppkey"),
+        ("nation.regionkey", _t(spark, sf, "nation"), "n_regionkey",
+         _t(spark, sf, "region"), "r_regionkey"),
+        ("orders.custkey", _t(spark, sf, "orders"), "o_custkey",
+         _t(spark, sf, "customer"), "c_custkey"),
+    ])
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

@@ -959,3 +959,19 @@ def test_boilerplate_spans_planted_header_and_short_doc_guard(spark):
     out = boilerplate_spans(docs, n=8, min_docs=3).collect()
     assert len(out) == 1
     assert out[0].n_docs == 4 and out[0].n_spans == 1 and out[0].sample_doc == 0
+
+
+def test_referential_integrity_detects_planted_orphans(spark):
+    """A planted dangling FK and a NULL FK must be counted separately:
+    NULLs are missing links, orphans are dangling ones; intact only
+    when orphans are zero."""
+    from play_bq_gcp_spark.operators.profiling import referential_integrity
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id long, fk long"
+    )
+    out = referential_integrity([("edge", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_child, r.n_null_fk, r.n_orphans, r.intact) == (4, 1, 1, False)
