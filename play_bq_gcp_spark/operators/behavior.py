@@ -343,3 +343,79 @@ def daily_trend(
         den.alias("slope_den"),
         F.when(den != 0, F.round(num / den, 6)).alias("slope_cents_per_day"),
     )
+
+
+def ewma_daily(
+    events: DataFrame, span: int = 16, ts_col: str = "ts",
+    key_col: str = "user_id", value_col: str = "value",
+) -> DataFrame:
+    """Truncated exponential smoothing (alpha = 1/2) of each key's
+    daily totals — the time-series smoothing pass behind engagement
+    trend lines and alerting baselines.
+
+    Exactness discipline (the repo's oracle rule): values ride as
+    integer cents, the weights are the DYADIC series 2^(span-1-j) for
+    the j-th most recent of the last ``span`` observed days, so
+    numerator and denominator are exact integers in any engine;
+    the smoothed value is their ratio rounded once at the output
+    boundary.  Missing days are skipped (observation-indexed EWMA,
+    not calendar-indexed — compose with resample_daily_gapfill for the
+    calendar form).
+
+    Scale shape: one (key, day) aggregate, then a SELF-JOIN bounded to
+    the trailing ``span`` row numbers per key — at most a span-fold
+    expansion of the tiny daily rollup (the basket-lift precedent), and
+    the join key includes the partition key so it shuffles once.  A
+    window function cannot express per-row-distance weights; the
+    bounded join is the declarative form Catalyst can still reorder.
+    """
+    daily = (
+        events.groupBy(
+            F.col(key_col).alias("k"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col(value_col) * 100).cast("long")).alias("cents")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy("day")
+            ),
+        )
+    )
+    cur = daily.select(
+        F.col("k"), F.col("day"), F.col("rn").alias("rn_c")
+    )
+    past = daily.select(
+        F.col("k"), F.col("rn").alias("rn_p"), F.col("cents")
+    )
+    joined = cur.join(past, "k").filter(
+        (F.col("rn_p") <= F.col("rn_c"))
+        & (F.col("rn_p") > F.col("rn_c") - span)
+    )
+    weight = F.pow(
+        F.lit(2.0), F.lit(span - 1) - (F.col("rn_c") - F.col("rn_p"))
+    ).cast("long")
+    return (
+        joined.groupBy(F.col("k").alias(key_col), "day")
+        .agg(
+            F.sum(F.col("cents") * weight).alias("ewma_num"),
+            (
+                F.lit(2 ** span)
+                - F.pow(
+                    F.lit(2.0), F.lit(span) - F.count(F.lit(1))
+                ).cast("long")
+            ).alias("ewma_den"),
+        )
+        .select(
+            key_col,
+            "day",
+            "ewma_num",
+            "ewma_den",
+            F.round(
+                F.col("ewma_num") / F.col("ewma_den") / 100.0, 4
+            ).alias("ewma_value"),
+        )
+        .orderBy(key_col, "day")
+    )

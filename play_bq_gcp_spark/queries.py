@@ -3243,6 +3243,43 @@ def quality_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "events_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(date_trunc('day', ts) AS DATE))
+                 AS rn
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.k AS user_id, a.day,
+           CAST(sum(b.cents * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+               AS BIGINT) AS ewma_num,
+           CAST(65536 - CAST(pow(2, 16 - count(*)) AS BIGINT)
+               AS BIGINT) AS ewma_den,
+           round(sum(b.cents * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                 / (65536 - CAST(pow(2, 16 - count(*)) AS BIGINT))
+                 / 100.0, 4) AS ewma_value
+    FROM daily a JOIN daily b
+      ON a.k = b.k AND b.rn <= a.rn AND b.rn > a.rn - 16
+    GROUP BY a.k, a.day
+    ORDER BY user_id, a.day
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially smoothed daily spend
+    (operators/behavior.py:ewma_daily): alpha=1/2 truncated to the
+    trailing 16 observed days, dyadic integer weights so numerator and
+    denominator are exact in both engines; the smoothed value divides
+    once at the output boundary."""
+    from play_bq_gcp_spark.operators.behavior import ewma_daily
+
+    return ewma_daily(_t(spark, sf, "events"))
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

@@ -975,3 +975,26 @@ def test_referential_integrity_detects_planted_orphans(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_child, r.n_null_fk, r.n_orphans, r.intact) == (4, 1, 1, False)
+
+
+def test_ewma_daily_hand_check(spark):
+    """Hand-checked smoothing: days with cents 100, 300 → day2's EWMA is
+    (300*2^15 + 100*2^14) / (2^16 - 2^14) = 266.666... cents; numerator
+    and denominator are exact dyadic integers."""
+    import datetime as dt
+
+    from play_bq_gcp_spark.operators.behavior import ewma_daily
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1.0),
+        (1, dt.datetime(2024, 1, 2, 10), 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.day.isoformat(): r for r in ewma_daily(ev).collect()}
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert (d1.ewma_num, d1.ewma_den) == (100 * 2**15, 2**16 - 2**15)
+    assert d1.ewma_value == 1.0
+    assert (d2.ewma_num, d2.ewma_den) == (
+        300 * 2**15 + 100 * 2**14, 2**16 - 2**14,
+    )
+    assert abs(d2.ewma_value - round((d2.ewma_num / d2.ewma_den) / 100, 4)) == 0
