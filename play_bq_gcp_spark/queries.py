@@ -3280,6 +3280,42 @@ def events_ewma_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "scan_provenance_files",
+    """
+    SELECT 'orders.parquet' AS source_file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    """,
+)
+def scan_provenance_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Row provenance at file granularity: every scanned row tagged
+    with its source file (``F.input_file_name`` — zero-cost metadata,
+    no extra I/O), rolled up to per-file row counts and key ranges.
+    The audit behind "which landed file produced these rows" — at
+    100 TB the same query scoped to one partition answers incident
+    triage without re-reading the table.  The path reduces to its
+    basename so staging location can't leak into the hash; the oracle
+    exploits that every fixture table is a single file (one group,
+    known name) — multi-file grouping is pinned separately in pytest
+    on a directory-shaped table."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.withColumn(
+            "source_file",
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1),
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("source_file")
+    )
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

@@ -998,3 +998,23 @@ def test_ewma_daily_hand_check(spark):
         300 * 2**15 + 100 * 2**14, 2**16 - 2**14,
     )
     assert abs(d2.ewma_value - round((d2.ewma_num / d2.ewma_den) / 100, 4)) == 0
+
+
+def test_scan_provenance_groups_per_file(spark, tmp_path):
+    """Multi-file provenance: a directory-shaped table must yield one
+    group per part file, counts summing to the table total."""
+    from play_bq_gcp_spark import queries as q
+
+    src = spark.range(1000).selectExpr(
+        "id AS o_orderkey", "id % 7 AS o_custkey",
+        "CAST(id AS DOUBLE) AS o_totalprice",
+        "'O' AS o_orderstatus", "'1-URGENT' AS o_orderpriority",
+        "DATE '2024-01-01' AS o_orderdate",
+    )
+    d = str(tmp_path / "prov")
+    (tmp_path / "prov").mkdir()
+    src.repartition(4).write.parquet(f"{d}/orders.parquet")
+    out = q.QUERIES["scan_provenance_files"](spark, d).collect()
+    assert len(out) == 4
+    assert sum(r.n_rows for r in out) == 1000
+    assert all(r.source_file.endswith(".parquet") for r in out)
