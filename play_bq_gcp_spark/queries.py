@@ -3316,6 +3316,70 @@ def scan_provenance_files(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_lang_confusion_matrix",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, text, list_distinct({_SQL_TOKS}) AS dt
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang, text,
+               len(list_intersect(dt, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+               len(list_intersect(dt, ['der','die','das','und','ist','von','mit','ein','zu','den'])) AS s_de,
+               len(list_intersect(dt, ['le','la','les','et','de','un','une','est','pour','dans'])) AS s_fr,
+               len(list_intersect(dt, ['el','la','los','las','y','de','un','una','es','para'])) AS s_es
+        FROM tok
+    ), pred AS (
+        SELECT doc_id, lang AS labeled,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS predicted
+        FROM scores
+    )
+    SELECT labeled, predicted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST((count(*) * 1000000)
+                // sum(count(*)) OVER (PARTITION BY labeled)
+               AS BIGINT) AS row_share_ppm,
+           labeled = predicted AS is_correct
+    FROM pred
+    GROUP BY labeled, predicted
+    ORDER BY labeled, predicted
+    """,
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-evaluation shape over the labeled corpus: the heuristic
+    language classifier (operators/text.py:lang_id) confused against
+    the ``lang`` labels — per (labeled, predicted) cell, count, exact
+    integer-ppm row share, and the diagonal flag.  The evaluation
+    pattern every classifier in the curation stack reports through;
+    one small aggregate over the per-doc scan, no shuffle beyond it."""
+    from pyspark.sql import Window
+
+    from play_bq_gcp_spark.operators.text import lang_id
+
+    pred = lang_id(_t(spark, sf, "documents")).select(
+        F.col("lang").alias("labeled"),
+        F.col("pred_lang").alias("predicted"),
+    )
+    w = Window.partitionBy("labeled")
+    return (
+        pred.groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "row_share_ppm",
+            F.floor(
+                (F.col("n") * 1000000) / F.sum("n").over(w)
+            ).cast("long"),
+        )
+        .withColumn("is_correct", F.col("labeled") == F.col("predicted"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (
