@@ -38,11 +38,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-5 full-outer interval join, and the flagship keeper.  If
 # all go green, every oracle-backed entry except the just-landed
 # right-outer mirror (130 of 139 registered) has a driver-attested
-# row; the other 9 are rows-only by design.  Six entries landed
+# row; the other 9 are rows-only by design.  Seven entries landed
 # after the r5 window froze (right-outer interval join, boilerplate
 # spans, referential-integrity audit, dyadic EWMA, file provenance,
-# lang-id confusion matrix — all tri-scale green locally) and head
-# the r6 rotation.
+# lang-id confusion matrix, containment near-dup — all tri-scale
+# green locally) and head the r6 rotation.
 _WINDOW = [
     # -- representative keeper (attested green r1-r4) ---------------------
     "q1_pricing_summary",

@@ -3380,6 +3380,69 @@ def text_lang_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_pairs",
+    f"""
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000000, array_to_string(tk[1:len(tk) // 2], ' ')
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+        WHERE doc_id % 10 = 0 AND len(tk) >= 6
+    ),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+              FROM aug)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / least(x.n, y.n), 4) AS containment
+    FROM inter
+    JOIN sz x ON x.doc_id = doc_a
+    JOIN sz y ON y.doc_id = doc_b
+    WHERE round(i::DOUBLE / least(x.n, y.n), 4) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment near-dup (operators/dedup.py:containment_pairs):
+    |A∩B| / min set size over trigram shingles, catching truncated
+    reposts Jaccard misses.  Input plants every 10th doc re-ingested
+    as its FIRST-HALF token prefix (containment 1.0, Jaccard ~0.5);
+    the oracle computes exact all-pairs containment over the same
+    augmented corpus — the rare-shingle candidate index must reach
+    recall 1.0 for the hash to match."""
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+    from play_bq_gcp_spark.operators.text import tokens
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    half = F.array_join(
+        F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int")), " "
+    )
+    aug = d.unionByName(
+        d.filter((F.col("doc_id") % 10 == 0) & (F.size(toks) >= 6)).select(
+            (F.col("doc_id") + 20000000).alias("doc_id"),
+            half.alias("text"),
+        )
+    )
+    return containment_pairs(aug, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@register(
     "streaming_session_timers_tws",
     """
     WITH b AS (

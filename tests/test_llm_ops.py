@@ -1018,3 +1018,23 @@ def test_scan_provenance_groups_per_file(spark, tmp_path):
     assert len(out) == 4
     assert sum(r.n_rows for r in out) == 1000
     assert all(r.source_file.endswith(".parquet") for r in out)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A half-length prefix repost has containment 1.0 but Jaccard
+    ~0.5: containment_pairs must find it; the Jaccard entry's 0.7
+    threshold would not."""
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+
+    full = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    half = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    noise = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, full), (2, half), (3, noise)], "doc_id long, text string"
+    )
+    out = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(docs, max_df=3).collect()}
+    assert out == {(1, 2): 1.0}
