@@ -27,78 +27,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 entries of
-# ``queries()`` in insertion order.  Rounds 1-4 attested 87 distinct
-# entries; round 5 rotates the window onto everything that has never
-# had a driver-checked row: all 40 never-checked oracle-backed entries
-# (the TPC-H q14-q22 tail, the text/profiling tail, the round-4
-# additions, the streaming TWS List/MapState twins, the REST stream),
-# the 5 round-4 reds whose oracles were re-typed to BIGINT (HUGEINT
-# hash fix — they re-attest here), the 3 entries promoted to oracles
-# this round (sketch bounds, PQ exact replay, ANN recall floors), the
-# round-5 full-outer interval join, and the flagship keeper.  If
-# all go green, every oracle-backed entry except the just-landed
-# right-outer mirror (130 of 139 registered) has a driver-attested
-# row; the other 9 are rows-only by design.  Seven entries landed
-# after the r5 window froze (right-outer interval join, boilerplate
-# spans, referential-integrity audit, dyadic EWMA, file provenance,
-# lang-id confusion matrix, containment near-dup — all tri-scale
-# green locally) and head the r6 rotation.
+# ``queries()`` in insertion order.  After round 5 (49/50 green),
+# 128 of the 136 oracle-backed entries have an ever-green driver row.
+# Round 6 closes the gap: slots 2-9 are the 8 never-driver-attested
+# oracle-backed entries — the 7 that landed after the r5 window froze
+# (all green in the r5 judge's independent differential) plus
+# ``embedding_label_centroids``, the round's only red, now fixed by
+# stringifying its ARRAY<BIGINT> output per the registry convention.
+# If those 8 go green, cumulative driver attestation is 136/136.
+# The remaining slots refresh the stalest attestations: the one
+# r2-vintage entry and the full r3-vintage cohort (their windows
+# rotated away in r4/r5), then new round-6 entries land in-window.
 _WINDOW = [
-    # -- representative keeper (attested green r1-r4) ---------------------
+    # -- representative keeper (attested green r1-r5) ---------------------
     "q1_pricing_summary",
-    # -- new this round: the full-outer completes the §2.8 join family ----
-    "streaming_full_outer_interval_join",
-    # -- round-4 reds, oracles re-typed to BIGINT (re-attest) -------------
-    "q9_profit_by_nation_year",
-    "q11_important_part_value",
-    "q12_latency_priority_classes",
-    "resample_daily_locf",
-    "profile_documents",
-    # -- promoted from rows-only to oracle-backed this round --------------
-    "agg_approx_sketches",
-    "similarity_pq_adc_exact",
-    "similarity_ann_recall_floors",
-    # -- never-driver-checked entries (the full remaining tail) -----------
-    "scan_csv_json_roundtrip",
-    "multimodal_arrow_profile",
-    "rest_stream_ingest",
-    "text_lm_fluency",
-    "streaming_tws_liststate",
-    "streaming_tws_mapstate",
-    "streaming_left_outer_interval_join",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "text_repetition_profile",
+    # -- never-driver-attested (7 post-r5-freeze + the fixed r5 red) ------
+    "streaming_right_outer_interval_join",
+    "text_boilerplate_spans",
+    "quality_referential_integrity",
+    "events_ewma_daily",
+    "scan_provenance_files",
+    "text_lang_confusion_matrix",
+    "dedup_containment_pairs",
     "embedding_label_centroids",
-    "profile_value_histogram",
-    "sql_recursive_spine",
-    "semistructured_variant",
-    "text_keywords_tfidf",
-    "corpus_overview_report",
-    "skew_key_report",
-    "text_fingerprint_rolling",
-    "quality_expectations_orders",
-    "mv_incremental_refresh",
-    "attribution_first_last",
-    "feature_binning_quantile",
-    "graph_pagerank_bipartite",
-    "scan_orc_roundtrip",
-    "window_rank_family_full",
-    "trend_daily_revenue",
-    "mv_cdc_refresh",
-    "corpus_divergence_kl",
-    "dedup_canonical_survivors",
-    "events_activity_streaks",
-    "customer_rfm_segments",
-    "basket_part_pairs_lift",
-    "events_transition_matrix",
+    # -- stalest attestations: r2 vintage ---------------------------------
+    "similarity_knn_join",
+    # -- stalest attestations: r3 vintage (full cohort) -------------------
+    "agg_distinct_collect",
+    "semi_join_customers",
+    "anti_join_customers",
+    "snapshot_delta_events",
+    "merge_scd2",
+    "window_rank_topk",
+    "sessionize_events",
+    "distinct_sort_limit",
+    "set_ops_suite",
+    "pivot_unpivot_roundtrip",
+    "join_outer_cross_suite",
+    "asof_join_pandas",
+    "range_join_price_bands",
+    "agg_stats_percentiles",
+    "udaf_geomean_price",
+    "join_bucketed_dim",
+    "window_range_frame",
+    "streaming_session_windows",
+    "streaming_foreach_batch_merge",
+    "streaming_stateful_user_stats",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_connected_groups",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "text_doc_profile",
+    "text_top_tokens",
+    "pandas_udf_token_count",
+    "sampling_suite",
+    "udtf_chunk_documents",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "text_edit_distance",
+    "agg_correlation",
+    # -- new round-6 entries land here (in-window their landing round) ----
 ]
 
 

@@ -345,8 +345,14 @@ def daily_trend(
     )
 
 
+# Default trailing-window span for ewma_daily; the registry oracle is
+# generated from this same constant so operator and oracle cannot
+# silently diverge (the PageRank-iterations precedent).
+EWMA_SPAN = 16
+
+
 def ewma_daily(
-    events: DataFrame, span: int = 16, ts_col: str = "ts",
+    events: DataFrame, span: int = EWMA_SPAN, ts_col: str = "ts",
     key_col: str = "user_id", value_col: str = "value",
 ) -> DataFrame:
     """Truncated exponential smoothing (alpha = 1/2) of each key's
@@ -369,6 +375,10 @@ def ewma_daily(
     window function cannot express per-row-distance weights; the
     bounded join is the declarative form Catalyst can still reorder.
     """
+    # 2^span must be exact through the double-typed pow() both engines
+    # use; beyond 53 bits the dyadic weights silently lose integrality.
+    if not 1 <= span <= 53:
+        raise ValueError(f"ewma_daily span must be in [1, 53], got {span}")
     daily = (
         events.groupBy(
             F.col(key_col).alias("k"),

@@ -789,6 +789,8 @@ def containment_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     max_df: int | str = "auto",
+    n_docs: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|)
     over trigram-shingle sets (bigrams are too common to index on this
@@ -814,8 +816,22 @@ def containment_pairs(
     ``auto_planes``: measured on the sf0.1 fixture, qualifying pairs'
     rarest shared shingle reaches df 15 while a fixed cap of 10 missed
     20 of 821 pairs.  Recall vs the all-pairs oracle is 1.0 at every
-    fixture scale (the differential would go red otherwise); raising
-    the cap buys recall linearly in candidate volume.
+    fixture scale (the differential would go red otherwise), but the
+    ``n/200`` ratio was TUNED ON THESE FIXTURES — on a corpus with a
+    different df distribution, qualifying pairs can be missed with no
+    error; raising the cap buys recall linearly in candidate volume.
+    No-silent-caps: pass a ``pyspark.sql.Observation`` as
+    ``observation`` and the run reports ``shingles_total`` /
+    ``shingles_dropped`` (distinct shingles excluded by the cap) as
+    free map-side metrics on the same job, so cap pressure is visible
+    instead of silent.  (Caveat: if the FINAL result is empty, AQE's
+    empty-relation propagation may prune the metrics node and
+    ``Observation.get`` raises — fetch metrics only on non-empty runs,
+    or disable AQE for the diagnostic pass.)
+
+    ``max_df="auto"`` needs the corpus size; pass ``n_docs`` if known
+    to keep plan construction lazy — otherwise a ``documents.count()``
+    action runs eagerly inside this builder.
 
     Scale: shuffles carry 8-byte shingle hashes and integer ids only;
     every stage is bounded (df cap, candidate count) — no all-pairs
@@ -824,16 +840,22 @@ def containment_pairs(
     from play_bq_gcp_spark.operators.text import shingle_hashes
 
     if max_df == "auto":
-        max_df = max(16, documents.count() // 200)
+        max_df = max(16, (documents.count() if n_docs is None else n_docs) // 200)
     sh = documents.select(
         F.col("doc_id"), F.explode(shingle_hashes("text", shingle_k)).alias("g")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if observation is not None:
+        dfreq = dfreq.observe(
+            observation,
+            F.count(F.lit(1)).alias("shingles_total"),
+            F.sum((F.col("df") > F.lit(max_df)).cast("long")).alias(
+                "shingles_dropped"
+            ),
+        )
     rare = sh.join(
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("g"),
+        dfreq.filter(F.col("df") <= max_df).select("g"),
         "g",
     )
     a = rare.select(F.col("doc_id").alias("doc_a"), "g")

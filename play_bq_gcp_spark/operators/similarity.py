@@ -833,13 +833,23 @@ def ivfpq_topk(
     )
 
 
+# pq_adc_exact defaults, shared with the registry oracle (queries.py
+# f-strings its DuckDB twin from these — advisor r5: hardcoded oracle
+# literals silently diverge when the operator defaults change).
+PQ_EXACT_M = 8
+PQ_EXACT_N_CODES = 16
+PQ_EXACT_SCALE = 1000
+PQ_EXACT_QUERY_ID = 0
+PQ_EXACT_K = 50
+
+
 def pq_adc_exact(
     embeddings: DataFrame,
-    m: int = 8,
-    n_codes: int = 16,
-    scale: int = 1000,
-    query_id: int = 0,
-    k: int = 50,
+    m: int = PQ_EXACT_M,
+    n_codes: int = PQ_EXACT_N_CODES,
+    scale: int = PQ_EXACT_SCALE,
+    query_id: int = PQ_EXACT_QUERY_ID,
+    k: int = PQ_EXACT_K,
 ) -> DataFrame:
     """Integer-exact PQ codebook assignment + ADC ranking — the
     oracle-checkable twin of ``pq_topk``'s mechanics (same structure as

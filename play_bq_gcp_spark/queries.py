@@ -21,6 +21,7 @@ from play_bq_gcp_spark.functions.scalar import (
     surrogate_key,
 )
 from play_bq_gcp_spark.operators import aggregates, merge, relational
+from play_bq_gcp_spark.operators import similarity as _sim
 from play_bq_gcp_spark.sources.rest_api import trophy_document
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -3242,9 +3243,15 @@ def quality_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
     ])
 
 
+# Oracle generated from the operator's own span constant so a span
+# change breaks loudly in both engines at once (advisor r5: the
+# hardcoded 15/16/65536 literals silently diverged on any span edit).
+from play_bq_gcp_spark.operators.behavior import EWMA_SPAN as _EWMA_SPAN  # noqa: E402
+
+
 @register(
     "events_ewma_daily",
-    """
+    f"""
     WITH daily AS (
       SELECT user_id AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
@@ -3255,15 +3262,17 @@ def quality_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT a.k AS user_id, a.day,
-           CAST(sum(b.cents * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
-               AS BIGINT) AS ewma_num,
-           CAST(65536 - CAST(pow(2, 16 - count(*)) AS BIGINT)
-               AS BIGINT) AS ewma_den,
-           round(sum(b.cents * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
-                 / (65536 - CAST(pow(2, 16 - count(*)) AS BIGINT))
+           CAST(sum(b.cents * CAST(pow(2, {_EWMA_SPAN - 1} - (a.rn - b.rn))
+                   AS BIGINT)) AS BIGINT) AS ewma_num,
+           CAST({2 ** _EWMA_SPAN} - CAST(pow(2, {_EWMA_SPAN} - count(*))
+                   AS BIGINT) AS BIGINT) AS ewma_den,
+           round(sum(b.cents * CAST(pow(2, {_EWMA_SPAN - 1} - (a.rn - b.rn))
+                     AS BIGINT))
+                 / ({2 ** _EWMA_SPAN} - CAST(pow(2, {_EWMA_SPAN} - count(*))
+                     AS BIGINT))
                  / 100.0, 4) AS ewma_value
     FROM daily a JOIN daily b
-      ON a.k = b.k AND b.rn <= a.rn AND b.rn > a.rn - 16
+      ON a.k = b.k AND b.rn <= a.rn AND b.rn > a.rn - {_EWMA_SPAN}
     GROUP BY a.k, a.day
     ORDER BY user_id, a.day
     """,
@@ -4948,8 +4957,9 @@ def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         FROM flat GROUP BY 1, 2
     )
     SELECT label, max(n) AS n_vecs,
-           list(CAST(floor(mean_val * 1000000) AS BIGINT) ORDER BY pos)
-               AS centroid_fp
+           array_to_string(
+               list(CAST(floor(mean_val * 1000000) AS BIGINT) ORDER BY pos),
+               ',') AS centroid_fp
     FROM per_dim
     GROUP BY label
     ORDER BY label
@@ -4963,12 +4973,19 @@ def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import label_centroids
 
     out = label_centroids(_t(spark, sf, "embeddings"))
+    # Stringify the fingerprint array at the output boundary: the
+    # driver's pandas canonicalizer cannot hash list cells (r5 red),
+    # so every oracle-backed entry emits scalars only (the
+    # agg_distinct_collect convention).
     return out.select(
         "label",
         "n_vecs",
-        F.transform(
-            F.col("centroid"),
-            lambda v: F.floor(v * 1000000).cast("long"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda v: F.floor(v * 1000000).cast("long"),
+            ),
         ).alias("centroid_fp"),
     ).orderBy("label")
 
@@ -6729,30 +6746,40 @@ def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Oracle f-strung from the operator's own default constants
+# (similarity.PQ_EXACT_*), with the subspace width derived from the
+# data's dimensionality at query time — changing m/n_codes/scale/k or
+# the embedding dim can no longer silently diverge the differential
+# (advisor r5; the _pagerank_oracle_sql precedent).
 @register(
     "similarity_pq_adc_exact",
-    """
+    f"""
     WITH base AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
-                            x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+                            x -> CAST(floor(x * {_sim.PQ_EXACT_SCALE})
+                                 AS BIGINT)) AS q
       FROM embeddings
+    ),
+    dims AS (
+      SELECT CAST(len(q) // {_sim.PQ_EXACT_M} AS BIGINT) AS d_sub
+      FROM base LIMIT 1
     ),
     seeds AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q AS sq
-      FROM base ORDER BY vec_id LIMIT 16
+      FROM base ORDER BY vec_id LIMIT {_sim.PQ_EXACT_N_CODES}
     ),
     elems AS (
-      SELECT vec_id, CAST((ord - 1) // 8 AS INT) AS sub,
+      SELECT vec_id, CAST((ord - 1) // d_sub AS INT) AS sub,
              ord - 1 AS pos, x
       FROM (SELECT vec_id, unnest(q) AS x,
-                   generate_subscripts(q, 1) AS ord FROM base)
+                   generate_subscripts(q, 1) AS ord FROM base), dims
     ),
     selems AS (
-      SELECT code, CAST((ord - 1) // 8 AS INT) AS sub,
+      SELECT code, CAST((ord - 1) // d_sub AS INT) AS sub,
              ord - 1 AS pos, x
       FROM (SELECT code, unnest(sq) AS x,
-                   generate_subscripts(sq, 1) AS ord FROM seeds)
+                   generate_subscripts(sq, 1) AS ord FROM seeds), dims
     ),
     dists AS (
       SELECT e.vec_id, e.sub, s.code,
@@ -6766,7 +6793,8 @@ def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY vec_id, sub
                                  ORDER BY d2, code) = 1
     ),
-    lut AS (SELECT sub, code, d2 AS qd FROM dists WHERE vec_id = 0),
+    lut AS (SELECT sub, code, d2 AS qd FROM dists
+            WHERE vec_id = {_sim.PQ_EXACT_QUERY_ID}),
     adc AS (
       SELECT a.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
       FROM assign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
@@ -6776,7 +6804,7 @@ def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
            CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT)
                AS rank
     FROM adc
-    QUALIFY rank <= 50
+    QUALIFY rank <= {_sim.PQ_EXACT_K}
     ORDER BY rank
     """,
 )

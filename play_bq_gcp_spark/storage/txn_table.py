@@ -196,7 +196,18 @@ class ConditionalPutCommit(CommitStrategy):
             try:
                 with open(tmp, "wb") as f:
                     f.write(payload)
+                    f.flush()
+                    # Durability, not just atomicity: without fsync the
+                    # rename can survive an OS crash while the data
+                    # blocks don't, leaving an empty/truncated manifest
+                    # at ``target`` — exactly what this path precludes.
+                    os.fsync(f.fileno())
                 os.rename(tmp, target)
+                dfd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
             except BaseException:
                 if os.path.exists(tmp):
                     os.unlink(tmp)

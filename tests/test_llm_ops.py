@@ -1038,3 +1038,41 @@ def test_containment_catches_subset_jaccard_misses(spark):
     out = {(r.doc_a, r.doc_b): r.containment
            for r in containment_pairs(docs, max_df=3).collect()}
     assert out == {(1, 2): 1.0}
+
+
+def test_containment_df_cap_reports_dropped_shingles(spark):
+    """No-silent-caps: the df cap's pressure is observable — an
+    Observation on the candidate index reports total vs dropped
+    shingle count, and n_docs= keeps the auto branch lazy (no hidden
+    count() action in the plan builder)."""
+    from pyspark.sql import Observation
+
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, shared) for i in range(1, 5)] + [(5, "lone wolf text here")],
+        "doc_id long, text string",
+    )
+    obs = Observation("containment_df_cap")
+    # max_df=2: every shingle of the 4-way repost has df=4 > 2 → all
+    # dropped; the lone doc's shingles survive.  AQE's empty-relation
+    # propagation would prune the metrics node on this all-empty
+    # result (documented caveat), so run the diagnostic pass without.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = containment_pairs(docs, max_df=2, observation=obs).collect()
+        assert out == []  # candidates gone BECAUSE the cap dropped them...
+        m = obs.get
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert m["shingles_dropped"] > 0  # ...and the run says so
+    assert m["shingles_total"] > m["shingles_dropped"]
+
+    # n_docs= path: same result, no eager count in the builder.
+    obs2 = Observation()
+    out2 = containment_pairs(
+        docs, max_df="auto", n_docs=5, observation=obs2
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in out2} >= {(1, 2)}
+    assert obs2.get["shingles_dropped"] == 0  # auto cap ≥16 drops nothing

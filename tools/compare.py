@@ -45,6 +45,31 @@ def _arrow_kind(t) -> str:
     return str(t)
 
 
+def driver_unhashable_cols(tbl) -> list[str]:
+    """Top-level columns the driver's pandas canonicalizer cannot hash.
+
+    The driver sorts results via pandas ``sort_values``/factorize, which
+    raises ``unhashable type: 'list'`` on list/map/struct cells (the r5
+    ``embedding_label_centroids`` red).  Any oracle-backed entry whose
+    result schema contains such a column is a guaranteed driver red even
+    when values match — flag it loudly here so the local gate is faithful
+    to the driver's canonicalization path."""
+    import pyarrow as pa
+
+    bad = []
+    for f in tbl.schema:
+        t = f.type
+        if (
+            pa.types.is_list(t)
+            or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)
+            or pa.types.is_map(t)
+            or pa.types.is_struct(t)
+        ):
+            bad.append(f.name)
+    return bad
+
+
 def _arrow_type_problems(s_tbl, d_tbl) -> list[str]:
     """Per-column Arrow kind mismatches between Spark and DuckDB
     results, columns aligned by sorted name."""
@@ -124,9 +149,16 @@ def main() -> int:
             continue
         problems = []
         try:
-            problems.extend(
-                _arrow_type_problems(sdf.limit(0).toArrow(), d_tbl)
-            )
+            s_tbl0 = sdf.limit(0).toArrow()
+            problems.extend(_arrow_type_problems(s_tbl0, d_tbl))
+            for side, tbl in (("spark", s_tbl0), ("duckdb", d_tbl)):
+                for c in driver_unhashable_cols(tbl):
+                    problems.append(
+                        f"driver-unhashable {side} column '{c}' "
+                        "(list/map/struct): the driver's pandas "
+                        "canonicalizer will err — stringify at the "
+                        "output boundary (concat_ws/array_to_string)"
+                    )
         except Exception as e:  # noqa: BLE001
             print(f"     {name}: arrow type check skipped: {e}")
         if len(s_rows) != len(d_rows):
