@@ -5,12 +5,16 @@ metadata struct; compute runs as Arrow-batched ``mapInPandas`` so each
 task processes whole record batches without per-row serde.
 
 Audio decode is REAL for 16-bit PCM WAV (stdlib ``wave`` — see
-``decode_wav``; stereo downmixed to mono).  Image/video decode remains
-STUBBED (``decode_media`` raises ``NotImplementedError``) — those
-codec libraries are not in this container.  Everything around the
-stubs is real and tested: schema, batching, partition behavior,
-deterministic byte-level featurization.  Swapping a stub for
-PIL/pyav is a one-function change.
+``decode_wav``; stereo downmixed to mono).  Image decode is REAL for
+uncompressed BMP (``decode_bmp`` parses the BITMAPFILEHEADER /
+BITMAPINFOHEADER container by hand: bottom-up row order, 4-byte row
+padding, 8-bit palette and 24-bit BGR pixel formats — no codec
+library).  Compressed image formats and video decode remain STUBBED
+(``decode_media`` raises ``NotImplementedError``) — those codec
+libraries are not in this container.  Everything around the stubs is
+real and tested: schema, batching, partition behavior, deterministic
+byte-level featurization.  Swapping a stub for PIL/pyav is a
+one-function change.
 """
 
 from __future__ import annotations
@@ -56,10 +60,109 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str):  # pragma: no cover - stub
-    """STUB: real deployments decode image/audio/video here (PIL,
-    torchaudio, pyav...).  Deliberately NotImplemented in this
-    container; byte-level features below never call it."""
+def encode_bmp(img, bits: int = 8) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a genuine BMP container —
+    pure stdlib ``struct``, no codec library (the ``encode_wav``
+    precedent).  ``bits=8`` writes an indexed image with the identity
+    grayscale palette; ``bits=24`` writes BGR triples with R=G=B.
+    Rows are stored bottom-up and padded to 4-byte boundaries per the
+    format spec, so odd widths exercise the real layout."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    if bits == 8:
+        palette = b"".join(
+            struct.pack("<BBBB", i, i, i, 0) for i in range(256)
+        )
+        row_bytes = w
+    elif bits == 24:
+        palette = b""
+        row_bytes = 3 * w
+    else:
+        raise NotImplementedError(f"bits={bits}: only 8/24-bit BMP")
+    pad = (-row_bytes) % 4
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up storage order
+        row = img[r]
+        data = row.tobytes() if bits == 8 else np.repeat(row, 3).tobytes()
+        rows.append(data + b"\x00" * pad)
+    pixels = b"".join(rows)
+    offset = 14 + 40 + len(palette)
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bits, 0, len(pixels), 2835, 2835,
+        256 if bits == 8 else 0, 0,
+    )
+    return file_header + info_header + palette + pixels
+
+
+def decode_bmp(payload: bytes):
+    """REAL image decode for uncompressed BMP via hand-parsed headers
+    (stdlib ``struct`` only): validates the ``BM`` magic, reads the
+    pixel-data offset, dimensions, bit depth and compression mode from
+    BITMAPFILEHEADER + BITMAPINFOHEADER, honours bottom-up (positive
+    height) vs top-down (negative height) row order and the 4-byte row
+    padding, and maps 8-bit palette indices through the palette /
+    24-bit BGR triples to grayscale by integer channel mean.  Only
+    BI_RGB (uncompressed) 8/24-bit is supported; anything else raises
+    rather than silently misdecode — compressed formats (PNG/JPEG)
+    genuinely need codec libraries."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, w, h, _planes, bits, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression mode {compression} needs a codec library; "
+            "only BI_RGB (uncompressed) is decoded natively"
+        )
+    if bits not in (8, 24):
+        raise NotImplementedError(f"{bits}-bit BMP not supported (8/24 only)")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w if bits == 8 else 3 * w
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pix_offset
+    ).reshape(h, stride)[:, :row_bytes]
+    if not top_down:
+        raw = raw[::-1]
+    if bits == 8:
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=1024, offset=14 + hdr_size
+        ).reshape(256, 4)
+        gray = (
+            palette[:, :3].astype(np.uint16).sum(axis=1) // 3
+        ).astype(np.uint8)
+        return gray[raw]
+    trip = raw.reshape(h, w, 3).astype(np.uint16)
+    return (trip.sum(axis=2) // 3).astype(np.uint8)
+
+
+def decode_media(payload: bytes, mime: str):
+    """Dispatch decode by container: REAL for PCM WAV (stdlib ``wave``)
+    and uncompressed BMP (hand-parsed headers); compressed image /
+    video formats raise ``NotImplementedError`` — those codec libraries
+    (PIL, pyav, torchaudio) are deliberately absent from this
+    container, and everything downstream of decode is decoder-agnostic."""
+    if mime == "audio/wav" or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    ):
+        return decode_wav(payload)
+    if mime == "image/bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"media decode for {mime!r} requires codec libraries not present "
         "in this environment"
@@ -107,13 +210,25 @@ def fake_decode_gray(payload: bytes):
     )
 
 
+def decode_image(payload: bytes):
+    """Dispatch: genuine BMP payloads decode for real (``decode_bmp``
+    — header parse, bottom-up rows, padding, palette); anything else
+    falls back to the deterministic raw-gray interpretation
+    (``fake_decode_gray``) so non-image fixture bytes still produce
+    stable features.  The ``decode_audio`` twin for images."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    return fake_decode_gray(payload)
+
+
 THUMB_SCHEMA = "doc_id long, thumb array<double>"
 
 
 def thumbnail_features(media: DataFrame, out_side: int = 8) -> DataFrame:
     """Decode → resize → flatten, the standard image-embedding front
-    half: each payload is decoded (stubbed deterministically — see
-    ``fake_decode_gray``), block-averaged down to ``out_side²`` pixels,
+    half: each payload is decoded (REAL for BMP via ``decode_bmp``,
+    deterministic raw-gray fallback otherwise — see ``decode_image``),
+    block-averaged down to ``out_side²`` pixels,
     and emitted as an ``array<double>`` feature vector that feeds the
     similarity/dedup stack unchanged (sign-bit LSH buckets, cosine
     verify).  Arrow-batched ``mapInPandas``; per-image work is pure
@@ -123,7 +238,7 @@ def thumbnail_features(media: DataFrame, out_side: int = 8) -> DataFrame:
         import numpy as np
 
         def thumb(b: bytes) -> list[float]:
-            img = fake_decode_gray(b)
+            img = decode_image(b)
             side = img.shape[0]
             if side < out_side:
                 img = np.pad(img, (0, out_side - side), mode="edge")
@@ -262,6 +377,48 @@ def attach_wav(
                     ],
                     "meta": [
                         {"mime": "audio/wav", "n_chars": int(n)}
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    return spread(documents.select("doc_id", "text", "n_chars")).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
+
+
+def attach_bmp(documents: DataFrame) -> DataFrame:
+    """Synthesize a genuine BMP payload per document so the real image
+    decoder runs end-to-end on the fixture corpus (the ``attach_wav``
+    precedent): pixels are the utf-8 text bytes arranged as a square
+    grayscale image of side floor(sqrt(n)).  Odd doc_ids encode as
+    8-bit palette BMP, even as 24-bit BGR with R=G=B — the decoder's
+    palette lookup and channel-mean grayscale conversion must return
+    identical pixels either way.  Square sides are rarely multiples of
+    4, so the genuine row-padding path is exercised on nearly every
+    payload.  Arrow-batched ``mapInPandas``, stdlib ``struct`` only."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int, text: str) -> bytes:
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            side = max(int(len(b) ** 0.5), 1)
+            img = b[: side * side]
+            if len(img) < side * side:  # only for sub-1-pixel payloads
+                img = np.pad(img, (0, side * side - len(img)))
+            img = img.reshape(side, side)
+            return encode_bmp(img, bits=24 if doc_id % 2 == 0 else 8)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        one(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": [
+                        {"mime": "image/bmp", "n_chars": int(n)}
                         for n in pdf["n_chars"]
                     ],
                 }
@@ -432,7 +589,7 @@ def audio_dup_groups(media: DataFrame) -> DataFrame:
 
 def image_ahash(media: DataFrame) -> DataFrame:
     """64-bit average-hash (aHash) per image: thumbnail to 8x8 (decode
-    stubbed — see fake_decode_gray), then bit i = block i brighter than
+    REAL for BMP payloads — see decode_image), then bit i = block i brighter than
     the thumbnail mean, packed into one long.  Everything after the
     decode is NATIVE Spark HOFs over the thumb array — the perceptual-
     hash step adds zero Python beyond the decoder the thumbnail front

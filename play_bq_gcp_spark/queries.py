@@ -6442,22 +6442,24 @@ def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
 @register("multimodal_image_near_dup")
 def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image near-dup (operators/multimodal.py:image_ahash
-    + image_near_dup_pairs): documents wrapped as image payloads
-    (decode stubbed deterministically), 8x8 thumbnail aHash computed
-    with native HOFs, 4x16-bit band equi-join, Hamming <= 6 survivors.
-    Every 10th payload is re-ingested with its LAST byte flipped — a
-    1-byte perturbation the 8x8 block average absorbs, so each planted
-    pair MUST appear at Hamming 0-1 (pinned in pytest).  Rows-only:
-    the stub decode is Python-side by design."""
+    + image_near_dup_pairs): documents encoded as GENUINE BMP payloads
+    (attach_bmp; 8-bit palette / 24-bit BGR, real container decode via
+    decode_bmp — bottom-up rows, padding, palette lookup), 8x8
+    thumbnail aHash computed with native HOFs, 4x16-bit band equi-join,
+    Hamming <= 6 survivors.  Every 10th payload is re-ingested with its
+    LAST byte flipped — a 1-byte pixel/padding perturbation the 8x8
+    block average absorbs, so each planted pair MUST appear at Hamming
+    0-1 (pinned in pytest).  Rows-only: the decode is Python-side by
+    design."""
     from play_bq_gcp_spark.operators.multimodal import (
-        attach_binary,
+        attach_bmp,
         image_near_dup_pairs,
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
-    media = attach_binary(docs).select("doc_id", "payload")
+    media = attach_bmp(docs).select("doc_id", "payload")
     perturbed = (
-        attach_binary(docs.filter(F.col("doc_id") % 10 == 0))
+        attach_bmp(docs.filter(F.col("doc_id") % 10 == 0))
         .select(
             (F.col("doc_id") + 1_000_000).alias("doc_id"),
             F.concat(

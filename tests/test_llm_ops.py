@@ -140,8 +140,97 @@ def test_quality_score_ranks_prose_over_noise(spark):
 
 
 def test_multimodal_decode_is_stubbed():
+    """Compressed formats still raise: PNG/JPEG genuinely need codec
+    libraries absent from this container (WAV and BMP decode for real)."""
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", "image/png")
+        multimodal.decode_media(b"\x89PNGbytes", "image/png")
+
+
+def test_bmp_roundtrip_8_and_24_bit_with_padding():
+    """encode→decode identity for both pixel formats on a 5x5 image —
+    width 5 forces the 4-byte row-padding path (stride 8 for 8-bit,
+    16 for 24-bit)."""
+    import numpy as np
+
+    img = np.arange(25, dtype=np.uint8).reshape(5, 5) * 9
+    for bits in (8, 24):
+        payload = multimodal.encode_bmp(img, bits=bits)
+        assert payload[:2] == b"BM"
+        out = multimodal.decode_bmp(payload)
+        assert out.dtype == np.uint8 and out.shape == (5, 5)
+        assert (out == img).all(), f"{bits}-bit roundtrip mismatch"
+        # decode_media dispatches BMP for real now
+        assert (multimodal.decode_media(payload, "image/bmp") == img).all()
+        # decode_image falls through to the same real path on magic
+        assert (multimodal.decode_image(payload) == img).all()
+
+
+def test_bmp_bottom_up_row_order_is_honoured():
+    """BMP stores rows bottom-up; a decoder that forgets to flip
+    returns the image upside down.  An asymmetric 2x3 image pins it."""
+    import numpy as np
+
+    img = np.array([[10, 20, 30], [200, 210, 220]], dtype=np.uint8)
+    out = multimodal.decode_bmp(multimodal.encode_bmp(img, bits=8))
+    assert (out == img).all()
+    # raw pixel bytes in the file really are bottom row first
+    payload = multimodal.encode_bmp(img, bits=8)
+    assert payload[-8:-4][:3] == bytes([200, 210, 220])  # bottom row first
+    assert payload[-4:][:3] == bytes([10, 20, 30])  # top row stored last
+
+
+def test_bmp_rejects_compressed_and_exotic_depths():
+    import struct
+
+    import numpy as np
+
+    payload = bytearray(
+        multimodal.encode_bmp(np.zeros((2, 2), dtype=np.uint8), bits=8)
+    )
+    struct.pack_into("<I", payload, 14 + 16, 1)  # compression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_bmp(bytes(payload))
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"XXnot a bmp")
+
+
+def test_image_ahash_hand_computed_on_real_bmp(spark):
+    """End-to-end pin on genuine pixels: an 8x8 image whose thumbnail
+    is itself (block=1), aHash bit i = pixel i > mean.  Left half 0,
+    right half 200 → mean 100 → bits = the column pattern 00001111
+    repeated, i.e. each 16-bit band key is 0x0F0F."""
+    import numpy as np
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    img[:, 4:] = 200
+    payload = multimodal.encode_bmp(img, bits=8)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), {"mime": "image/bmp", "n_chars": 64})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.image_ahash(media).collect()[0]
+    assert (row.k0, row.k1, row.k2, row.k3) == (0x0F0F,) * 4
+
+
+def test_attach_bmp_palette_and_bgr_decode_identically(spark):
+    """attach_bmp alternates 8-bit palette (odd ids) and 24-bit BGR
+    (even ids) containers; the decoder must recover the same pixels
+    from both, so identical text ⇒ identical thumbnails."""
+    text = "".join(chr(65 + (i % 26)) for i in range(100))  # 10x10 image
+    docs = spark.createDataFrame(
+        [(1, text, 100), (2, text, 100)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = multimodal.attach_bmp(docs)
+    rows = {r.doc_id: r for r in media.collect()}
+    assert bytes(rows[1].payload)[:2] == b"BM"
+    assert rows[1].meta.mime == "image/bmp"
+    assert bytes(rows[1].payload) != bytes(rows[2].payload)  # 8 vs 24 bit
+    thumbs = {
+        r.doc_id: r.thumb
+        for r in multimodal.thumbnail_features(media).collect()
+    }
+    assert thumbs[1] == thumbs[2]
 
 
 def test_multimodal_byte_features_roundtrip(spark):
