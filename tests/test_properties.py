@@ -557,3 +557,86 @@ def test_merge_dim_equivalent_across_warehouses(spark, tmp_path_factory, d1, d2)
             )
         )
     assert results[0] == results[1]
+
+
+# --- dyadic EWMA vs pure-Python reference ----------------------------------
+
+_ewma_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=24),     # day offset
+        st.integers(min_value=-99999, max_value=99999),  # cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _py_ewma(rows, span):
+    """Observation-indexed truncated dyadic EWMA, integer-exact: for
+    each key's j-th most recent of the last ``span`` observed days the
+    weight is 2^(span-1-j); num/den are exact ints, value rounds once."""
+    daily = {}
+    for u, d, cents in rows:
+        daily[(u, d)] = daily.get((u, d), 0) + cents
+    out = {}
+    by_user = {}
+    for (u, d), cents in sorted(daily.items()):
+        by_user.setdefault(u, []).append((d, cents))
+    for u, series in by_user.items():
+        for i, (d, _) in enumerate(series):
+            window = series[max(0, i - span + 1): i + 1]
+            num = sum(
+                c * (1 << (span - 1 - (i - j)))
+                for j, (_, c) in enumerate(window, start=max(0, i - span + 1))
+            )
+            den = (1 << span) - (1 << (span - len(window)))
+            out[(u, d)] = (num, den, round(num / den / 100.0, 4))
+    return out
+
+
+@given(rows=_ewma_events, span=st.integers(min_value=1, max_value=20))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ewma_daily_matches_python_reference(spark, rows, span):
+    """events_ewma_daily claims exact dyadic weights (commit 0c6debe);
+    the Spark self-join form must equal the naive per-key loop for ANY
+    (user, day, cents) multiset and ANY valid span — numerator,
+    denominator, and rounded value all integer-identical."""
+    from datetime import datetime, timedelta
+
+    from play_bq_gcp_spark.operators.behavior import ewma_daily
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + timedelta(days=d, hours=i % 24), u, c / 100.0)
+            for i, (u, d, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {
+        (r.user_id, (r.day - base.date()).days): (
+            r.ewma_num, r.ewma_den, r.ewma_value
+        )
+        for r in ewma_daily(df, span=span).collect()
+    }
+    # cents quantization happens BEFORE the daily sum in the operator
+    # (floor per event); mirror it in the reference input
+    ref_rows = [
+        (u, d, int((c / 100.0) * 100 // 1)) for (u, d, c) in rows
+    ]
+    assert got == _py_ewma(ref_rows, span)
+
+
+def test_ewma_daily_rejects_inexact_spans(spark):
+    """Spans beyond 53 lose integrality through double-typed pow();
+    the operator must refuse rather than silently drift."""
+    import pytest
+
+    from play_bq_gcp_spark.operators.behavior import ewma_daily
+
+    df = spark.createDataFrame([], "ts timestamp, user_id long, value double")
+    with pytest.raises(ValueError):
+        ewma_daily(df, span=54)
+    with pytest.raises(ValueError):
+        ewma_daily(df, span=0)

@@ -520,3 +520,60 @@ def test_stream_source_reads_directory_shaped_tables(spark, tmp_path, sf_dir):
     got = {(r.window_start, r.event_type, r.n) for r in streamed.collect()}
     want = {(r.w.start, r.event_type, r.n) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_right_outer_interval_join_null_completion_edge(spark, tmp_path):
+    """The right-outer mirror's defining edge (§2.8): a click with NO
+    same-user purchase in [click, click+30min] emits null-completed
+    EXACTLY ONCE — but only after the global watermark passes
+    click+30min (the last instant a future purchase could match);
+    an unmatched click still inside that horizon stays buffered and
+    must NOT emit.  Controlled fixture: one matched pair, one
+    in-horizon unmatched click, and far-future events on both sides
+    that pin the final watermark between the two."""
+    import datetime as dt
+
+    d = tmp_path / "ro_edge"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    hours = dt.timedelta(hours=1)
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: click with no purchase ever → must null-complete
+        ev(101, t0, 1, "click"),
+        # user 2: click then purchase 10 min later → matched pair
+        ev(201, t0, 2, "click"),
+        ev(202, t0 + dt.timedelta(minutes=10), 2, "purchase"),
+        # user 3: unmatched click INSIDE the final horizon → buffered
+        ev(301, t0 + 20 * hours, 3, "click"),
+        # far-future rows on BOTH sides: the global watermark is the
+        # min of (max p_ts, max c_ts) − 1 h = t0 + 19 h, which is past
+        # click 101's horizon (t0 + 30 min) but before 301 + 30 min
+        ev(901, t0 + 20 * hours, 9, "purchase"),
+        ev(902, t0 + 21 * hours, 9, "click"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    out = daily.purchase_click_right_outer_join(spark, str(d)).collect()
+    by_click = {}
+    for r in out:
+        by_click.setdefault(r.click_id, []).append(r)
+
+    # matched pair emits with both sides populated
+    assert [r.purchase_id for r in by_click[201]] == [202]
+    # the unmatched in-horizon click null-completes exactly once
+    assert len(by_click[101]) == 1
+    assert by_click[101][0].purchase_id is None
+    assert by_click[101][0].c_user == 1
+    # unmatched clicks past the final watermark horizon stay buffered
+    assert 301 not in by_click
+    # far-future click 902: same-user purchase 901 precedes it by 1 h
+    # (outside the 30-min band) and its horizon is past the watermark
+    assert 902 not in by_click
