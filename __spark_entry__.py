@@ -88,6 +88,9 @@ _WINDOW = [
     "text_edit_distance",
     "agg_correlation",
     # -- new round-6 entries land here (in-window their landing round) ----
+    "multimodal_video_frames",
+    "dedup_casefold_exact",
+    "quality_length_outliers_mad",
 ]
 
 

@@ -134,6 +134,35 @@ def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
     )
 
 
+def casefold_dedup_groups(
+    documents: DataFrame, min_copies: int = 2
+) -> DataFrame:
+    """Normalization-INVARIANT exact-duplicate groups: the standard
+    web-corpus dedup layer above byte-exact matching — lowercase,
+    strip punctuation/symbols to spaces, collapse runs, trim, then
+    digest.  Catches the trivial variants exact dedup misses (case
+    flips, added punctuation, re-wrapped whitespace) while staying a
+    plain digest-key shuffle: normalization is map-side Column
+    expressions, and only (digest, doc_id) ever shuffles — the same
+    scale shape as ``exact_dedup_groups``."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        spread(documents.select("doc_id", "text"))
+        .select(F.md5(F.encode(norm, "utf-8")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_docs") >= min_copies)
+    )
+
+
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep one row per distinct normalized text (the min doc_id) —
     dropDuplicates with an explicit deterministic keeper."""

@@ -9,12 +9,14 @@ Audio decode is REAL for 16-bit PCM WAV (stdlib ``wave`` — see
 uncompressed BMP (``decode_bmp`` parses the BITMAPFILEHEADER /
 BITMAPINFOHEADER container by hand: bottom-up row order, 4-byte row
 padding, 8-bit palette and 24-bit BGR pixel formats — no codec
-library).  Compressed image formats and video decode remain STUBBED
-(``decode_media`` raises ``NotImplementedError``) — those codec
-libraries are not in this container.  Everything around the stubs is
-real and tested: schema, batching, partition behavior, deterministic
-byte-level featurization.  Swapping a stub for PIL/pyav is a
-one-function change.
+library).  Video decode is REAL for uncompressed AVI (``decode_avi``
+walks the RIFF chunk tree and decodes ``00db`` DIB frame chunks).
+Compressed formats (PNG/JPEG/H.264/...) remain STUBBED
+(``NotImplementedError``) — those codec libraries are not in this
+container, and a wrong-but-quiet decode would be worse than a loud
+refusal.  Everything around the stubs is real and tested: schema,
+batching, partition behavior, deterministic featurization.  Swapping
+a stub for PIL/pyav is a one-function change.
 """
 
 from __future__ import annotations
@@ -151,16 +153,139 @@ def decode_bmp(payload: bytes):
     return (trip.sum(axis=2) // 3).astype(np.uint8)
 
 
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode a stack of 2-D uint8 grayscale frames as a genuine
+    uncompressed AVI (RIFF) container — pure stdlib ``struct``:
+    ``hdrl`` list with MainAVIHeader + one ``vids/DIB `` stream
+    (AVIStreamHeader + BITMAPINFOHEADER), then a ``movi`` list of
+    ``00db`` frame chunks holding bottom-up 24-bit BGR DIB rows padded
+    to 4 bytes (the BMP pixel layout, per the DIB spec)."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    row_bytes = 3 * w
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+
+    def dib(img) -> bytes:
+        rows = []
+        for r in range(h - 1, -1, -1):  # bottom-up, like BMP
+            rows.append(np.repeat(img[r], 3).tobytes() + b"\x00" * pad)
+        return b"".join(rows)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,          # us per frame
+        frame_size * fps,          # max bytes/sec
+        0, 0,
+        len(frames),               # total frames
+        0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps,                    # scale, rate → fps
+        0, len(frames), frame_size, 0, 0xFFFFFFFF,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes):
+    """REAL video decode for uncompressed AVI via hand-parsed RIFF
+    chunks (stdlib ``struct`` only): validates ``RIFF``/``AVI ``,
+    walks the chunk tree to the stream-format BITMAPINFOHEADER for
+    dimensions/bit depth, then decodes every ``00db`` frame chunk's
+    bottom-up padded DIB rows to grayscale (channel mean) — returning
+    an (n_frames, h, w) uint8 stack.  Compressed streams (``00dc``
+    chunks or non-DIB handlers) raise rather than silently misdecode —
+    real video codecs genuinely need external libraries."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+
+    w = h = bits = None
+    frames = []
+
+    def walk(buf: bytes, off: int, end: int):
+        nonlocal w, h, bits
+        while off + 8 <= end:
+            fourcc = buf[off: off + 4]
+            (size,) = struct.unpack_from("<I", buf, off + 4)
+            body_start = off + 8
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif fourcc == b"strf" and w is None:
+                (_hs, w, h, _planes, bits, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body_start
+                )
+                if comp != 0 or bits != 24:
+                    raise NotImplementedError(
+                        "only uncompressed 24-bit DIB AVI streams decode "
+                        "natively; compressed video needs codec libraries"
+                    )
+            elif fourcc == b"00dc":
+                raise NotImplementedError(
+                    "compressed AVI frame chunks (00dc) need codec libraries"
+                )
+            elif fourcc == b"00db":
+                frames.append((body_start, size))
+            off = body_start + size + (size % 2)  # chunks are word-aligned
+
+    walk(payload, 12, len(payload))
+    if w is None:
+        raise ValueError("AVI stream format (strf) chunk not found")
+    row_bytes = 3 * w
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = []
+    for start, size in frames:
+        raw = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=start
+        ).reshape(h, stride)[:, :row_bytes][::-1]
+        trip = raw.reshape(h, w, 3).astype(np.uint16)
+        out.append((trip.sum(axis=2) // 3).astype(np.uint8))
+    return np.stack(out) if out else np.zeros((0, h, w), dtype=np.uint8)
+
+
 def decode_media(payload: bytes, mime: str):
-    """Dispatch decode by container: REAL for PCM WAV (stdlib ``wave``)
-    and uncompressed BMP (hand-parsed headers); compressed image /
-    video formats raise ``NotImplementedError`` — those codec libraries
-    (PIL, pyav, torchaudio) are deliberately absent from this
-    container, and everything downstream of decode is decoder-agnostic."""
+    """Dispatch decode by container: REAL for PCM WAV (stdlib ``wave``),
+    uncompressed BMP, and uncompressed AVI video (hand-parsed RIFF/DIB
+    headers); compressed formats raise ``NotImplementedError`` — those
+    codec libraries (PIL, pyav, torchaudio) are deliberately absent
+    from this container, and everything downstream of decode is
+    decoder-agnostic."""
     if mime == "audio/wav" or (
         payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
     ):
         return decode_wav(payload)
+    if mime == "video/avi" or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    ):
+        return decode_avi(payload)
     if mime == "image/bmp" or payload[:2] == b"BM":
         return decode_bmp(payload)
     raise NotImplementedError(
@@ -426,6 +551,100 @@ def attach_bmp(documents: DataFrame) -> DataFrame:
 
     return spread(documents.select("doc_id", "text", "n_chars")).mapInPandas(
         synth, MEDIA_SCHEMA
+    )
+
+
+def attach_avi(documents: DataFrame, side: int = 8) -> DataFrame:
+    """Synthesize a genuine uncompressed AVI payload per document so
+    the real video decoder runs end-to-end on the fixture corpus (the
+    ``attach_wav``/``attach_bmp`` precedent): consecutive ``side²``
+    utf-8 text bytes become one ``side×side`` grayscale frame (text
+    shorter than one frame zero-pads; at most 16 frames per doc keeps
+    payloads bounded).  Arrow-batched ``mapInPandas``, stdlib
+    ``struct`` only."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(text: str) -> bytes:
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            per = side * side
+            n = min(max(len(b) // per, 1), 16)
+            buf = np.zeros(n * per, dtype=np.uint8)
+            buf[: min(len(b), n * per)] = b[: n * per]
+            return encode_avi(buf.reshape(n, side, side))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["text"].map(one),
+                    "meta": [
+                        {"mime": "video/avi", "n_chars": int(n)}
+                        for n in pdf["n_chars"]
+                    ],
+                }
+            )
+
+    return spread(documents.select("doc_id", "text", "n_chars")).mapInPandas(
+        synth, MEDIA_SCHEMA
+    )
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_index int, n_frames int, "
+    "frame_mean double, frame_fp long"
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode the AVI container
+    (``decode_avi`` — RIFF chunk walk, DIB rows), keep every
+    ``every_n``-th frame, and emit per-frame features: mean intensity
+    and a 31-bit rolling fingerprint of the quantized pixels (the
+    ``audio_fingerprint`` fold), which equi-joins for frame-level
+    dedup.  Arrow-batched ``mapInPandas``; per-clip work is vectorized
+    numpy over the decoded frame stack.  The decoder-free plan-shape
+    twin (``frame_sample_plan``) stays for payloads without a real
+    container."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows: dict[str, list] = {
+            "doc_id": [], "frame_index": [], "n_frames": [],
+            "frame_mean": [], "frame_fp": [],
+        }
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                stack = decode_video(bytes(payload))
+                n = stack.shape[0]
+                for idx in range(0, n, every_n):
+                    f = stack[idx]
+                    q = (f.astype(np.int64) >> 4).ravel()  # 16-level quant
+                    fp = 0
+                    for v in q:
+                        fp = (fp * 131 + int(v) + 1) % 2147483647
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_index"].append(idx)
+                    rows["n_frames"].append(n)
+                    rows["frame_mean"].append(round(float(f.mean()), 4))
+                    rows["frame_fp"].append(fp)
+        yield pd.DataFrame(rows)
+
+    return spread(media).mapInPandas(feats, FRAME_SCHEMA)
+
+
+def decode_video(payload: bytes):
+    """Dispatch: genuine AVI payloads decode for real (``decode_avi``);
+    anything else raises — there is no sensible raw interpretation of
+    arbitrary bytes as frames (unlike gray images / PCM audio), so the
+    fallback is loud, not fake."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi(payload)
+    raise NotImplementedError(
+        "video decode requires an uncompressed AVI container or external "
+        "codec libraries"
     )
 
 

@@ -6475,6 +6475,112 @@ def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_casefold_exact",
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000000, upper(text) || ' !!!' FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS digest
+        FROM aug
+    )
+    SELECT digest, count(*) AS n_docs, min(doc_id) AS canonical_doc_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS members
+    FROM norm
+    GROUP BY digest
+    HAVING count(*) > 1
+    ORDER BY digest
+    """,
+)
+def dedup_casefold_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-invariant exact dedup
+    (operators/dedup.py:casefold_dedup_groups): every 10th doc is
+    re-ingested UPPERCASED with punctuation appended — byte-exact
+    dedup misses all of them, the casefold digest groups each with its
+    source.  Map-side normalize, digest-only shuffle."""
+    from play_bq_gcp_spark.operators.dedup import casefold_dedup_groups
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 30000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+        )
+    )
+    return casefold_dedup_groups(aug).orderBy("digest")
+
+
+@register(
+    "quality_length_outliers_mad",
+    """
+    WITH aug AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 40000000, lang, n_chars * 50 FROM documents
+        WHERE doc_id % 200 = 0
+    ),
+    med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        FROM aug GROUP BY lang
+    ),
+    mad AS (
+        SELECT a.lang, quantile_cont(abs(a.n_chars - m.med), 0.5) AS mad
+        FROM aug a JOIN med m USING (lang)
+        GROUP BY a.lang
+    )
+    SELECT a.doc_id, a.lang, a.n_chars,
+           round(0.6745 * (a.n_chars - m.med) / x.mad, 4) AS robust_z
+    FROM aug a JOIN med m USING (lang) JOIN mad x USING (lang)
+    WHERE x.mad > 0
+      AND abs(0.6745 * (a.n_chars - m.med) / x.mad) > 3.5
+    ORDER BY doc_id
+    """,
+)
+def quality_length_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-language length outliers
+    (operators/profiling.py:robust_outliers_mad): median/MAD modified
+    z-score, immune to the contamination dragging the mean.  Every
+    200th doc is re-ingested at 50x length — the planted corruption
+    every scale must flag.  Both engines interpolate the exact median
+    identically (percentile vs quantile_cont)."""
+    from play_bq_gcp_spark.operators.profiling import robust_outliers_mad
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 200 == 0).select(
+            (F.col("doc_id") + 40000000).alias("doc_id"),
+            "lang",
+            (F.col("n_chars") * 50).alias("n_chars"),
+        )
+    )
+    return robust_outliers_mad(
+        aug, key_col="lang", value_col="n_chars", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+@register("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Real video-frame sampling (operators/multimodal.py:attach_avi +
+    frame_sample): documents encoded as genuine uncompressed AVI
+    containers (RIFF chunk tree, 24-bit DIB frames), decoded by the
+    hand-parsed RIFF walker, every 2nd frame kept with mean intensity
+    and a 31-bit rolling fingerprint for frame-level dedup.  Rows-only:
+    the decode is Python-side by design (codec-free container, the
+    WAV/BMP precedent extended to video)."""
+    from play_bq_gcp_spark.operators.multimodal import attach_avi, frame_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    return frame_sample(attach_avi(docs), every_n=2).orderBy(
+        "doc_id", "frame_index"
+    )
+
+
+@register(
     "events_activity_streaks",
     """
     WITH days AS (

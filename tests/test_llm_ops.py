@@ -212,6 +212,55 @@ def test_image_ahash_hand_computed_on_real_bmp(spark):
     assert (row.k0, row.k1, row.k2, row.k3) == (0x0F0F,) * 4
 
 
+def test_avi_roundtrip_and_compressed_rejection():
+    """encode→decode identity for a 3-frame 5x5 clip (odd width forces
+    DIB row padding); compressed frame chunks (00dc) and non-AVI RIFF
+    refuse loudly."""
+    import numpy as np
+
+    frames = np.arange(3 * 5 * 5, dtype=np.uint8).reshape(3, 5, 5) * 3
+    payload = multimodal.encode_avi(frames)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    out = multimodal.decode_avi(payload)
+    assert out.shape == (3, 5, 5) and (out == frames).all()
+    # a compressed frame chunk must refuse, not misdecode
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_avi(payload.replace(b"00db", b"00dc", 1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_real_decode_hand_check(spark):
+    """End-to-end video path on genuine containers: a 128-char text
+    becomes a 2-frame 8x8 AVI; every-2nd sampling keeps frame 0 only,
+    whose mean and 31-bit fingerprint are hand-computed here."""
+    import numpy as np
+
+    text = "".join(chr(32 + (i % 90)) for i in range(128))
+    docs = spark.createDataFrame(
+        [(7, text, 128)], "doc_id long, text string, n_chars long"
+    )
+    rows = multimodal.frame_sample(
+        multimodal.attach_avi(docs), every_n=2
+    ).collect()
+    assert [(r.doc_id, r.frame_index, r.n_frames) for r in rows] == [(7, 0, 2)]
+    f0 = np.frombuffer(text.encode()[:64], dtype=np.uint8)
+    assert rows[0].frame_mean == round(float(f0.mean()), 4)
+    fp = 0
+    for v in f0.astype(np.int64) >> 4:
+        fp = (fp * 131 + int(v) + 1) % 2147483647
+    assert rows[0].frame_fp == fp
+    # identical frames across docs share the fingerprint (dedup key)
+    docs2 = spark.createDataFrame(
+        [(7, text, 128), (8, text, 128)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows2 = multimodal.frame_sample(
+        multimodal.attach_avi(docs2), every_n=2
+    ).collect()
+    assert len({r.frame_fp for r in rows2}) == 1
+
+
 def test_attach_bmp_palette_and_bgr_decode_identically(spark):
     """attach_bmp alternates 8-bit palette (odd ids) and 24-bit BGR
     (even ids) containers; the decoder must recover the same pixels
@@ -1107,6 +1156,48 @@ def test_scan_provenance_groups_per_file(spark, tmp_path):
     assert len(out) == 4
     assert sum(r.n_rows for r in out) == 1000
     assert all(r.source_file.endswith(".parquet") for r in out)
+
+
+def test_casefold_dedup_groups_variants_and_miss(spark):
+    """Case flips, punctuation noise, and re-wrapped whitespace all
+    normalize to one group; a one-word change does not."""
+    from play_bq_gcp_spark.operators.dedup import casefold_dedup_groups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world, this is fine."),
+            (2, "HELLO WORLD!!! this is fine"),
+            (3, "hello   world\tthis is fine..."),
+            (4, "hello world this is bad"),
+            (5, "entirely different text"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = casefold_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert (g.n_docs, g.canonical_doc_id, g.members) == (3, 1, "1,2,3")
+
+
+def test_robust_outliers_mad_flags_what_zscore_hides(spark):
+    """Nine 100-length docs + one 10000-length doc: the classic
+    z-score's stddev is inflated by the outlier itself (|z| ≈ 2.8 < 3.5
+    would even pass some gates), while the median/MAD score flags it
+    unambiguously and flags nothing else.  Constant-valued keys (MAD 0)
+    emit nothing."""
+    from play_bq_gcp_spark.operators.profiling import robust_outliers_mad
+
+    rows = [(i, "en", 100 + i) for i in range(9)] + [
+        (9, "en", 10000),
+        (10, "zz", 5),
+        (11, "zz", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = robust_outliers_mad(
+        df, key_col="lang", value_col="n_chars", id_col="doc_id"
+    ).collect()
+    assert [r.doc_id for r in out] == [9]
+    assert out[0].robust_z > 3.5 and out[0].lang == "en"
 
 
 def test_containment_catches_subset_jaccard_misses(spark):

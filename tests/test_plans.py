@@ -393,6 +393,13 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "trend_daily_revenue": 3,         # day rollup + co-moments + order
         "q3_shipping_priority": 3,
         "quality_expectations_orders": 2, # one wide agg + order
+        # round-5 additions (pinned at observed counts, sf0.001):
+        "dedup_containment_pairs": 13,    # index aggs + bounded candidate/verify joins
+        "text_boilerplate_spans": 4,      # span hash agg + df threshold + order
+        "events_ewma_daily": 6,           # daily rollup + rn window + span self-join
+        "text_lang_confusion_matrix": 3,  # predicted×actual groupBy + order
+        "scan_provenance_files": 2,       # per-file agg + order
+        "quality_referential_integrity": 24,  # 6 FK audits × (anti join + agg) + union
     }
     for name, budget in budgets.items():
         plan = (

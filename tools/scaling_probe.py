@@ -7,11 +7,20 @@ API), and LSH bucket-cap overflow warnings.  Near-linear growth in
 time/shuffle and zero overflow is the evidence SCALING.md documents.
 
 Perturbations (why replicas don't corrupt the experiment):
-* documents: replica i>0 gets a salt token injected after every two
-  words (``regexp_replace``).  Docs WITHIN a replica are salted
-  identically, so every planted near-dup stays a near-dup; shingles
-  ACROSS replicas share almost nothing, so replicas don't pair with
-  each other — output pairs scale ~linearly, like a corpus that grew.
+* documents: two salting modes (env ``SPARK_PROBE_SALT``):
+  - ``suffix`` (default): replica i>0 appends ``zq{i}w`` to EVERY
+    token — a bijection on the token vocabulary, so each replica's
+    shingle-df distribution is IDENTICAL to the base corpus and
+    replicas share no shingles: pure "same corpus shape, n× size"
+    growth.  Every df-capped operator must hold recall here.
+  - ``insert``: replica i>0 gets a salt token injected after every
+    two words.  This DEGRADES trigram shingles to bigram-level df
+    (every salted trigram carries ≤2 real words), i.e. an adversarial
+    df-distribution shift — the regime where containment's auto df
+    cap is EXPECTED to miss pairs and the dropped-shingle metric must
+    expose it (no-silent-caps evidence, not a growth measurement).
+  Docs WITHIN a replica are salted identically, so every planted
+  near-dup stays a near-dup under either mode.
 * embeddings: replica i applies a per-(replica, dim) deterministic
   sign flip — a diagonal orthogonal transform that preserves every
   within-replica cosine EXACTLY while making cross-replica cosines
@@ -34,11 +43,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 REPLICAS = (1, 3, 10)
-QUERIES = (
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "knn_join_lsh",
-    "pipeline_pretrain_corpus",
+QUERIES = tuple(
+    os.environ.get(
+        "SPARK_PROBE_QUERIES",
+        "dedup_minhash_lsh dedup_embedding_cosine knn_join_lsh "
+        "pipeline_pretrain_corpus "
+        # round 6: the r5 additions (both documents-only, so the salted
+        # replication scheme applies unchanged)
+        "dedup_containment_pairs text_boilerplate_spans",
+    ).split()
 )
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -54,13 +67,24 @@ def build_fixture(spark, sf_dir: str, n: int, out_dir: str) -> None:
     doc_parts = []
     emb_parts = []
     for i in range(n):
-        off = i * 10_000_000
+        # Stride must clear the +20M id range dedup_containment_pairs
+        # uses for its planted half-prefix reposts — a 10M stride made
+        # replica i's docs collide with replica (i-2)'s planted ids,
+        # silently corrupting the containment rows (two texts under
+        # one doc_id merge their shingle sets).
+        off = i * 100_000_000
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(off))
         if i > 0:
-            d = d.withColumn(
-                "text",
-                F.regexp_replace("text", r"(\S+ \S+) ", f"$1 zq{i}w "),
-            )
+            if os.environ.get("SPARK_PROBE_SALT", "suffix") == "insert":
+                d = d.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+ \S+) ", f"$1 zq{i}w "),
+                )
+            else:
+                d = d.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1zq{i}w"),
+                )
         doc_parts.append(d)
         e = embs.withColumn("vec_id", F.col("vec_id") + F.lit(off))
         e = e.withColumn(
@@ -190,12 +214,73 @@ def main() -> None:
             f"| {r['shuffle_read_mb']} | {r['shuffle_write_mb']} "
             f"| {r['bucket_overflows']} |"
         )
+    # Containment df-cap sufficiency: the auto cap (max(16, n/200))
+    # must find every pair a DOUBLED cap finds at every scale — the
+    # recall-1.0 evidence the cap's corpus-dependence caveat requires.
+    # (A true all-pairs oracle is infeasible at 10x; a 2x cap is the
+    # practical sufficiency bound: if widening the index adds pairs,
+    # the auto cap was too tight.)
+    from pyspark.sql import Observation
+
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+
+    cap_rows = []
+    for n in REPLICAS:
+        d = os.path.join(root, f"x{n}")
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_docs = docs.count()
+        auto_cap = max(16, n_docs // 200)
+        obs = Observation(f"cap_x{n}")
+        base = {
+            (r.doc_a, r.doc_b)
+            for r in containment_pairs(
+                docs, n_docs=n_docs, observation=obs
+            ).collect()
+        }
+        wide = {
+            (r.doc_a, r.doc_b)
+            for r in containment_pairs(docs, max_df=2 * auto_cap).collect()
+        }
+        missed = sorted(wide - base)
+        dropped = int(obs.get["shingles_dropped"]) if base else -1
+        cap_rows.append(
+            {
+                "scale": n,
+                "n_docs": n_docs,
+                "auto_cap": auto_cap,
+                "pairs_auto": len(base),
+                "pairs_2x_cap": len(wide),
+                "missed_by_auto": len(missed),
+                "shingles_dropped": dropped,
+            }
+        )
+        print(
+            f"# {n}x containment cap: auto={auto_cap} pairs={len(base)} "
+            f"2x-cap pairs={len(wide)} missed={len(missed)} "
+            f"dropped_shingles={dropped}",
+            file=sys.stderr,
+        )
+
+    cap_lines = [
+        "| scale | n_docs | auto cap | pairs (auto) | pairs (2x cap) | "
+        "missed by auto | shingles dropped |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in cap_rows:
+        cap_lines.append(
+            f"| {r['scale']}x | {r['n_docs']} | {r['auto_cap']} "
+            f"| {r['pairs_auto']} | {r['pairs_2x_cap']} "
+            f"| {r['missed_by_auto']} | {r['shingles_dropped']} |"
+        )
+    cap_table = "\n".join(cap_lines)
+
     table = "\n".join(lines)
     print(table)
-    print(json.dumps(results))
+    print(cap_table)
+    print(json.dumps({"probe": results, "containment_cap": cap_rows}))
     if out_md:
         with open(out_md, "w") as f:
-            f.write(table + "\n")
+            f.write(table + "\n\n" + cap_table + "\n")
 
 
 if __name__ == "__main__":

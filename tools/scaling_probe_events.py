@@ -40,6 +40,9 @@ QUERIES = (
     "streaming_full_outer_interval_join",
     "customer_rfm_segments",
     "events_transition_matrix",
+    # round 6: dyadic EWMA (per-user daily series preserved exactly
+    # under the user-offset replication, so output scales linearly)
+    "events_ewma_daily",
 )
 TABLES = (
     "region nation customer supplier part orders lineitem events "
