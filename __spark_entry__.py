@@ -91,6 +91,8 @@ _WINDOW = [
     "multimodal_video_frames",
     "dedup_casefold_exact",
     "quality_length_outliers_mad",
+    "similarity_centroid_separation",
+    "multimodal_frame_dedup",
 ]
 
 

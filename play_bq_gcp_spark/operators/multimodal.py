@@ -635,6 +635,32 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     return spread(media).mapInPandas(feats, FRAME_SCHEMA)
 
 
+def frame_dup_groups(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Cross-video duplicate-frame groups: frames sharing a
+    fingerprint group together — stock intros, repeated title cards,
+    re-posted clips.  The video twin of ``audio_dup_groups``: after the
+    Python-side decode pays once per clip, dedup is a plain
+    fingerprint-key shuffle (8 bytes per frame)."""
+    fps = frame_sample(media, every_n=every_n)
+    return (
+        fps.groupBy("frame_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(":", "doc_id", "frame_index")
+                    )
+                ),
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def decode_video(payload: bytes):
     """Dispatch: genuine AVI payloads decode for real (``decode_avi``);
     anything else raises — there is no sensible raw interpretation of

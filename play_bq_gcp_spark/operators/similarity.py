@@ -833,6 +833,59 @@ def ivfpq_topk(
     )
 
 
+def centroid_separation(
+    embeddings: DataFrame, scale: int = 1_000_000
+) -> DataFrame:
+    """Pairwise cosine between per-label centroids — the embedding-
+    quality audit behind "are my classes separable": low inter-label
+    centroid cosine means well-separated prototypes, a near-1 pair
+    flags label confusion or collapsed embeddings.
+
+    Integer-exactness discipline (the oracle rule): centroids are
+    floor-quantized to 1e-6 ticks FIRST (the proven
+    ``embedding_label_centroids`` boundary), so the cosine's dot
+    product and squared norms are exact BIGINT sums in any engine; one
+    sqrt/division at the output boundary on bit-identical inputs gives
+    bit-identical doubles.
+
+    Scale shape: the heavy part is ``label_centroids`` (map-side
+    partials, shuffle carries (label, dim) sums); the pairwise stage
+    is |labels|² rows — a broadcast self-join over a model-sized
+    aggregate, never data-sized."""
+    cents = label_centroids(embeddings).select(
+        "label",
+        F.transform(
+            F.col("centroid"), lambda v: F.floor(v * scale).cast("long")
+        ).alias("q"),
+    )
+    flat = cents.select(
+        "label", F.posexplode("q").alias("pos", "x")
+    )
+    a = flat.select(
+        F.col("label").alias("label_a"), "pos", F.col("x").alias("xa")
+    )
+    b = flat.select(
+        F.col("label").alias("label_b"), "pos", F.col("x").alias("xb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+            F.sum(F.col("xa") * F.col("xa")).alias("na2"),
+            F.sum(F.col("xb") * F.col("xb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 4
+        ).alias("cosine"),
+    )
+
+
 # pq_adc_exact defaults, shared with the registry oracle (queries.py
 # f-strings its DuckDB twin from these — advisor r5: hardcoded oracle
 # literals silently diverge when the operator defaults change).

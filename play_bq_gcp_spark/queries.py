@@ -6563,6 +6563,69 @@ def quality_length_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "similarity_centroid_separation",
+    """
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, CAST(floor(avg(val) * 1000000) AS BIGINT) AS x
+        FROM flat GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.x * b.x) AS BIGINT) AS dot,
+               CAST(sum(a.x * a.x) AS BIGINT) AS na2,
+               CAST(sum(b.x * b.x) AS BIGINT) AS nb2
+        FROM per_dim a JOIN per_dim b
+          ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+)
+def similarity_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality audit
+    (operators/similarity.py:centroid_separation): pairwise cosine
+    between per-label centroids, quantized to 1e-6 integer ticks
+    before the dot product so both engines sum exact BIGINTs and take
+    one sqrt/division on bit-identical inputs.  The pairwise stage is
+    |labels|² rows over a model-sized aggregate."""
+    from play_bq_gcp_spark.operators.similarity import centroid_separation
+
+    return centroid_separation(_t(spark, sf, "embeddings")).orderBy(
+        "label_a", "label_b"
+    )
+
+
+@register("multimodal_frame_dedup")
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-video duplicate-frame dedup
+    (operators/multimodal.py:frame_dup_groups): every 20th document's
+    AVI is re-ingested (doc_id + 2_000_000) so its frames must group
+    with the source clip's — decode is Python-side (rows-only by
+    design); after the per-clip decode the dedup is a plain
+    fingerprint-key shuffle, the audio_dup_groups shape."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_avi,
+        frame_dup_groups,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
+
+
 @register("multimodal_video_frames")
 def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Real video-frame sampling (operators/multimodal.py:attach_avi +

@@ -261,6 +261,45 @@ def test_frame_sample_real_decode_hand_check(spark):
     assert len({r.frame_fp for r in rows2}) == 1
 
 
+def test_centroid_separation_hand_check(spark):
+    """Three labels on axis-aligned 2-vec clusters: orthogonal
+    centroids → cosine 0; identical-direction centroids → cosine 1;
+    a 45° pair lands at 1/√2."""
+    rows = [
+        (0, 0, [2.0, 0.0]), (1, 0, [4.0, 0.0]),   # label 0 → (3, 0)
+        (2, 1, [0.0, 6.0]), (3, 1, [0.0, 2.0]),   # label 1 → (0, 4)
+        (4, 2, [3.0, 3.0]), (5, 2, [5.0, 5.0]),   # label 2 → (4, 4)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    out = {
+        (r.label_a, r.label_b): r.cosine
+        for r in similarity.centroid_separation(df).collect()
+    }
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == round(1 / 2 ** 0.5, 4)
+    assert out[(1, 2)] == round(1 / 2 ** 0.5, 4)
+
+
+def test_frame_dup_groups_recovers_reingested_clips(spark):
+    """A re-ingested identical clip's frames must group with the
+    source's; a distinct clip must not join any group."""
+    text = "".join(chr(33 + (i % 60)) for i in range(128))  # 2 frames
+    other = "".join(chr(40 + (i % 50)) for i in range(128))
+    docs = spark.createDataFrame(
+        [(1, text, 128), (2, text, 128), (3, other, 128)],
+        "doc_id long, text string, n_chars long",
+    )
+    groups = multimodal.frame_dup_groups(
+        multimodal.attach_avi(docs), every_n=1
+    ).collect()
+    assert len(groups) == 2  # frame 0 and frame 1 of the shared clip
+    for g in groups:
+        assert g.n_docs == 2 and g.canonical_doc_id == 1
+        assert g.members in ("1:0,2:0", "1:1,2:1")
+
+
 def test_attach_bmp_palette_and_bgr_decode_identically(spark):
     """attach_bmp alternates 8-bit palette (odd ids) and 24-bit BGR
     (even ids) containers; the decoder must recover the same pixels
