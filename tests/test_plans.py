@@ -400,6 +400,10 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "text_lang_confusion_matrix": 3,  # predicted×actual groupBy + order
         "scan_provenance_files": 2,       # per-file agg + order
         "quality_referential_integrity": 24,  # 6 FK audits × (anti join + agg) + union
+        # round-6 additions:
+        "dedup_casefold_exact": 3,            # digest agg + planted union + order
+        "quality_length_outliers_mad": 7,     # 2 percentile aggs + broadcasts + order
+        "similarity_centroid_separation": 6,  # centroid partials + |labels|² pair agg
     }
     for name, budget in budgets.items():
         plan = (

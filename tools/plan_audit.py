@@ -43,6 +43,12 @@ AUDIT = [
     "similarity_pq_adc_exact",
     "customer_rfm_segments",
     "events_transition_matrix",
+    # round 6
+    "dedup_containment_pairs",
+    "events_ewma_daily",
+    "dedup_casefold_exact",
+    "quality_length_outliers_mad",
+    "similarity_centroid_separation",
 ]
 
 
