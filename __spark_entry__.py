@@ -93,6 +93,8 @@ _WINDOW = [
     "quality_length_outliers_mad",
     "similarity_centroid_separation",
     "multimodal_frame_dedup",
+    # -- fill: oldest r4-vintage attestation (full scalar surface) --------
+    "scalar_suite_orders",
 ]
 
 
