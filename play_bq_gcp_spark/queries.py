@@ -6626,6 +6626,24 @@ def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
 
 
+@register("text_bpe_token_stats")
+def text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-tokenizer token accounting (operators/bpe.py): train a
+    30-merge BPE on the corpus's distinct-word frequency table (one
+    argmax row to the driver per iteration, JVM-side HOF merges), then
+    encode every document and report BPE token count, char-symbol
+    count, and compression — the budget numbers a 100 TB pipeline
+    plans with.  Rows-only BY DESIGN: the trainer is iterative (the
+    PageRank precedent) and the merge list is pinned against a
+    pure-Python BPE reference under hypothesis instead
+    (tests/test_properties.py)."""
+    from play_bq_gcp_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=30)
+    return bpe_encode_stats(docs, merges).orderBy("doc_id")
+
+
 @register("multimodal_video_frames")
 def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Real video-frame sampling (operators/multimodal.py:attach_avi +

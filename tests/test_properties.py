@@ -640,3 +640,148 @@ def test_ewma_daily_rejects_inexact_spans(spark):
         ewma_daily(df, span=54)
     with pytest.raises(ValueError):
         ewma_daily(df, span=0)
+
+
+# --- media container decoders vs corrupt/truncated payloads ----------------
+
+_img = st.integers(min_value=1, max_value=12)
+
+
+@given(
+    w=_img, h=_img,
+    bits=st.sampled_from([8, 24]),
+    cut=st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_decode_never_silently_wrong(w, h, bits, cut):
+    """Any prefix-truncation of a valid BMP either raises or (when the
+    cut only removes bytes past the pixel data) still decodes to the
+    exact original — never a wrong-shaped or wrong-valued array."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators import multimodal
+
+    img = (np.arange(w * h, dtype=np.uint8).reshape(h, w) * 7) % 256
+    payload = multimodal.encode_bmp(img, bits=bits)
+    trunc = payload[: max(2, int(len(payload) * cut))]
+    try:
+        out = multimodal.decode_bmp(trunc)
+    except Exception:
+        return  # loud failure is the contract
+    assert out.shape == (h, w) and (out == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4),
+    side=st.integers(min_value=1, max_value=8),
+    cut=st.floats(min_value=0.0, max_value=0.99),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_decode_never_silently_wrong(n, side, cut):
+    """Truncated AVI payloads either raise or decode to a PREFIX of the
+    original frame stack with every decoded frame bit-exact — dropped
+    trailing frames are acceptable (the chunk walk stops at the cut),
+    corrupted pixels are not."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators import multimodal
+
+    frames = (
+        np.arange(n * side * side, dtype=np.uint8).reshape(n, side, side) * 5
+    ) % 256
+    payload = multimodal.encode_avi(frames)
+    trunc = payload[: max(2, int(len(payload) * cut))]
+    try:
+        out = multimodal.decode_avi(trunc)
+    except Exception:
+        return
+    assert out.shape[0] <= n and out.shape[1:] == (side, side)
+    assert (out == frames[: out.shape[0]]).all()
+
+
+# --- BPE trainer vs pure-Python reference ----------------------------------
+
+def _py_bpe_train(texts, n_merges, min_count=2, eow="▁"):
+    """Classic Sennrich BPE on the word-freq table, pinned to the Spark
+    implementation's choices: overlapping pair counts, argmax ties on
+    (count DESC, pair ASC), left-greedy merge application."""
+    freq = {}
+    for t in texts:
+        for w in t.split():
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    words = {w: list(w) + [eow] for w in freq}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+_bpe_texts = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["low", "lower", "lowest", "new", "newer", "ab", "abab", "aaa"]
+        ),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(texts=_bpe_texts, n_merges=st.integers(min_value=0, max_value=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_matches_python_reference(spark, texts, n_merges):
+    """The distributed trainer must learn the IDENTICAL ordered merge
+    list as the naive reference for any corpus and merge budget —
+    overlap counting, tie-breaks, and left-greedy application all
+    pinned (the rolling-fingerprint precedent)."""
+    from play_bq_gcp_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=n_merges, checkpoint_every=3)
+    assert got == _py_bpe_train(texts, n_merges)
+
+
+def test_bpe_encode_stats_hand_check(spark):
+    """Encoding under a known merge table: 'low low lower' with merges
+    building 'low▁' gives 2 single-token words + 'lower' in pieces;
+    unseen characters fall back to char-level symbols."""
+    from play_bq_gcp_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "xyz")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=6)
+    out = {r.doc_id: r for r in bpe_encode_stats(df, merges).collect()}
+    # 'low' fully merged to one token incl. the end marker
+    assert out[1].n_tokens_bpe < out[1].n_symbols_char
+    # 'xyz' never seen adjacent pairs >= 2 → stays char-level: x y z ▁
+    assert out[2].n_tokens_bpe == 4 and out[2].n_symbols_char == 4
+    assert out[2].compression == 1.0
