@@ -21,6 +21,7 @@ a stub for PIL/pyav is a one-function change.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -628,7 +629,13 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
                     rows["doc_id"].append(int(doc_id))
                     rows["frame_index"].append(idx)
                     rows["n_frames"].append(n)
-                    rows["frame_mean"].append(round(float(f.mean()), 4))
+                    # floor-tick, not round: pixel-sum/64 lands on exact
+                    # .xxxx5 decimals where Python (banker's) and SQL
+                    # (half-away) disagree; floor is tie-free (the 1e-6
+                    # centroid convention, at 1e-4 here)
+                    rows["frame_mean"].append(
+                        math.floor(float(f.mean()) * 10000) / 10000
+                    )
                     rows["frame_fp"].append(fp)
         yield pd.DataFrame(rows)
 

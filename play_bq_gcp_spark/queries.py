@@ -6644,15 +6644,53 @@ def text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode_stats(docs, merges).orderBy("doc_id")
 
 
-@register("multimodal_video_frames")
+@register(
+    "multimodal_video_frames",
+    """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, nb,
+               CAST(least(greatest(nb // 64, 1), 16) AS INT) AS n_frames
+        FROM b
+    ),
+    px AS (
+        SELECT doc_id, n_frames,
+               CAST(i // 64 AS INT) AS frame_index, i AS pos,
+               CASE WHEN i < nb THEN
+                    CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                         AS BIGINT)
+               ELSE 0 END AS v
+        FROM dims, unnest(range(0, CAST(n_frames AS BIGINT) * 64)) AS t(i)
+    ),
+    f AS (
+        SELECT doc_id, frame_index, max(n_frames) AS n_frames,
+               floor(avg(v) * 10000) / 10000 AS frame_mean,
+               list_reduce(list((v // 16) + 1 ORDER BY pos),
+                           (acc, x) -> (acc * 131 + x) % 2147483647)
+                   AS frame_fp
+        FROM px GROUP BY doc_id, frame_index
+    )
+    SELECT doc_id, frame_index, n_frames, frame_mean, frame_fp
+    FROM f WHERE frame_index % 2 = 0
+    ORDER BY doc_id, frame_index
+    """,
+)
 def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Real video-frame sampling (operators/multimodal.py:attach_avi +
     frame_sample): documents encoded as genuine uncompressed AVI
     containers (RIFF chunk tree, 24-bit DIB frames), decoded by the
     hand-parsed RIFF walker, every 2nd frame kept with mean intensity
-    and a 31-bit rolling fingerprint for frame-level dedup.  Rows-only:
-    the decode is Python-side by design (codec-free container, the
-    WAV/BMP precedent extended to video)."""
+    and a 31-bit rolling fingerprint for frame-level dedup.
+    ORACLE-BACKED end to end even though decode is Python-side: the
+    AVI encode→decode roundtrip is bit-exact, so the DuckDB twin
+    replays the frame math (byte extraction via hex pairs, zero-pad,
+    floor-tick mean, list_reduce rolling fold) directly on the utf-8
+    bytes — a wrong header parse, row flip, padding slip, or fold
+    drift anywhere in the container path breaks the value hash."""
     from play_bq_gcp_spark.operators.multimodal import attach_avi, frame_sample
 
     docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")

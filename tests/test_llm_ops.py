@@ -245,7 +245,9 @@ def test_frame_sample_real_decode_hand_check(spark):
     ).collect()
     assert [(r.doc_id, r.frame_index, r.n_frames) for r in rows] == [(7, 0, 2)]
     f0 = np.frombuffer(text.encode()[:64], dtype=np.uint8)
-    assert rows[0].frame_mean == round(float(f0.mean()), 4)
+    import math
+
+    assert rows[0].frame_mean == math.floor(float(f0.mean()) * 10000) / 10000
     fp = 0
     for v in f0.astype(np.int64) >> 4:
         fp = (fp * 131 + int(v) + 1) % 2147483647
