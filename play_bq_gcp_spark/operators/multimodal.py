@@ -375,7 +375,13 @@ def thumbnail_features(media: DataFrame, out_side: int = 8) -> DataFrame:
             pooled = img.reshape(
                 out_side, block, out_side, block
             ).mean(axis=(1, 3))
-            return [round(float(x), 4) for x in pooled.ravel()]
+            # floor-tick, not round: block means land on exact .xxxx5
+            # decimals (e.g. pixel-sum/64 for block 8) where Python's
+            # banker's rounding and SQL's half-away disagree — floor is
+            # tie-free, keeping the aHash oracle bit-exact
+            return [
+                math.floor(float(x) * 10000) / 10000 for x in pooled.ravel()
+            ]
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -529,7 +535,10 @@ def attach_bmp(documents: DataFrame) -> DataFrame:
 
         def one(doc_id: int, text: str) -> bytes:
             b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-            side = max(int(len(b) ** 0.5), 1)
+            # isqrt, not **0.5: libm pow is not correctly rounded, and
+            # an off-by-one side would silently diverge from the SQL
+            # oracle's floor(sqrt(n)) (IEEE sqrt IS correctly rounded)
+            side = max(math.isqrt(len(b)), 1)
             img = b[: side * side]
             if len(img) < side * side:  # only for sub-1-pixel payloads
                 img = np.pad(img, (0, side * side - len(img)))

@@ -5648,19 +5648,61 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
-# Rows-only: WAV container decoding is not SQL-expressible; the pytest
-# hand-check pins the numeric semantics on constructed waveforms.
-@register("multimodal_waveform")
+# Oracle-backed (the video/image precedent): the WAV roundtrip is
+# bit-exact and the sample transform (b-128)/128 has a power-of-two
+# denominator, so first-window RMS/ZCR are exact-rational sums both
+# engines compute identically; the 6-dp rounding cannot tie because a
+# 7-digit .5 decimal is never exactly representable in binary, so
+# Python's banker's and SQL's half-away rounding agree everywhere.
+@register(
+    "multimodal_waveform",
+    """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                    AS BIGINT) AS v
+        FROM b, unnest(range(0, least(nb, 256))) AS t(i)
+    ),
+    leads AS (
+        SELECT doc_id, pos, v,
+               lead(v) OVER (PARTITION BY doc_id ORDER BY pos) AS nv
+        FROM bytes
+    ),
+    s AS (
+        SELECT doc_id,
+               sum((v - 128) * (v - 128)) AS s2,
+               sum(CASE WHEN nv IS NOT NULL
+                             AND ((v < 128) <> (nv < 128))
+                        THEN 1 ELSE 0 END) AS flips
+        FROM leads GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_samples,
+           CAST(b.nb // 256 AS INT) AS n_windows,
+           CASE WHEN b.nb >= 256
+                THEN round(sqrt(s.s2 / 4194304.0), 6) END AS rms_w1,
+           CASE WHEN b.nb >= 256
+                THEN round(s.flips / 255.0, 6) END AS zcr_w1
+    FROM b JOIN s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
 def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
     """Audio front half (operators/multimodal.py:waveform_features):
     each document synthesized into a GENUINE RIFF/WAV payload
     (attach_wav; even doc_ids stereo, odd mono), decoded for real by
     stdlib ``wave`` (stereo downmixed), then per-window RMS +
     zero-crossing rate via Arrow mapInPandas — the silence/clipping
-    gate of a speech pipeline, decode included.  Permanently rows-only
-    BY DESIGN (the PCM decode + windowed DSP runs in Arrow batches,
-    outside SQL's reach); exact expected values on constructed payloads
-    are pinned in pytest."""
+    gate of a speech pipeline, decode included.  ORACLE-BACKED for the
+    first window: samples are (byte-128)/128 — exact powers of two —
+    so the DuckDB twin recomputes RMS (sqrt of an exact rational) and
+    ZCR (sign-flip count / 255) from the raw bytes; a container slip,
+    downmix error, or windowing bug breaks the hash.  Clips shorter
+    than one window emit NULL features on both sides."""
     from play_bq_gcp_spark.operators.multimodal import (
         attach_wav,
         waveform_features,
@@ -6439,35 +6481,114 @@ def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return audio_dup_groups(both).orderBy("canonical_doc_id")
 
 
-@register("multimodal_image_near_dup")
+def _image_ahash_oracle_sql() -> str:
+    """DuckDB restatement of the FULL perceptual image pipeline:
+    utf-8 bytes → square image (isqrt side) → edge-padded 8x8
+    block-average thumbnail (floor-ticked) → aHash bits vs the
+    left-fold mean → four 16-bit band keys → band equi-join + summed
+    per-band bit_count hamming (the simhash-oracle packing).  Relies
+    on the BMP encode→decode roundtrip being bit-exact, so the oracle
+    computes pixels straight from the text bytes."""
+    k_exprs = ",\n    ".join(
+        "list_reduce(list_transform(tvs[{lo}:{hi}], "
+        "x -> CASE WHEN x > m THEN 1 ELSE 0 END), "
+        "(a, x) -> a * 2 + x) AS k{j}".format(
+            lo=16 * j + 1, hi=16 * j + 16, j=j
+        )
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.k{j}, b.k{j}))" for j in range(4))
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN length(text) > 1
+              THEN substr(text, 1, length(text) - 1) || 'z'
+              ELSE 'z' END
+  FROM documents WHERE doc_id % 10 = 0
+), b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM aug
+), geo AS (
+  SELECT doc_id, hx,
+         greatest(CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT), 1) AS s0
+  FROM b
+), geo2 AS (
+  SELECT doc_id, hx, s0,
+         greatest(s0, 8) - (greatest(s0, 8) % 8) AS crop,
+         (greatest(s0, 8) - (greatest(s0, 8) % 8)) // 8 AS blk
+  FROM geo
+), cells AS (
+  SELECT doc_id, (r // blk) * 8 + (c // blk) AS cell,
+         CAST(('0x' || substr(hx,
+           CAST(2 * (least(r, s0 - 1) * s0 + least(c, s0 - 1)) + 1 AS INT),
+           2)) AS BIGINT) AS v
+  FROM geo2,
+       unnest(range(0, crop)) AS tr(r),
+       unnest(range(0, crop)) AS tc(c)
+), thumb AS (
+  SELECT doc_id, cell,
+         floor((sum(v) / count(*)) * 10000) / 10000 AS tv
+  FROM cells GROUP BY doc_id, cell
+), tl AS (
+  SELECT doc_id, list(tv ORDER BY cell) AS tvs FROM thumb GROUP BY doc_id
+), tm AS (
+  SELECT doc_id, tvs,
+         list_reduce(tvs, (a, x) -> a + x) / len(tvs) AS m
+  FROM tl
+), keys AS (
+  SELECT doc_id,
+    {k_exprs}
+  FROM tm
+), banded AS (
+  SELECT doc_id, k0, k1, k2, k3, u.band,
+    CASE u.band WHEN 0 THEN k0 WHEN 1 THEN k1
+                WHEN 2 THEN k2 ELSE k3 END AS key
+  FROM keys, (SELECT unnest([0, 1, 2, 3]) AS band) u
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ({ham})::INT AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("multimodal_image_near_dup", _image_ahash_oracle_sql())
 def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image near-dup (operators/multimodal.py:image_ahash
     + image_near_dup_pairs): documents encoded as GENUINE BMP payloads
     (attach_bmp; 8-bit palette / 24-bit BGR, real container decode via
     decode_bmp — bottom-up rows, padding, palette lookup), 8x8
     thumbnail aHash computed with native HOFs, 4x16-bit band equi-join,
-    Hamming <= 6 survivors.  Every 10th payload is re-ingested with its
-    LAST byte flipped — a 1-byte pixel/padding perturbation the 8x8
-    block average absorbs, so each planted pair MUST appear at Hamming
-    0-1 (pinned in pytest).  Rows-only: the decode is Python-side by
-    design."""
+    Hamming <= 6 survivors.  Every 10th document is re-ingested with
+    its LAST character replaced — a one-pixel perturbation the block
+    average absorbs, so each planted pair appears at tiny Hamming
+    (pinned in pytest).  ORACLE-BACKED end to end: the BMP roundtrip
+    is bit-exact, so the DuckDB twin replays bytes → thumbnail → aHash
+    → banded hamming directly on the text (the video-frames
+    precedent) — a palette slip, row flip, or tick drift anywhere in
+    the container/ahash path breaks the value hash."""
     from play_bq_gcp_spark.operators.multimodal import (
         attach_bmp,
         image_near_dup_pairs,
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
-    media = attach_bmp(docs).select("doc_id", "payload")
-    perturbed = (
-        attach_bmp(docs.filter(F.col("doc_id") % 10 == 0))
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.concat(
-                F.expr("substring(payload, 1, length(payload) - 1)"),
-                F.lit(b"\x7a"),
-            ).alias("payload"),
-        )
+    perturbed_docs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("z")
+        ).alias("text"),
+        "n_chars",
     )
+    media = attach_bmp(docs).select("doc_id", "payload")
+    perturbed = attach_bmp(perturbed_docs).select("doc_id", "payload")
     return (
         image_near_dup_pairs(media.unionByName(perturbed))
         .orderBy("doc_a", "doc_b")
@@ -6604,14 +6725,60 @@ def similarity_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_dedup")
+@register(
+    "multimodal_frame_dedup",
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM aug
+    ),
+    dims AS (
+        SELECT doc_id, hx, nb,
+               CAST(least(greatest(nb // 64, 1), 16) AS INT) AS n
+        FROM b
+    ),
+    px AS (
+        SELECT doc_id, CAST(i // 64 AS INT) AS frame_index, i AS pos,
+               CASE WHEN i < nb THEN
+                    CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                         AS BIGINT)
+               ELSE 0 END AS v
+        FROM dims, unnest(range(0, CAST(n AS BIGINT) * 64)) AS t(i)
+    ),
+    f AS (
+        SELECT doc_id, frame_index,
+               list_reduce(list((v // 16) + 1 ORDER BY pos),
+                           (acc, x) -> (acc * 131 + x) % 2147483647)
+                   AS frame_fp
+        FROM px GROUP BY doc_id, frame_index
+    )
+    SELECT frame_fp, count(*) AS n_frames,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS canonical_doc_id,
+           array_to_string(
+               list_sort(list(doc_id || ':' || frame_index)), ',')
+               AS members
+    FROM f
+    GROUP BY frame_fp
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY frame_fp
+    """,
+)
 def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-video duplicate-frame dedup
     (operators/multimodal.py:frame_dup_groups): every 20th document's
     AVI is re-ingested (doc_id + 2_000_000) so its frames must group
-    with the source clip's — decode is Python-side (rows-only by
-    design); after the per-clip decode the dedup is a plain
-    fingerprint-key shuffle, the audio_dup_groups shape."""
+    with the source clip's.  ORACLE-BACKED like the video-frames
+    entry: the DuckDB twin replays the per-frame rolling fingerprint
+    on the raw bytes and regroups — after the per-clip decode the
+    dedup is a plain fingerprint-key shuffle, the audio_dup_groups
+    shape."""
     from play_bq_gcp_spark.operators.multimodal import (
         attach_avi,
         frame_dup_groups,

@@ -409,7 +409,9 @@ def test_multimodal_thumbnail_resize_pipeline(spark, sf_dir):
         .ravel()
     )
     got = dict(again)[rows[0].doc_id]
-    assert [round(float(x), 4) for x in want] == got
+    import math
+
+    assert [math.floor(float(x) * 10000) / 10000 for x in want] == got
 
 
 def test_lm_perplexity_ranks_gibberish_above_fluent(spark):
