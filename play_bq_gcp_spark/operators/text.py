@@ -722,3 +722,49 @@ def boilerplate_spans(
         )
         .orderBy("n_docs")
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon character entropy — the cheap gibberish /
+    encoding-corruption screen complementing the bigram-LM fluency
+    score: natural text sits in a narrow entropy band, base64 blobs
+    and key-mash noise sit far above it, repeated-char padding far
+    below.
+
+    Exactness discipline (the ``split_divergence`` recipe): each
+    ``(c/n)·ln(n/c)`` term is floored to integer NANOS before the
+    per-doc sum, so both engines reach identical integers despite
+    libm-vs-JVM log ulp differences (a floor boundary flip needs the
+    term to land within one ulp of an exact nano — measure-zero).
+
+    Scale shape: explode to (doc, char) → one grouped count (the only
+    shuffle, on the doc key) → per-doc aggregate; output is one row
+    per document."""
+    from play_bq_gcp_spark.catalog import spread
+
+    chars = spread(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # two-pass: totals first, then the floored entropy terms join back
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    terms = counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n",
+        F.floor(
+            (F.col("cnt") / F.col("n"))
+            * F.log(F.col("n") / F.col("cnt"))
+            * F.lit(1e9)
+        ).cast("long").alias("term_nanos"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars_counted"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.sum("term_nanos").cast("long").alias("entropy_nanos"),
+        )
+        .orderBy("doc_id")
+    )

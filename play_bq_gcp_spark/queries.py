@@ -6793,6 +6793,43 @@ def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
 
 
+@register(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, c, count(*) AS cnt
+        FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    totals AS (
+        SELECT doc_id, sum(cnt) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(max(t.n) AS BIGINT) AS n_chars_counted,
+           count(*) AS distinct_chars,
+           CAST(sum(CAST(floor((k.cnt / CAST(t.n AS DOUBLE))
+                     * ln(CAST(t.n AS DOUBLE) / k.cnt) * 1e9)
+                AS BIGINT)) AS BIGINT) AS entropy_nanos
+    FROM counts k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon character entropy
+    (operators/text.py:char_entropy): the cheap gibberish /
+    encoding-corruption screen — every (c/n)·ln(n/c) term floored to
+    integer nanos before summing (the corpus_divergence_kl recipe), so
+    both engines reach identical integers despite log ulp
+    differences."""
+    from play_bq_gcp_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"))
+
+
 @register("text_bpe_token_stats")
 def text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-tokenizer token accounting (operators/bpe.py): train a

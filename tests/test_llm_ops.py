@@ -1299,3 +1299,28 @@ def test_containment_df_cap_reports_dropped_shingles(spark):
     ).collect()
     assert {(r.doc_a, r.doc_b) for r in out2} >= {(1, 2)}
     assert obs2.get["shingles_dropped"] == 0  # auto cap ≥16 drops nothing
+
+
+def test_char_entropy_orders_noise_above_text_above_padding(spark):
+    """Entropy separates the three regimes: uniform noise > natural-ish
+    text > single-char padding (exactly 0); a 2-char alternation pins
+    the hand value ln(2) in nanos."""
+    import math
+
+    from play_bq_gcp_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz0123456789"),  # 36 uniform
+            (2, "the cat sat on the mat and the hat"),
+            (3, "aaaaaaaaaaaaaaaaaaaa"),
+            (4, "ababababab"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[1].entropy_nanos > out[2].entropy_nanos > out[3].entropy_nanos
+    assert out[3].entropy_nanos == 0 and out[3].distinct_chars == 1
+    # p=0.5 twice: 2 * floor(0.5 * ln(2) * 1e9)
+    assert out[4].entropy_nanos == 2 * math.floor(0.5 * math.log(2) * 1e9)
+    assert out[1].n_chars_counted == 36 and out[1].distinct_chars == 36
