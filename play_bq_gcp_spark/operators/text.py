@@ -748,9 +748,15 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     counts = chars.groupBy("doc_id", "c").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # two-pass: totals first, then the floored entropy terms join back
-    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
-    terms = counts.join(totals, "doc_id").select(
+    # doc totals via a window, not a groupBy+join: the window's
+    # doc_id repartition is then REUSED by the final aggregate (same
+    # hash partitioning), so the whole operator is (doc,c) shuffle +
+    # doc shuffle + output sort — 3 exchanges, not 8
+    from pyspark.sql import Window
+
+    terms = counts.withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("doc_id"))
+    ).select(
         "doc_id",
         "n",
         F.floor(

@@ -404,6 +404,7 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "dedup_casefold_exact": 3,            # digest agg + planted union + order
         "quality_length_outliers_mad": 7,     # 2 percentile aggs + broadcasts + order
         "similarity_centroid_separation": 6,  # centroid partials + |labels|² pair agg
+        "text_char_entropy": 4,               # (doc,c) agg + doc window reused by agg + order
     }
     for name, budget in budgets.items():
         plan = (
