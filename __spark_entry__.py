@@ -60,9 +60,6 @@ _WINDOW = [
     "merge_scd2",
     "window_rank_topk",
     "sessionize_events",
-    "distinct_sort_limit",
-    "set_ops_suite",
-    "pivot_unpivot_roundtrip",
     "join_outer_cross_suite",
     "asof_join_pandas",
     "range_join_price_bands",
@@ -86,13 +83,18 @@ _WINDOW = [
     "q3_shipping_priority",
     "q5_region_supplier_volume",
     "text_edit_distance",
-    "agg_correlation",
     # -- new round-6 entries land here (in-window their landing round) ----
     "multimodal_video_frames",
     "dedup_casefold_exact",
     "quality_length_outliers_mad",
     "similarity_centroid_separation",
     "multimodal_frame_dedup",
+    # -- rows-only→oracle promotions, first oracle attestation ------------
+    "multimodal_image_near_dup",
+    "multimodal_waveform",
+    # -- more round-6 additions -------------------------------------------
+    "similarity_mmr_exact",
+    "text_char_entropy",
     # -- fill: oldest r4-vintage attestation (full scalar surface) --------
     "scalar_suite_orders",
 ]

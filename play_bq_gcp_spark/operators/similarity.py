@@ -833,6 +833,82 @@ def ivfpq_topk(
     )
 
 
+def mmr_rerank_exact(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 5,
+    pool: int = 20,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact MMR rerank — the oracle-checkable twin of
+    ``mmr_rerank``'s greedy mechanics (the ``pq_adc_exact`` pattern):
+    relevance and pairwise similarities are round-quantized to 1e-6
+    integer ticks (round, not floor — the self-cosine straddles 1.0 by
+    an ulp and floor would tear it), lambda is fixed at 1/2 so the
+    doubled score ``score2 = rel_q − max_selected sim_q`` stays an
+    exact integer, and ties break on vec_id.  The DuckDB oracle
+    unrolls the k greedy stages as chained CTEs (the PageRank
+    precedent), so the full retrieve → pairwise → select loop is
+    value-checked.
+
+    Scale shape: stage 1 is TakeOrderedAndProject retrieval (corpus
+    scanned once, never shuffled); stage 2 computes pool² pairwise
+    cosines with native folds over a broadcast self-join of the
+    model-sized pool; stage 3's greedy loop runs driver-side over
+    ≤ pool² + pool INTEGER rows — a bounded model-to-driver step (the
+    IVF-centroid precedent), never corpus-sized."""
+    from play_bq_gcp_spark.functions.vector import (
+        cosine_similarity,
+        cosine_to_lit,
+    )
+
+    emb = F.col("embedding").cast("array<double>")
+    cands = (
+        embeddings.select(
+            "vec_id",
+            emb.alias("emb"),
+            F.round(cosine_to_lit(emb, query_vec) * scale)
+            .cast("long")
+            .alias("rel_q"),
+        )
+        .orderBy(F.col("rel_q").desc(), "vec_id")
+        .limit(pool)
+    )
+    a = cands.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = cands.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(cosine_similarity(F.col("ea"), F.col("eb")) * scale)
+            .cast("long")
+            .alias("sim_q"),
+        )
+    )
+    rel = {r.vec_id: r.rel_q for r in cands.select("vec_id", "rel_q").collect()}
+    sq = {(r.va, r.vb): r.sim_q for r in sims.collect()}
+    selected: list[int] = []
+    rows = []
+    remaining = dict(rel)
+    for rank in range(1, min(k, len(rel)) + 1):
+        best = None
+        for vid, rq in remaining.items():
+            red = max((sq[(vid, s)] for s in selected), default=None)
+            sc = rq if red is None else rq - red
+            key = (-sc, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, sc)
+        _, vid, sc = best
+        selected.append(vid)
+        remaining.pop(vid)
+        rows.append((rank, vid, rel[vid], sc))
+    return embeddings.sparkSession.createDataFrame(
+        rows, "rank int, vec_id long, rel_q long, score2_q long"
+    )
+
+
 def centroid_separation(
     embeddings: DataFrame, scale: int = 1_000_000
 ) -> DataFrame:

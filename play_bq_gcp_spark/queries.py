@@ -6793,6 +6793,79 @@ def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
 
 
+def _mmr_exact_oracle_sql(
+    k: int = 5, pool: int = 20, scale: int = 1_000_000, qid: int = 0
+) -> str:
+    """DuckDB restatement of ``similarity.mmr_rerank_exact``: the k
+    greedy stages unroll as chained CTEs (the _pagerank_oracle_sql
+    precedent), each picking the (score2 DESC, vec_id ASC) argmax over
+    the not-yet-selected pool with score2 = rel_q − max(sim_q to the
+    selected set); quantization constants shared with the operator's
+    defaults."""
+    parts = [
+        """sel1 AS (
+  SELECT vec_id, rel_q, rel_q AS score2_q FROM cand
+  ORDER BY rel_q DESC, vec_id LIMIT 1
+), selset1 AS (SELECT vec_id FROM sel1)"""
+    ]
+    union = ["SELECT 1 AS rank, vec_id, rel_q, score2_q FROM sel1"]
+    for i in range(2, k + 1):
+        prev = f"selset{i - 1}"
+        parts.append(
+            f"""sel{i} AS (
+  SELECT c.vec_id, c.rel_q,
+         c.rel_q - (SELECT max(s.sim_q) FROM sims s
+                    WHERE s.va = c.vec_id
+                      AND s.vb IN (SELECT vec_id FROM {prev}))
+             AS score2_q
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY score2_q DESC, c.vec_id LIMIT 1
+), selset{i} AS (
+  SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM sel{i}
+)"""
+        )
+        union.append(f"SELECT {i}, vec_id, rel_q, score2_q FROM sel{i}")
+    stages = ",\n".join(parts)
+    legs = "\nUNION ALL\n".join(union)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+cand AS (
+  SELECT vec_id, v,
+         CAST(round(list_cosine_similarity(v, qv) * {scale}) AS BIGINT)
+             AS rel_q
+  FROM e, q
+  ORDER BY rel_q DESC, vec_id LIMIT {pool}
+),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(round(list_cosine_similarity(a.v, b.v) * {scale}) AS BIGINT)
+             AS sim_q
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+{stages}
+{legs}
+ORDER BY rank
+"""
+
+
+@register("similarity_mmr_exact", _mmr_exact_oracle_sql())
+def similarity_mmr_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact MMR rerank
+    (operators/similarity.py:mmr_rerank_exact): retrieve-then-rerank
+    with the greedy diversity loop value-checked end to end — the
+    oracle unrolls all five selection stages as chained CTEs over the
+    same 1e-6-quantized relevance/similarity integers.  The float MMR
+    (similarity_mmr_rerank) stays as the production form; this twin
+    makes its mechanics driver-attestable."""
+    from play_bq_gcp_spark.operators.similarity import mmr_rerank_exact
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return mmr_rerank_exact(e, qvec)
+
+
 @register(
     "text_char_entropy",
     """

@@ -1324,3 +1324,19 @@ def test_char_entropy_orders_noise_above_text_above_padding(spark):
     # p=0.5 twice: 2 * floor(0.5 * ln(2) * 1e9)
     assert out[4].entropy_nanos == 2 * math.floor(0.5 * math.log(2) * 1e9)
     assert out[1].n_chars_counted == 36 and out[1].distinct_chars == 36
+
+
+def test_mmr_exact_diversifies_and_ranks_query_first(spark, sf_dir):
+    """The exact MMR twin: the query vector leads (rel 1e6), ranks are
+    dense, every score2 after rank 1 equals rel minus the max
+    similarity to the already-selected set, and no id repeats."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    rows = similarity.mmr_rerank_exact(e, q, k=5, pool=20).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0].vec_id == 0 and rows[0].rel_q == 1_000_000
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == 5
+    # diversity actually bites: later scores are strictly below pure
+    # relevance (the redundancy term subtracts something positive)
+    assert all(r.score2_q < r.rel_q for r in rows[1:])
