@@ -65,7 +65,6 @@ _WINDOW = [
     "range_join_price_bands",
     "agg_stats_percentiles",
     "udaf_geomean_price",
-    "join_bucketed_dim",
     "window_range_frame",
     "streaming_session_windows",
     "streaming_foreach_batch_merge",
@@ -95,6 +94,7 @@ _WINDOW = [
     # -- more round-6 additions -------------------------------------------
     "similarity_mmr_exact",
     "text_char_entropy",
+    "agg_heavy_hitters_mg",
     # -- fill: oldest r4-vintage attestation (full scalar surface) --------
     "scalar_suite_orders",
 ]

@@ -223,3 +223,47 @@ def approx_sketch_bounds(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def heavy_hitters_mg(
+    items: DataFrame, item_col: str = "t", capacity: int = 16
+) -> dict[str, int]:
+    """Misra-Gries frequent-items summary over a column — the mergeable
+    heavy-hitters sketch (Agarwal et al., "Mergeable Summaries"): any
+    item with true frequency > n/(capacity+1) is guaranteed present,
+    and every estimate undercounts by at most n/(capacity+1).
+
+    Scale shape: each Arrow batch's exact ``value_counts`` (vectorized
+    C, no per-row Python) is itself a valid summary; summaries merge by
+    summing counters and, when over capacity, subtracting the
+    (capacity+1)-th largest count and dropping non-positives — the
+    paper's merge, which preserves the error bound.  Per-partition
+    summaries are ≤ capacity rows each, so the driver-side final merge
+    reads a bounded model (partitions × capacity), never data."""
+    import pandas as pd
+
+    from play_bq_gcp_spark.catalog import spread
+
+    def _truncate(counters: dict, cap: int) -> dict:
+        if len(counters) <= cap:
+            return counters
+        cut = sorted(counters.values(), reverse=True)[cap]
+        return {k: v - cut for k, v in counters.items() if v - cut > 0}
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            counters = _truncate(counters, capacity)
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    parts = spread(items.select(item_col)).mapInPandas(
+        mg, "item string, est long"
+    )
+    merged: dict[str, int] = {}
+    for r in parts.collect():  # bounded: ≤ partitions × capacity rows
+        merged[r.item] = merged.get(r.item, 0) + r.est
+    return _truncate(merged, capacity)

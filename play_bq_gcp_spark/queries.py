@@ -6793,6 +6793,77 @@ def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
 
 
+_MG_CAPACITY = 16
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+    flood AS (
+        SELECT 'zzflood' AS t
+        FROM (SELECT {_SQL_TOKS} AS tk FROM documents),
+             unnest(range(0, len(tk) // 4)) AS u(i)
+    ),
+    aug AS (SELECT t FROM tok UNION ALL SELECT t FROM flood),
+    c AS (SELECT t, count(*) AS c FROM aug GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM c)
+    SELECT t AS token, TRUE AS captured, TRUE AS within_bound
+    FROM c, tot
+    WHERE c * {_MG_CAPACITY + 1} > n
+    ORDER BY token
+    """,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable heavy-hitters attestation
+    (operators/aggregates.py:heavy_hitters_mg): a Misra-Gries summary
+    of capacity 16 over the corpus tokens plus a PLANTED flood token
+    (one copy per 4 tokens of each doc, ≈20% of the stream — the only
+    item clearing the n/17 threshold on this near-uniform vocabulary).
+    For every TRUE heavy hitter (exact count·17 > n, computed exactly
+    in-plan), the entry asserts the summary captured it and its
+    estimate is within the paper's n/17 undercount bound — integer
+    comparisons on both sides.  The oracle is the literal TRUE table
+    over the dynamically-computed heavy set BY DESIGN (the
+    ann_recall_floors pattern): Spark can only produce TRUE by the
+    sketch actually meeting its guarantee, so a Misra-Gries regression
+    becomes a driver red."""
+    from play_bq_gcp_spark.operators.aggregates import heavy_hitters_mg
+    from play_bq_gcp_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    d = _t(spark, sf, "documents")
+    stream = d.select(F.explode(toks).alias("t")).unionAll(
+        d.select(
+            F.explode(
+                F.array_repeat(
+                    F.lit("zzflood"),
+                    F.floor(F.size(toks) / 4).cast("int"),
+                )
+            ).alias("t")
+        )
+    )
+    summary = heavy_hitters_mg(stream, capacity=_MG_CAPACITY)
+    exact = stream.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = exact.agg(F.sum("c").alias("n"))
+    est_expr = F.lit(None).cast("long")
+    for item, est in summary.items():  # ≤ capacity literals
+        est_expr = F.when(F.col("t") == item, F.lit(est)).otherwise(est_expr)
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("c") * (_MG_CAPACITY + 1) > F.col("n"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("t").isin(list(summary)).alias("captured"),
+            (
+                F.abs(est_expr - F.col("c")) * (_MG_CAPACITY + 1)
+                <= F.col("n")
+            ).alias("within_bound"),
+        )
+        .orderBy("token")
+    )
+
+
 def _mmr_exact_oracle_sql(
     k: int = 5, pool: int = 20, scale: int = 1_000_000, qid: int = 0
 ) -> str:

@@ -143,3 +143,44 @@ def test_mv_cdc_retraction_exact(spark):
     mv = compact(incremental_refresh(base, delta, ["k"]))
     out = {r.k: (r.order_cnt, r.total_rev) for r in finish(mv, ["k"]).collect()}
     assert out == {1: (1, 10.00), 3: (1, 7.00)}  # key 2 fully retracted
+
+
+def test_misra_gries_capture_and_bound(spark):
+    """The Misra-Gries guarantee on a constructed skewed stream spread
+    over many partitions: every item with frequency > n/(cap+1) is in
+    the summary, every estimate undercounts by at most n/(cap+1), and
+    no estimate exceeds the true count."""
+    from play_bq_gcp_spark.operators.aggregates import heavy_hitters_mg
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 150
+        + [(f"u{i % 97}",) for i in range(450)]
+    )
+    df = spark.createDataFrame(rows, "t string").repartition(8)
+    cap = 8
+    summary = heavy_hitters_mg(df, capacity=cap)
+    n = len(rows)
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    heavy = {t for t, c in exact.items() if c * (cap + 1) > n}
+    assert {"hot", "warm"} <= heavy
+    for t in heavy:
+        assert t in summary, f"heavy hitter {t} missing from summary"
+    for t, est in summary.items():
+        assert est <= exact[t]  # MG never overcounts
+        assert (exact[t] - est) * (cap + 1) <= n
+    assert len(summary) <= cap
+
+
+def test_misra_gries_uniform_stream_stays_bounded(spark):
+    """A uniform stream has no heavy hitters; the summary stays within
+    capacity and makes no (vacuously false) claims."""
+    from play_bq_gcp_spark.operators.aggregates import heavy_hitters_mg
+
+    df = spark.createDataFrame(
+        [(f"u{i % 50}",) for i in range(500)], "t string"
+    ).repartition(4)
+    summary = heavy_hitters_mg(df, capacity=8)
+    assert len(summary) <= 8
