@@ -3126,6 +3126,43 @@ def streaming_right_outer_interval_join(
 
 
 @register(
+    "streaming_left_semi_interval_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id  AS p_user,
+           p.ts       AS p_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      )
+    ORDER BY purchase_id
+    """,
+)
+def streaming_left_semi_interval_join(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (§2.8 — with inner, left,
+    right, and full outer this is the complete stream-join family):
+    each purchase with at least one same-user click in the prior 30
+    minutes emits once, left columns only, on first match — matched
+    left state drops immediately instead of buffering for more
+    matches, the smallest-state join of the family.  Oracle: batch
+    EXISTS — no watermark horizon term, because semi emission happens
+    on match arrival, never on watermark
+    (streaming/daily.py:purchase_click_left_semi_join)."""
+    from play_bq_gcp_spark.streaming.daily import (
+        purchase_click_left_semi_join,
+    )
+
+    return purchase_click_left_semi_join(spark, sf)
+
+
+@register(
     "text_boilerplate_spans",
     f"""
     WITH tok AS (

@@ -360,6 +360,49 @@ def purchase_click_right_outer_join(
     )
 
 
+def purchase_click_left_semi_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI interval join — the
+    existence test of the family: a purchase emits exactly once, with
+    only its own columns, the moment ANY same-user click in the prior
+    30 minutes matches; it never re-emits on further matches and
+    unmatched purchases never emit at all.  Semi-join state is strictly
+    smaller than inner-join state (a matched left row is dropped
+    immediately instead of buffering for more matches), which is the
+    100 TB reason to prefer it when the downstream only needs
+    membership.  With inner / left / right / full outer this completes
+    every stream-stream join type Spark supports."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    return _run_to_memory(joined, "append").orderBy("purchase_id")
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time session windows (30-min gap) per user — the streaming
     twin of operators.windows.sessionize."""

@@ -405,6 +405,8 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "quality_length_outliers_mad": 7,     # 2 percentile aggs + broadcasts + order
         "similarity_centroid_separation": 6,  # centroid partials + |labels|² pair agg
         "text_char_entropy": 4,               # (doc,c) agg + doc window reused by agg + order
+        "similarity_mmr_exact": 0,            # bounded pool: one broadcast pass, no exchange
+        "agg_heavy_hitters_mg": 5,            # partition summaries + merge + exact recount
     }
     for name, budget in budgets.items():
         plan = (

@@ -577,3 +577,43 @@ def test_right_outer_interval_join_null_completion_edge(spark, tmp_path):
     # far-future click 902: same-user purchase 901 precedes it by 1 h
     # (outside the 30-min band) and its horizon is past the watermark
     assert 902 not in by_click
+
+
+def test_left_semi_interval_join_single_emit(spark, tmp_path):
+    """The semi join's defining edges (§2.8): a purchase with THREE
+    matching clicks emits exactly once, with left columns only; a
+    purchase with no in-band click never emits, regardless of the
+    watermark (semi emission is match-driven, not watermark-driven)."""
+    import datetime as dt
+
+    d = tmp_path / "semi_edge"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, ts, uid, etype):
+        return (eid, ts, uid, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: three clicks inside the 30-min band before purchase
+        ev(101, t0 - dt.timedelta(minutes=5), 1, "click"),
+        ev(102, t0 - dt.timedelta(minutes=10), 1, "click"),
+        ev(103, t0 - dt.timedelta(minutes=15), 1, "click"),
+        ev(110, t0, 1, "purchase"),
+        # user 2: click 31 min BEFORE the purchase — outside the band
+        ev(201, t0 - dt.timedelta(minutes=31), 2, "click"),
+        ev(210, t0, 2, "purchase"),
+        # user 3: click AFTER the purchase — outside the band
+        ev(301, t0 + dt.timedelta(minutes=1), 3, "click"),
+        ev(310, t0, 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    out = daily.purchase_click_left_semi_join(spark, str(d))
+    assert out.columns == ["purchase_id", "p_user", "p_ts"]
+    got = [(r.purchase_id, r.p_user) for r in out.collect()]
+    # 110 once despite 3 matches; 210 and 310 never
+    assert got == [(110, 1)]
