@@ -75,13 +75,16 @@ _WINDOW = [
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "text_doc_profile",
-    "text_top_tokens",
     "pandas_udf_token_count",
-    "sampling_suite",
-    "udtf_chunk_documents",
     "q3_shipping_priority",
     "q5_region_supplier_volume",
-    "text_edit_distance",
+    # -- round-6 session additions, never attested (priority over stale
+    # refreshes: text_top_tokens / sampling_suite / udtf_chunk_documents
+    # / text_edit_distance yield their slots — all stable r3 greens) ----
+    "streaming_left_semi_interval_join",
+    "curation_token_budget_select",
+    "curation_shard_manifest",
+    "sampling_weighted_systematic",
     # -- new round-6 entries land here (in-window their landing round) ----
     "multimodal_video_frames",
     "dedup_casefold_exact",

@@ -230,3 +230,147 @@ def domain_mix(
         .filter(F.col("rn") <= F.col("k"))
         .select(id_col, source_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_frac_num: int = 1,
+    budget_frac_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy quality-ranked selection until a token budget: take
+    documents best-first (score = distinct-token count, the integer
+    vocabulary-richness proxy; ties by ``id_col``) while the tokens
+    taken SO FAR are under ``budget = total_tokens * num // den``.  The
+    document that straddles the boundary is kept (the streaming-writer
+    rule ``sequence_pack`` already uses).
+
+    Scale shape — deliberately NOT a global ordered window (a
+    single-partition sort at 100 TB): the classic threshold + boundary
+    decomposition.  (1) a per-score histogram (|distinct scores| rows,
+    bounded by max doc length) gets a prefix sum over ITS OWN rows via
+    a tiny unpartitioned window; (2) docs strictly above the threshold
+    score are kept outright; (3) only the one boundary-score bucket
+    runs a per-key ordered window (partitioned by score — parallel,
+    skew-free).  The corpus is scanned once, shuffled once on the
+    score key.
+    """
+    toks = tokens(text_col)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("score"),
+    )
+    hist = d.groupBy("score").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wdesc = Window.partitionBy().orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # integer `div`, never float-divide-then-cast: Spark truncates a
+    # double cast, DuckDB rounds it — div is exact in both
+    hist = hist.select(
+        "score",
+        "bucket_tokens",
+        F.coalesce(F.sum("bucket_tokens").over(wdesc), F.lit(0)).alias(
+            "cum_before"
+        ),
+        (F.sum("bucket_tokens").over(whole) * F.lit(budget_frac_num)).alias(
+            "budget_num"
+        ),
+    ).selectExpr(
+        "score",
+        "bucket_tokens",
+        "cum_before",
+        f"budget_num div {budget_frac_den} AS budget",
+    )
+    joined = d.join(F.broadcast(hist), "score")
+    wdoc = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = F.col("cum_before") + F.coalesce(
+        F.sum("n_tokens").over(wdoc), F.lit(0)
+    )
+    return (
+        joined.select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            "budget",
+            prior.alias("prior"),
+        )
+        .filter(F.col("prior") < F.col("budget"))
+        .select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            (F.col("prior") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard manifest (training-output write path)
+# ---------------------------------------------------------------------------
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 8,
+    bin_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan the training-output write: assign every document a shard by
+    md5-bucket of its id (uniform regardless of id distribution — a
+    plain ``id % n`` inherits any stride in the id space) and emit the
+    per-shard manifest a shard writer needs: doc/token/char totals, the
+    id range, and the sequence-pack bin count at ``bin_budget`` tokens
+    (ceil division — each shard's writer packs independently).
+
+    At 100 TB this IS the physical write plan: the shard column is the
+    ``repartition(n_shards, shard)`` key, the manifest is one groupBy
+    with every aggregate map-side combinable, and md5 keeps assignment
+    reproducible across engines, reruns, and repartitions.  The
+    manifest doubles as the skew check: max/min shard token totals
+    should be ~1 ± O(1/sqrt(docs_per_shard)).
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "min_doc_id",
+            "max_doc_id",
+            f"(total_tokens + {bin_budget - 1}) div {bin_budget} AS n_bins",
+        )
+        .orderBy("shard")
+    )

@@ -94,3 +94,68 @@ def three_way_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    block_bits: int = 10,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, systematic
+    form: lay the corpus's integer weights end-to-end in ``id_col``
+    order and pick the row under every multiple of ``W/k`` (W = total
+    weight) — each row's inclusion probability is proportional to its
+    weight, the draw is exactly reproducible, and all arithmetic is
+    integer (``cum*k div W`` crossings), so any engine agrees
+    bit-for-bit (no float pow/log keys, whose near-ties re-order across
+    engines).
+
+    Scale shape — the prefix sum is NOT a global ordered window (a
+    single-partition sort at 100 TB) but the two-level decomposition:
+    per-block sums over ``id div 2^block_bits`` (one small agg), block
+    offsets via a window over THOSE rows only, then an in-block window
+    partitioned by block.  One corpus scan, one shuffle on the block
+    key; |blocks| ~ corpus/1024 rows through the tiny window.
+
+    Returns the selected rows with their weight, end-of-row cumulative
+    weight, and the (0-based) first grid slot each one covers.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).withColumn("block", F.expr(f"doc_id div {2 ** block_bits}"))
+    blocks = d.groupBy("block").agg(F.sum("w").alias("block_w"))
+    wblk = Window.partitionBy().orderBy("block").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    blocks = blocks.select(
+        "block",
+        F.coalesce(F.sum("block_w").over(wblk), F.lit(0)).alias("offset"),
+        F.sum("block_w").over(whole).alias("total_w"),
+    )
+    win = Window.partitionBy("block").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (F.col("offset") + F.sum("w").over(win)).alias("cum_w")
+    scored = d.join(F.broadcast(blocks), "block").select(
+        "doc_id", "w", cum, "total_w"
+    )
+    # row selected iff its weight interval (cum-w, cum] crosses a grid
+    # point i*W/k — equivalently the integer floor of cum*k/W advances
+    return (
+        scored.selectExpr(
+            "doc_id",
+            "w",
+            "cum_w",
+            f"(cum_w * {k}) div total_w AS grid_after",
+            f"((cum_w - w) * {k}) div total_w AS grid_before",
+        )
+        .filter(F.col("grid_after") > F.col("grid_before"))
+        .select("doc_id", "w", "cum_w", F.col("grid_before").alias("slot"))
+        .orderBy("doc_id")
+    )

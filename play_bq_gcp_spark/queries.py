@@ -7478,3 +7478,128 @@ def similarity_ann_recall_floors(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Round 6 late additions: budgeted selection, systematic sampling, shard
+# manifests — the write-side curation steps between "clean corpus" and
+# "training shards on disk".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_token_budget_select",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS score
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    w AS (
+        SELECT doc_id, score, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS total
+        FROM d
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM w
+    WHERE cum_tokens - n_tokens < (total * 1) // 2
+    ORDER BY score DESC, doc_id
+    """,
+)
+def curation_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy quality-ranked selection to a token budget
+    (operators/curation.py:token_budget_select): best documents first
+    (distinct-token score) until half the corpus's tokens are taken.
+    The Spark plan is the scale-safe threshold decomposition (per-score
+    histogram + boundary-bucket window — no global ordered window); the
+    oracle is the semantically identical single global window, which is
+    exactly the equivalence worth proving."""
+    from play_bq_gcp_spark.operators.curation import token_budget_select
+
+    return token_budget_select(_t(spark, sf, "documents"))
+
+
+def _shard_manifest_oracle() -> str:
+    """DuckDB twin of the md5 shard bucket: first 6 hex digits of
+    md5(doc_id) as an integer, mod n_shards — digit-composed with the
+    position() idiom the classifier oracle established."""
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    hexval = dig(1)
+    for p in range(2, 7):
+        hexval = f"({hexval} * 16 + {dig(p)})"
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST({hexval} % 8 AS INTEGER) AS shard,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_bins
+    FROM d GROUP BY shard ORDER BY shard
+    """
+
+
+@register("curation_shard_manifest", _shard_manifest_oracle())
+def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-output write plan (operators/curation.py:shard_manifest):
+    md5-bucket shard assignment + the per-shard manifest (doc/token/char
+    totals, id range, sequence-pack bin count).  At scale the shard
+    column is the repartition key and the manifest is one map-side
+    combinable groupBy; md5 keeps the assignment engine- and
+    partitioning-independent."""
+    from play_bq_gcp_spark.operators.curation import shard_manifest
+
+    return shard_manifest(_t(spark, sf, "documents"))
+
+
+@register(
+    "sampling_weighted_systematic",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(sum(w) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_w,
+               CAST((SELECT sum(w) FROM d) AS BIGINT) AS total_w
+        FROM d
+    )
+    SELECT doc_id, w, cum_w,
+           ((cum_w - w) * 50) // total_w AS slot
+    FROM c
+    WHERE (cum_w * 50) // total_w > ((cum_w - w) * 50) // total_w
+    ORDER BY doc_id
+    """,
+)
+def sampling_weighted_systematic(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, systematic/deterministic
+    form (operators/sampling.py:weighted_systematic_sample): pick the
+    row under every 1/50th of cumulative n_chars mass — inclusion
+    probability proportional to weight, selection integer-exact (no
+    float pow/log priority keys).  The Spark side runs the two-level
+    block prefix sum (no global ordered window); the oracle is the
+    plain global-window restatement."""
+    from play_bq_gcp_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    return weighted_systematic_sample(_t(spark, sf, "documents"))

@@ -116,3 +116,88 @@ def test_pii_profile_null_text_counts_zero(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = pii_profile(df).collect()[0]
     assert (r.n_email, r.n_ip, r.n_phone, r.redacted) == (0, 0, 0, "")
+
+
+def test_token_budget_select_matches_brute_force(spark):
+    """The threshold-decomposition plan must equal the naive greedy:
+    sort all docs by (score desc, id), take while tokens-so-far <
+    budget (straddler kept)."""
+    from play_bq_gcp_spark.operators.curation import token_budget_select
+
+    texts = [
+        (1, "a b c d e"),          # 5 tokens, 5 distinct
+        (2, "a a a a"),            # 4 tokens, 1 distinct
+        (3, "x y z"),              # 3 tokens, 3 distinct
+        (4, "p q r s"),            # 4 tokens, 4 distinct
+        (5, "m m n n"),            # 4 tokens, 2 distinct
+        (6, "u v w u v w"),        # 6 tokens, 3 distinct
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = token_budget_select(df).collect()
+
+    # brute force: order by score desc then id asc
+    ranked = sorted(
+        ((i, len(t.split()), len(set(t.split()))) for i, t in texts),
+        key=lambda x: (-x[2], x[0]),
+    )
+    total = sum(n for _, n, _ in ranked)
+    budget = total // 2
+    kept, cum = [], 0
+    for i, n, s in ranked:
+        if cum < budget:
+            kept.append((i, s, n, cum + n))
+        cum += n
+    assert [(r.doc_id, r.score, r.n_tokens, r.cum_tokens) for r in out] == kept
+    # the last kept doc straddles (cum_tokens may exceed the budget)
+    assert out[-1].cum_tokens >= budget
+
+
+def test_shard_manifest_totals_and_determinism(spark, sf_dir):
+    import hashlib
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.curation import shard_manifest
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = shard_manifest(docs, n_shards=8, bin_budget=512)
+    rows = out.collect()
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    # manifest totals cover the corpus exactly
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.total_chars for r in rows) == (
+        docs.selectExpr("sum(length(text))").first()[0]
+    )
+    # ceil rule
+    for r in rows:
+        assert r.n_bins == (r.total_tokens + 511) // 512
+    # md5 assignment reproducible outside Spark
+    some = docs.select("doc_id").first().doc_id
+    expect = int(hashlib.md5(str(some).encode()).hexdigest()[:6], 16) % 8
+    got = {r.shard for r in rows}  # sanity: shard of `some` is present
+    assert expect in got
+
+
+def test_weighted_systematic_sample_exact_k_and_stability(spark):
+    from play_bq_gcp_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    rows = [(i, (i * 37) % 91 + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_systematic_sample(df, k=25)
+    got = out.collect()
+    # exactly k rows, k distinct slots
+    assert len(got) == 25
+    assert len({r.slot for r in got}) == 25
+    # invariant under physical partitioning (block decomposition only
+    # depends on ids, never on partition boundaries)
+    again = weighted_systematic_sample(df.repartition(13), k=25).collect()
+    assert [(r.doc_id, r.slot) for r in got] == [
+        (r.doc_id, r.slot) for r in again
+    ]
+    # a row heavier than W/k is always selected
+    W = sum(w for _, w in rows)
+    heavy = [(999, W), *rows]
+    df2 = spark.createDataFrame(heavy, "doc_id long, n_chars long")
+    sel = weighted_systematic_sample(df2, k=25)
+    assert sel.filter(F.col("doc_id") == 999).count() == 1

@@ -407,6 +407,9 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "text_char_entropy": 4,               # (doc,c) agg + doc window reused by agg + order
         "similarity_mmr_exact": 0,            # bounded pool: one broadcast pass, no exchange
         "agg_heavy_hitters_mg": 5,            # partition summaries + merge + exact recount
+        "curation_token_budget_select": 5,    # score hist + tiny windows + boundary window + order
+        "curation_shard_manifest": 2,         # one combinable groupBy + order
+        "sampling_weighted_systematic": 5,    # block sums + tiny offset window + in-block window
     }
     for name, budget in budgets.items():
         plan = (
