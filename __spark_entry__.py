@@ -65,7 +65,7 @@ _WINDOW = [
     "range_join_price_bands",
     "agg_stats_percentiles",
     "udaf_geomean_price",
-    "window_range_frame",
+    "agg_countmin_sketch",
     "streaming_session_windows",
     "streaming_foreach_batch_merge",
     "streaming_stateful_user_stats",

@@ -267,3 +267,79 @@ def heavy_hitters_mg(
     for r in parts.collect():  # bounded: ≤ partitions × capacity rows
         merged[r.item] = merged.get(r.item, 0) + r.est
     return _truncate(merged, capacity)
+
+
+# Count-Min defaults, shared with the registry oracle (queries.py
+# f-strings its DuckDB twin from these — parameter drift must break
+# loudly, the PQ_EXACT precedent).
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_K = 20
+
+
+def countmin_sketch(tokens_df: DataFrame, tok_col: str = "t") -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan) over a token stream,
+    plus its accuracy audit: build the d×w counter table, then estimate
+    the ``CMS_PROBE_K`` most frequent tokens and report each one's
+    guaranteed-nonnegative overcount against the exact count.
+
+    The sketch is the other half of the frequent-items toolkit next to
+    Misra-Gries (``heavy_hitters_mg`` undercounts within n/(k+1); CMS
+    overcounts within eps·n at width 2/eps): hash each token into one
+    counter per depth row (md5-derived, engine-portable), point
+    estimates take the min across rows.
+
+    Scale shape — the whole point at 100 TB: the counter table is a
+    groupBy over a FIXED d×w keyspace, so partial aggregation collapses
+    every partition to ≤ d·w rows before the one shuffle, and two
+    sketches merge by plain counter addition (the linear-sketch
+    property streaming inherits for free).  The probe join broadcasts
+    the d×w table; only ``CMS_PROBE_K`` audit rows leave."""
+    d, w = CMS_DEPTH, CMS_WIDTH
+
+    def col_for(tok, row: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(tok, F.lit(f"#{row}"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+
+    toks = tokens_df.select(F.col(tok_col).alias("tok"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[col_for(F.col("tok"), r) for r in range(d)])
+        ).alias("row", "col")
+    )
+    sketch = cells.groupBy("row", "col").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(CMS_PROBE_K)
+    )
+    probe_cells = exact.select(
+        "tok",
+        "exact_n",
+        F.posexplode(
+            F.array(*[col_for(F.col("tok"), r) for r in range(d)])
+        ).alias("row", "col"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), "tok")

@@ -7603,3 +7603,80 @@ def sampling_weighted_systematic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return weighted_systematic_sample(_t(spark, sf, "documents"))
+
+
+def _cms_oracle() -> str:
+    """DuckDB replay of the Count-Min pipeline, f-strung from the
+    operator's own depth/width/probe constants so parameter drift
+    breaks the differential loudly (the PQ_EXACT precedent)."""
+    from play_bq_gcp_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_PROBE_K,
+        CMS_WIDTH,
+    )
+
+    def hex7(h: str) -> str:
+        val = f"(position(substr({h}, 1, 1) IN '0123456789abcdef') - 1)"
+        for p in range(2, 8):
+            d = f"(position(substr({h}, {p}, 1) IN '0123456789abcdef') - 1)"
+            val = f"({val} * 16 + {d})"
+        return val
+
+    cell_rows = "\n        UNION ALL ".join(
+        f"SELECT {r} AS row, ({hex7(f'h{r}')}) % {CMS_WIDTH} AS col FROM hs"
+        for r in range(CMS_DEPTH)
+    )
+    probe_rows = "\n        UNION ALL ".join(
+        f"SELECT tok, exact_n, {r} AS row,"
+        f" ({hex7(f'h{r}')}) % {CMS_WIDTH} AS col FROM ehs"
+        for r in range(CMS_DEPTH)
+    )
+    md5s = ", ".join(
+        f"md5(tok || '#{r}') AS h{r}" for r in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    hs AS (SELECT tok, {md5s} FROM tok),
+    cells AS (
+        {cell_rows}
+    ),
+    sketch AS (
+        SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, col
+    ),
+    exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT {CMS_PROBE_K}
+    ),
+    ehs AS (SELECT tok, exact_n, {md5s} FROM exact),
+    pc AS (
+        {probe_rows}
+    ),
+    est AS (
+        SELECT pc.tok, pc.exact_n, min(s.cnt) AS cms_est
+        FROM pc JOIN sketch s USING (row, col)
+        GROUP BY pc.tok, pc.exact_n
+    )
+    SELECT tok, exact_n, cms_est, cms_est - exact_n AS overcount
+    FROM est ORDER BY exact_n DESC, tok
+    """
+
+
+@register("agg_countmin_sketch", _cms_oracle())
+def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch + accuracy audit
+    (operators/aggregates.py:countmin_sketch): the linear overcounting
+    frequent-items sketch next to Misra-Gries's undercounting one —
+    fixed 4x256 counter table built with one partial-agg-collapsed
+    groupBy, point estimates for the top-20 tokens as min-across-rows,
+    overcount reported per token.  md5-derived counter indices make the
+    oracle a full pipeline replay."""
+    from play_bq_gcp_spark.operators.aggregates import countmin_sketch
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    return countmin_sketch(toks)

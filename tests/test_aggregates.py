@@ -184,3 +184,58 @@ def test_misra_gries_uniform_stream_stays_bounded(spark):
     ).repartition(4)
     summary = heavy_hitters_mg(df, capacity=8)
     assert len(summary) <= 8
+
+
+def test_countmin_never_undercounts_and_merges_linearly(spark, sf_dir):
+    """CMS invariants: every point estimate >= the exact count, and the
+    sketch is a linear summary — building it on two halves of the
+    corpus and summing counters cell-wise equals building it whole."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.aggregates import countmin_sketch
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    audit = countmin_sketch(toks.select("t")).collect()
+    assert len(audit) == 20
+    assert all(r.overcount >= 0 for r in audit)
+    assert all(r.cms_est == r.exact_n + r.overcount for r in audit)
+
+    # linearity: cell-wise sum of half-sketches == whole sketch
+    from pyspark.sql import functions as SF
+
+    d, w = 4, 256
+
+    def sketch_cells(df):
+        def col_for(tok, row):
+            return (
+                SF.conv(
+                    SF.substring(SF.md5(SF.concat(tok, SF.lit(f"#{row}"))), 1, 7),
+                    16,
+                    10,
+                ).cast("long")
+                % w
+            )
+
+        c = df.select(
+            SF.posexplode(
+                SF.array(*[col_for(SF.col("t"), r) for r in range(d)])
+            ).alias("row", "col")
+        )
+        return {
+            (r.row, r.col): r.cnt
+            for r in c.groupBy("row", "col")
+            .agg(SF.count(SF.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    whole = sketch_cells(toks)
+    a = sketch_cells(toks.filter(F.col("doc_id") % 2 == 0))
+    b = sketch_cells(toks.filter(F.col("doc_id") % 2 == 1))
+    summed: dict = {}
+    for part in (a, b):
+        for k, v in part.items():
+            summed[k] = summed.get(k, 0) + v
+    assert summed == whole
