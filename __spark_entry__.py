@@ -70,7 +70,7 @@ _WINDOW = [
     "streaming_foreach_batch_merge",
     "streaming_stateful_user_stats",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
+    "dedup_semantic_semdedup",
     "dedup_connected_groups",
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",

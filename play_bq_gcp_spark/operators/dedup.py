@@ -917,3 +917,144 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means clusters, then intra-cluster
+# cosine pruning
+# ---------------------------------------------------------------------------
+
+# Shared with the registry oracle (queries.py f-strings the DuckDB twin
+# from these, so parameter drift breaks the differential loudly).
+SEM_K = 8
+SEM_ITERS = 2
+SEM_SCALE = 1000
+SEM_THR_NUM = 9
+SEM_THR_DEN = 10
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = SEM_K,
+    iters: int = SEM_ITERS,
+    scale: int = SEM_SCALE,
+    thr_num: int = SEM_THR_NUM,
+    thr_den: int = SEM_THR_DEN,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then inside each cluster drop every vector whose cosine similarity
+    to a LOWER-id cluster-mate reaches ``thr_num/thr_den`` — pairwise
+    comparison happens only within a cluster, never across the corpus.
+
+    Everything is integer-exact so the DuckDB oracle replays the whole
+    pipeline: vectors quantize to ``floor(x*scale)`` longs (identical
+    IEEE double ops in any engine), distances/dots are integer sums,
+    centroid updates are element-wise truncating division (both engines
+    truncate toward zero on the driver/SQL side), ties break to the
+    lowest cluster index via first-position argmin, and the cosine
+    test is the cross-multiplied form ``thr_den²·dot² ≥
+    thr_num²·|a|²·|b|²`` (dot ≥ 0) — no sqrt, no float.
+
+    Scale shape: centroids are a bounded model — init is the first
+    ``k`` ids' vectors, each Lloyd round collects only k×dim partial
+    sums (the IVF precedent: model rows, never data rows) and
+    re-broadcasts them as plan literals, so assignment is a map-only
+    HOF pass.  The pair stage shuffles once on the cluster key and is
+    quadratic only within a cluster — at 100 TB, k grows with the
+    corpus (n/10k) to bound cluster sizes, exactly the SemDeDup paper's
+    cost model.  Empty clusters keep their previous centroid.
+
+    Returns every vector with its final cluster and a ``kept`` flag
+    (False = pruned as a semantic duplicate of an earlier id).
+    """
+    vq = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * scale).cast("long"),
+        ).alias("v"),
+    )
+    cents = [list(r.v) for r in vq.orderBy("vec_id").limit(k).collect()]
+    dim = len(cents[0])
+
+    def assign(df: DataFrame, cs: list[list[int]]) -> DataFrame:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(int(x)) for x in c]) for c in cs]
+        )
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("v"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return df.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+
+    def trunc_div(s: int, n: int) -> int:
+        return -((-s) // n) if s < 0 else s // n
+
+    for _ in range(iters):
+        assigned = assign(vq, cents)
+        parts = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: ≤ k×dim model rows, never data rows
+        )
+        bypos = {(r.cluster, r.pos): (r.s, r.n) for r in parts}
+        cents = [
+            [
+                trunc_div(*bypos[(ci, p)]) for p in range(dim)
+            ]
+            if (ci, 0) in bypos
+            else cents[ci]
+            for ci in range(k)
+        ]
+
+    final = assign(vq, cents).withColumn(
+        "n2",
+        F.aggregate(
+            F.col("v"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    a, b = final.alias("a"), final.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), dot.alias("dot"),
+                F.col("a.n2").alias("na2"), F.col("b.n2").alias("nb2"))
+        .filter(
+            (F.col("dot") >= 0)
+            & (
+                F.lit(thr_den * thr_den) * F.col("dot") * F.col("dot")
+                >= F.lit(thr_num * thr_num) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        final.join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -7680,3 +7680,128 @@ def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
     toks = docs.select(F.explode(tokens("text")).alias("t"))
     return countmin_sketch(toks)
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the full SemDeDup pipeline — quantization, k
+    seeded centroids, unrolled Lloyd rounds with truncating-division
+    updates (DuckDB // truncates toward zero; the operator's driver
+    side matches), first-index argmin assignment, and the
+    cross-multiplied cosine prune — f-strung from the operator's own
+    constants (the pagerank/PQ precedent for iterative oracles)."""
+    from play_bq_gcp_spark.operators.dedup import (
+        SEM_ITERS,
+        SEM_K,
+        SEM_SCALE,
+        SEM_THR_DEN,
+        SEM_THR_NUM,
+    )
+
+    dist = (
+        "list_sum(list_transform(list_zip(q.v, c.cv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])))"
+    )
+    parts = [
+        f"""
+    aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * {SEM_SCALE}) AS BIGINT)) AS v
+        FROM aug
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cluster,
+               v AS cv
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {SEM_K})
+    )"""
+    ]
+    for i in range(1, SEM_ITERS + 2):
+        parts.append(f"""
+    a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT q.vec_id, q.v, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {dist}, c.cluster
+                   ) AS rn
+            FROM q CROSS JOIN c{i - 1} c
+        ) WHERE rn = 1
+    )""")
+        if i <= SEM_ITERS:
+            parts.append(f"""
+    u{i} AS (
+        SELECT cluster, pos, sum(val) AS s, count(*) AS n
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS pos,
+                     unnest(v) AS val
+              FROM a{i})
+        GROUP BY cluster, pos
+    ),
+    cn{i} AS (
+        SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+        FROM u{i} GROUP BY cluster
+    ),
+    c{i} AS (
+        SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+        FROM c{i - 1} p LEFT JOIN cn{i} n USING (cluster)
+    )""")
+    last = SEM_ITERS + 1
+    parts.append(f"""
+    f AS (
+        SELECT vec_id, cluster, v,
+               CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+        FROM a{last}
+    ),
+    p AS (
+        SELECT b.vec_id AS dup_id, a.n2 AS na2, b.n2 AS nb2,
+               CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                    z -> z[1]*z[2])) AS BIGINT) AS dot
+        FROM f a JOIN f b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    drp AS (
+        SELECT DISTINCT dup_id AS vec_id FROM p
+        WHERE dot >= 0
+          AND {SEM_THR_DEN * SEM_THR_DEN} * dot * dot
+              >= {SEM_THR_NUM * SEM_THR_NUM} * na2 * nb2
+    )""")
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+    FROM f LEFT JOIN drp d ON f.vec_id = d.vec_id
+    ORDER BY f.vec_id
+    """
+
+
+@register("dedup_semantic_semdedup", _semdedup_oracle())
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py:semantic_dedup):
+    integer-exact k-means (bounded centroid model, map-only HOF
+    assignment) + intra-cluster cosine pruning against lower ids —
+    pairwise work bounded by cluster size, never corpus size.  Runs on
+    the planted-near-dup augmentation the cosine-dedup entry
+    established (every 25th vector +0.01-shifted); those copies land in
+    their source's cluster and must be the ones pruned."""
+    from play_bq_gcp_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    return semantic_dedup(aug)

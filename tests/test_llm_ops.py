@@ -1340,3 +1340,46 @@ def test_mmr_exact_diversifies_and_ranks_query_first(spark, sf_dir):
     # diversity actually bites: later scores are strictly below pure
     # relevance (the redundancy term subtracts something positive)
     assert all(r.score2_q < r.rel_q for r in rows[1:])
+
+
+def test_semantic_dedup_prunes_planted_copies_only(spark):
+    """SemDeDup on a controlled fixture: three well-separated
+    directions, each with a near-copy at higher id — every copy lands
+    in its source's cluster and is pruned; all sources survive; a
+    second pass over the survivors prunes nothing (idempotence)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.dedup import semantic_dedup
+
+    def unit(theta, phi):
+        return [
+            math.cos(theta) * math.cos(phi),
+            math.cos(theta) * math.sin(phi),
+            math.sin(theta) * math.cos(phi),
+            math.sin(theta) * math.sin(phi),
+        ]
+
+    bases = [unit(0.1, 0.2), unit(1.2, 2.1), unit(2.4, 4.0)]
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((i, b))
+        # near-copy: tiny perturbation, cosine ~0.9999
+        rows.append((100 + i, [x + 0.005 for x in b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=3)
+    got = {r.vec_id: (r.cluster, r.kept) for r in out.collect()}
+    assert len(got) == 6
+    for i in range(3):
+        src_cluster, src_kept = got[i]
+        cp_cluster, cp_kept = got[100 + i]
+        assert src_kept, f"source {i} must survive"
+        assert not cp_kept, f"copy {100 + i} must be pruned"
+        assert cp_cluster == src_cluster, "copy must join source cluster"
+    # idempotence: survivors contain no further near-dups
+    survivors = df.join(
+        out.filter(F.col("kept")).select("vec_id"), "vec_id"
+    )
+    again = semantic_dedup(survivors, k=3)
+    assert again.filter(~F.col("kept")).count() == 0
