@@ -277,6 +277,35 @@ CMS_WIDTH = 256
 CMS_PROBE_K = 20
 
 
+def cms_hash_col(tok, row: int):
+    """Counter index for depth row ``row``: first 7 hex digits of
+    md5(tok + '#row') mod width — engine-portable, so oracles replay
+    it bit-for-bit."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(f"#{row}"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_table(toks: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """The d×w counter table for a token column: one groupBy over a
+    FIXED keyspace, so partial aggregation collapses every partition to
+    ≤ d·w rows before the shuffle.  Two tables merge by summing ``cnt``
+    on (row, col) — the linear-sketch property."""
+    cells = toks.select(
+        F.posexplode(
+            F.array(
+                *[cms_hash_col(F.col(tok_col), r) for r in range(CMS_DEPTH)]
+            )
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def countmin_sketch(tokens_df: DataFrame, tok_col: str = "t") -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan) over a token stream,
     plus its accuracy audit: build the d×w counter table, then estimate
@@ -293,31 +322,16 @@ def countmin_sketch(tokens_df: DataFrame, tok_col: str = "t") -> DataFrame:
     groupBy over a FIXED d×w keyspace, so partial aggregation collapses
     every partition to ≤ d·w rows before the one shuffle, and two
     sketches merge by plain counter addition (the linear-sketch
-    property streaming inherits for free).  The probe join broadcasts
-    the d×w table; only ``CMS_PROBE_K`` audit rows leave."""
-    d, w = CMS_DEPTH, CMS_WIDTH
+    property streaming inherits for free — see
+    streaming/daily.py:countmin_stream_merge).  The probe join
+    broadcasts the d×w table; only ``CMS_PROBE_K`` audit rows leave."""
+    d = CMS_DEPTH
 
     def col_for(tok, row: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(tok, F.lit(f"#{row}"))), 1, 7
-                ),
-                16,
-                10,
-            ).cast("long")
-            % w
-        )
+        return cms_hash_col(tok, row)
 
     toks = tokens_df.select(F.col(tok_col).alias("tok"))
-    cells = toks.select(
-        F.posexplode(
-            F.array(*[col_for(F.col("tok"), r) for r in range(d)])
-        ).alias("row", "col")
-    )
-    sketch = cells.groupBy("row", "col").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    sketch = cms_table(toks)
 
     exact = (
         toks.groupBy("tok")

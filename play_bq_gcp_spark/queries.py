@@ -7605,10 +7605,13 @@ def sampling_weighted_systematic(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_systematic_sample(_t(spark, sf, "documents"))
 
 
-def _cms_oracle() -> str:
-    """DuckDB replay of the Count-Min pipeline, f-strung from the
-    operator's own depth/width/probe constants so parameter drift
-    breaks the differential loudly (the PQ_EXACT precedent)."""
+def _cms_oracle(
+    tok_sql: str = f"SELECT unnest({_SQL_TOKS}) AS tok FROM documents",
+) -> str:
+    """DuckDB replay of the Count-Min pipeline over any token source,
+    f-strung from the operator's own depth/width/probe constants so
+    parameter drift breaks the differential loudly (the PQ_EXACT
+    precedent)."""
     from play_bq_gcp_spark.operators.aggregates import (
         CMS_DEPTH,
         CMS_PROBE_K,
@@ -7636,7 +7639,7 @@ def _cms_oracle() -> str:
     )
     return f"""
     WITH tok AS (
-        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+        {tok_sql}
     ),
     hs AS (SELECT tok, {md5s} FROM tok),
     cells AS (
@@ -7805,3 +7808,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return semantic_dedup(aug)
+
+
+@register(
+    "streaming_countmin_merge",
+    _cms_oracle("SELECT CAST(user_id AS VARCHAR) AS tok FROM events"),
+)
+def streaming_countmin_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch maintained across micro-batches
+    (streaming/daily.py:countmin_stream_merge): each batch's d×w
+    counter table merges into parquet state by summing on (row, col).
+    Because the merge is exact addition, the streamed sketch IS the
+    batch sketch — so the oracle is the plain batch CMS replay over
+    events user_ids, and the differential asserts streaming-vs-batch
+    equivalence, not an approximation.  State stays ≤ d·w rows
+    regardless of batch count or size."""
+    from play_bq_gcp_spark.streaming.daily import countmin_stream_merge
+
+    return countmin_stream_merge(spark, sf)

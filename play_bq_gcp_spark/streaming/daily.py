@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from play_bq_gcp_spark.catalog import (
     ensure_nanos_conf,
     normalize_nanos_ts,
+    read_table,
     table_path,
 )
 
@@ -476,6 +477,99 @@ def foreach_batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(state_path)
         .withColumn("total_value", F.round("total_value", 4))
         .orderBy("user_id")
+    )
+
+
+def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained across micro-batches: each batch
+    builds its own d×w counter table (bounded partial agg) and merges
+    it into a parquet sketch state by summing counters on (row, col) —
+    the linear-sketch property exercised end-to-end under streaming.
+
+    Because the merge is exact addition, the final streamed sketch is
+    IDENTICAL to the batch-built sketch, so the entry's audit (top-20
+    user_ids, exact vs estimate) equals the batch CMS and the oracle is
+    the plain batch replay — streaming-vs-batch equivalence is the
+    assertion, not an approximation.  State is always ≤ d·w rows, no
+    matter how many batches or how large each one is.  The source is
+    the 4-chunk file stream with ``maxFilesPerTrigger=1`` (the
+    stateful-suite harness), so 4 genuine merges happen — a
+    single-batch run would leave the merge branch untested."""
+    import os
+
+    from play_bq_gcp_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_PROBE_K,
+        cms_hash_col,
+        cms_table,
+    )
+    from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
+
+    state_dir = tempfile.mkdtemp(prefix="cms_state_")
+    state_path = os.path.join(state_dir, "cms")
+    chunk_dir = _chunked_events_dir(spark, sf_dir, 4)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sketch = cms_table(
+            batch_df.select(F.col("user_id").cast("string").alias("tok"))
+        )
+        if os.path.isdir(state_path):
+            old = spark.read.parquet(state_path)
+            merged = (
+                old.unionByName(batch_sketch)
+                .groupBy("row", "col")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).parquet(state_path)
+        else:
+            batch_sketch.write.mode("overwrite").parquet(state_path)
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    sketch = spark.read.parquet(state_path)
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(CMS_PROBE_K)
+    )
+    probe_cells = exact.select(
+        "tok",
+        "exact_n",
+        F.posexplode(
+            F.array(
+                *[cms_hash_col(F.col("tok"), r) for r in range(CMS_DEPTH)]
+            )
+        ).alias("row", "col"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "tok")
     )
 
 

@@ -617,3 +617,23 @@ def test_left_semi_interval_join_single_emit(spark, tmp_path):
     got = [(r.purchase_id, r.p_user) for r in out.collect()]
     # 110 once despite 3 matches; 210 and 310 never
     assert got == [(110, 1)]
+
+
+def test_countmin_stream_merge_equals_batch_sketch(spark, sf_dir):
+    """The streamed (4-micro-batch, foreachBatch-merged) CMS audit
+    equals the batch CMS audit row-for-row — the linear-sketch merge
+    is exact, not approximate."""
+    from play_bq_gcp_spark.operators.aggregates import countmin_sketch
+
+    streamed = daily.countmin_stream_merge(spark, sf_dir).collect()
+    batch = countmin_sketch(
+        read_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("t")
+        )
+    ).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(streamed) == min(20, n_users)
+    assert all(r.overcount >= 0 for r in streamed)
