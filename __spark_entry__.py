@@ -67,14 +67,14 @@ _WINDOW = [
     "udaf_geomean_price",
     "agg_countmin_sketch",
     "streaming_session_windows",
-    "streaming_foreach_batch_merge",
+    "streaming_countmin_merge",
     "streaming_stateful_user_stats",
     "dedup_exact_groups",
     "dedup_semantic_semdedup",
     "dedup_connected_groups",
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
-    "text_doc_profile",
+    "text_encoding_audit",
     "pandas_udf_token_count",
     "q3_shipping_priority",
     "q5_region_supplier_volume",

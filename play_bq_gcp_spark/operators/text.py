@@ -774,3 +774,52 @@ def char_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def encoding_audit(documents: DataFrame) -> DataFrame:
+    """Per-document character-encoding health screen — the cheap gate
+    that catches double-encoded UTF-8 ("Ã©", "â€™"), stray replacement
+    characters, and control-character garbage before any model sees the
+    text.  All native Column expressions (length diffs over
+    regexp_replace with single-char classes + literal mojibake marker
+    counts), map-only — no shuffle except the output sort.
+
+    Flags a document when it has any control/replacement character or
+    more than one mojibake marker (a single 'Ã' can be legitimate
+    text; runs of them are statistically double-encoding).
+    """
+
+    def n_of(pat: str) -> Column:
+        # count of matches of a 1-char class = chars removed by
+        # deleting them (engine-portable; regexp_count is Spark-only)
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))
+        ).cast("long")
+
+    n_ctrl = n_of(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    n_repl = n_of("�")
+    n_moji_a = n_of("Ã")  # Ã — UTF-8 lead byte read as Latin-1
+    # 'â€' prefixes the smart-quote family under double-encoding; a
+    # two-char literal, so count via occurrence-split instead
+    n_moji_b = (F.size(F.split(F.col("text"), "â€", -1)) - 1).cast(
+        "long"
+    )
+    ascii_printable = F.length(
+        F.regexp_replace(F.col("text"), r"[^\x20-\x7e]", "")
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_total"),
+        n_ctrl.alias("n_ctrl"),
+        n_repl.alias("n_replacement"),
+        (n_moji_a + n_moji_b).alias("n_mojibake"),
+        F.round(
+            ascii_printable
+            / F.greatest(F.length("text").cast("long"), F.lit(1)),
+            4,
+        ).alias("ascii_ratio"),
+        (
+            (n_ctrl > 0) | (n_repl > 0) | ((n_moji_a + n_moji_b) > 1)
+        ).alias("suspect"),
+    ).orderBy("doc_id")

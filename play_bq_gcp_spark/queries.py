@@ -7826,3 +7826,45 @@ def streaming_countmin_merge(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.streaming.daily import countmin_stream_merge
 
     return countmin_stream_merge(spark, sf)
+
+
+@register(
+    "text_encoding_audit",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_total,
+               CAST(length(text)
+                    - length(regexp_replace(text,
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                    AS BIGINT) AS n_ctrl,
+               CAST(length(text)
+                    - length(regexp_replace(text, '�', '', 'g'))
+                    AS BIGINT) AS n_replacement,
+               CAST(length(text)
+                    - length(regexp_replace(text, 'Ã', '', 'g'))
+                    AS BIGINT)
+               + CAST(len(string_split(text, 'â€')) - 1 AS BIGINT)
+                   AS n_mojibake,
+               CAST(length(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                    AS BIGINT) AS ascii_printable
+        FROM documents
+    )
+    SELECT doc_id, n_chars_total, n_ctrl, n_replacement, n_mojibake,
+           round(ascii_printable * 1.0 / greatest(n_chars_total, 1), 4)
+               AS ascii_ratio,
+           (n_ctrl > 0 OR n_replacement > 0 OR n_mojibake > 1) AS suspect
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-encoding health screen
+    (operators/text.py:encoding_audit): control/replacement-char
+    counts, double-encoded-UTF-8 marker counts ('Ã', 'â€'), printable-
+    ascii ratio, and a suspect flag — the map-only gate that runs
+    before any tokenizer at 100 TB.  Counts are length-diffs over
+    single-char-class regexp_replace, the engine-portable formulation
+    (regexp_count is Spark-only)."""
+    from play_bq_gcp_spark.operators.text import encoding_audit
+
+    return encoding_audit(_t(spark, sf, "documents"))

@@ -1383,3 +1383,27 @@ def test_semantic_dedup_prunes_planted_copies_only(spark):
     )
     again = semantic_dedup(survivors, k=3)
     assert again.filter(~F.col("kept")).count() == 0
+
+
+def test_encoding_audit_flags_crafted_garbage(spark):
+    """Controlled fixture: clean ascii, a single legitimate 'Ã' (not
+    suspect), double-encoded mojibake, control chars, and a replacement
+    character — each classified as designed."""
+    from play_bq_gcp_spark.operators.text import encoding_audit
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "Ãle de France"),                    # one marker: legitimate
+        (3, "itâ€™s donâ€™t Ã© Ã¨"),             # double-encoded: suspect
+        (4, "bad\x01control\x02chars"),          # control chars: suspect
+        (5, "lost byte � here"),            # replacement: suspect
+        (6, ""),                                 # empty: clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in encoding_audit(df).collect()}
+    assert not got[1].suspect and got[1].ascii_ratio == 1.0
+    assert not got[2].suspect and got[2].n_mojibake == 1
+    assert got[3].suspect and got[3].n_mojibake >= 4
+    assert got[4].suspect and got[4].n_ctrl == 2
+    assert got[5].suspect and got[5].n_replacement == 1
+    assert not got[6].suspect and got[6].n_chars_total == 0

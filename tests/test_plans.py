@@ -412,6 +412,7 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "sampling_weighted_systematic": 5,    # block sums + tiny offset window + in-block window
         "agg_countmin_sketch": 3,             # d×w-bounded sketch agg + probe top-k + est agg
         "dedup_semantic_semdedup": 4,         # cluster-key pair join + drop anti side + order
+        "text_encoding_audit": 1,             # map-only + output order
     }
     for name, budget in budgets.items():
         plan = (
