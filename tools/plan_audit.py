@@ -49,6 +49,13 @@ AUDIT = [
     "dedup_casefold_exact",
     "quality_length_outliers_mad",
     "similarity_centroid_separation",
+    # round 6, session 2
+    "dedup_semantic_semdedup",
+    "agg_countmin_sketch",
+    "curation_token_budget_select",
+    "curation_shard_manifest",
+    "sampling_weighted_systematic",
+    "text_encoding_audit",
 ]
 
 
