@@ -480,6 +480,40 @@ def foreach_batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_cms_state(
+    spark: SparkSession, state_path: str, batch_df: DataFrame, epoch_id: int
+) -> None:
+    """Fold one micro-batch's CMS into parquet sketch state,
+    idempotently: state carries the max merged epoch_id, and a
+    re-delivered epoch (foreachBatch is at-least-once after a crash)
+    is skipped instead of double-counted — the additive merge alone is
+    NOT idempotent, so the guard is load-bearing."""
+    import os
+
+    from play_bq_gcp_spark.operators.aggregates import cms_table
+
+    batch_sketch = cms_table(
+        batch_df.select(F.col("user_id").cast("string").alias("tok"))
+    ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
+    if os.path.isdir(state_path):
+        old = spark.read.parquet(state_path)
+        if old.agg(F.max("epoch")).first()[0] >= epoch_id:
+            return
+        merged = (
+            old.unionByName(batch_sketch)
+            .groupBy("row", "col")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.max("epoch").alias("epoch"),
+            )
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+    else:
+        batch_sketch.write.mode("overwrite").parquet(state_path)
+
+
 def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch maintained across micro-batches: each batch
     builds its own d×w counter table (bounded partial agg) and merges
@@ -494,7 +528,15 @@ def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how many batches or how large each one is.  The source is
     the 4-chunk file stream with ``maxFilesPerTrigger=1`` (the
     stateful-suite harness), so 4 genuine merges happen — a
-    single-batch run would leave the merge branch untested."""
+    single-batch run would leave the merge branch untested.
+
+    ``foreachBatch`` is AT-LEAST-once: after a crash the restarted
+    query re-delivers the last unacknowledged epoch, and a plain
+    re-merge would double-count it (the sketch merge is additive, not
+    idempotent).  The epoch guard makes the merge idempotent: state
+    carries the last merged epoch_id and a re-delivered epoch is
+    skipped — the txn-sink discipline (streaming/txn_sink.py) applied
+    to linear-sketch state."""
     import os
 
     from play_bq_gcp_spark.operators.aggregates import (
@@ -516,21 +558,7 @@ def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_sketch = cms_table(
-            batch_df.select(F.col("user_id").cast("string").alias("tok"))
-        )
-        if os.path.isdir(state_path):
-            old = spark.read.parquet(state_path)
-            merged = (
-                old.unionByName(batch_sketch)
-                .groupBy("row", "col")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-            merged.localCheckpoint(eager=True).write.mode(
-                "overwrite"
-            ).parquet(state_path)
-        else:
-            batch_sketch.write.mode("overwrite").parquet(state_path)
+        merge_cms_state(spark, state_path, batch_df, epoch_id)
 
     with tempfile.TemporaryDirectory() as ckpt:
         q = (

@@ -637,3 +637,30 @@ def test_countmin_stream_merge_equals_batch_sketch(spark, sf_dir):
     )
     assert len(streamed) == min(20, n_users)
     assert all(r.overcount >= 0 for r in streamed)
+
+
+def test_cms_merge_epoch_guard_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering the same epoch must
+    NOT double-count (the additive sketch merge alone would).  Merge
+    epoch 0, then epoch 1, then REPLAY epoch 1 — state must equal the
+    two-epoch merge exactly; a genuinely new epoch still merges."""
+    import os
+
+    state = str(tmp_path / "cms_state")
+    b0 = spark.createDataFrame([(1,), (2,)], "user_id long")
+    b1 = spark.createDataFrame([(2,), (3,)], "user_id long")
+
+    def cells():
+        return {
+            (r.row, r.col): r.cnt
+            for r in spark.read.parquet(state).collect()
+        }
+
+    daily.merge_cms_state(spark, state, b0, 0)
+    daily.merge_cms_state(spark, state, b1, 1)
+    after_two = cells()
+    daily.merge_cms_state(spark, state, b1, 1)  # redelivery
+    assert cells() == after_two
+    daily.merge_cms_state(spark, state, b1, 2)  # genuinely new epoch
+    assert sum(cells().values()) == sum(after_two.values()) + 2 * 4
+    assert os.path.isdir(state)
