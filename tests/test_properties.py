@@ -785,3 +785,94 @@ def test_bpe_encode_stats_hand_check(spark):
     # 'xyz' never seen adjacent pairs >= 2 → stays char-level: x y z ▁
     assert out[2].n_tokens_bpe == 4 and out[2].n_symbols_char == 4
     assert out[2].compression == 1.0
+
+
+wsample_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),   # doc_id
+        st.integers(min_value=0, max_value=500),      # weight (0 allowed)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(data=wsample_rows, k=st.integers(min_value=1, max_value=12))
+@settings(**_SETTINGS)
+def test_weighted_systematic_matches_python_model(spark, data, k):
+    """The block-decomposed Spark sampler equals the naive sequential
+    model: lay weights end-to-end in id order, select each row whose
+    interval crosses a grid multiple of W/k.  Also: zero-weight rows
+    are never selected, any row with w >= W/k always is, and exactly
+    min(k, crossable) slots are covered."""
+    from play_bq_gcp_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    total = sum(w for _, w in data)
+    if total == 0:
+        return  # degenerate: no mass to sample
+    df = spark.createDataFrame(data, "doc_id long, n_chars long")
+    got = [
+        (r.doc_id, r.slot)
+        for r in weighted_systematic_sample(df, k=k).collect()
+    ]
+
+    cum, want = 0, []
+    for doc_id, w in sorted(data):
+        before = cum
+        cum += w
+        if (cum * k) // total > (before * k) // total:
+            want.append((doc_id, (before * k) // total))
+    assert got == want
+    chosen = {d for d, _ in got}
+    for doc_id, w in data:
+        if w == 0:
+            assert doc_id not in chosen
+        if w * k >= total:
+            assert doc_id in chosen
+
+
+tb_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),
+        st.lists(
+            st.sampled_from("a b c d e f g h i j".split()),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=tb_docs)
+@settings(**_SETTINGS)
+def test_token_budget_select_matches_python_model(spark, docs):
+    """The threshold-decomposed selection equals the naive greedy:
+    rank by (distinct-token score desc, id), take while tokens-so-far
+    < total//2, keep the straddler."""
+    from play_bq_gcp_spark.operators.curation import token_budget_select
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score, r.n_tokens, r.cum_tokens)
+        for r in token_budget_select(df).collect()
+    ]
+
+    ranked = sorted(
+        ((i, len(t), len(set(t))) for i, t in docs),
+        key=lambda x: (-x[2], x[0]),
+    )
+    total = sum(n for _, n, _ in ranked)
+    budget = total // 2
+    want, cum = [], 0
+    for i, n, s in ranked:
+        if cum < budget:
+            want.append((i, s, n, cum + n))
+        cum += n
+    assert got == want
