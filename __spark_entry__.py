@@ -63,7 +63,7 @@ _WINDOW = [
     "join_outer_cross_suite",
     "asof_join_pandas",
     "range_join_price_bands",
-    "agg_stats_percentiles",
+    "events_psi_feature_drift",
     "udaf_geomean_price",
     "agg_countmin_sketch",
     "streaming_session_windows",

@@ -429,3 +429,107 @@ def ewma_daily(
         )
         .orderBy(key_col, "day")
     )
+
+
+def psi_feature_drift(
+    events: DataFrame,
+    ref_type: str = "purchase",
+    cur_type: str = "view",
+    n_bins: int = 10,
+    value_col: str = "value",
+) -> DataFrame:
+    """Population Stability Index of a numeric feature between a
+    reference and a current population — the standard monitoring
+    metric for "did this feature's distribution move" (rule of thumb:
+    PSI < 0.1 calm, 0.1-0.25 shifting, > 0.25 drifted).  Completes the
+    drift family next to the token-distribution KL/TV entry
+    (text.split_divergence): that one watches vocabulary, this one
+    watches a numeric feature against REFERENCE-period bins.
+
+    Integer-exact throughout: values quantize to ``floor(v*10)`` grid
+    longs; bin edges are reference deciles computed type-1 (no
+    interpolation) from the reference's integer histogram — bounded by
+    the value grid, never row count — with edge i the smallest grid
+    value whose cumulative count reaches ``ceil(i·n_ref/n_bins)``;
+    binning is "count of edges ≤ v", resolved per DISTINCT grid value
+    against the broadcast ≤ n_bins-1 edge rows.  Per-bin contributions
+    use add-1 smoothing and floor to integer 1e-9 units BEFORE summing
+    (the split_divergence discipline: order-independent, engine-
+    portable).
+
+    Scale: one scan to histogram both populations (shuffle keyed on
+    the bounded value grid), tiny windows over histogram rows only, a
+    broadcast edge join per distinct grid value — no global sort, no
+    collect.  Returns one row per occupied bin with both counts and
+    the PSI contribution; ``sum(psi_contrib_nanos)`` is the PSI in
+    nanos.
+    """
+    vq = F.floor(F.col(value_col) * 10).cast("long")
+    hv = (
+        events.filter(F.col("event_type").isin([ref_type, cur_type]))
+        .select(
+            (F.col("event_type") == ref_type).alias("is_ref"),
+            vq.alias("vq"),
+        )
+        .groupBy("is_ref", "vq")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy().orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    whole = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # reference decile edges from the (bounded) reference histogram
+    cum = hv.filter("is_ref").select(
+        "vq",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(whole).alias("n_ref"),
+    )
+    thresholds = events.sparkSession.range(1, n_bins).select(
+        F.col("id").alias("i")
+    )
+    edges = (
+        cum.crossJoin(F.broadcast(thresholds))
+        .selectExpr("vq", "cum", f"-((-i * n_ref) div {n_bins}) AS need")
+        .filter(F.col("cum") >= F.col("need"))
+        .groupBy("need")
+        .agg(F.min("vq").alias("edge"))
+        .select("edge")
+        .distinct()
+    )
+    # bin id per DISTINCT grid value = number of edges at or below it
+    vq_bins = (
+        hv.select("vq")
+        .distinct()
+        .join(F.broadcast(edges), F.col("vq") >= F.col("edge"), "left")
+        .groupBy("vq")
+        .agg(F.count("edge").cast("int").alias("bin"))
+    )
+    per_bin = (
+        hv.join(vq_bins, "vq")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("c")).otherwise(0)).alias(
+                "ref_n"
+            ),
+            F.sum(
+                F.when(~F.col("is_ref"), F.col("c")).otherwise(0)
+            ).alias("cur_n"),
+        )
+    )
+    tot = per_bin.select(
+        F.sum("ref_n").alias("t_ref"),
+        F.sum("cur_n").alias("t_cur"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    p = (F.col("ref_n") + 1) / (F.col("t_ref") + F.col("k"))
+    q = (F.col("cur_n") + 1) / (F.col("t_cur") + F.col("k"))
+    contrib = F.floor((p - q) * F.log(p / q) * 1e9).cast("long")
+    return j.select(
+        "bin",
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        contrib.alias("psi_contrib_nanos"),
+    ).orderBy("bin")

@@ -7868,3 +7868,68 @@ def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.text import encoding_audit
 
     return encoding_audit(_t(spark, sf, "documents"))
+
+
+@register(
+    "events_psi_feature_drift",
+    """
+    WITH b AS (
+        SELECT (event_type = 'purchase') AS is_ref,
+               CAST(floor(value * 10) AS BIGINT) AS vq
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    hv AS (SELECT is_ref, vq, count(*) AS c FROM b GROUP BY is_ref, vq),
+    cum AS (
+        SELECT vq,
+               sum(c) OVER (ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n_ref
+        FROM hv WHERE is_ref
+    ),
+    edges AS (
+        SELECT DISTINCT edge FROM (
+            SELECT need, min(vq) AS edge
+            FROM (SELECT c.vq, c.cum, -((-t.i * c.n_ref) // 10) AS need
+                  FROM cum c
+                  CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t)
+            WHERE cum >= need GROUP BY need
+        )
+    ),
+    vq_bins AS (
+        SELECT h.vq, CAST(count(e.edge) AS INTEGER) AS bin
+        FROM (SELECT DISTINCT vq FROM hv) h
+        LEFT JOIN edges e ON h.vq >= e.edge
+        GROUP BY h.vq
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN is_ref THEN c ELSE 0 END) AS BIGINT)
+                   AS ref_n,
+               CAST(sum(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS BIGINT)
+                   AS cur_n
+        FROM hv JOIN vq_bins USING (vq) GROUP BY bin
+    ),
+    tot AS (
+        SELECT sum(ref_n) AS t_ref, sum(cur_n) AS t_cur, count(*) AS k
+        FROM per_bin
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT)
+               AS psi_contrib_nanos
+    FROM (SELECT bin, ref_n, cur_n,
+                 (ref_n + 1) * 1.0 / (t_ref + k) AS p,
+                 (cur_n + 1) * 1.0 / (t_cur + k) AS q
+          FROM per_bin CROSS JOIN tot)
+    ORDER BY bin
+    """,
+)
+def events_psi_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI numeric-feature drift
+    (operators/behavior.py:psi_feature_drift): purchase-value
+    distribution as reference, view-value as current, reference-decile
+    bins (type-1, integer-exact), per-bin add-1-smoothed contributions
+    floored to 1e-9 units.  Completes the drift family next to the
+    token KL/TV entry."""
+    from play_bq_gcp_spark.operators.behavior import psi_feature_drift
+
+    return psi_feature_drift(_t(spark, sf, "events"))

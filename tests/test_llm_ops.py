@@ -1407,3 +1407,44 @@ def test_encoding_audit_flags_crafted_garbage(spark):
     assert got[4].suspect and got[4].n_ctrl == 2
     assert got[5].suspect and got[5].n_replacement == 1
     assert not got[6].suspect and got[6].n_chars_total == 0
+
+
+def test_psi_feature_drift_properties(spark):
+    """PSI invariants on controlled fixtures: (a) comparing a
+    population against an identically-distributed one gives PSI ≈ 0;
+    (b) a shifted current population gives clearly positive PSI;
+    (c) reference decile bins hold near-equal reference mass."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.behavior import psi_feature_drift
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, etype, value):
+        return (eid, t0, eid % 7, etype, float(value), "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    # same distribution on both sides (values 1..200 each)
+    same = [ev(i, "purchase", (i % 200) + 1) for i in range(1000)] + [
+        ev(10_000 + i, "view", (i % 200) + 1) for i in range(1000)
+    ]
+    out = psi_feature_drift(spark.createDataFrame(same, schema)).collect()
+    psi_same = sum(r.psi_contrib_nanos for r in out) / 1e9
+    assert abs(psi_same) < 0.01
+    ref_per_bin = [r.ref_n for r in out]
+    assert max(ref_per_bin) - min(ref_per_bin) <= 100  # near-even deciles
+
+    # shifted current population (values 150..350)
+    shifted = [ev(i, "purchase", (i % 200) + 1) for i in range(1000)] + [
+        ev(10_000 + i, "view", (i % 200) + 150) for i in range(1000)
+    ]
+    out2 = psi_feature_drift(
+        spark.createDataFrame(shifted, schema)
+    ).collect()
+    psi_shift = sum(r.psi_contrib_nanos for r in out2) / 1e9
+    assert psi_shift > 0.25

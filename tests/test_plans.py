@@ -413,6 +413,9 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "agg_countmin_sketch": 3,             # d×w-bounded sketch agg + probe top-k + est agg
         "dedup_semantic_semdedup": 4,         # cluster-key pair join + drop anti side + order
         "text_encoding_audit": 1,             # map-only + output order
+        # every exchange past the first histogram agg moves grid-bounded
+        # rows (≤ value_range·10), not data; AQE reuses the scan subtree
+        "events_psi_feature_drift": 19,
     }
     for name, budget in budgets.items():
         plan = (
