@@ -55,7 +55,7 @@ _WINDOW = [
     # -- stalest attestations: r3 vintage (full cohort) -------------------
     "agg_distinct_collect",
     "semi_join_customers",
-    "anti_join_customers",
+    "scan_federated_union",
     "snapshot_delta_events",
     "merge_scd2",
     "window_rank_topk",

@@ -7933,3 +7933,69 @@ def events_psi_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.behavior import psi_feature_drift
 
     return psi_feature_drift(_t(spark, sf, "events"))
+
+
+_FED_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_federated_union",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'csv' WHEN 1 THEN 'orc'
+           ELSE 'parquet' END AS fmt,
+           lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY fmt, lang ORDER BY fmt, lang
+    """,
+)
+def scan_federated_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Federated multi-format read (§2.1 breadth): one logical corpus
+    physically split across parquet, CSV, and ORC landings (the
+    lakehouse edge where yesterday's ingest is CSV, the archive is
+    ORC, and the native layout is parquet), read back with explicit
+    schemas — never inferSchema — unioned by name with a provenance
+    column, and aggregated per (format, lang).  The oracle's CASE over
+    doc_id%3 restates which rows landed where, so a format that
+    dropped or mangled rows breaks the counts."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    if sf not in _FED_DIRS:
+        d = tempfile.mkdtemp(prefix="federated_")
+        docs.filter(F.col("doc_id") % 3 == 0).write.option(
+            "header", True
+        ).csv(os.path.join(d, "csv"))
+        docs.filter(F.col("doc_id") % 3 == 1).write.orc(
+            os.path.join(d, "orc")
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).write.parquet(
+            os.path.join(d, "parquet")
+        )
+        _FED_DIRS[sf] = d
+    d = _FED_DIRS[sf]
+    schema = "doc_id long, lang string, n_chars long"
+    parts = [
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(d, "csv"))
+        .withColumn("fmt", F.lit("csv")),
+        spark.read.schema(schema)
+        .orc(os.path.join(d, "orc"))
+        .withColumn("fmt", F.lit("orc")),
+        spark.read.schema(schema)
+        .parquet(os.path.join(d, "parquet"))
+        .withColumn("fmt", F.lit("parquet")),
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy("fmt", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("fmt", "lang")
+    )

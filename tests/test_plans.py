@@ -416,6 +416,7 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         # every exchange past the first histogram agg moves grid-bounded
         # rows (≤ value_range·10), not data; AQE reuses the scan subtree
         "events_psi_feature_drift": 19,
+        "scan_federated_union": 2,            # tri-format union agg + order
     }
     for name, budget in budgets.items():
         plan = (
