@@ -975,6 +975,14 @@ def semantic_dedup(
         ).alias("v"),
     )
     cents = [list(r.v) for r in vq.orderBy("vec_id").limit(k).collect()]
+    if not cents:
+        # empty corpus: nothing to cluster or prune
+        return vq.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(True).alias("kept"),
+        )
+    k = len(cents)  # corpus smaller than k: every vector seeds a cluster
     dim = len(cents[0])
 
     def assign(df: DataFrame, cs: list[list[int]]) -> DataFrame:

@@ -146,9 +146,12 @@ def weighted_systematic_sample(
         "doc_id", "w", cum, "total_w"
     )
     # row selected iff its weight interval (cum-w, cum] crosses a grid
-    # point i*W/k — equivalently the integer floor of cum*k/W advances
+    # point i*W/k — equivalently the integer floor of cum*k/W advances.
+    # total_w = 0 (all-zero weights) has no mass to sample: the guard
+    # returns empty instead of dividing by zero
     return (
-        scored.selectExpr(
+        scored.filter(F.col("total_w") > 0)
+        .selectExpr(
             "doc_id",
             "w",
             "cum_w",

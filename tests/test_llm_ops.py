@@ -1448,3 +1448,30 @@ def test_psi_feature_drift_properties(spark):
     ).collect()
     psi_shift = sum(r.psi_contrib_nanos for r in out2) / 1e9
     assert psi_shift > 0.25
+
+
+def test_semantic_dedup_degenerate_inputs(spark):
+    """Empty corpus returns empty; a corpus smaller than k clusters on
+    what exists (every vector seeds its own cluster, all kept)."""
+    from play_bq_gcp_spark.operators.dedup import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(empty, k=4).count() == 0
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(tiny, k=8).collect()
+    assert [(r.vec_id, r.kept) for r in out] == [(1, True), (2, True)]
+
+
+def test_weighted_systematic_all_zero_weights_returns_empty(spark):
+    from play_bq_gcp_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id long, n_chars long"
+    )
+    assert weighted_systematic_sample(df, k=5).count() == 0
