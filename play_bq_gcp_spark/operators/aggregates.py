@@ -325,14 +325,16 @@ def countmin_sketch(tokens_df: DataFrame, tok_col: str = "t") -> DataFrame:
     property streaming inherits for free — see
     streaming/daily.py:countmin_stream_merge).  The probe join
     broadcasts the d×w table; only ``CMS_PROBE_K`` audit rows leave."""
-    d = CMS_DEPTH
-
-    def col_for(tok, row: int):
-        return cms_hash_col(tok, row)
-
     toks = tokens_df.select(F.col(tok_col).alias("tok"))
-    sketch = cms_table(toks)
+    return cms_probe(cms_table(toks), toks)
 
+
+def cms_probe(sketch: DataFrame, toks: DataFrame) -> DataFrame:
+    """Accuracy audit of a CMS counter table: exact counts for the
+    ``CMS_PROBE_K`` most frequent tokens (ties by token), estimates as
+    min-across-rows via a broadcast join against the ≤ d·w sketch, and
+    the guaranteed-nonnegative overcount.  Shared by the batch operator
+    and the streaming merge so the audit contract cannot diverge."""
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
@@ -343,11 +345,15 @@ def countmin_sketch(tokens_df: DataFrame, tok_col: str = "t") -> DataFrame:
         "tok",
         "exact_n",
         F.posexplode(
-            F.array(*[col_for(F.col("tok"), r) for r in range(d)])
+            F.array(
+                *[cms_hash_col(F.col("tok"), r) for r in range(CMS_DEPTH)]
+            )
         ).alias("row", "col"),
     )
     est = (
-        probe_cells.join(F.broadcast(sketch), ["row", "col"])
+        probe_cells.join(
+            F.broadcast(sketch.select("row", "col", "cnt")), ["row", "col"]
+        )
         .groupBy("tok", "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )

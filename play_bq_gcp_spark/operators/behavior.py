@@ -466,7 +466,11 @@ def psi_feature_drift(
     """
     vq = F.floor(F.col(value_col) * 10).cast("long")
     hv = (
+        # NULL feature values carry no mass — and their window-sort
+        # placement differs between engines (Spark NULLS FIRST, DuckDB
+        # NULLS LAST), so they must not reach the cumulative histogram
         events.filter(F.col("event_type").isin([ref_type, cur_type]))
+        .filter(F.col(value_col).isNotNull())
         .select(
             (F.col("event_type") == ref_type).alias("is_ref"),
             vq.alias("vq"),
@@ -491,7 +495,14 @@ def psi_feature_drift(
     )
     edges = (
         cum.crossJoin(F.broadcast(thresholds))
-        .selectExpr("vq", "cum", f"-((-i * n_ref) div {n_bins}) AS need")
+        .selectExpr(
+            # true ceiling: (a + b - 1) div b — the negate-and-divide
+            # idiom is a no-op under truncating div (Spark div and
+            # DuckDB // both truncate toward zero)
+            "vq",
+            "cum",
+            f"(i * n_ref + {n_bins - 1}) div {n_bins} AS need",
+        )
         .filter(F.col("cum") >= F.col("need"))
         .groupBy("need")
         .agg(F.min("vq").alias("edge"))

@@ -122,10 +122,17 @@ def weighted_systematic_sample(
     Returns the selected rows with their weight, end-of-row cumulative
     weight, and the (0-based) first grid slot each one covers.
     """
-    d = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).withColumn("block", F.expr(f"doc_id div {2 ** block_bits}"))
+    d = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        # rows with no positive mass cannot be drawn; a NEGATIVE weight
+        # would make the cumulative sum non-monotone and silently
+        # corrupt every later grid crossing, so it is excluded too
+        .filter(F.col("w") > 0)
+        .withColumn("block", F.expr(f"doc_id div {2 ** block_bits}"))
+    )
     blocks = d.groupBy("block").agg(F.sum("w").alias("block_w"))
     wblk = Window.partitionBy().orderBy("block").rowsBetween(
         Window.unboundedPreceding, -1

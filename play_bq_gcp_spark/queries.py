@@ -7573,6 +7573,7 @@ def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH d AS (
         SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+        WHERE n_chars > 0
     ),
     c AS (
         SELECT doc_id, w,
@@ -7876,7 +7877,8 @@ def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
     WITH b AS (
         SELECT (event_type = 'purchase') AS is_ref,
                CAST(floor(value * 10) AS BIGINT) AS vq
-        FROM events WHERE event_type IN ('purchase', 'view')
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
     ),
     hv AS (SELECT is_ref, vq, count(*) AS c FROM b GROUP BY is_ref, vq),
     cum AS (
@@ -7889,7 +7891,7 @@ def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
     edges AS (
         SELECT DISTINCT edge FROM (
             SELECT need, min(vq) AS edge
-            FROM (SELECT c.vq, c.cum, -((-t.i * c.n_ref) // 10) AS need
+            FROM (SELECT c.vq, c.cum, (t.i * c.n_ref + 9) // 10 AS need
                   FROM cum c
                   CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t)
             WHERE cum >= need GROUP BY need

@@ -539,12 +539,7 @@ def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     to linear-sketch state."""
     import os
 
-    from play_bq_gcp_spark.operators.aggregates import (
-        CMS_DEPTH,
-        CMS_PROBE_K,
-        cms_hash_col,
-        cms_table,
-    )
+    from play_bq_gcp_spark.operators.aggregates import cms_probe
     from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
 
     state_dir = tempfile.mkdtemp(prefix="cms_state_")
@@ -570,35 +565,10 @@ def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     sketch = spark.read.parquet(state_path)
-    exact = (
-        read_table(spark, sf_dir, "events")
-        .select(F.col("user_id").cast("string").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), "tok")
-        .limit(CMS_PROBE_K)
+    toks = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("tok")
     )
-    probe_cells = exact.select(
-        "tok",
-        "exact_n",
-        F.posexplode(
-            F.array(
-                *[cms_hash_col(F.col("tok"), r) for r in range(CMS_DEPTH)]
-            )
-        ).alias("row", "col"),
-    )
-    return (
-        probe_cells.join(F.broadcast(sketch), ["row", "col"])
-        .groupBy("tok", "exact_n")
-        .agg(F.min("cnt").alias("cms_est"))
-        .select(
-            "tok",
-            "exact_n",
-            "cms_est",
-            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
-        )
-        .orderBy(F.col("exact_n").desc(), "tok")
-    )
+    return cms_probe(sketch, toks)
 
 
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

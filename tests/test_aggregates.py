@@ -203,32 +203,18 @@ def test_countmin_never_undercounts_and_merges_linearly(spark, sf_dir):
     assert all(r.overcount >= 0 for r in audit)
     assert all(r.cms_est == r.exact_n + r.overcount for r in audit)
 
-    # linearity: cell-wise sum of half-sketches == whole sketch
-    from pyspark.sql import functions as SF
-
-    d, w = 4, 256
+    # linearity: cell-wise sum of half-sketches == whole sketch —
+    # built with the PRODUCTION cms_table, so a change to the hash
+    # derivation or the CMS_* constants is exercised here, not against
+    # a private re-implementation
+    from play_bq_gcp_spark.operators.aggregates import cms_table
 
     def sketch_cells(df):
-        def col_for(tok, row):
-            return (
-                SF.conv(
-                    SF.substring(SF.md5(SF.concat(tok, SF.lit(f"#{row}"))), 1, 7),
-                    16,
-                    10,
-                ).cast("long")
-                % w
-            )
-
-        c = df.select(
-            SF.posexplode(
-                SF.array(*[col_for(SF.col("t"), r) for r in range(d)])
-            ).alias("row", "col")
-        )
         return {
             (r.row, r.col): r.cnt
-            for r in c.groupBy("row", "col")
-            .agg(SF.count(SF.lit(1)).alias("cnt"))
-            .collect()
+            for r in cms_table(
+                df.select(F.col("t").alias("tok"))
+            ).collect()
         }
 
     whole = sketch_cells(toks)
