@@ -1,0 +1,373 @@
+"""Adversarial fixture generator for differential fuzzing.
+
+The oracle contract (queries.py) is data-independent: every entry's
+Spark plan and DuckDB SQL compute the same function, so they must agree
+on ANY schema-compatible input, not just the driver's fixtures.  This
+tool generates seeded random fixture directories that keep the schemas
+and the handful of structural invariants entries genuinely require
+(vec_id=0 exists for the ANN query vector; every event_type occurs;
+n_chars == length(text); 64-dim embeddings with non-degenerate norms)
+while deliberately injecting the edge cases the calm fixtures lack:
+
+* empty strings, single-token and 2k-token documents, CJK/emoji/
+  accented unicode, mojibake markers, punctuation-only and digit-only
+  text, exact duplicate texts;
+* negative / zero / extreme numeric values, discount exactly on the
+  0.05/0.07 predicate boundaries, shipdates straddling the q1/q12
+  cutoffs;
+* dangling foreign keys (the referential-integrity audit must COUNT
+  them identically, not assume zero);
+* duplicate event timestamps (window tie-break discipline), users with
+  clicks but no purchases and vice versa (outer-join null paths);
+* NULL event values and NULL props (aggregation null-skip paths).
+
+Usage: python tools/fuzz_fixture.py SEED OUT_DIR
+Then:  python tools/compare.py OUT_DIR          # full differential
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import random
+import sys
+
+import pandas as pd
+
+EDGE_TEXTS = [
+    "",
+    "x",
+    "the the the the the the the the",
+    "café naïve résumé über",
+    "日本語のテキスト 中文文本",
+    "emoji \U0001f600 \U0001f680 mixed ascii",
+    "itâ€TMs donâ€TMt Ã©",
+    "!!! ??? ... ---",
+    "12345 67890 00001",
+    "MiXeD CaSe ToKeNs MiXeD CaSe",
+    "tab\tseparated\tand  double  spaced",
+    "trailing space ",
+]
+
+
+def _texts(rng: random.Random, n: int) -> list[str]:
+    vocab = [
+        f"w{i}" for i in range(40)
+    ] + "alpha beta gamma delta epsilon data spark query".split()
+    out = []
+    for i in range(n):
+        if i < len(EDGE_TEXTS):
+            out.append(EDGE_TEXTS[i])
+        elif i == len(EDGE_TEXTS):
+            out.append(" ".join(rng.choices(vocab, k=2000)))  # long doc
+        else:
+            out.append(" ".join(rng.choices(vocab, k=rng.randint(3, 60))))
+    # exact duplicates (dedup paths must agree on them)
+    for j in range(0, n, 17):
+        if j + 1 < n:
+            out[j + 1] = out[j]
+    return out
+
+
+def build(seed: int, out: str) -> None:
+    rng = random.Random(seed)
+    os.makedirs(out, exist_ok=True)
+
+    def w(name: str, df: pd.DataFrame) -> None:
+        # driver fixtures are microsecond timestamps; pandas defaults
+        # to ns, which would smuggle a TIMESTAMP(NANOS) difference into
+        # every time-typed comparison — normalize before writing
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+        df.to_parquet(os.path.join(out, f"{name}.parquet"), index=False)
+
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    w(
+        "region",
+        pd.DataFrame(
+            {
+                "r_regionkey": pd.array(range(5), dtype="int32"),
+                "r_name": regions,
+            }
+        ),
+    )
+    w(
+        "nation",
+        pd.DataFrame(
+            {
+                "n_nationkey": pd.array(range(25), dtype="int32"),
+                "n_name": [f"NATION{i:02d}" for i in range(25)],
+                "n_regionkey": pd.array(
+                    [rng.randrange(5) for _ in range(25)], dtype="int32"
+                ),
+            }
+        ),
+    )
+
+    n_cust = 150
+    segs = ["AUTOMOBILE", "FURNITURE", "MACHINERY", "HOUSEHOLD", "BUILDING"]
+    w(
+        "customer",
+        pd.DataFrame(
+            {
+                "c_custkey": pd.array(
+                    [i * 2 + 1 for i in range(n_cust)], dtype="int64"
+                ),  # gappy keys
+                "c_name": [
+                    f"Customer#{i:09d}" if i % 23 else f"Custéomer#{i}"
+                    for i in range(n_cust)
+                ],
+                # a few dangling nation FKs (25..27)
+                "c_nationkey": pd.array(
+                    [
+                        rng.randrange(28) if i % 31 == 0 else rng.randrange(25)
+                        for i in range(n_cust)
+                    ],
+                    dtype="int32",
+                ),
+                "c_acctbal": [
+                    round(rng.uniform(-999.99, 9999.99), 2)
+                    if i % 13
+                    else 0.0
+                    for i in range(n_cust)
+                ],
+                "c_mktsegment": [
+                    rng.choice(segs) for _ in range(n_cust)
+                ],
+            }
+        ),
+    )
+
+    n_supp = 20
+    w(
+        "supplier",
+        pd.DataFrame(
+            {
+                "s_suppkey": pd.array(range(1, n_supp + 1), dtype="int64"),
+                "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+                "s_nationkey": pd.array(
+                    [rng.randrange(25) for _ in range(n_supp)], dtype="int32"
+                ),
+                "s_acctbal": [
+                    round(rng.uniform(-100.0, 5000.0), 2)
+                    for _ in range(n_supp)
+                ],
+            }
+        ),
+    )
+
+    n_part = 60
+    types = [
+        "STANDARD POLISHED BRASS",
+        "SMALL PLATED COPPER",
+        "PROMO BURNISHED STEEL",
+        "ECONOMY ANODIZED TIN",
+        "MEDIUM BRUSHED NICKEL",
+        "PROMO PLATED BRASS",
+    ]
+    brands = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+    w(
+        "part",
+        pd.DataFrame(
+            {
+                "p_partkey": pd.array(range(1, n_part + 1), dtype="int64"),
+                "p_name": [
+                    f"part {rng.choice(['green', 'red', 'ivory', 'navy'])}"
+                    f" item {i}"
+                    for i in range(n_part)
+                ],
+                "p_brand": [rng.choice(brands) for _ in range(n_part)],
+                "p_type": [rng.choice(types) for _ in range(n_part)],
+                "p_size": pd.array(
+                    [rng.randint(1, 50) for _ in range(n_part)],
+                    dtype="int32",
+                ),
+                "p_retailprice": [
+                    round(rng.uniform(900.0, 2000.0), 2)
+                    for _ in range(n_part)
+                ],
+            }
+        ),
+    )
+
+    n_ord = 400
+    custkeys = [i * 2 + 1 for i in range(n_cust)]
+    base = dt.datetime(1995, 1, 1)
+    w(
+        "orders",
+        pd.DataFrame(
+            {
+                "o_orderkey": pd.array(range(1, n_ord + 1), dtype="int64"),
+                # a few dangling customer FKs
+                "o_custkey": pd.array(
+                    [
+                        999_999 if i % 97 == 0 else rng.choice(custkeys)
+                        for i in range(n_ord)
+                    ],
+                    dtype="int64",
+                ),
+                "o_orderstatus": [
+                    rng.choice(["F", "O", "P"]) for _ in range(n_ord)
+                ],
+                "o_totalprice": [
+                    round(rng.uniform(1000.0, 400000.0), 2)
+                    for _ in range(n_ord)
+                ],
+                "o_orderdate": [
+                    base + dt.timedelta(days=rng.randint(0, 2400))
+                    for _ in range(n_ord)
+                ],
+                "o_orderpriority": [
+                    rng.choice(
+                        [
+                            "1-URGENT",
+                            "2-HIGH",
+                            "3-MEDIUM",
+                            "4-NOT SPECIFIED",
+                            "5-LOW",
+                        ]
+                    )
+                    for _ in range(n_ord)
+                ],
+            }
+        ),
+    )
+
+    n_li = 1500
+    cutoff = dt.datetime(2001, 9, 2)
+    rows = []
+    for i in range(n_li):
+        ok = rng.randint(1, n_ord)
+        ship = cutoff + dt.timedelta(
+            days=rng.randint(-2000, 60)  # straddles the q1 cutoff
+        )
+        rows.append(
+            (
+                ok,
+                rng.randint(1, n_part),
+                rng.randint(1, n_supp),
+                rng.randint(1, 7),
+                float(rng.randint(1, 50)),
+                round(rng.uniform(900.0, 90000.0), 2),
+                # land EXACTLY on the q19/q6-style predicate boundaries
+                rng.choice([0.0, 0.01, 0.05, 0.06, 0.07, 0.1]),
+                round(rng.uniform(0.0, 0.08), 2),
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["F", "O"]),
+                ship,
+            )
+        )
+    w(
+        "lineitem",
+        pd.DataFrame(
+            rows,
+            columns=[
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            ],
+        ).astype(
+            {
+                "l_orderkey": "int64",
+                "l_partkey": "int64",
+                "l_suppkey": "int64",
+                "l_linenumber": "int32",
+            }
+        ),
+    )
+
+    n_ev = 2500
+    t0 = dt.datetime(2024, 1, 1)
+    types_ev = ["click", "error", "purchase", "signup", "view"]
+    ev_rows = []
+    for i in range(n_ev):
+        # duplicate timestamps in bursts; same-user click/purchase
+        # pairs inside and outside the 30-min interval-join band
+        ts = t0 + dt.timedelta(
+            seconds=rng.randint(0, 30 * 24 * 3600)
+        )
+        if i % 41 == 0 and ev_rows:
+            ts = ev_rows[-1][1]  # exact tie
+        etype = types_ev[i % 5] if i < 25 else rng.choice(types_ev)
+        val = rng.choice(
+            [0.0, 0.01, round(rng.uniform(0.01, 490.0), 2), 490.02]
+        )
+        if i % 203 == 0:
+            val = None  # null value: aggregation null-skip paths
+        props = None if i % 211 == 0 else '{"k": %d}' % rng.randint(0, 99)
+        ev_rows.append(
+            (i + 1, ts, rng.randint(1, 40), etype, val, props)
+        )
+    w(
+        "events",
+        pd.DataFrame(
+            ev_rows,
+            columns=[
+                "event_id",
+                "ts",
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            ],
+        ).astype({"event_id": "int64", "user_id": "int64"}),
+    )
+
+    n_doc = 150
+    texts = _texts(rng, n_doc)
+    langs = ["en", "de", "fr", "es", "ja", "zz"]
+    w(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": pd.array(range(n_doc), dtype="int64"),
+                "text": texts,
+                "lang": [rng.choice(langs) for _ in range(n_doc)],
+                "source": [f"src{rng.randrange(20)}" for _ in range(n_doc)],
+                # invariant entries rely on: n_chars == length(text)
+                "n_chars": pd.array(
+                    [len(t) for t in texts], dtype="int64"
+                ),
+            }
+        ),
+    )
+
+    n_vec = 80
+    vecs = []
+    for i in range(n_vec):
+        v = [rng.gauss(0.0, 1.0) for _ in range(64)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        v = [x / nrm for x in v]
+        if i % 19 == 1 and vecs:
+            v = list(vecs[-1][1])  # exact duplicate vector
+        vecs.append((i, v, rng.randrange(10)))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in vecs], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/fuzz_sf_{seed}"
+    build(seed, out)
+    print(out)
