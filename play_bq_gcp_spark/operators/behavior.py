@@ -455,7 +455,13 @@ def psi_feature_drift(
     against the broadcast ≤ n_bins-1 edge rows.  Per-bin contributions
     use add-1 smoothing and floor to integer 1e-9 units BEFORE summing
     (the split_divergence discipline: order-independent, engine-
-    portable).
+    portable).  Caveat shared with split_divergence: the contribution
+    still passes through ``ln`` once, and Java ``Math.log`` vs
+    DuckDB's libm ``log`` are not guaranteed bit-identical — a
+    last-ulp difference could flip a floored nano when the true value
+    sits exactly on a 1e-9 grid line.  Accepted tradeoff (never
+    observed across the differential sweeps); keep fuzz seeds in the
+    sweep so a flip would surface as a hash mismatch, not silently.
 
     Scale: one scan to histogram both populations (shuffle keyed on
     the bounded value grid), tiny windows over histogram rows only, a

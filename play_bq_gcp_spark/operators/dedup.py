@@ -955,6 +955,16 @@ def semantic_dedup(
     test is the cross-multiplied form ``thr_den²·dot² ≥
     thr_num²·|a|²·|b|²`` (dot ≥ 0) — no sqrt, no float.
 
+    Int64 headroom assumption: the cross-multiplied test stays exact
+    only while ``thr_den²·dot²`` fits a signed 64-bit value, i.e.
+    |dot| ≤ ~3e8 at the default ``thr_den=100`` — guaranteed for
+    roughly-unit-norm inputs quantized at ``scale=1000`` (|dot| ≤
+    dim·scale² = 6.4e7 at dim 64) but NOT for arbitrary-magnitude
+    embeddings, where Spark (non-ANSI) would wrap silently while
+    DuckDB raises on BIGINT overflow.  Callers with unnormalized
+    vectors must lower ``scale`` (keep dim·scale²·thr_den² < 2⁶³)
+    or L2-normalize upstream; the fixtures and oracle run unit-norm.
+
     Scale shape: centroids are a bounded model — init is the first
     ``k`` ids' vectors, each Lloyd round collects only k×dim partial
     sums (the IVF precedent: model rows, never data rows) and

@@ -23,6 +23,7 @@ from play_bq_gcp_spark.functions.scalar import (
 from play_bq_gcp_spark.operators import aggregates, merge, relational
 from play_bq_gcp_spark.operators import similarity as _sim
 from play_bq_gcp_spark.sources.rest_api import trophy_document
+from play_bq_gcp_spark.scratch import scratch_dir
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -907,7 +908,7 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
     )
     if sf not in _FORMAT_DIRS:
-        d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+        d = scratch_dir("fmt_roundtrip_")
         slice_df.write.option("header", True).csv(os.path.join(d, "csv"))
         slice_df.write.json(os.path.join(d, "jsonl"))
         _FORMAT_DIRS[sf] = d
@@ -970,7 +971,7 @@ def _prepare_pruned_layout(spark: SparkSession, sf: str) -> str:
     from play_bq_gcp_spark.catalog import overwrite, read_table
 
     if sf not in _PRUNED_DIRS:
-        d = tempfile.mkdtemp(prefix="events_by_date_")
+        d = scratch_dir("events_by_date_")
         ev = read_table(spark, sf, "events").withColumn("date", F.to_date("ts"))
         overwrite(ev, d, partition_by=["date"])
         _PRUNED_DIRS[sf] = d
@@ -6238,7 +6239,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     if sf not in _ORC_DIRS:
-        d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+        d = scratch_dir("orc_roundtrip_")
         slice_df.write.orc(os.path.join(d, "orc"))
         _ORC_DIRS[sf] = d
     schema = "o_orderkey long, o_orderstatus string, cents long"
@@ -7965,7 +7966,7 @@ def scan_federated_union(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     if sf not in _FED_DIRS:
-        d = tempfile.mkdtemp(prefix="federated_")
+        d = scratch_dir("federated_")
         docs.filter(F.col("doc_id") % 3 == 0).write.option(
             "header", True
         ).csv(os.path.join(d, "csv"))

@@ -1,0 +1,29 @@
+"""Process-scoped scratch directories with guaranteed cleanup.
+
+Several registry entries and streaming harnesses materialize small
+fixture landings (format round-trips, chunked stream sources, sketch
+state) into ``mkdtemp`` directories that are cached for the process
+lifetime so repeated calls at the same scale factor reuse one landing.
+A bare ``mkdtemp`` leaks those directories when the process exits;
+``scratch_dir`` registers each one for ``atexit`` removal so the cache
+semantics stay identical (live for the whole process, shared across
+calls) but nothing survives the interpreter.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` that self-removes at interpreter exit.
+
+    ``ignore_errors`` because a dir may already be gone (staging dirs
+    renamed away) or busy on a crashed run — cleanup is best-effort,
+    never a new failure mode at exit time.
+    """
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -29,6 +29,7 @@ from play_bq_gcp_spark.catalog import (
     read_table,
     table_path,
 )
+from play_bq_gcp_spark.scratch import scratch_dir
 
 
 _STREAM_DIRS: dict[str, str] = {}
@@ -45,7 +46,7 @@ def _as_stream_dir(sf_dir: str) -> str:
     import os
 
     if sf_dir not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = scratch_dir("events_stream_")
         src = table_path(sf_dir, "events")
         if os.path.isdir(src):
             for f in sorted(os.listdir(src)):
@@ -431,7 +432,7 @@ def foreach_batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline's upsert (main.py:256-287)."""
     import os
 
-    state_dir = tempfile.mkdtemp(prefix="user_stats_")
+    state_dir = scratch_dir("user_stats_")
     state_path = os.path.join(state_dir, "user_stats")
     ev = read_events_stream(spark, sf_dir)
 
@@ -497,7 +498,11 @@ def merge_cms_state(
     ).withColumn("epoch", F.lit(int(epoch_id)).cast("long"))
     if os.path.isdir(state_path):
         old = spark.read.parquet(state_path)
-        if old.agg(F.max("epoch")).first()[0] >= epoch_id:
+        # max(epoch) is NULL (Python None) when a prior empty
+        # micro-batch wrote a zero-row state file — treat as "nothing
+        # merged yet", not a crash ('>=' on NoneType)
+        last = old.agg(F.max("epoch")).first()[0]
+        if last is not None and last >= epoch_id:
             return
         merged = (
             old.unionByName(batch_sketch)
@@ -542,7 +547,7 @@ def countmin_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from play_bq_gcp_spark.operators.aggregates import cms_probe
     from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
 
-    state_dir = tempfile.mkdtemp(prefix="cms_state_")
+    state_dir = scratch_dir("cms_state_")
     state_path = os.path.join(state_dir, "cms")
     chunk_dir = _chunked_events_dir(spark, sf_dir, 4)
     schema = spark.read.parquet(chunk_dir).schema

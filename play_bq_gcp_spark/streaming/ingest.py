@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from play_bq_gcp_spark.catalog import read_table
+from play_bq_gcp_spark.scratch import scratch_dir
 
 _BATCH_DIRS: dict[tuple[str, int], str] = {}
 
@@ -44,7 +45,7 @@ def _landed_batches(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
 
     key = (sf_dir, n_batches)
     if key not in _BATCH_DIRS:
-        d = tempfile.mkdtemp(prefix="ingest_batches_")
+        d = scratch_dir("ingest_batches_")
         base = (
             read_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 5 == 0)
@@ -93,7 +94,7 @@ def run_ingest_stream(
     """
     from play_bq_gcp_spark.operators.dedup import incremental_dedup
 
-    work = tempfile.mkdtemp(prefix="ingest_run_")
+    work = scratch_dir("ingest_run_")
     index_dir = os.path.join(work, "index")
     verd_dir = os.path.join(work, "verdicts")
     corpus.select("doc_id", "text").write.parquet(index_dir)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from play_bq_gcp_spark.catalog import ensure_nanos_conf, table_path
+from play_bq_gcp_spark.scratch import scratch_dir
 
 _CHUNK_DIRS: dict[tuple[str, int], str] = {}
 
@@ -43,7 +44,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int) -> str:
     file stream source can deliver them as separate micro-batches."""
     key = (sf_dir, n_chunks)
     if key not in _CHUNK_DIRS:
-        d = tempfile.mkdtemp(prefix="events_chunks_")
+        d = scratch_dir("events_chunks_")
         ensure_nanos_conf(spark)
         (
             spark.read.parquet(table_path(sf_dir, "events"))
@@ -307,7 +308,7 @@ def _time_ordered_chunks(
 
     key = (sf_dir, n_chunks)
     if key not in _ORDERED_CHUNK_DIRS:
-        d = tempfile.mkdtemp(prefix="events_ordered_")
+        d = scratch_dir("events_ordered_")
         ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
         maxes: list[int] = []
         # deterministic equal-size time ranges: global sort + ntile.
