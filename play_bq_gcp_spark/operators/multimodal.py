@@ -848,6 +848,127 @@ def audio_dup_groups(media: DataFrame) -> DataFrame:
     )
 
 
+# --- integer-exact spectral fingerprint (oracle twin of the FFT one) ------
+#
+# The float FFT fingerprint above is rows-only by design (numpy rfft has
+# no SQL restatement).  This twin trades resolution for exactness so a
+# DuckDB oracle can replay every step: quantized samples, a fixed-point
+# DFT basis as INTEGER literals, integer energies, integer argmax.
+SPECTRAL_WINDOW = 32   # samples per frame
+SPECTRAL_BINS = 8      # DFT bins 1..8 (DC excluded, like the FFT twin)
+SPECTRAL_FRAMES = 4    # first 4 full frames fingerprinted
+SPECTRAL_TICKS = 10_000
+
+# (i, bin, cos_t, sin_t): the DFT basis quantized to 1e-4 ticks, computed
+# ONCE here and embedded as integer literals in BOTH the Spark plan and
+# the oracle SQL — neither engine calls cos/sin at query time, so libm
+# differences cannot leak in (the psi_feature_drift caveat engineered away).
+SPECTRAL_TABLE: list[tuple[int, int, int, int]] = [
+    (
+        i,
+        k,
+        round(math.cos(2 * math.pi * k * i / SPECTRAL_WINDOW) * SPECTRAL_TICKS),
+        round(math.sin(2 * math.pi * k * i / SPECTRAL_WINDOW) * SPECTRAL_TICKS),
+    )
+    for k in range(1, SPECTRAL_BINS + 1)
+    for i in range(SPECTRAL_WINDOW)
+]
+
+SPECTRAL_SAMPLES_SCHEMA = "doc_id long, samples array<long>"
+
+
+def audio_spectral_exact(media: DataFrame) -> DataFrame:
+    """Integer-exact spectral audio fingerprint — the oracle-backed twin
+    of ``audio_fingerprint`` (the ``similarity_pq_adc_exact`` precedent
+    applied to the audio modality).  Per clip: decode (REAL stdlib-wave
+    for RIFF payloads), quantize int16 samples back to the byte-centered
+    grid (``x >> 8`` — exact for the synth amplitude), take the first
+    ``SPECTRAL_FRAMES`` full 32-sample frames, and for each frame compute
+    an 8-bin fixed-point DFT: ``re/im = Σ s_i·table[k][i]`` over the
+    integer cos/sin tick tables, energy ``re²+im²`` (max |re| ≤
+    128·10⁴·32 ≈ 4.1e7, energy ≤ 3.4e15 — int64-safe in Spark AND DuckDB
+    BIGINT).  The per-frame peak bin (ties → lowest bin) folds
+    positionally into one fingerprint ``Σ bin_f·17^f`` — order-sensitive
+    like the FFT twin's rolling hash, and small enough to stay exact.
+
+    Spark-first shape: Python touches ONLY the decode (Arrow
+    ``mapInPandas`` emitting a bounded samples array); the transform is
+    a posexplode + broadcast join against the 256-row basis table +
+    one partial-aggregated shuffle keyed (doc, frame, bin) + a
+    (doc, frame)-partitioned window — every step JVM-side, parallel,
+    and linear in clips.  At 100 TB the basis broadcast is constant-size
+    and the fingerprint column is 8 bytes/clip, same dedup economics as
+    the digest path.
+
+    Returns (doc_id, n_frames_fp, fp_exact, group_size); clips shorter
+    than one frame carry no spectral evidence and are excluded (both
+    engines agree by construction).
+    """
+    from pyspark.sql import Window
+
+    win, nfr = SPECTRAL_WINDOW, SPECTRAL_FRAMES
+
+    def samples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(b: bytes) -> list[int]:
+            x = np.asarray(decode_audio(b), dtype=np.int64) >> 8
+            usable = min(len(x) - len(x) % win, win * nfr)
+            return x[:usable].tolist()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "samples": pdf["payload"].map(one)}
+            )
+
+    decoded = spread(media).mapInPandas(samples, SPECTRAL_SAMPLES_SCHEMA)
+    sam = decoded.select(
+        "doc_id", F.posexplode("samples").alias("pos", "sv")
+    ).select(
+        "doc_id",
+        F.expr(f"pos div {win}").cast("int").alias("frame"),
+        F.expr(f"pos % {win}").cast("int").alias("i"),
+        "sv",
+    )
+    tab = media.sparkSession.createDataFrame(
+        SPECTRAL_TABLE, "i int, bin int, cos_t long, sin_t long"
+    )
+    reim = (
+        sam.join(F.broadcast(tab), "i")
+        .groupBy("doc_id", "frame", "bin")
+        .agg(
+            F.sum(F.col("sv") * F.col("cos_t")).alias("re"),
+            F.sum(F.col("sv") * F.col("sin_t")).alias("im"),
+        )
+    )
+    energy = F.col("re") * F.col("re") + F.col("im") * F.col("im")
+    wpk = Window.partitionBy("doc_id", "frame").orderBy(
+        energy.desc(), F.col("bin")
+    )
+    peaks = (
+        reim.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "frame", "bin")
+    )
+    # 17 > 2*BINS: positional weights can never alias across frames, and
+    # frame counts can't collide either (a k-frame fp < the (k+1)-frame
+    # minimum) — still, group on both for self-evidence
+    mult = F.element_at(
+        F.array(*[F.lit(17**f) for f in range(nfr)]), F.col("frame") + 1
+    )
+    fp = peaks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames_fp"),
+        F.sum(F.col("bin") * mult).cast("long").alias("fp_exact"),
+    )
+    wg = Window.partitionBy("fp_exact", "n_frames_fp")
+    return fp.select(
+        "doc_id",
+        "n_frames_fp",
+        "fp_exact",
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
+    ).orderBy("doc_id")
+
+
 def image_ahash(media: DataFrame) -> DataFrame:
     """64-bit average-hash (aHash) per image: thumbnail to 8x8 (decode
     REAL for BMP payloads — see decode_image), then bit i = block i brighter than

@@ -6519,6 +6519,94 @@ def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return audio_dup_groups(both).orderBy("canonical_doc_id")
 
 
+def _audio_spectral_oracle_sql() -> str:
+    """DuckDB restatement of the FULL integer-exact spectral pipeline:
+    utf-8 bytes → byte-centered samples (relies on the WAV
+    encode→decode→``>>8`` roundtrip being exact, the waveform-entry
+    precedent) → fixed-point 8-bin DFT against the SAME integer
+    cos/sin tick table the Spark plan broadcasts (one Python
+    constant, two engines, zero libm calls) → integer energies →
+    per-frame peak bin → positional 17^frame fold → fp group sizes."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        SPECTRAL_FRAMES,
+        SPECTRAL_TABLE,
+        SPECTRAL_WINDOW,
+    )
+
+    w = SPECTRAL_WINDOW
+    vals = ",".join(f"({i},{k},{c},{s})" for i, k, c, s in SPECTRAL_TABLE)
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM corpus
+    ),
+    bytes AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                    AS BIGINT) - 128 AS sv
+        FROM b, unnest(range(0, least(nb // {w} * {w},
+                                      {w * SPECTRAL_FRAMES}))) AS t(i)
+    ),
+    tab(i, bin, cos_t, sin_t) AS (VALUES {vals}),
+    reim AS (
+        SELECT doc_id, pos // {w} AS frame, bin,
+               sum(sv * cos_t) AS re, sum(sv * sin_t) AS im
+        FROM bytes JOIN tab ON tab.i = pos % {w}
+        GROUP BY doc_id, frame, bin
+    ),
+    peaks AS (
+        SELECT doc_id, frame, bin,
+               row_number() OVER (PARTITION BY doc_id, frame
+                                  ORDER BY re*re + im*im DESC, bin) AS rn
+        FROM reim
+    ),
+    fp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_fp,
+               CAST(sum(bin * CASE frame WHEN 0 THEN 1 WHEN 1 THEN 17
+                                         WHEN 2 THEN 289 ELSE 4913 END)
+                    AS BIGINT) AS fp_exact
+        FROM peaks WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT doc_id, n_frames_fp, fp_exact,
+           CAST(count(*) OVER (PARTITION BY fp_exact, n_frames_fp)
+                AS BIGINT) AS group_size
+    FROM fp ORDER BY doc_id
+    """
+
+
+@register("multimodal_audio_fp_exact", _audio_spectral_oracle_sql())
+def multimodal_audio_fp_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact oracle twin of the FFT audio fingerprint
+    (operators/multimodal.py:audio_spectral_exact) — closes the last
+    rows-only capability without an exact shadow, mirroring the
+    similarity_pq_adc_exact precedent.  Same corpus shape as
+    multimodal_audio_dedup (every 10th clip re-ingested under a new
+    id): real WAV synth + decode, quantized samples, fixed-point DFT
+    peak-band fingerprints, planted re-ingests MUST land in the same
+    fp group (group_size ≥ 2) and the oracle replays every integer
+    step from the raw text bytes."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_wav,
+        audio_spectral_exact,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    dup_src = docs.filter(F.col("doc_id") % 10 == 0)
+    media = attach_wav(docs)
+    dup_media = attach_wav(dup_src).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    both = media.select("doc_id", "payload").unionByName(dup_media)
+    return audio_spectral_exact(both)
+
+
 def _image_ahash_oracle_sql() -> str:
     """DuckDB restatement of the FULL perceptual image pipeline:
     utf-8 bytes → square image (isqrt side) → edge-padded 8x8

@@ -1020,6 +1020,45 @@ def test_audio_dedup_recovers_planted_reingests(spark, sf_dir):
         ), f"planted pair for doc {src} not grouped"
 
 
+def test_audio_spectral_exact_planted_pairs_and_tones(spark, sf_dir):
+    """Integer-exact twin: planted re-ingests share fp_exact with their
+    source on the fixture entry; on synthetic tones an identical copy
+    shares the fingerprint and a different tone does not."""
+    import numpy as np
+
+    from play_bq_gcp_spark.operators.multimodal import (
+        audio_spectral_exact,
+        encode_wav,
+    )
+    from play_bq_gcp_spark.queries import QUERIES
+
+    out = QUERIES["multimodal_audio_fp_exact"](spark, sf_dir).collect()
+    fps = {r.doc_id: (r.n_frames_fp, r.fp_exact) for r in out}
+    sizes = {r.doc_id: r.group_size for r in out}
+    planted = [d for d in fps if d >= 1_000_000]
+    assert planted, "fixture plants re-ingests"
+    for dup in planted:
+        src = dup - 1_000_000
+        assert fps[dup] == fps[src], f"planted pair {src} split"
+        assert sizes[dup] >= 2
+
+    sr = 16000
+    t = np.arange(256) / sr
+
+    def tone(freq):
+        return (0.9 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+    rows = [
+        (1, encode_wav(tone(800), sr)),
+        (2, encode_wav(tone(800), sr)),   # byte-identical re-encode
+        (3, encode_wav(tone(3600), sr)),  # different content
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.fp_exact for r in audio_spectral_exact(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
 def test_image_near_dup_planted_pairs_and_hamming(spark, sf_dir):
     """Every planted 1-byte-perturbed re-ingest must pair with its
     source at tiny Hamming; identical payloads pair at Hamming 0."""
