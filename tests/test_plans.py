@@ -417,6 +417,10 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         # rows (≤ value_range·10), not data; AQE reuses the scan subtree
         "events_psi_feature_drift": 19,
         "scan_federated_union": 2,            # tri-format union agg + order
+        # round-7 additions:
+        "multimodal_audio_fp_exact": 8,       # synth+dup union, (doc,frame,bin)
+                                              # agg, peak window, fp agg, group
+                                              # window, order
     }
     for name, budget in budgets.items():
         plan = (
@@ -427,3 +431,35 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         )
         got = plan.count("Exchange")
         assert got <= budget, f"{name}: {got} Exchanges > budget {budget}"
+
+
+def test_cms_merge_batch_plan_shuffle_budget(spark, sf_dir):
+    """The streaming CMS merge (streaming/daily.py:merge_cms_state)
+    can't be plan-pinned through the registry (foreachBatch plans live
+    inside the micro-batch), so pin its two batch-side shapes directly:
+    the per-batch sketch build is ONE bounded shuffle (d×w counter
+    rows), and the state merge (union + re-sum on (row, col)) adds
+    exactly one more — state stays ≤ d·w rows however many batches
+    land, so neither exchange grows with data."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.aggregates import cms_table
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = cms_table(
+        ev.select(F.col("user_id").cast("string").alias("tok"))
+    ).withColumn("epoch", F.lit(0).cast("long"))
+    merged = (
+        batch.unionByName(batch)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"), F.max("epoch").alias("epoch"))
+    )
+    n_batch = (
+        batch._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    n_merged = (
+        merged._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    )
+    assert n_batch <= 1, f"cms batch sketch: {n_batch} Exchanges > 1"
+    assert n_merged <= 2, f"cms state merge: {n_merged} Exchanges > 2"
