@@ -269,8 +269,8 @@ def heavy_hitters_mg(
     return _truncate(merged, capacity)
 
 
-# Count-Min defaults, shared with the registry oracle (queries.py
-# f-strings its DuckDB twin from these — parameter drift must break
+# Count-Min defaults, shared with the registry oracle (the queries/
+# package f-strings its DuckDB twin from these — parameter drift must break
 # loudly, the PQ_EXACT precedent).
 CMS_DEPTH = 4
 CMS_WIDTH = 256

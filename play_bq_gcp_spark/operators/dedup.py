@@ -924,7 +924,7 @@ def containment_pairs(
 # cosine pruning
 # ---------------------------------------------------------------------------
 
-# Shared with the registry oracle (queries.py f-strings the DuckDB twin
+# Shared with the registry oracle (the queries/ package f-strings the twin
 # from these, so parameter drift breaks the differential loudly).
 SEM_K = 8
 SEM_ITERS = 2

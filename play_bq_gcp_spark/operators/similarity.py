@@ -962,7 +962,7 @@ def centroid_separation(
     )
 
 
-# pq_adc_exact defaults, shared with the registry oracle (queries.py
+# pq_adc_exact defaults, shared with the registry oracle (queries/
 # f-strings its DuckDB twin from these — advisor r5: hardcoded oracle
 # literals silently diverge when the operator defaults change).
 PQ_EXACT_M = 8

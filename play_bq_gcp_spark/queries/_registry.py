@@ -1,0 +1,36 @@
+"""Registry plumbing shared by every query module.
+
+``QUERIES`` maps entry name -> ``(spark, sf_dir) -> DataFrame``;
+``ORACLES`` holds each entry's DuckDB-runnable ANSI-SQL twin with
+identical column aliases and aligned types.  Modules register entries
+at import time via ``@register``; ``queries/__init__.py`` imports them
+in a fixed order so registry insertion order (which the driver's
+50-entry check window keys on) is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from play_bq_gcp_spark.catalog import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)

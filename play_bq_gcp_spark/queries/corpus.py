@@ -1,0 +1,2796 @@
+"""Corpus curation and the long tail: decontamination, PII, packing, mixing,
+quality/drift audits, behavior analytics, MV/CDC, graph, multimodal
+fixtures with full oracles.
+
+Split from the original single-file registry (round 7); behavior and
+registration order are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.operators import similarity as _sim
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.queries.llm import _SQL_TOKS
+from play_bq_gcp_spark.scratch import scratch_dir
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination / PII / packing / mixing (§2.10)
+# ---------------------------------------------------------------------------
+
+# Oracle builds the same word trigrams as strings (Spark travels them
+# as xxhash64 chains — collision-free at differential scale, same
+# precedent as dedup_ngram_jaccard); eval set = doc_id % 17 = 3.
+@register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3),
+    corp AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3),
+    hits AS (
+        SELECT sh.doc_id, count(*) AS n_overlap
+        FROM sh JOIN ev USING (s)
+        WHERE sh.doc_id % 17 <> 3
+        GROUP BY 1
+    )
+    SELECT corp.doc_id,
+           coalesce(n_overlap, 0)     AS n_overlap,
+           coalesce(n_overlap, 0) > 0 AS contaminated
+    FROM corp LEFT JOIN hits USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py:decontaminate):
+    flag training docs sharing any word trigram with a held-out eval
+    slice (doc_id % 17 = 3).  Eval n-gram hashes broadcast; the corpus
+    side is a map-only explode, shuffling only matched grams."""
+    from play_bq_gcp_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    pred = F.col("doc_id") % 17 == 3
+    return decontaminate(
+        docs.filter(~pred), docs.filter(pred), n=3
+    ).orderBy("doc_id")
+
+
+# Input synthesizes deterministic PII (the fixture corpus is
+# letters-only), identically in both engines, then counts + redacts.
+@register(
+    "pii_redaction_profile",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               concat_ws(' ', text,
+                   'contact user' || doc_id || '@example.com',
+                   'from 10.0.' || (doc_id % 256) || '.7',
+                   CASE WHEN doc_id % 3 = 0 THEN
+                       'call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                   END) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))          AS n_email,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))         AS n_ip,
+           len(regexp_extract_all(text,
+               '\b\d{3}-\d{3}-\d{4}\b'))                          AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')           AS redacted
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """PII profiling + redaction (operators/curation.py:pii_profile):
+    email/IPv4/phone counts and a redacted text column, one codegen'd
+    map pass, zero UDFs.  Input is the corpus with deterministic PII
+    stitched in (same expression in the oracle)."""
+    from play_bq_gcp_spark.operators.curation import pii_profile
+
+    d = F.col("doc_id")
+    aug = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("contact user"), d.cast("string"), F.lit("@example.com")
+            ),
+            F.concat(
+                F.lit("from 10.0."), (d % 256).cast("string"), F.lit(".7")
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("call 555-010-"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = pii_profile(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    ).orderBy("doc_id")
+
+
+@register(
+    "sequence_pack_bins",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 256.0) AS BIGINT) AS bin_id
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def sequence_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sequence packing
+    (operators/curation.py:sequence_pack): docs fill 256-token training
+    bins per source in id order — bin = floor(prefix-sum/budget), one
+    window pass shuffled only on the source key."""
+    from play_bq_gcp_spark.operators.curation import sequence_pack
+
+    out = sequence_pack(_t(spark, sf, "documents"), budget=256)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+    ).orderBy("doc_id")
+
+
+@register(
+    "domain_mix_sample",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               (CASE source WHEN 'src0' THEN 0.5
+                            WHEN 'src1' THEN 0.3
+                            ELSE 0.2 END)::DOUBLE AS w,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                   / 16777216.0 AS frac
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    c AS (SELECT source, count(*) AS c, any_value(w) AS w
+          FROM d GROUP BY 1),
+    cap AS (SELECT min(c / w) AS cap_n FROM c),
+    q AS (SELECT source,
+                 CAST(floor(w * (SELECT cap_n FROM cap)) AS BIGINT) AS k
+          FROM c),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source ORDER BY frac, doc_id
+                 ) AS rn
+          FROM d)
+    SELECT r.doc_id, r.source
+    FROM r JOIN q USING (source)
+    WHERE rn <= k
+    ORDER BY doc_id
+    """,
+)
+def domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture sampling (operators/curation.py:domain_mix):
+    resample three sources to a 50/30/20 target at maximum retention —
+    capacity N = min(count_s/w_s) via a global window over the tiny
+    per-source agg (no driver collect, no cross join), quotas
+    broadcast, keep the floor(w·N) lowest md5 fractions per source."""
+    from play_bq_gcp_spark.operators.curation import domain_mix
+
+    return domain_mix(
+        _t(spark, sf, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    ).orderBy("doc_id")
+
+
+# Centroid elements are floor-truncated to 1e-6 integer ticks for the
+# cross-engine hash: avg() accumulation order differs between engines,
+# but the FP dust (~1e-12 relative) cannot move a value across a 1e-6
+# tick except at measure-zero boundaries.
+@register(
+    "embedding_label_centroids",
+    """
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, avg(val) AS mean_val, count(*) AS n
+        FROM flat GROUP BY 1, 2
+    )
+    SELECT label, max(n) AS n_vecs,
+           array_to_string(
+               list(CAST(floor(mean_val * 1000000) AS BIGINT) ORDER BY pos),
+               ',') AS centroid_fp
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids
+    (operators/similarity.py:label_centroids): element-wise mean via
+    posexplode + map-side partial agg — shuffle carries per-(label,dim)
+    partials, never vectors."""
+    from play_bq_gcp_spark.operators.similarity import label_centroids
+
+    out = label_centroids(_t(spark, sf, "embeddings"))
+    # Stringify the fingerprint array at the output boundary: the
+    # driver's pandas canonicalizer cannot hash list cells (r5 red),
+    # so every oracle-backed entry emits scalars only (the
+    # agg_distinct_collect convention).
+    return out.select(
+        "label",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda v: F.floor(v * 1000000).cast("long"),
+            ),
+        ).alias("centroid_fp"),
+    ).orderBy("label")
+
+
+@register(
+    "events_outlier_zscore",
+    """
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               (value - avg(value) OVER (PARTITION BY user_id))
+                   / stddev_samp(value) OVER (PARTITION BY user_id) AS z,
+               ntile(10) OVER (
+                   PARTITION BY user_id ORDER BY value, event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_id, user_id, round(value, 4) AS value,
+           round(z, 4) AS z, decile
+    FROM w
+    WHERE abs(z) > 2.0
+    ORDER BY event_id
+    """,
+)
+def events_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user anomaly screening
+    (operators/profiling.py:value_outliers): z-score against the user's
+    own mean/stddev plus a within-user decile, one shuffle on the user
+    key, outliers only."""
+    from play_bq_gcp_spark.operators.profiling import value_outliers
+
+    out = value_outliers(
+        _t(spark, sf, "events"), "user_id", "value", "event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("z", 4).alias("z"),
+        "decile",
+    ).orderBy("event_id")
+
+
+# Oracle: exact two-layer dedup of the new batch (doc_id % 5 = 0)
+# against the corpus — digest equality, then exact all-pairs bigram
+# Jaccard vs corpus docs (Spark generates near candidates from the
+# asymmetric banded-MinHash probe; recall ≥ 0.99997 at 0.7, same
+# precedent as dedup_ngram_jaccard).
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH ntok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    fp AS (
+        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp FROM ntok
+        WHERE len(tk) > 0
+    ),
+    corp_fp AS (
+        SELECT fp, count(*) AS n FROM fp WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    newfp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    exact AS (
+        SELECT doc_id, n FROM newfp JOIN corp_fp USING (fp)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ntok
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS did, b.doc_id AS cid, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          AND a.doc_id NOT IN (SELECT doc_id FROM exact)
+        GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT did AS doc_id, count(*) AS n
+        FROM inter
+        JOIN sz x ON x.doc_id = did
+        JOIN sz y ON y.doc_id = cid
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+        GROUP BY 1
+    )
+    SELECT doc_id, 'exact_dup' AS verdict, n AS n_matches FROM exact
+    UNION ALL
+    SELECT doc_id, 'near_dup', n FROM near
+    UNION ALL
+    SELECT doc_id, 'new', 0 FROM newfp
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+      AND doc_id NOT IN (SELECT doc_id FROM near)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.py:incremental_dedup):
+    the new batch (doc_id % 5 = 0) checked against the indexed corpus —
+    exact digest layer, then an asymmetric banded-MinHash probe (new ×
+    corpus only, never corpus × corpus) verified by exact bigram
+    Jaccard at 0.7."""
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf, "documents")
+    pred = F.col("doc_id") % 5 == 0
+    return incremental_dedup(
+        docs.filter(pred), docs.filter(~pred)
+    ).orderBy("doc_id")
+
+
+@register(
+    "profile_value_histogram",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+    SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS INT)
+               AS bucket,
+           round(lo + CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9)
+                           AS INT) * ((hi - lo) / 10.0), 4) AS lo_edge,
+           count(*) AS n
+    FROM events, b
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def profile_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of events.value
+    (operators/profiling.py:equi_width_histogram): ANALYZE-style column
+    statistic — 1-row min/max agg broadcast back into the bucket
+    projection, final shuffle cardinality = n_buckets regardless of
+    data size."""
+    from play_bq_gcp_spark.operators.profiling import equi_width_histogram
+
+    out = equi_width_histogram(_t(spark, sf, "events"), "value", 10)
+    return out.select(
+        "bucket", F.round("lo_edge", 4).alias("lo_edge"), "n"
+    ).orderBy("bucket")
+
+
+# Oracle: the full curation chain restated in SQL CTEs — language/length
+# gate, digest dedup (keep min id), exact bigram-Jaccard near-dedup
+# (drop the higher id of every >= 0.7 pair; Spark's banded candidates
+# have recall >= 0.99997 there, same precedent as dedup_ngram_jaccard),
+# trigram decontamination vs the held-out slice, then 256-token packing.
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, {_SQL_TOKS} AS tk FROM documents
+    ),
+    eval_docs AS (SELECT doc_id, tk FROM base WHERE doc_id % 17 = 3),
+    pool AS (
+        SELECT doc_id, source, tk FROM base
+        WHERE doc_id % 17 <> 3 AND lang = 'en'
+          AND len(tk) BETWEEN 15 AND 1000
+    ),
+    fp AS (
+        SELECT doc_id, source, tk,
+               md5(array_to_string(tk, ' ')) AS fp
+        FROM pool
+    ),
+    keep_exact AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    ex AS (SELECT f.* FROM fp f JOIN keep_exact USING (doc_id)),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ex
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    drop_near AS (
+        SELECT DISTINCT db AS doc_id
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    nd AS (
+        SELECT * FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+    ),
+    etok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM eval_docs
+    ),
+    esh AS (
+        SELECT DISTINCT
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                 || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w
+                 || ' ' || lead(t, 5) OVER w || ' ' || lead(t, 6) OVER w
+                 || ' ' || lead(t, 7) OVER w AS s
+        FROM etok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 7) OVER w IS NOT NULL
+    ),
+    ntok8 AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM nd
+    ),
+    nsh8 AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w
+                 || ' ' || lead(t, 3) OVER w || ' ' || lead(t, 4) OVER w
+                 || ' ' || lead(t, 5) OVER w || ' ' || lead(t, 6) OVER w
+                 || ' ' || lead(t, 7) OVER w AS s
+        FROM ntok8 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 7) OVER w IS NOT NULL
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM nsh8 JOIN esh USING (s)
+    ),
+    clean AS (
+        SELECT doc_id, source, len(tk) AS n_tokens FROM nd
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 256.0) AS BIGINT) AS bin_id
+    FROM clean
+    ORDER BY doc_id
+    """,
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end pretraining-corpus pipeline: language + length gate →
+    PII-safe exact dedup (digest, keep min id) → near-dedup (banded-
+    MinHash candidates, exact Jaccard verify, drop the higher id of
+    each pair) → benchmark decontamination (trigram overlap with the
+    held-out slice, 8-token grams — the standard decontamination unit;
+    shorter grams saturate on a shared-vocabulary corpus) →
+    deterministic 256-token sequence packing.  One
+    lazy composition: document bodies are scanned where needed and
+    NEVER shuffled — every join/group moves digests, gram hashes, or
+    (id, token-count) tuples only."""
+    from play_bq_gcp_spark.operators.curation import (
+        decontaminate,
+        sequence_pack,
+    )
+    from play_bq_gcp_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    is_eval = F.col("doc_id") % 17 == 3
+    pool = docs.filter(
+        ~is_eval
+        & (F.col("lang") == "en")
+        & F.size(tokens("text")).between(15, 1000)
+    )
+    ex = exact_dedup(pool)
+    near_drops = (
+        ngram_jaccard_pairs(ex, threshold=0.7)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(near_drops, "doc_id", "left_anti")
+    keep = decontaminate(nd, docs.filter(is_eval), n=8).filter(
+        ~F.col("contaminated")
+    )
+    clean = nd.join(keep.select("doc_id"), "doc_id", "left_semi")
+    out = sequence_pack(clean, budget=256)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+    ).orderBy("doc_id")
+
+
+def _ingest_oracle_sql(n_batches: int = 4) -> str:
+    """Unrolled SQL restatement of the streaming incremental ingest
+    dedup: batch k is screened against corpus ∪ (batches < k accepted),
+    exactly the growing-index semantics of streaming/ingest.py.  Shared
+    shingle/digest relations are computed once; each batch block is
+    pure id-set algebra over them."""
+    head = f"""
+    WITH alldocs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents
+        WHERE doc_id % 5 = 0 AND (doc_id // 5) % {n_batches} = 0
+    ),
+    ntokall AS MATERIALIZED (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM alldocs
+    ),
+    fps AS MATERIALIZED (
+        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp
+        FROM ntokall WHERE len(tk) > 0
+    ),
+    newdocs AS MATERIALIZED (
+        SELECT doc_id, ((doc_id // 5) % {n_batches}) AS b
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 10000000, 2 FROM documents
+        WHERE doc_id % 5 = 0 AND (doc_id // 5) % {n_batches} = 0
+    ),
+    tok AS MATERIALIZED (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM ntokall
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+        FROM sh a
+        JOIN newdocs nd ON nd.doc_id = a.doc_id
+        JOIN sh b ON a.s = b.s AND b.doc_id <> a.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS MATERIALIZED (
+        SELECT x, y FROM inter
+        JOIN sz sx ON sx.doc_id = x
+        JOIN sz sy ON sy.doc_id = y
+        WHERE round(i::DOUBLE / (sx.n + sy.n - i), 4) >= 0.7
+    ),
+    acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0)"""
+    blocks = []
+    for k in range(n_batches):
+        blocks.append(f""",
+    b{k} AS (SELECT doc_id FROM newdocs WHERE b = {k}),
+    ex{k} AS MATERIALIZED (
+        SELECT nf.doc_id, count(*) AS n
+        FROM fps nf
+        JOIN b{k} USING (doc_id)
+        JOIN fps i ON i.fp = nf.fp AND i.doc_id <> nf.doc_id
+        JOIN acc{k} a ON a.doc_id = i.doc_id
+        GROUP BY 1
+    ),
+    nr{k} AS MATERIALIZED (
+        SELECT x AS doc_id, count(*) AS n
+        FROM jp
+        JOIN b{k} bb ON bb.doc_id = jp.x
+        JOIN acc{k} a ON a.doc_id = jp.y
+        WHERE x NOT IN (SELECT doc_id FROM ex{k})
+        GROUP BY 1
+    ),
+    nw{k} AS MATERIALIZED (
+        SELECT doc_id FROM b{k}
+        WHERE doc_id NOT IN (SELECT doc_id FROM ex{k})
+          AND doc_id NOT IN (SELECT doc_id FROM nr{k})
+    ),
+    acc{k + 1} AS MATERIALIZED (
+        SELECT doc_id FROM acc{k}
+        UNION ALL SELECT doc_id FROM nw{k}
+    )""")
+    legs = []
+    for k in range(n_batches):
+        legs.append(
+            f"SELECT doc_id, 'exact_dup' AS verdict, n AS n_matches FROM ex{k}"
+        )
+        legs.append(f"SELECT doc_id, 'near_dup', n FROM nr{k}")
+        legs.append(f"SELECT doc_id, 'new', 0 FROM nw{k}")
+    tail = "\n    UNION ALL ".join(legs)
+    return head + "".join(blocks) + "\n    " + tail + "\n    ORDER BY doc_id"
+
+
+@register("streaming_ingest_dedup", _ingest_oracle_sql(4))
+def streaming_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest dedup with a GROWING index
+    (streaming/ingest.py): four deterministic micro-batches of new docs
+    (doc_id % 5 = 0, batch = (doc_id div 5) % 4, plus batch-0 docs
+    RE-CRAWLED under new ids in batch 2), each screened — exact digests
+    then asymmetric banded-MinHash probe + exact Jaccard verify —
+    against corpus ∪ earlier batches' accepted docs; survivors join the
+    index before the next batch.  The re-crawls match nothing in the
+    seed corpus, so their exact_dup verdicts prove the index actually
+    grew.  The oracle unrolls the same four steps in SQL."""
+    from play_bq_gcp_spark.streaming.ingest import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(spark, sf, n_batches=4).orderBy(
+        "doc_id"
+    )
+
+
+# The SAME SQL text runs on both engines: Spark executes it via
+# spark.sql over the registered fixture views, DuckDB as the oracle —
+# proving the engine's ANSI-SQL entry point end-to-end, not just the
+# DataFrame API.
+_SQL_SURFACE = """
+    SELECT o_orderpriority,
+           count(*)                                            AS n_orders,
+           round(sum(o_totalprice), 2)                         AS total_price,
+           round(avg(o_totalprice), 4)                         AS avg_price,
+           count(DISTINCT o_custkey)                           AS n_customers
+    FROM orders
+    WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+"""
+
+
+@register("sql_surface_orders", _SQL_SURFACE)
+def sql_surface_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-SQL entry point (catalog.register_views + spark.sql): the
+    oracle's EXACT text is executed by Spark SQL over the registered
+    fixture views — filter/group/having/distinct-count parity at the
+    SQL layer, zero DataFrame code on the query path."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_SURFACE)
+
+
+_SQL_SPINE_SPARK = """
+WITH RECURSIVE spine(m) AS (
+    SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders))
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM spine
+    WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders))
+)
+SELECT date_format(m, 'yyyy-MM') AS month,
+       count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+FROM spine LEFT JOIN orders ON date_trunc('MONTH', o_orderdate) = m
+GROUP BY m ORDER BY month
+"""
+
+
+@register(
+    "sql_recursive_spine",
+    """
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+    FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m ORDER BY month
+    """,
+)
+def sql_recursive_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE on Spark 4 SQL: generate the complete month spine
+    between the first and last order date (the calendar-dimension
+    pattern), then LEFT-join monthly revenue so gap months surface as
+    explicit zero rows — the recursion the DataFrame API can't express
+    declaratively.  The oracle runs DuckDB's own recursive CTE; only
+    engine-local date formatting differs between the two texts."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_SPINE_SPARK)
+
+
+_SQL_VARIANT_SPARK = """
+WITH js AS (
+    SELECT o_orderkey,
+           parse_json(concat(
+               '{"priority":"', o_orderpriority,
+               '","cents":', cast(round(o_totalprice * 100) AS BIGINT),
+               ',"keys":[', o_orderkey, ',', o_custkey, ']}'
+           )) AS v
+    FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey,
+       variant_get(v, '$.priority', 'string') AS priority,
+       variant_get(v, '$.cents', 'long') AS cents,
+       variant_get(v, '$.keys[1]', 'long') AS custkey
+FROM js ORDER BY o_orderkey
+"""
+
+
+@register(
+    "semistructured_variant",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS priority,
+           round(o_totalprice * 100)::BIGINT AS cents,
+           o_custkey AS custkey
+    FROM orders WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def semistructured_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type: JSON documents parsed once into the binary
+    variant encoding, then typed path extraction (string field, long
+    field, array index) via ``variant_get`` — the open-schema
+    semi-structured surface beyond map/struct/get_json_object.  The
+    oracle computes the SAME values straight from the source columns,
+    so parse → variant → path-extract must be lossless end-to-end,
+    not merely self-consistent."""
+    from play_bq_gcp_spark.catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_VARIANT_SPARK)
+
+
+@register(
+    "temporal_join_versions",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS effective_ts, value AS tier,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS end_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           round(p.value, 4) AS fact_value,
+           round(v.tier, 4)  AS tier_value,
+           v.effective_ts
+    FROM events p
+    JOIN v ON p.user_id = v.user_id
+          AND p.ts >= v.effective_ts
+          AND (v.end_ts IS NULL OR p.ts < v.end_ts)
+    WHERE p.event_type = 'purchase'
+    ORDER BY p.event_id
+    """,
+)
+def temporal_join_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join (operators/joins_advanced.py:temporal_join):
+    purchases pick the click-derived version valid at purchase time —
+    versions are half-open intervals built with one lead() window, the
+    join is key-equi with the interval residual, ≤1 match per fact."""
+    from pyspark.sql import Window
+
+    from play_bq_gcp_spark.operators.joins_advanced import temporal_join
+
+    ev = _t(spark, sf, "events")
+    versions = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", F.col("ts").alias("effective_ts"),
+                F.col("value").alias("tier"))
+        .withColumn(
+            "end_ts",
+            F.lead("effective_ts").over(
+                Window.partitionBy("user_id").orderBy(
+                    "effective_ts", "event_id"
+                )
+            ),
+        )
+        .drop("event_id")
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts"), "value"
+    )
+    out = temporal_join(facts, versions, "user_id", "fact_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("fact_value"),
+        F.round("tier", 4).alias("tier_value"),
+        "effective_ts",
+    ).orderBy("event_id")
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE WHEN frac < 0.1 THEN 'val'
+                WHEN frac < 0.2 THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                   / 16777216.0 AS frac
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split
+    (operators/sampling.py:three_way_split): assignment is a pure
+    function of md5(doc_id) — stable under reruns, engines,
+    repartitioning, and incremental appends.  Map-only, no shuffle."""
+    from play_bq_gcp_spark.operators.sampling import three_way_split
+
+    return three_way_split(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id"
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_keywords_tfidf",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    idf AS (
+        SELECT token,
+               CAST(round(ln(nd / count(DISTINCT doc_id)) * 10000) AS BIGINT)
+                   AS idf_ticks
+        FROM tok, n GROUP BY token, nd
+    ),
+    scored AS (
+        SELECT doc_id, tf.token, tf * idf_ticks AS score_ticks,
+               row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tf * idf_ticks DESC, tf.token
+               ) AS rank
+        FROM tf JOIN idf ON tf.token = idf.token
+    )
+    SELECT doc_id, rank, token, score_ticks
+    FROM scored WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction
+    (operators/text.py:keywords_tfidf): top-3 tokens by integer-scored
+    TF-IDF (idf quantized to 1e-4 ticks, so rank order is FP-ambiguity
+    free), one token-key shuffle + one doc-key window."""
+    from play_bq_gcp_spark.operators.text import keywords_tfidf
+
+    return keywords_tfidf(_t(spark, sf, "documents"), top_k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+# Rows-only by design: greedy MMR is a sequential argmax loop no SQL
+# restatement can express; the pytest floor asserts top-1 = exact
+# argmax, output ⊆ the retrieval pool, and that redundancy is actually
+# penalized on planted duplicates.
+@register("similarity_mmr_rerank")
+def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve-then-rerank (operators/similarity.py:mmr_rerank):
+    distributed exact top-50 cosine retrieval, then greedy MMR
+    diversity re-rank (lambda=0.7) of the bounded pool in one
+    applyInPandas group.  Permanently rows-only BY DESIGN (the greedy
+    re-rank is iterative, no SQL twin); the diversity/relevance
+    trade-off is pinned in pytest."""
+    from play_bq_gcp_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    out = mmr_rerank(emb, qv, k=10, pool=50)
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("sim", 4).alias("sim"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    ).orderBy("rank")
+
+
+# Oracle-backed (the video/image precedent): the WAV roundtrip is
+# bit-exact and the sample transform (b-128)/128 has a power-of-two
+# denominator, so first-window RMS/ZCR are exact-rational sums both
+# engines compute identically; the 6-dp rounding cannot tie because a
+# 7-digit .5 decimal is never exactly representable in binary, so
+# Python's banker's and SQL's half-away rounding agree everywhere.
+@register(
+    "multimodal_waveform",
+    """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                    AS BIGINT) AS v
+        FROM b, unnest(range(0, least(nb, 256))) AS t(i)
+    ),
+    leads AS (
+        SELECT doc_id, pos, v,
+               lead(v) OVER (PARTITION BY doc_id ORDER BY pos) AS nv
+        FROM bytes
+    ),
+    s AS (
+        SELECT doc_id,
+               sum((v - 128) * (v - 128)) AS s2,
+               sum(CASE WHEN nv IS NOT NULL
+                             AND ((v < 128) <> (nv < 128))
+                        THEN 1 ELSE 0 END) AS flips
+        FROM leads GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_samples,
+           CAST(b.nb // 256 AS INT) AS n_windows,
+           CASE WHEN b.nb >= 256
+                THEN round(sqrt(s.s2 / 4194304.0), 6) END AS rms_w1,
+           CASE WHEN b.nb >= 256
+                THEN round(s.flips / 255.0, 6) END AS zcr_w1
+    FROM b JOIN s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio front half (operators/multimodal.py:waveform_features):
+    each document synthesized into a GENUINE RIFF/WAV payload
+    (attach_wav; even doc_ids stereo, odd mono), decoded for real by
+    stdlib ``wave`` (stereo downmixed), then per-window RMS +
+    zero-crossing rate via Arrow mapInPandas — the silence/clipping
+    gate of a speech pipeline, decode included.  ORACLE-BACKED for the
+    first window: samples are (byte-128)/128 — exact powers of two —
+    so the DuckDB twin recomputes RMS (sqrt of an exact rational) and
+    ZCR (sign-flip count / 255) from the raw bytes; a container slip,
+    downmix error, or windowing bug breaks the hash.  Clips shorter
+    than one window emit NULL features on both sides."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_wav,
+        waveform_features,
+    )
+
+    media = attach_wav(_t(spark, sf, "documents"))
+    out = waveform_features(media, window=256)
+    return out.select(
+        "doc_id", "n_samples", F.size("rms").alias("n_windows"),
+        # clips shorter than one window have no features — NULL, not error
+        F.round(F.try_element_at("rms", F.lit(1)), 6).alias("rms_w1"),
+        F.round(F.try_element_at("zcr", F.lit(1)), 6).alias("zcr_w1"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_overview_report",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, source, len({_SQL_TOKS}) AS n_tokens
+        FROM documents
+    )
+    SELECT count(*)                                   AS n_docs,
+           count(DISTINCT lang)                       AS n_langs,
+           count(DISTINCT source)                     AS n_sources,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
+           round(avg(n_tokens), 4)                    AS avg_tokens,
+           min(n_tokens)                              AS min_tokens,
+           max(n_tokens)                              AS max_tokens,
+           CAST(round(quantile_cont(n_tokens, 0.5), 4) * 10000 AS BIGINT)
+                                                      AS p50_ticks,
+           CAST(round(quantile_cont(n_tokens, 0.9), 4) * 10000 AS BIGINT)
+                                                      AS p90_ticks
+    FROM d
+    """,
+)
+def corpus_overview_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass corpus overview — the report a curation run opens with:
+    doc/lang/source cardinalities, token totals, and exact interpolated
+    length percentiles (integer ticks, same cross-engine discipline as
+    agg_stats_percentiles), all in a single aggregate over one scan."""
+    from play_bq_gcp_spark.operators.text import tokens
+
+    d = _t(spark, sf, "documents").select(
+        "lang", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        (F.round(F.expr("percentile(n_tokens, 0.5)"), 4) * 10000)
+        .cast("long")
+        .alias("p50_ticks"),
+        (F.round(F.expr("percentile(n_tokens, 0.9)"), 4) * 10000)
+        .cast("long")
+        .alias("p90_ticks"),
+    )
+
+
+@register(
+    "skew_key_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS keys FROM c)
+    SELECT user_id, n,
+           CAST(floor(n / total * 1000000) AS BIGINT) AS share_ppm,
+           round(n / (total / keys), 4)               AS x_mean
+    FROM c, t
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def skew_key_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:skew_report): top-10
+    heaviest event keys with row share (integer ppm) and
+    multiple-of-mean — the measurement that picks between salting, AQE
+    hints, and broadcast."""
+    from play_bq_gcp_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf, "events"), "user_id", top_n=10)
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    WITH dim AS (
+        SELECT user_id,
+               CASE WHEN sum(value) >= 100 THEN 'high'
+                    WHEN sum(value) >= 10  THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, dim.tier
+    FROM events e JOIN dim USING (user_id)
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.8 stream-static join (streaming/daily.py:stream_static_enrich):
+    clicks streamed and enriched with a broadcast static spend-tier
+    dimension — stateless append, so the streamed result equals the
+    batch join the oracle runs."""
+    from play_bq_gcp_spark.streaming.daily import stream_static_enrich
+
+    return stream_static_enrich(spark, sf)
+
+
+@register(
+    "text_fingerprint_rolling",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({_SQL_TOKS},
+               tok -> (31 * length(tok) + unicode(tok)) % 2147483647) AS vals
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(vals) AS n_tokens,
+        CASE WHEN len(vals) > 0 THEN
+          list_reduce(vals, (acc, x) -> (acc * 131 + x) % 2147483647)
+        ELSE 0 END AS full_hash,
+        CASE WHEN len(vals) >= 8 THEN
+          list_transform(range(1, len(vals) - 8 + 2),
+            i -> list_reduce(list_slice(vals, i, i + 7),
+                             (acc, x) -> (acc * 131 + x) % 2147483647))
+        ELSE [] END AS grams
+      FROM t
+    ), f AS (
+      SELECT doc_id, n_tokens, full_hash, len(grams) AS n_grams,
+        CASE WHEN len(grams) >= 4 THEN
+          list_distinct(list_transform(range(1, len(grams) - 4 + 2),
+            w -> list_min(list_slice(grams, w, w + 3))))
+        ELSE [] END AS fps
+      FROM g
+    )
+    SELECT doc_id, n_tokens, full_hash, n_grams,
+           len(fps)      AS n_fp,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprints with winnowing
+    (operators/text.py:rolling_fingerprint): portable per-token values,
+    polynomial full-document hash, per-position 8-gram rolling hashes,
+    and the winnowed fingerprint set (distinct minima over windows of 4
+    gram hashes) — all native HOFs over one bound token array, map-only
+    at any scale.  The oracle restates the identical arithmetic with
+    DuckDB list lambdas (list_reduce seeds with the first element,
+    which equals Spark's 0-seeded fold because 0*B + x = x)."""
+    from play_bq_gcp_spark.operators.text import rolling_fingerprint
+
+    return rolling_fingerprint(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "quality_expectations_orders",
+    """
+    WITH m AS (
+      SELECT round(count(*)::DOUBLE, 6)                                AS row_count,
+             round(avg(CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END)::DOUBLE, 6)
+                                                                       AS completeness_o_custkey,
+             round(count(DISTINCT o_orderkey)::DOUBLE / count(*), 6)   AS uniqueness_o_orderkey,
+             round(min(o_totalprice)::DOUBLE, 6)                       AS min_o_totalprice,
+             round(avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)::DOUBLE, 6)
+                                                                       AS membership_o_orderstatus,
+             round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)::DOUBLE, 6)
+                                                                       AS pattern_o_orderpriority
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'row_count' AS check_name, row_count AS metric,
+             row_count >= 1 AS passed FROM m
+      UNION ALL
+      SELECT 'completeness_o_custkey', completeness_o_custkey,
+             completeness_o_custkey = 1.0 FROM m
+      UNION ALL
+      SELECT 'uniqueness_o_orderkey', uniqueness_o_orderkey,
+             uniqueness_o_orderkey = 1.0 FROM m
+      UNION ALL
+      SELECT 'min_o_totalprice', min_o_totalprice,
+             min_o_totalprice > 0 FROM m
+      UNION ALL
+      SELECT 'membership_o_orderstatus', membership_o_orderstatus,
+             membership_o_orderstatus = 1.0 FROM m
+      UNION ALL
+      SELECT 'pattern_o_orderpriority', pattern_o_orderpriority,
+             pattern_o_orderpriority = 1.0 FROM m
+    ) ORDER BY check_name
+    """,
+)
+def quality_expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style expectation suite (operators/profiling.py:
+    expectations) over orders: row count, completeness, key uniqueness,
+    bound, set membership, and pattern compliance — six declared
+    constraints computed as ONE wide aggregate over one scan, exploded
+    into (check_name, metric, passed) verdicts.  Pass/fail is decided
+    on the rounded metric so the oracle's verdicts are bit-identical."""
+    from play_bq_gcp_spark.operators.profiling import expectations
+
+    orders = _t(spark, sf, "orders")
+    checks = [
+        ("row_count", F.count(F.lit(1)), lambda m: m >= 1),
+        (
+            "completeness_o_custkey",
+            F.avg(F.col("o_custkey").isNotNull().cast("int")),
+            lambda m: m == 1.0,
+        ),
+        (
+            "uniqueness_o_orderkey",
+            F.count_distinct("o_orderkey") / F.count(F.lit(1)),
+            lambda m: m == 1.0,
+        ),
+        ("min_o_totalprice", F.min("o_totalprice"), lambda m: m > 0),
+        (
+            "membership_o_orderstatus",
+            F.avg(F.col("o_orderstatus").isin("O", "F", "P").cast("int")),
+            lambda m: m == 1.0,
+        ),
+        (
+            "pattern_o_orderpriority",
+            F.avg(F.col("o_orderpriority").rlike("^[1-5]-").cast("int")),
+            lambda m: m == 1.0,
+        ),
+    ]
+    return expectations(orders, checks).orderBy("check_name")
+
+
+@register(
+    "mv_incremental_refresh",
+    """
+    SELECT o_custkey,
+           count(*) AS order_cnt,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_rev,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_rev
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MV maintenance (operators/mv.py): the revenue-by-
+    customer view is built from facts before 1995-06-01, then two later
+    fact batches are merged in as delta partial-aggregates (count +
+    integer-cent sum) — the base facts are never re-scanned.  Because
+    the state is algebraic and money rides as exact cents, the
+    twice-refreshed MV is bit-identical to the oracle's from-scratch
+    recompute over all facts."""
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        finish,
+        incremental_refresh,
+    )
+
+    orders = _t(spark, sf, "orders")
+    keys = ["o_custkey"]
+    base = aggregate_state(
+        orders.filter(F.col("o_orderdate") < "1995-06-01"), keys, "o_totalprice"
+    )
+    d1 = aggregate_state(
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-06-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ),
+        keys,
+        "o_totalprice",
+    )
+    d2 = aggregate_state(
+        orders.filter(F.col("o_orderdate") >= "1997-01-01"), keys, "o_totalprice"
+    )
+    mv = incremental_refresh(incremental_refresh(base, d1, keys), d2, keys)
+    return finish(mv, keys).orderBy("o_custkey")
+
+
+@register(
+    "attribution_first_last",
+    """
+    WITH u AS (
+      SELECT user_id,
+             epoch_us(ts) AS ts_us,
+             event_type,
+             CASE WHEN event_type IN ('view','click') THEN event_type END
+                 AS touch_type,
+             CASE WHEN event_type IN ('view','click') THEN
+               epoch_us(ts) * 2 + (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             END AS touch_key,
+             CASE WHEN event_type = 'purchase' THEN
+               CAST(round(value * 100) AS BIGINT)
+             END AS conv_cents
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), per_conv AS (
+      SELECT event_type, conv_cents,
+             arg_min(touch_type, touch_key) OVER w AS first_touch,
+             arg_max(touch_type, touch_key) OVER w AS last_touch
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    ), conv AS (
+      SELECT conv_cents, first_touch, last_touch
+      FROM per_conv WHERE event_type = 'purchase'
+    ), long AS (
+      SELECT 'first_touch' AS model,
+             coalesce(first_touch, 'none') AS channel, conv_cents FROM conv
+      UNION ALL
+      SELECT 'last_touch', coalesce(last_touch, 'none'), conv_cents FROM conv
+    )
+    SELECT model, channel,
+           count(*) AS conversions,
+           CAST(sum(conv_cents) AS BIGINT) AS credited_cents
+    FROM long GROUP BY model, channel
+    ORDER BY model, channel
+    """,
+)
+def attribution_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """First-/last-touch conversion attribution
+    (operators/behavior.py:attribution): every purchase credits the
+    earliest and latest view/click by the same user within a 7-day
+    lookback (none if no touch), aggregated to (model, channel)
+    conversion counts and exact credited cents.  One user-keyed window
+    with an integer-microsecond RANGE frame and tie-free min_by/max_by
+    keys — no self-join, models share the frame."""
+    from play_bq_gcp_spark.operators.behavior import attribution
+
+    return attribution(_t(spark, sf, "events")).orderBy("model", "channel")
+
+
+@register(
+    "feature_binning_quantile",
+    """
+    WITH d AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ), b AS (
+      SELECT CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS b1,
+             CAST(floor(quantile_cont(cents, 0.50)) AS BIGINT) AS b2,
+             CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS b3
+      FROM d
+    )
+    SELECT (CASE WHEN cents > b1 THEN 1 ELSE 0 END
+          + CASE WHEN cents > b2 THEN 1 ELSE 0 END
+          + CASE WHEN cents > b3 THEN 1 ELSE 0 END) AS bucket,
+           count(*)   AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+    FROM d, b
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def feature_binning_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency feature binning (operators/profiling.py:
+    equi_depth_bins): order totals discretized into quartile buckets by
+    exact floored integer-cent percentile boundaries — one boundary
+    aggregate broadcast into a map-side CASE pass, no global sort."""
+    from play_bq_gcp_spark.operators.profiling import equi_depth_bins
+
+    return equi_depth_bins(_t(spark, sf, "orders"), "o_totalprice", 4).orderBy(
+        "bucket"
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled-power-iteration restatement of graph.pagerank: every
+    iteration is one CTE (join + grouped integer-division sum), exact
+    because ranks are integer ppm with `//` at every step."""
+    step = """
+    r{j} AS (
+      SELECT e.dst AS node,
+             (SELECT base FROM n) + (85 * sum(r{i}.r // deg.d)) // 100 AS r
+      FROM edges e
+      JOIN r{i} ON e.src = r{i}.node
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+    steps = ",".join(step.format(i=i, j=i + 1) for i in range(iterations))
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    edges AS (
+      SELECT u AS src, k + 10000000 AS dst FROM pairs
+      UNION ALL
+      SELECT k + 10000000 AS src, u AS dst FROM pairs
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    n AS (
+      SELECT count(*) AS n,
+             1000000 // count(*) AS r_init,
+             (15 * (1000000 // count(*))) // 100 AS base
+      FROM deg
+    ),
+    r0 AS (SELECT src AS node, (SELECT r_init FROM n) AS r FROM deg),
+    {steps}
+    SELECT node,
+           CASE WHEN node >= 10000000 THEN 'item' ELSE 'user' END AS node_type,
+           CAST(r AS BIGINT) AS rank_ppm
+    FROM r{iterations}
+    ORDER BY rank_ppm DESC, node
+    LIMIT 20
+    """
+
+
+@register("graph_pagerank_bipartite", _pagerank_oracle_sql())
+def graph_pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the user-item interaction graph
+    (operators/graph.py:pagerank): distinct (user, props.k) pairs
+    symmetrized into an undirected edge list, 5 integer fixed-point
+    power iterations (each one join + one grouped sum), top-20 nodes
+    by rank.  Integer ppm ranks with `div` at every step make the
+    iterative result bit-identical to the oracle's unrolled CTEs."""
+    from play_bq_gcp_spark.operators.graph import pagerank, undirected_edges
+
+    ITEM_OFFSET = 10_000_000
+    pairs = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .select("user_id", (F.col("k") + ITEM_OFFSET).alias("item"))
+        .distinct()
+    )
+    ranks = pagerank(undirected_edges(pairs, "user_id", "item"))
+    return (
+        ranks.select(
+            "node",
+            F.when(F.col("node") >= ITEM_OFFSET, F.lit("item"))
+            .otherwise(F.lit("user"))
+            .alias("node_type"),
+            "rank_ppm",
+        )
+        .orderBy(F.desc("rank_ppm"), "node")
+        .limit(20)
+    )
+
+
+@register("similarity_ann_pq")
+def similarity_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py:pq_topk):
+    m=16 subspace codebooks (seeded deterministically, one joint Lloyd
+    pass), vectors encoded to 16 sub-codes in a map-only HOF pass,
+    query ranked by asymmetric-distance lookup-table sums, top-8k ADC
+    candidates exact-re-ranked.  Permanently rows-only BY DESIGN
+    (approximate result sets have no SQL twin); the pytest floor and
+    the driver-checked ``similarity_ann_recall_floors`` entry pin
+    recall@10 >= 0.8 vs brute force, and
+    ``similarity_pq_adc_exact`` oracle-replays the encode+ADC
+    mechanics exactly."""
+    from play_bq_gcp_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(emb, q, k=10)
+
+
+_ORC_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format breadth (§2.1, columnar interchange): an orders
+    slice landed ONCE per sf as ORC (the other columnar format a lake
+    edge commonly presents) and read back with an explicit schema;
+    money re-read as exact integer cents.  Predicate pushdown and
+    column pruning work on ORC scans exactly as on parquet, so the
+    engine's scan discipline carries over unchanged."""
+    import os
+    import tempfile
+
+    slice_df = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    if sf not in _ORC_DIRS:
+        d = scratch_dir("orc_roundtrip_")
+        slice_df.write.orc(os.path.join(d, "orc"))
+        _ORC_DIRS[sf] = d
+    schema = "o_orderkey long, o_orderstatus string, cents long"
+    return (
+        spark.read.schema(schema)
+        .orc(os.path.join(_ORC_DIRS[sf], "orc"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_rank_family_full",
+    """
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_family_full(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 completion: percent_rank / cume_dist / ntile over one
+    shared window spec (unique ordering key, so ntile assignment is
+    engine-deterministic).  percent_rank and cume_dist are exact
+    rationals of small integers — identical doubles in any engine."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "trend_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT event_type AS etype,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+             sum(CAST(round(value * 100) AS BIGINT)) AS y
+      FROM events
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT etype, count(*) AS n_days,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM daily GROUP BY etype
+    )
+    SELECT etype, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+             round((n_days * sxy - sx * sy) / CAST(n_days * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_day
+    FROM agg ORDER BY etype
+    """,
+)
+def trend_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type OLS revenue trend (operators/behavior.py:
+    daily_trend): day rollup then exact integer co-moments; the slope
+    ships as an exact integer num/den pair (engine- and order-
+    independent) plus the rounded ratio."""
+    from play_bq_gcp_spark.operators.behavior import daily_trend
+
+    return daily_trend(_t(spark, sf, "events")).orderBy("etype")
+
+
+@register(
+    "mv_cdc_refresh",
+    """
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey % 10 = 3 AND o_orderdate >= DATE '1996-01-01')
+    )
+    SELECT o_custkey,
+           count(*) AS order_cnt,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS total_rev,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 6) AS avg_rev
+    FROM live
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def mv_cdc_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """MV maintenance under retraction (operators/mv.py:cdc_delta_state):
+    the MV is built over ALL orders, then a CDC batch deletes every
+    order with key % 10 = 3 placed from 1996 on (signed -1/-cents
+    partials merged by the same incremental_refresh), and fully
+    retracted customers are compacted away.  The oracle recomputes
+    from the surviving facts — equality proves deletes retract
+    exactly, not just approximately."""
+    from play_bq_gcp_spark.operators.mv import (
+        aggregate_state,
+        cdc_delta_state,
+        compact,
+        finish,
+        incremental_refresh,
+    )
+
+    orders = _t(spark, sf, "orders")
+    keys = ["o_custkey"]
+    base = aggregate_state(orders, keys, "o_totalprice")
+    deletes = orders.filter(
+        (F.col("o_orderkey") % 10 == 3)
+        & (F.col("o_orderdate") >= "1996-01-01")
+    ).withColumn("__op", F.lit("D"))
+    delta = cdc_delta_state(deletes, keys, "o_totalprice", "__op")
+    mv = compact(incremental_refresh(base, delta, keys))
+    return finish(mv, keys).orderBy("o_custkey")
+
+
+@register(
+    "corpus_divergence_kl",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS split, unnest({_SQL_TOKS}) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok,
+             sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS b
+      FROM toks GROUP BY tok
+    ), totals AS (
+      SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS v FROM counts
+    ), pq AS (
+      SELECT a, b,
+             (a + 1) / CAST(ta + v AS DOUBLE) AS p,
+             (b + 1) / CAST(tb + v AS DOUBLE) AS q
+      FROM counts, totals
+    )
+    SELECT CAST(sum(a) AS BIGINT)                     AS tokens_a,
+           CAST(sum(b) AS BIGINT)                     AS tokens_b,
+           count(*)                                   AS vocab,
+           CAST(sum(floor(p * ln(p / q) * 1e9)) AS BIGINT) AS kl_pq_nanos,
+           CAST(sum(floor(q * ln(q / p) * 1e9)) AS BIGINT) AS kl_qp_nanos,
+           CAST(floor(sum(floor(abs(p - q) * 1e9)) / 2) AS BIGINT)
+                                                      AS tv_half_nanos
+    FROM pq
+    """,
+)
+def corpus_divergence_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift check between corpus halves
+    (operators/text.py:split_divergence): symmetric KL and total
+    variation over the shared smoothed vocabulary, every per-token term
+    floored to integer nanos before summing so both engines reach the
+    identical integers."""
+    from play_bq_gcp_spark.operators.text import split_divergence
+
+    docs = _t(spark, sf, "documents")
+    return split_divergence(docs, F.col("doc_id") % 2)
+
+
+@register("similarity_ann_ivfpq")
+def similarity_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/similarity.py:ivfpq_topk): coarse
+    IVF lists prune the scan to 8 of 16 partitions, PQ asymmetric-
+    distance sums rank the survivors from 8-byte codes, exact re-rank
+    touches only the ADC top-8k.  Permanently rows-only BY DESIGN like
+    the other float-ANN entries; pytest and the driver-checked
+    ``similarity_ann_recall_floors`` entry pin recall@10 >= 0.8 vs
+    brute force."""
+    from play_bq_gcp_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_topk(emb, q, k=10)
+
+
+@register(
+    "dedup_canonical_survivors",
+    f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT da, db
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    groups AS (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+    sized AS (
+        SELECT g.group_id, g.doc_id, len({_SQL_TOKS}) AS n_tokens
+        FROM groups g JOIN documents USING (doc_id)
+    ),
+    ranked AS (
+        SELECT group_id, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM sized
+    )
+    SELECT group_id,
+           count(*) AS n_members,
+           max(CASE WHEN rk = 1 THEN doc_id END)  AS canonical_doc_id,
+           max(CASE WHEN rk = 1 THEN n_tokens END) AS canonical_tokens
+    FROM ranked GROUP BY group_id ORDER BY group_id
+    """,
+)
+def dedup_canonical_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor selection after duplicate clustering
+    (operators/dedup.py:canonical_survivors): each connected near-dup
+    group keeps its longest member (doc_id tie-break), reported with
+    group size — the auditable keep-the-longest curation default."""
+    from play_bq_gcp_spark.operators.dedup import canonical_survivors
+
+    return canonical_survivors(_t(spark, sf, "documents")).orderBy("group_id")
+
+
+@register("multimodal_audio_dedup")
+def multimodal_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio dedup via spectral fingerprints
+    (operators/multimodal.py:audio_fingerprint): every document
+    synthesized into a genuine WAV (attach_wav; deterministic per
+    doc_id), every 10th clip re-ingested under a new id (the re-crawl
+    duplication shape), fingerprints computed by framed FFT peak-band
+    signatures, exact-fp groups reported — the planted re-ingests MUST
+    pair with their sources.  Amplitude-scale invariance is pinned in
+    pytest on tonal audio (true spectral peaks); text-derived audio is
+    noise-like, so the corpus entry plants byte-identical re-encodes.
+    Rows-only: the FFT runs in Arrow mapInPandas, outside SQL's
+    reach."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_wav,
+        audio_dup_groups,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    dup_src = docs.filter(F.col("doc_id") % 10 == 0)
+    media = attach_wav(docs)
+    # re-ingest: same synthesized waveform under a new id
+    dup_media = attach_wav(dup_src).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    both = media.select("doc_id", "payload").unionByName(dup_media)
+    return audio_dup_groups(both).orderBy("canonical_doc_id")
+
+
+def _audio_spectral_oracle_sql() -> str:
+    """DuckDB restatement of the FULL integer-exact spectral pipeline:
+    utf-8 bytes → byte-centered samples (relies on the WAV
+    encode→decode→``>>8`` roundtrip being exact, the waveform-entry
+    precedent) → fixed-point 8-bin DFT against the SAME integer
+    cos/sin tick table the Spark plan broadcasts (one Python
+    constant, two engines, zero libm calls) → integer energies →
+    per-frame peak bin → positional 17^frame fold → fp group sizes."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        SPECTRAL_FRAMES,
+        SPECTRAL_TABLE,
+        SPECTRAL_WINDOW,
+    )
+
+    w = SPECTRAL_WINDOW
+    vals = ",".join(f"({i},{k},{c},{s})" for i, k, c, s in SPECTRAL_TABLE)
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM corpus
+    ),
+    bytes AS (
+        SELECT doc_id, i AS pos,
+               CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                    AS BIGINT) - 128 AS sv
+        FROM b, unnest(range(0, least(nb // {w} * {w},
+                                      {w * SPECTRAL_FRAMES}))) AS t(i)
+    ),
+    tab(i, bin, cos_t, sin_t) AS (VALUES {vals}),
+    reim AS (
+        SELECT doc_id, pos // {w} AS frame, bin,
+               sum(sv * cos_t) AS re, sum(sv * sin_t) AS im
+        FROM bytes JOIN tab ON tab.i = pos % {w}
+        GROUP BY doc_id, frame, bin
+    ),
+    peaks AS (
+        SELECT doc_id, frame, bin,
+               row_number() OVER (PARTITION BY doc_id, frame
+                                  ORDER BY re*re + im*im DESC, bin) AS rn
+        FROM reim
+    ),
+    fp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_fp,
+               CAST(sum(bin * CASE frame WHEN 0 THEN 1 WHEN 1 THEN 17
+                                         WHEN 2 THEN 289 ELSE 4913 END)
+                    AS BIGINT) AS fp_exact
+        FROM peaks WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT doc_id, n_frames_fp, fp_exact,
+           CAST(count(*) OVER (PARTITION BY fp_exact, n_frames_fp)
+                AS BIGINT) AS group_size
+    FROM fp ORDER BY doc_id
+    """
+
+
+@register("multimodal_audio_fp_exact", _audio_spectral_oracle_sql())
+def multimodal_audio_fp_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact oracle twin of the FFT audio fingerprint
+    (operators/multimodal.py:audio_spectral_exact) — closes the last
+    rows-only capability without an exact shadow, mirroring the
+    similarity_pq_adc_exact precedent.  Same corpus shape as
+    multimodal_audio_dedup (every 10th clip re-ingested under a new
+    id): real WAV synth + decode, quantized samples, fixed-point DFT
+    peak-band fingerprints, planted re-ingests MUST land in the same
+    fp group (group_size ≥ 2) and the oracle replays every integer
+    step from the raw text bytes."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_wav,
+        audio_spectral_exact,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    dup_src = docs.filter(F.col("doc_id") % 10 == 0)
+    media = attach_wav(docs)
+    dup_media = attach_wav(dup_src).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    both = media.select("doc_id", "payload").unionByName(dup_media)
+    return audio_spectral_exact(both)
+
+
+def _image_ahash_oracle_sql() -> str:
+    """DuckDB restatement of the FULL perceptual image pipeline:
+    utf-8 bytes → square image (isqrt side) → edge-padded 8x8
+    block-average thumbnail (floor-ticked) → aHash bits vs the
+    left-fold mean → four 16-bit band keys → band equi-join + summed
+    per-band bit_count hamming (the simhash-oracle packing).  Relies
+    on the BMP encode→decode roundtrip being bit-exact, so the oracle
+    computes pixels straight from the text bytes."""
+    k_exprs = ",\n    ".join(
+        "list_reduce(list_transform(tvs[{lo}:{hi}], "
+        "x -> CASE WHEN x > m THEN 1 ELSE 0 END), "
+        "(a, x) -> a * 2 + x) AS k{j}".format(
+            lo=16 * j + 1, hi=16 * j + 16, j=j
+        )
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.k{j}, b.k{j}))" for j in range(4))
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN length(text) > 1
+              THEN substr(text, 1, length(text) - 1) || 'z'
+              ELSE 'z' END
+  FROM documents WHERE doc_id % 10 = 0
+), b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM aug
+), geo AS (
+  SELECT doc_id, hx,
+         greatest(CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT), 1) AS s0
+  FROM b
+), geo2 AS (
+  SELECT doc_id, hx, s0,
+         greatest(s0, 8) - (greatest(s0, 8) % 8) AS crop,
+         (greatest(s0, 8) - (greatest(s0, 8) % 8)) // 8 AS blk
+  FROM geo
+), cells AS (
+  SELECT doc_id, (r // blk) * 8 + (c // blk) AS cell,
+         CAST(('0x' || substr(hx,
+           CAST(2 * (least(r, s0 - 1) * s0 + least(c, s0 - 1)) + 1 AS INT),
+           2)) AS BIGINT) AS v
+  FROM geo2,
+       unnest(range(0, crop)) AS tr(r),
+       unnest(range(0, crop)) AS tc(c)
+), thumb AS (
+  SELECT doc_id, cell,
+         floor((sum(v) / count(*)) * 10000) / 10000 AS tv
+  FROM cells GROUP BY doc_id, cell
+), tl AS (
+  SELECT doc_id, list(tv ORDER BY cell) AS tvs FROM thumb GROUP BY doc_id
+), tm AS (
+  SELECT doc_id, tvs,
+         list_reduce(tvs, (a, x) -> a + x) / len(tvs) AS m
+  FROM tl
+), keys AS (
+  SELECT doc_id,
+    {k_exprs}
+  FROM tm
+), banded AS (
+  SELECT doc_id, k0, k1, k2, k3, u.band,
+    CASE u.band WHEN 0 THEN k0 WHEN 1 THEN k1
+                WHEN 2 THEN k2 ELSE k3 END AS key
+  FROM keys, (SELECT unnest([0, 1, 2, 3]) AS band) u
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ({ham})::INT AS hamming
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("multimodal_image_near_dup", _image_ahash_oracle_sql())
+def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (operators/multimodal.py:image_ahash
+    + image_near_dup_pairs): documents encoded as GENUINE BMP payloads
+    (attach_bmp; 8-bit palette / 24-bit BGR, real container decode via
+    decode_bmp — bottom-up rows, padding, palette lookup), 8x8
+    thumbnail aHash computed with native HOFs, 4x16-bit band equi-join,
+    Hamming <= 6 survivors.  Every 10th document is re-ingested with
+    its LAST character replaced — a one-pixel perturbation the block
+    average absorbs, so each planted pair appears at tiny Hamming
+    (pinned in pytest).  ORACLE-BACKED end to end: the BMP roundtrip
+    is bit-exact, so the DuckDB twin replays bytes → thumbnail → aHash
+    → banded hamming directly on the text (the video-frames
+    precedent) — a palette slip, row flip, or tick drift anywhere in
+    the container/ahash path breaks the value hash."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_bmp,
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    perturbed_docs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("z")
+        ).alias("text"),
+        "n_chars",
+    )
+    media = attach_bmp(docs).select("doc_id", "payload")
+    perturbed = attach_bmp(perturbed_docs).select("doc_id", "payload")
+    return (
+        image_near_dup_pairs(media.unionByName(perturbed))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_casefold_exact",
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000000, upper(text) || ' !!!' FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                   AS digest
+        FROM aug
+    )
+    SELECT digest, count(*) AS n_docs, min(doc_id) AS canonical_doc_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS members
+    FROM norm
+    GROUP BY digest
+    HAVING count(*) > 1
+    ORDER BY digest
+    """,
+)
+def dedup_casefold_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-invariant exact dedup
+    (operators/dedup.py:casefold_dedup_groups): every 10th doc is
+    re-ingested UPPERCASED with punctuation appended — byte-exact
+    dedup misses all of them, the casefold digest groups each with its
+    source.  Map-side normalize, digest-only shuffle."""
+    from play_bq_gcp_spark.operators.dedup import casefold_dedup_groups
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 30000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!!")).alias("text"),
+        )
+    )
+    return casefold_dedup_groups(aug).orderBy("digest")
+
+
+@register(
+    "quality_length_outliers_mad",
+    """
+    WITH aug AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 40000000, lang, n_chars * 50 FROM documents
+        WHERE doc_id % 200 = 0
+    ),
+    med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        FROM aug GROUP BY lang
+    ),
+    mad AS (
+        SELECT a.lang, quantile_cont(abs(a.n_chars - m.med), 0.5) AS mad
+        FROM aug a JOIN med m USING (lang)
+        GROUP BY a.lang
+    )
+    SELECT a.doc_id, a.lang, a.n_chars,
+           round(0.6745 * (a.n_chars - m.med) / x.mad, 4) AS robust_z
+    FROM aug a JOIN med m USING (lang) JOIN mad x USING (lang)
+    WHERE x.mad > 0
+      AND abs(0.6745 * (a.n_chars - m.med) / x.mad) > 3.5
+    ORDER BY doc_id
+    """,
+)
+def quality_length_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-language length outliers
+    (operators/profiling.py:robust_outliers_mad): median/MAD modified
+    z-score, immune to the contamination dragging the mean.  Every
+    200th doc is re-ingested at 50x length — the planted corruption
+    every scale must flag.  Both engines interpolate the exact median
+    identically (percentile vs quantile_cont)."""
+    from play_bq_gcp_spark.operators.profiling import robust_outliers_mad
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    aug = d.unionByName(
+        d.filter(F.col("doc_id") % 200 == 0).select(
+            (F.col("doc_id") + 40000000).alias("doc_id"),
+            "lang",
+            (F.col("n_chars") * 50).alias("n_chars"),
+        )
+    )
+    return robust_outliers_mad(
+        aug, key_col="lang", value_col="n_chars", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+@register(
+    "similarity_centroid_separation",
+    """
+    WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, CAST(floor(avg(val) * 1000000) AS BIGINT) AS x
+        FROM flat GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.x * b.x) AS BIGINT) AS dot,
+               CAST(sum(a.x * a.x) AS BIGINT) AS na2,
+               CAST(sum(b.x * b.x) AS BIGINT) AS nb2
+        FROM per_dim a JOIN per_dim b
+          ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine
+    FROM pairs
+    ORDER BY label_a, label_b
+    """,
+)
+def similarity_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality audit
+    (operators/similarity.py:centroid_separation): pairwise cosine
+    between per-label centroids, quantized to 1e-6 integer ticks
+    before the dot product so both engines sum exact BIGINTs and take
+    one sqrt/division on bit-identical inputs.  The pairwise stage is
+    |labels|² rows over a model-sized aggregate."""
+    from play_bq_gcp_spark.operators.similarity import centroid_separation
+
+    return centroid_separation(_t(spark, sf, "embeddings")).orderBy(
+        "label_a", "label_b"
+    )
+
+
+@register(
+    "multimodal_frame_dedup",
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM aug
+    ),
+    dims AS (
+        SELECT doc_id, hx, nb,
+               CAST(least(greatest(nb // 64, 1), 16) AS INT) AS n
+        FROM b
+    ),
+    px AS (
+        SELECT doc_id, CAST(i // 64 AS INT) AS frame_index, i AS pos,
+               CASE WHEN i < nb THEN
+                    CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                         AS BIGINT)
+               ELSE 0 END AS v
+        FROM dims, unnest(range(0, CAST(n AS BIGINT) * 64)) AS t(i)
+    ),
+    f AS (
+        SELECT doc_id, frame_index,
+               list_reduce(list((v // 16) + 1 ORDER BY pos),
+                           (acc, x) -> (acc * 131 + x) % 2147483647)
+                   AS frame_fp
+        FROM px GROUP BY doc_id, frame_index
+    )
+    SELECT frame_fp, count(*) AS n_frames,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS canonical_doc_id,
+           array_to_string(
+               list_sort(list(doc_id || ':' || frame_index)), ',')
+               AS members
+    FROM f
+    GROUP BY frame_fp
+    HAVING count(DISTINCT doc_id) > 1
+    ORDER BY frame_fp
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-video duplicate-frame dedup
+    (operators/multimodal.py:frame_dup_groups): every 20th document's
+    AVI is re-ingested (doc_id + 2_000_000) so its frames must group
+    with the source clip's.  ORACLE-BACKED like the video-frames
+    entry: the DuckDB twin replays the per-frame rolling fingerprint
+    on the raw bytes and regroups — after the per-clip decode the
+    dedup is a plain fingerprint-key shuffle, the audio_dup_groups
+    shape."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_avi,
+        frame_dup_groups,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    return frame_dup_groups(attach_avi(aug)).orderBy("frame_fp")
+
+
+_MG_CAPACITY = 16
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+    flood AS (
+        SELECT 'zzflood' AS t
+        FROM (SELECT {_SQL_TOKS} AS tk FROM documents),
+             unnest(range(0, len(tk) // 4)) AS u(i)
+    ),
+    aug AS (SELECT t FROM tok UNION ALL SELECT t FROM flood),
+    c AS (SELECT t, count(*) AS c FROM aug GROUP BY t),
+    tot AS (SELECT sum(c) AS n FROM c)
+    SELECT t AS token, TRUE AS captured, TRUE AS within_bound
+    FROM c, tot
+    WHERE c * {_MG_CAPACITY + 1} > n
+    ORDER BY token
+    """,
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable heavy-hitters attestation
+    (operators/aggregates.py:heavy_hitters_mg): a Misra-Gries summary
+    of capacity 16 over the corpus tokens plus a PLANTED flood token
+    (one copy per 4 tokens of each doc, ≈20% of the stream — the only
+    item clearing the n/17 threshold on this near-uniform vocabulary).
+    For every TRUE heavy hitter (exact count·17 > n, computed exactly
+    in-plan), the entry asserts the summary captured it and its
+    estimate is within the paper's n/17 undercount bound — integer
+    comparisons on both sides.  The oracle is the literal TRUE table
+    over the dynamically-computed heavy set BY DESIGN (the
+    ann_recall_floors pattern): Spark can only produce TRUE by the
+    sketch actually meeting its guarantee, so a Misra-Gries regression
+    becomes a driver red."""
+    from play_bq_gcp_spark.operators.aggregates import heavy_hitters_mg
+    from play_bq_gcp_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    d = _t(spark, sf, "documents")
+    stream = d.select(F.explode(toks).alias("t")).unionAll(
+        d.select(
+            F.explode(
+                F.array_repeat(
+                    F.lit("zzflood"),
+                    F.floor(F.size(toks) / 4).cast("int"),
+                )
+            ).alias("t")
+        )
+    )
+    summary = heavy_hitters_mg(stream, capacity=_MG_CAPACITY)
+    exact = stream.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = exact.agg(F.sum("c").alias("n"))
+    est_expr = F.lit(None).cast("long")
+    for item, est in summary.items():  # ≤ capacity literals
+        est_expr = F.when(F.col("t") == item, F.lit(est)).otherwise(est_expr)
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("c") * (_MG_CAPACITY + 1) > F.col("n"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("t").isin(list(summary)).alias("captured"),
+            (
+                F.abs(est_expr - F.col("c")) * (_MG_CAPACITY + 1)
+                <= F.col("n")
+            ).alias("within_bound"),
+        )
+        .orderBy("token")
+    )
+
+
+def _mmr_exact_oracle_sql(
+    k: int = 5, pool: int = 20, scale: int = 1_000_000, qid: int = 0
+) -> str:
+    """DuckDB restatement of ``similarity.mmr_rerank_exact``: the k
+    greedy stages unroll as chained CTEs (the _pagerank_oracle_sql
+    precedent), each picking the (score2 DESC, vec_id ASC) argmax over
+    the not-yet-selected pool with score2 = rel_q − max(sim_q to the
+    selected set); quantization constants shared with the operator's
+    defaults."""
+    parts = [
+        """sel1 AS (
+  SELECT vec_id, rel_q, rel_q AS score2_q FROM cand
+  ORDER BY rel_q DESC, vec_id LIMIT 1
+), selset1 AS (SELECT vec_id FROM sel1)"""
+    ]
+    union = ["SELECT 1 AS rank, vec_id, rel_q, score2_q FROM sel1"]
+    for i in range(2, k + 1):
+        prev = f"selset{i - 1}"
+        parts.append(
+            f"""sel{i} AS (
+  SELECT c.vec_id, c.rel_q,
+         c.rel_q - (SELECT max(s.sim_q) FROM sims s
+                    WHERE s.va = c.vec_id
+                      AND s.vb IN (SELECT vec_id FROM {prev}))
+             AS score2_q
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY score2_q DESC, c.vec_id LIMIT 1
+), selset{i} AS (
+  SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM sel{i}
+)"""
+        )
+        union.append(f"SELECT {i}, vec_id, rel_q, score2_q FROM sel{i}")
+    stages = ",\n".join(parts)
+    legs = "\nUNION ALL\n".join(union)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+cand AS (
+  SELECT vec_id, v,
+         CAST(round(list_cosine_similarity(v, qv) * {scale}) AS BIGINT)
+             AS rel_q
+  FROM e, q
+  ORDER BY rel_q DESC, vec_id LIMIT {pool}
+),
+sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(round(list_cosine_similarity(a.v, b.v) * {scale}) AS BIGINT)
+             AS sim_q
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+{stages}
+{legs}
+ORDER BY rank
+"""
+
+
+@register("similarity_mmr_exact", _mmr_exact_oracle_sql())
+def similarity_mmr_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact MMR rerank
+    (operators/similarity.py:mmr_rerank_exact): retrieve-then-rerank
+    with the greedy diversity loop value-checked end to end — the
+    oracle unrolls all five selection stages as chained CTEs over the
+    same 1e-6-quantized relevance/similarity integers.  The float MMR
+    (similarity_mmr_rerank) stays as the production form; this twin
+    makes its mechanics driver-attestable."""
+    from play_bq_gcp_spark.operators.similarity import mmr_rerank_exact
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return mmr_rerank_exact(e, qvec)
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, c, count(*) AS cnt
+        FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    totals AS (
+        SELECT doc_id, sum(cnt) AS n FROM counts GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(max(t.n) AS BIGINT) AS n_chars_counted,
+           count(*) AS distinct_chars,
+           CAST(sum(CAST(floor((k.cnt / CAST(t.n AS DOUBLE))
+                     * ln(CAST(t.n AS DOUBLE) / k.cnt) * 1e9)
+                AS BIGINT)) AS BIGINT) AS entropy_nanos
+    FROM counts k JOIN totals t USING (doc_id)
+    GROUP BY k.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon character entropy
+    (operators/text.py:char_entropy): the cheap gibberish /
+    encoding-corruption screen — every (c/n)·ln(n/c) term floored to
+    integer nanos before summing (the corpus_divergence_kl recipe), so
+    both engines reach identical integers despite log ulp
+    differences."""
+    from play_bq_gcp_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"))
+
+
+@register("text_bpe_token_stats")
+def text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-tokenizer token accounting (operators/bpe.py): train a
+    30-merge BPE on the corpus's distinct-word frequency table (one
+    argmax row to the driver per iteration, JVM-side HOF merges), then
+    encode every document and report BPE token count, char-symbol
+    count, and compression — the budget numbers a 100 TB pipeline
+    plans with.  Rows-only BY DESIGN: the trainer is iterative (the
+    PageRank precedent) and the merge list is pinned against a
+    pure-Python BPE reference under hypothesis instead
+    (tests/test_properties.py)."""
+    from play_bq_gcp_spark.operators.bpe import bpe_encode_stats, bpe_train
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=30)
+    return bpe_encode_stats(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_frames",
+    """
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, hx, nb,
+               CAST(least(greatest(nb // 64, 1), 16) AS INT) AS n_frames
+        FROM b
+    ),
+    px AS (
+        SELECT doc_id, n_frames,
+               CAST(i // 64 AS INT) AS frame_index, i AS pos,
+               CASE WHEN i < nb THEN
+                    CAST(('0x' || substr(hx, CAST(2*i + 1 AS INT), 2))
+                         AS BIGINT)
+               ELSE 0 END AS v
+        FROM dims, unnest(range(0, CAST(n_frames AS BIGINT) * 64)) AS t(i)
+    ),
+    f AS (
+        SELECT doc_id, frame_index, max(n_frames) AS n_frames,
+               floor(avg(v) * 10000) / 10000 AS frame_mean,
+               list_reduce(list((v // 16) + 1 ORDER BY pos),
+                           (acc, x) -> (acc * 131 + x) % 2147483647)
+                   AS frame_fp
+        FROM px GROUP BY doc_id, frame_index
+    )
+    SELECT doc_id, frame_index, n_frames, frame_mean, frame_fp
+    FROM f WHERE frame_index % 2 = 0
+    ORDER BY doc_id, frame_index
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Real video-frame sampling (operators/multimodal.py:attach_avi +
+    frame_sample): documents encoded as genuine uncompressed AVI
+    containers (RIFF chunk tree, 24-bit DIB frames), decoded by the
+    hand-parsed RIFF walker, every 2nd frame kept with mean intensity
+    and a 31-bit rolling fingerprint for frame-level dedup.
+    ORACLE-BACKED end to end even though decode is Python-side: the
+    AVI encode→decode roundtrip is bit-exact, so the DuckDB twin
+    replays the frame math (byte extraction via hex pairs, zero-pad,
+    floor-tick mean, list_reduce rolling fold) directly on the utf-8
+    bytes — a wrong header parse, row flip, padding slip, or fold
+    drift anywhere in the container path breaks the value hash."""
+    from play_bq_gcp_spark.operators.multimodal import attach_avi, frame_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    return frame_sample(attach_avi(docs), every_n=2).orderBy(
+        "doc_id", "frame_index"
+    )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS run_len,
+             min(d) AS run_start
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           count(*)      AS n_streaks,
+           max(run_len)  AS longest_streak,
+           CAST(sum(run_len) AS BIGINT) AS active_days,
+           min(run_start) AS first_day
+    FROM runs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands on the activity calendar: per user, runs of
+    consecutive active days found with the classic day-minus-dense_rank
+    constant (pure integers — no timestamps survive past the day
+    ordinal), then streak count / longest streak / active days.  One
+    user-keyed window + two aggregations, all on the deduplicated
+    (user, day) set — the engagement metric behind retention dashboards
+    and streak features."""
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.dense_rank().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"), F.min("d").alias("run_start")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("run_len").alias("longest_streak"),
+            F.sum("run_len").alias("active_days"),
+            F.min("run_start").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT))
+                 AS last_day,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, last_day, freq, monetary,
+             ntile(4) OVER (ORDER BY last_day DESC, o_custkey) AS r_score,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey)     AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*)                 AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS cents,
+           min(o_custkey)           AS sample_custkey
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary from
+    one orders aggregate, each scored into quartiles with tie-free
+    ntile ordering (metric DESC, then custkey — identical total order
+    in any engine), reported as 64 segment cells.  Recency rides as an
+    integer day ordinal, money as exact cents.  Note the global ntile
+    sorts the (already tiny) per-customer aggregate, never the fact
+    table."""
+    from pyspark.sql import Window
+
+    rfm = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+                ).cast("long")
+            ).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary"
+            ),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_day"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("cents"),
+            F.min("o_custkey").alias("sample_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "basket_part_pairs_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), freq AS (
+      SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           fa.n_part AS n_a, fb.n_part AS n_b,
+           (n_ab * n.n_orders * 1000000) // (fa.n_part * fb.n_part)
+               AS lift_ppm
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs within an order with
+    support count and exact integer-ppm lift
+    ``floor(n_ab * n_orders * 1e6 / (n_a * n_b))`` — the co-purchase
+    statistic behind "frequently bought together".  The pair self-join
+    keys on l_orderkey (baskets are small, ~4 items, so the pair
+    expansion is bounded ~6x orders, never quadratic in the table);
+    part frequencies and the basket count fold in as broadcast-sized
+    aggregates."""
+    items = (
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+                 AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           count(*) AS n,
+           CAST((count(*) * 1000000)
+                // sum(count(*)) OVER (PARTITION BY prev_type)
+               AS BIGINT) AS row_share_ppm
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (Markov counts): each
+    user's events ordered by a tie-free (timestamp, event_id) key, one
+    lag window yields (prev, next) pairs, and the grouped counts carry
+    an exact integer-ppm row share (count * 1e6 div row total).  One
+    user-keyed window + one small aggregate — the behavioral statistic
+    behind next-action prediction features and funnel anomaly
+    detection."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    seq = _t(spark, sf, "events").select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000) div sum(n) over (partition by prev_type)")
+            .alias("row_share_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# Oracle f-strung from the operator's own default constants
+# (similarity.PQ_EXACT_*), with the subspace width derived from the
+# data's dimensionality at query time — changing m/n_codes/scale/k or
+# the embedding dim can no longer silently diverge the differential
+# (advisor r5; the _pagerank_oracle_sql precedent).
+@register(
+    "similarity_pq_adc_exact",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_sim.PQ_EXACT_SCALE})
+                                 AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT CAST(len(q) // {_sim.PQ_EXACT_M} AS BIGINT) AS d_sub
+      FROM base LIMIT 1
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q AS sq
+      FROM base ORDER BY vec_id LIMIT {_sim.PQ_EXACT_N_CODES}
+    ),
+    elems AS (
+      SELECT vec_id, CAST((ord - 1) // d_sub AS INT) AS sub,
+             ord - 1 AS pos, x
+      FROM (SELECT vec_id, unnest(q) AS x,
+                   generate_subscripts(q, 1) AS ord FROM base), dims
+    ),
+    selems AS (
+      SELECT code, CAST((ord - 1) // d_sub AS INT) AS sub,
+             ord - 1 AS pos, x
+      FROM (SELECT code, unnest(sq) AS x,
+                   generate_subscripts(sq, 1) AS ord FROM seeds), dims
+    ),
+    dists AS (
+      SELECT e.vec_id, e.sub, s.code,
+             CAST(sum((e.x - s.x) * (e.x - s.x)) AS BIGINT) AS d2
+      FROM elems e JOIN selems s ON e.pos = s.pos
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT vec_id, sub, code
+      FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) = 1
+    ),
+    lut AS (SELECT sub, code, d2 AS qd FROM dists
+            WHERE vec_id = {_sim.PQ_EXACT_QUERY_ID}),
+    adc AS (
+      SELECT a.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
+      FROM assign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+      GROUP BY 1
+    )
+    SELECT vec_id, adc_dist,
+           CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT)
+               AS rank
+    FROM adc
+    QUALIFY rank <= {_sim.PQ_EXACT_K}
+    ORDER BY rank
+    """,
+)
+def similarity_pq_adc_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codebook assignment + ADC ranking, oracle-replayed end to end
+    (operators/similarity.py:pq_adc_exact) — the r4 ask to move PQ from
+    rows-only to a green differential: integer-quantized vectors, seed
+    codebooks (m=8, 16 codes), exact integer subspace distances,
+    first-index-argmin assignment, and an integer ADC lookup-table sum,
+    every step replayed verbatim in the DuckDB twin."""
+    from play_bq_gcp_spark.operators.similarity import pq_adc_exact
+
+    return pq_adc_exact(_t(spark, sf, "embeddings"))
+
+
+@register(
+    "similarity_ann_recall_floors",
+    """
+    SELECT method, recall_ok
+    FROM (VALUES ('ivf', TRUE), ('ivfpq', TRUE),
+                 ('lsh', TRUE), ('pq', TRUE)) AS t(method, recall_ok)
+    ORDER BY method
+    """,
+)
+def similarity_ann_recall_floors(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-attested recall floors for all four float-ANN layouts:
+    each method's top-10 for the shared query vector must overlap the
+    exact brute-force top-10 in >= 8 of 10 ids (the pytest floor, now
+    visible to the external gate).  The oracle is the literal TRUE
+    table BY DESIGN — the differential's value is that Spark can only
+    produce TRUE by actually meeting the floor, so an ANN regression
+    becomes a driver red.  Overlap counting runs as semi-join + count
+    aggregates per method; only the four booleans leave the cluster."""
+    from play_bq_gcp_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    methods = {
+        "ivf": ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8),
+        "ivfpq": ivfpq_topk(e, qvec, k=10),
+        "lsh": lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1, n_tables=8),
+        "pq": pq_topk(e, qvec, k=10),
+    }
+    parts = [
+        df.join(exact, "vec_id", "left_semi").agg(
+            F.lit(m).alias("method"),
+            (F.count(F.lit(1)) >= 8).alias("recall_ok"),
+        )
+        for m, df in sorted(methods.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")

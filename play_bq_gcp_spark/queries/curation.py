@@ -1,0 +1,313 @@
+"""Curation depth batch: repetition filters, embedding quantization, CDC
+apply-changes.
+
+Split from the original single-file registry (round 7); behavior and
+registration order are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+
+# ---------------------------------------------------------------------------
+# Curation depth batch (round 4): repetition filters, embedding
+# quantization, CDC apply-changes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_profile",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, 1 AS k, unnest(tk) AS gram
+        FROM tok WHERE len(tk) > 0
+        UNION ALL
+        SELECT doc_id, 2,
+               unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1]))
+        FROM tok WHERE len(tk) >= 2
+        UNION ALL
+        SELECT doc_id, 3,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        FROM tok WHERE len(tk) >= 3
+    ),
+    c AS (
+        SELECT doc_id, k, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ),
+    p AS (
+        SELECT doc_id, k, sum(cnt) AS total, count(*) AS dct,
+               max(cnt) AS top
+        FROM c GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(max(CASE WHEN k = 1 THEN total END) AS BIGINT) AS n_tokens,
+           CAST(max(CASE WHEN k = 1 THEN dct END) AS DOUBLE)
+               / max(CASE WHEN k = 1 THEN total END) AS ttr,
+           CAST(max(CASE WHEN k = 1 THEN top END) AS DOUBLE)
+               / max(CASE WHEN k = 1 THEN total END) AS top_token_frac,
+           coalesce(1 - CAST(max(CASE WHEN k = 2 THEN dct END) AS DOUBLE)
+               / max(CASE WHEN k = 2 THEN total END), 0.0)
+               AS dup_bigram_frac,
+           coalesce(1 - CAST(max(CASE WHEN k = 3 THEN dct END) AS DOUBLE)
+               / max(CASE WHEN k = 3 THEN total END), 0.0)
+               AS dup_trigram_frac
+    FROM p
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (type-token ratio, top-token
+    share, duplicate bigram/trigram fractions) — see
+    operators/text.py:repetition_profile for the single-explode scale
+    shape.  The ratios are divisions of exact integer counts, so both
+    engines produce bit-identical doubles with no rounding step."""
+    from play_bq_gcp_spark.operators.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf, "documents"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH base AS (
+        -- CAST to DOUBLE everywhere: DuckDB's bare 127.0 literal is
+        -- DECIMAL, and DECIMAL op FLOAT stays FLOAT — which would
+        -- compute the whole chain in float32 while Spark widens to
+        -- double, flipping floor() units at the boundary
+        SELECT vec_id, embedding,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) AS amax
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, embedding, amax,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                        * (CAST(127.0 AS DOUBLE) / amax) + 0.5) AS INT))
+                   AS codes
+        FROM base WHERE amax > 0
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_e6,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_max(codes) AS code_max,
+           list_min(codes) AS code_min,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(floor(
+                   (CAST(embedding[i] AS DOUBLE)
+                        - codes[i] / (CAST(127.0 AS DOUBLE) / amax))
+                 * (CAST(embedding[i] AS DOUBLE)
+                        - codes[i] / (CAST(127.0 AS DOUBLE) / amax))
+                 * 1000000000.0) AS BIGINT))) AS BIGINT)
+               AS sq_err_1e9
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 scalar quantization + reconstruction-error audit
+    over the embedding corpus — see operators/similarity.py:
+    quantize_int8 for the zero-shuffle map-pass shape and the
+    integer-unit determinism scheme."""
+    from play_bq_gcp_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf, "embeddings"))
+
+
+@register(
+    "merge_cdc_apply",
+    """
+    WITH snap AS (
+        SELECT * FROM customer WHERE c_custkey % 4 <> 0
+    ),
+    feed AS (
+        SELECT o_custkey AS k, o_orderkey AS v,
+               CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS new_bal
+        FROM orders
+    ),
+    latest AS (
+        SELECT k, op, new_bal
+        FROM (SELECT k, op, new_bal,
+                     row_number() OVER (PARTITION BY k ORDER BY v DESC)
+                         AS rn
+              FROM feed)
+        WHERE rn = 1
+    )
+    SELECT coalesce(c_custkey, k) AS c_custkey,
+           c_name,
+           CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM snap FULL OUTER JOIN latest ON c_custkey = k
+    WHERE op IS NULL OR op <> 'D'
+    ORDER BY c_custkey
+    """,
+)
+def merge_cdc_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply-changes (operators/merge.py:apply_changes): a change
+    feed derived from orders — each order is an upsert of its
+    customer's balance to the order total, 'P'-status orders are
+    deletes, the order key is the version — applied last-writer-wins
+    onto a customer snapshot (keys ≢ 0 mod 4 held out so the feed
+    exercises the INSERT path, not just update/delete).  One window
+    shuffle + one full-outer join; see the operator docstring for the
+    100 TB shape."""
+    from play_bq_gcp_spark.operators.merge import apply_changes
+
+    snap = _t(spark, sf, "customer").filter(F.col("c_custkey") % 4 != 0)
+    feed = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    out = apply_changes(
+        snap, feed, "c_custkey", "version", "op", ["c_acctbal"]
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id AS u, min(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.u
+        WHERE e.event_type = 'click' AND e.ts > s1.t0
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id AS u, min(e.ts) AS t2
+        FROM events e JOIN s2 ON e.user_id = s2.u
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t1
+        GROUP BY e.user_id
+    )
+    SELECT count(s1.t0) AS n_step1,
+           count(s2.t1) AS n_step2,
+           count(s3.t2) AS n_step3,
+           CAST(sum(epoch_us(s2.t1) - epoch_us(s1.t0)) AS BIGINT)
+               AS lag_micros_1_2,
+           CAST(sum(epoch_us(s3.t2) - epoch_us(s2.t1)) AS BIGINT)
+               AS lag_micros_2_3,
+           CAST(count(s2.t1) AS DOUBLE) / count(s1.t0) AS conv_1_2,
+           CAST(count(s3.t2) AS DOUBLE) / count(s2.t1) AS conv_2_3
+    FROM s1
+    LEFT JOIN s2 ON s1.u = s2.u
+    LEFT JOIN s3 ON s2.u = s3.u
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel view → click → purchase with min-of-firsts
+    semantics (operators/behavior.py:funnel): staged per-user minima,
+    every shuffle on user_id, exact integer conversion lags."""
+    from play_bq_gcp_spark.operators.behavior import funnel
+
+    out = funnel(
+        _t(spark, sf, "events"), ["view", "click", "purchase"]
+    )
+    return out.select(
+        "n_step1", "n_step2", "n_step3",
+        "lag_micros_1_2", "lag_micros_2_3",
+        "conv_1_2", "conv_2_3",
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id AS u,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id AS u2,
+               CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events
+    ),
+    matrix AS (
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT u2) AS active_users
+        FROM activity JOIN first_seen ON u2 = u
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, active_users,
+           max(CASE WHEN week_offset = 0 THEN active_users END)
+               OVER (PARTITION BY cohort_week) AS cohort_size,
+           CAST(active_users AS DOUBLE)
+               / max(CASE WHEN week_offset = 0 THEN active_users END)
+                 OVER (PARTITION BY cohort_week) AS retained_frac
+    FROM matrix
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix
+    (operators/behavior.py:cohort_retention): first-seen week x week
+    offset, distinct active users, retained fraction vs week-0."""
+    from play_bq_gcp_spark.operators.behavior import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+@register(
+    "resample_daily_locf",
+    """
+    WITH daily AS (
+        SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS dmin,
+               CAST(date_trunc('day', max(ts)) AS DATE) AS dmax
+        FROM events
+    ),
+    spine AS (
+        SELECT u, CAST(unnest(generate_series(dmin::TIMESTAMP,
+                                              dmax::TIMESTAMP,
+                                              INTERVAL 1 DAY)) AS DATE)
+                      AS day
+        FROM (SELECT DISTINCT user_id AS u FROM events), span
+    )
+    SELECT spine.u AS user_id, spine.day,
+           coalesce(day_cents, 0) AS day_cents_filled,
+           coalesce(last_value(day_cents IGNORE NULLS)
+               OVER (PARTITION BY spine.u ORDER BY spine.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS locf_cents,
+           CAST(sum(coalesce(day_cents, 0))
+               OVER (PARTITION BY spine.u ORDER BY spine.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+    FROM spine LEFT JOIN daily ON spine.u = daily.u AND spine.day = daily.day
+    ORDER BY user_id, spine.day
+    """,
+)
+def resample_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily resample with zero-fill, LOCF, and exact running
+    totals (operators/behavior.py:resample_daily_gapfill) — the
+    gap-free per-key series a feature pipeline consumes.  All values
+    are int64 cents; no FP aggregation anywhere."""
+    from play_bq_gcp_spark.operators.behavior import resample_daily_gapfill
+
+    return resample_daily_gapfill(_t(spark, sf, "events"))

@@ -1,0 +1,766 @@
+"""LLM-pipeline core (SURVEY.md §2.10): deduplication, similarity search,
+text analysis, and multimodal-column entries.
+
+Split from the original single-file registry (round 7); behavior and
+registration order are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (§2.10)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of play_bq_gcp_spark.operators.text.tokens()
+_SQL_TOKS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+)
+
+
+def _quality_clf_oracle() -> str:
+    """DuckDB restatement of ``text.quality_classifier``: same md5
+    bucket fold, same dyadic weight literal, exact sum → identical
+    logits with zero FP ambiguity."""
+    from play_bq_gcp_spark.operators.text import classifier_weights
+
+    wl = "[" + ", ".join(repr(v) for v in classifier_weights()) + "]"
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+    hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+    b AS (SELECT doc_id, (({dig(7)} * 16 + {dig(8)}) % 64) AS bkt FROM hs),
+    wt AS (SELECT doc_id, list_extract({wl}, bkt + 1) AS w FROM b),
+    agg AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(w) AS s
+        FROM wt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS logit,
+           s > 0 AS label
+    FROM agg ORDER BY doc_id
+    """
+
+
+@register("text_quality_classifier", _quality_clf_oracle())
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick linear classifier inference
+    (operators/text.quality_classifier): the fastText-style learned
+    quality gate, map-only with the weight vector as a plan literal;
+    md5-fold buckets and dyadic weights make the oracle replay
+    inference bit-for-bit."""
+    from play_bq_gcp_spark.operators.text import quality_classifier
+
+    return quality_classifier(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH dupinput AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS text_fp,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_copies
+    FROM dupinput
+    GROUP BY 1 HAVING count(*) >= 2
+    ORDER BY text_fp
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via md5(normalized text) hash-groupBy.  Input is the
+    corpus with every 10th doc re-ingested under a new id — the classic
+    re-crawl duplication shape."""
+    from play_bq_gcp_spark.operators.dedup import exact_dedup_groups
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup_input = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup_groups(dup_input).orderBy("text_fp")
+
+
+# Oracle: exact all-pairs bigram-shingle Jaccard; the Spark side
+# generates candidates from banded MinHash over the same bigram hashes
+# (recall ≥ 0.99997 at the 0.7 threshold — deterministic with fixed
+# seeds) and verifies exactly, so the outputs agree.
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 1) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i::DOUBLE / (x.n + y.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz x ON x.doc_id = da
+    JOIN sz y ON y.doc_id = db
+    WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram (2-gram) Jaccard ≥ 0.7 pairs, candidates from
+    banded-MinHash buckets over the same shingle hashes — no
+    language-sized block is ever expanded all-pairs."""
+    from play_bq_gcp_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.7
+    ).orderBy("doc_a", "doc_b")
+
+
+# Oracle is exact all-pairs 3-shingle Jaccard; the Spark side is banded
+# MinHash whose recall at the 0.7 threshold is 1-(1-s^3)^25 ≥ 0.99997,
+# so (with fixed seeds) the outputs agree deterministically.
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           round(i::DOUBLE / (x.n + y.n - i), 4) AS jaccard_approx
+    FROM inter
+    JOIN sz x ON x.doc_id = da
+    JOIN sz y ON y.doc_id = db
+    WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-MinHash near-dup pairs over the full corpus, verified
+    with exact shingle-set Jaccard ≥ 0.7."""
+    from play_bq_gcp_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, jaccard_distance=0.3).orderBy("doc_a", "doc_b")
+
+
+# Oracle: the same exact all-pairs shingle-Jaccard pair graph as
+# dedup_minhash_lsh, closed transitively with a recursive CTE; the
+# Spark side is an iterative min-label propagation loop (the driver
+# contract's "iterative algorithms" class — loop over ROUNDS, not rows).
+@register(
+    "dedup_connected_groups",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+            FROM documents
+        )
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT da, db
+        FROM inter
+        JOIN sz x ON x.doc_id = da
+        JOIN sz y ON y.doc_id = db
+        WHERE round(i::DOUBLE / (x.n + y.n - i), 4) >= 0.7
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION ALL SELECT db, da FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS group_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_connected_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: LSH pairs closed into connected components
+    by iterative min-label propagation (checkpointed per round)."""
+    from play_bq_gcp_spark.operators.dedup import connected_dup_groups
+
+    return connected_dup_groups(
+        _t(spark, sf, "documents"), jaccard_distance=0.3
+    ).orderBy("doc_id")
+
+
+# Input is the corpus with every 25th vector re-ingested under a new
+# id, element-wise shifted by +0.01 (cosine ≈ 0.997 to its source) —
+# the re-embedded-crawl duplication shape.  Oracle: exact all-pairs
+# cosine ≥ 0.9 over the augmented set; the Spark side generates
+# candidates from 16 sign-bit LSH tables and verifies exact cosine
+# (recall verified 1.0 on the fixture at sf0.01 AND sf0.1 — fixed
+# seeds make it deterministic round-over-round).
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 25 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.9
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table sign-bit LSH candidate
+    buckets + exact-cosine verify ≥ 0.9 — no all-pairs join anywhere
+    in the plan."""
+    from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    return embedding_cosine_pairs(aug, threshold=0.9).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 query vector."""
+    from play_bq_gcp_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return brute_force_topk(e, qvec, k=10)
+
+
+def _lsh_knn_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, n_tables: int = 8
+) -> str:
+    """DuckDB replica of the ENTIRE multi-table knn_join_lsh pipeline —
+    the same seeded hyperplanes for every table (emitted as a VALUES
+    relation of (table, bit-weight, plane) rows), sign-bit signatures
+    via a dot-product aggregate, the same flip-one-bit probe explode,
+    the (table, signature) equi-join, exact cosine on candidates, top-5
+    per query.  Both engines compute each plane dot over the identical
+    operand sequence, so the sign — hence the bucket — agrees except on
+    exact zeros (measure-zero for random planes)."""
+    from play_bq_gcp_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        for i, pl in enumerate(planes):
+            vec = "[" + ", ".join(repr(float(x)) for x in pl) + "]::DOUBLE[]"
+            rows.append(f"({t}, {1 << i}, {vec})")
+    values = ",\n        ".join(rows)
+    probes = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(tbl, pw, p) AS (VALUES
+        {values}
+    ),
+    s AS (
+        SELECT vec_id, tbl,
+               sum(CASE WHEN list_dot_product(v, p) > 0
+                        THEN pw ELSE 0 END)::BIGINT AS sig
+        FROM v CROSS JOIN planes GROUP BY vec_id, tbl
+    ),
+    q AS (SELECT vec_id AS query_id, tbl, sig FROM s WHERE vec_id % 100 = 0),
+    qp AS (
+        SELECT query_id, tbl, unnest([{probes}]) AS sig FROM q
+    ),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM qp
+        JOIN (SELECT vec_id AS neighbor_id, tbl, sig FROM s) c
+          USING (tbl, sig)
+        WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+        FROM cand
+        JOIN v qv ON qv.vec_id = query_id
+        JOIN v cv ON cv.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@register("knn_join_lsh", _lsh_knn_oracle_sql())
+def knn_join_lsh_entry(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path for batch k-NN: bucket-pruned via sign-bit LSH
+    with multi-probe — candidates come from a signature EQUI-join,
+    never |Q|×|C| scoring (operators/similarity.knn_join_lsh).  The
+    oracle replays the identical LSH pipeline in SQL (same seeded
+    hyperplanes as literals), so this checks buckets, probe set, AND
+    scores — stronger than a recall bound.  8 OR-amplified tables put
+    measured recall vs exact brute force at 0.95 on the sf0.1 corpus
+    (0.27 with one table — the round-2 shape).  knn_join_bruteforce remains
+    the exactness/recall reference in tests/test_llm_ops.py and in the
+    below-window ``similarity_knn_join`` entry."""
+    from play_bq_gcp_spark.operators.similarity import knn_join_lsh
+
+    e = _t(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_lsh(
+        qs, e, k=5, n_planes=6, seed=42, dim=64, multi_probe=True,
+        n_tables=8,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_doc_profile",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang, text, {_SQL_TOKS} AS toks,
+               list_distinct({_SQL_TOKS}) AS dt
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang, text, toks,
+               len(list_intersect(dt, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+               len(list_intersect(dt, ['der','die','das','und','ist','von','mit','ein','zu','den'])) AS s_de,
+               len(list_intersect(dt, ['le','la','les','et','de','un','une','est','pour','dans'])) AS s_fr,
+               len(list_intersect(dt, ['el','la','los','las','y','de','un','una','es','para'])) AS s_es
+        FROM tok
+    ), ratios AS (
+        SELECT doc_id, lang, text, toks, s_en, s_de, s_fr, s_es,
+               length(text)::BIGINT AS n_chars,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
+        FROM scores
+    )
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+               AS n_tokens_bpe,
+           round(coalesce(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0)::DOUBLE
+                 / greatest(len(toks), 1)::DOUBLE, 4) AS avg_token_len,
+           n_chars, punct_ratio, stopword_ratio,
+           floor(least(len(toks) / 50.0, 1.0) * (1 - punct_ratio)
+                 * least(stopword_ratio * 5, 1.0) * 10000) / 10000 AS quality,
+           lang,
+           CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           md5(array_to_string(toks, ' ')) AS text_fp,
+           md5(array_to_string(toks[1:8], ' ')) AS prefix_fp
+    FROM ratios
+    ORDER BY doc_id
+    """,
+)
+def text_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 per-document text analysis — token counting (whitespace +
+    BPE-ish regex), mean token length, quality ratios + composite,
+    heuristic language ID, and both fingerprints — fused into ONE map
+    pass over one scan (operators/text.py doc_profile).  At 100 TB
+    four separate passes would read the corpus four times for pure
+    row-local arithmetic."""
+    from play_bq_gcp_spark.operators.text import doc_profile
+
+    return doc_profile(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_top_tokens",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+    SELECT token, count(*) AS freq,
+           count(DISTINCT doc_id)           AS df,
+           round(ln(nd / count(DISTINCT doc_id)), 4) AS idf,
+           round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS avg_tf
+    FROM tok, n
+    GROUP BY token, nd
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token statistics + TF-IDF components for the top-20
+    tokens: corpus term frequency, document frequency (exact distinct),
+    idf = ln(N/df), and mean within-document tf.  ONE shuffle on the
+    token key with map-side partial aggregation (the doc-count scalar
+    is a 1-row broadcast); at 100 TB the explode never materializes —
+    tokens stream through the partial agg."""
+    from play_bq_gcp_spark.catalog import spread
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = spread(_t(spark, sf, "documents"))
+    # corpus size as a 1-row aggregate broadcast into the final select —
+    # not a driver-side .count(), which ran a whole extra job per call
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "freq",
+            "df",
+            F.round(F.log(F.col("__nd") / F.col("df")), 4).alias("idf"),
+            F.round(F.col("freq").cast("double") / F.col("df"), 4).alias(
+                "avg_tf"
+            ),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "pandas_udf_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+               AS n_tokens_bpe
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (§2.9): Arrow-batched BPE-ish token
+    count, hash-checked against the same count computed in SQL."""
+    from play_bq_gcp_spark.functions.scalar import bpe_token_count_udf
+    from play_bq_gcp_spark.catalog import spread
+
+    count = bpe_token_count_udf()
+    return (
+        spread(_t(spark, sf, "documents"))
+        .select("doc_id", count("text").alias("n_tokens_bpe"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipeline_corpus_clean",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), ratios AS (
+        SELECT doc_id, text, toks,
+               len(toks)::BIGINT AS n_tokens,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+               round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','a','in','is','it','that','for'], t)))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio
+        FROM tok
+    ), scored AS (
+        SELECT doc_id, toks, n_tokens,
+               floor(least(n_tokens / 50.0, 1.0) * (1 - punct_ratio)
+                     * least(stopword_ratio * 5, 1.0) * 10000) / 10000
+                   AS quality
+        FROM ratios
+    ), kept AS (
+        SELECT doc_id, n_tokens, quality,
+               md5(array_to_string(toks, ' ')) AS text_fp
+        FROM scored WHERE quality >= 0.25 AND n_tokens >= 20
+    )
+    SELECT doc_id, n_tokens, quality
+    FROM kept
+    WHERE doc_id = (SELECT min(k2.doc_id) FROM kept k2 WHERE k2.text_fp = kept.text_fp)
+      AND substring(md5(doc_id::VARCHAR), 1, 1) < 'c'
+    ORDER BY doc_id
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus cleaning (the composition a training-data
+    pipeline actually runs): quality-score → threshold filter →
+    exact-dedup (keep min doc_id per normalized-text digest) →
+    deterministic hash sample → kept-document list.  The quality
+    columns AND the dedup digest are computed in the SAME select over
+    one scan (text.quality_columns), so document bodies are read once
+    and NEVER shuffled — the only exchanges move (digest, doc_id) and
+    the final semi-join key.  The sample is an md5-bucket draw (first
+    hex nibble < 'c' ⇒ 12/16 = 75%): reproducible across engines,
+    rounds, and partitionings — the property a training-subset draw
+    needs that rand()-based sampling lacks."""
+    from play_bq_gcp_spark.catalog import spread
+    from play_bq_gcp_spark.operators.text import quality_columns, tokens
+
+    q = quality_columns()
+    scored = (
+        spread(_t(spark, sf, "documents").select("doc_id", "text"))
+        .select(
+            "doc_id",
+            q["n_tokens"].alias("n_tokens"),
+            q["quality"].alias("quality"),
+            F.md5(F.array_join(tokens("text"), " ")).alias("text_fp"),
+        )
+        .filter((F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20))
+    )
+    keepers = scored.groupBy("text_fp").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sampling_suite",
+    """
+    WITH f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                   / 16777216.0 AS frac
+        FROM documents
+    )
+    SELECT 'hash' AS tag, doc_id, lang FROM f WHERE frac < 0.25
+    UNION ALL
+    SELECT 'strat', doc_id, lang FROM f
+    WHERE frac < CASE WHEN lang = 'en' THEN 0.1
+                      WHEN lang = 'de' THEN 0.5 ELSE 1.0 END
+    UNION ALL
+    SELECT 'cap', doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY frac, doc_id
+               ) AS rn
+        FROM f
+    ) WHERE rn <= 20
+    ORDER BY tag, doc_id
+    """,
+)
+def sampling_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus sampling (operators/sampling.py), all three
+    draws oracle-checked directly: Bernoulli ``hash_sample`` (md5-bucket
+    fraction < rate — reproducible under any partitioning, unlike
+    ``sample()``), per-stratum rates via ``stratified_sample``
+    (downsample 'en' to 10%, 'de' to half, keep the rest), and
+    ``cap_per_key`` (≤20 docs per lang, ranked by the same md5 fraction
+    with id tie-break).  The md5-prefix arithmetic is replayed verbatim
+    in SQL, so the kept subsets must match row-for-row across engines.
+    Scale: two map-pass filters + one window shuffled only on the cap
+    key."""
+    from play_bq_gcp_spark.operators.sampling import (
+        cap_per_key,
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("tag"), "doc_id", "lang"
+    )
+    h = tag(hash_sample(docs, "doc_id", 0.25), "hash")
+    s = tag(
+        stratified_sample(
+            docs, "lang", "doc_id", {"en": 0.1, "de": 0.5}, default_rate=1.0
+        ),
+        "strat",
+    )
+    c = tag(cap_per_key(docs, "lang", 20, "doc_id"), "cap")
+    return h.unionByName(s).unionByName(c).orderBy("tag", "doc_id")
+
+
+@register(
+    "udtf_chunk_documents",
+    f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    c AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(0, (len(tk) + 31) // 32 - 1)) AS chunk_idx
+        FROM tok
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           array_to_string(tk[chunk_idx*32 + 1 : (chunk_idx+1)*32], ' ') AS chunk,
+           len(tk[chunk_idx*32 + 1 : (chunk_idx+1)*32])::BIGINT AS n_tokens
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (§2.9): context-window chunking — each document
+    laterally expanded into fixed 32-token chunks."""
+    from play_bq_gcp_spark.functions.udtf_fns import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_size=32).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "multimodal_arrow_profile",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           (length(text) - length(replace(text, ' ', '')))::BIGINT
+               AS n_spaces,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+               AS n_digits
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_arrow_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.9 ARROW-NATIVE UDF path (mapInArrow + pyarrow.compute
+    kernels, zero pandas materialization — see
+    operators/multimodal.arrow_byte_profile); features chosen to be
+    exactly SQL-expressible so the Arrow path is value-checked, not
+    just exercised."""
+    from play_bq_gcp_spark.operators.multimodal import arrow_byte_profile
+
+    return arrow_byte_profile(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@register(
+    "multimodal_suite",
+    """
+    SELECT doc_id, 'byte_len' AS metric,
+           octet_length(encode(text))::BIGINT AS value
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'n_chars', n_chars::BIGINT FROM documents
+    UNION ALL
+    SELECT doc_id, 'frame',
+           unnest(range(0, (octet_length(encode(text)) // 64 + 1)::BIGINT, 10))::BIGINT
+    FROM documents
+    ORDER BY doc_id, metric, value
+    """,
+)
+def multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 multimodal binary-column plumbing, both surfaces in one
+    tagged long result:
+
+    * byte features — BinaryType payload + typed metadata struct
+      through an Arrow ``mapInPandas`` featurizer (decode itself is
+      stubbed: no codecs in this container; the byte-level features
+      and all Spark-side plumbing are real);
+    * frame sampling — the per-media fan-out plan (decoder-free
+      deterministic frame count: 1 per 64 payload bytes, sampled
+      every 10th)."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        attach_binary,
+        byte_features,
+        frame_sample_plan,
+    )
+
+    media = attach_binary(_t(spark, sf, "documents"))
+    feats = byte_features(media)
+    byte_leg = feats.select(
+        "doc_id",
+        F.lit("byte_len").alias("metric"),
+        F.col("byte_len").cast("bigint").alias("value"),
+    )
+    chars_leg = feats.select(
+        "doc_id",
+        F.lit("n_chars").alias("metric"),
+        F.col("n_chars").cast("bigint").alias("value"),
+    )
+    frame_leg = frame_sample_plan(media, every_n=10).select(
+        "doc_id",
+        F.lit("frame").alias("metric"),
+        F.col("frame_index").cast("bigint").alias("value"),
+    )
+    return (
+        byte_leg.unionByName(chars_leg)
+        .unionByName(frame_leg)
+        .orderBy("doc_id", "metric", "value")
+    )

@@ -1,0 +1,1419 @@
+"""Core SQL surface (SURVEY.md §2.2-2.7): aggregations,
+projections/filters/joins, scalar functions, windows, set ops, JSON/pivot,
+advanced joins, and the format/partition scan entries.
+
+Split from the original single-file registry (round 7); behavior and
+registration order are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.functions.scalar import (
+    last_n_chars,
+    sanitize_ascii,
+    surrogate_key,
+)
+from play_bq_gcp_spark.operators import aggregates, merge, relational
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.scratch import scratch_dir
+from play_bq_gcp_spark.sources.rest_api import trophy_document
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                       AS avg_qty,
+           round(avg(l_extendedprice), 6)                                  AS avg_price,
+           round(avg(l_discount), 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return aggregates.pricing_summary(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "agg_group_analytics",
+    """
+    SELECT 'rollup' AS tag, n_name AS k1, o_orderstatus AS k2,
+           round(sum(o_totalprice), 2) AS measure, count(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2), count(*)
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2), NULL
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY tag, k1 ASC NULLS FIRST, k2 ASC NULLS FIRST
+    """,
+)
+def agg_group_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 multi-dimensional grouping trio — ROLLUP (over a broadcast
+    star join), CUBE, and explicit GROUPING SETS — harmonized into one
+    tagged result.
+
+    The cube and grouping-sets legs share ONE cube pass carrying both
+    measures: GROUPING SETS ((flag),(status),()) is exactly the cube's
+    grouping_id ∈ {1,2,3} slice, so instead of a second lineitem scan +
+    Expand + shuffle, each cube output row explodes into its 'cube' row
+    plus (when gid ∈ {1,2,3}) its 'gsets' row — a per-row fan-out over
+    the ~|flag|·|status| aggregate rows, not over the fact table.  (A
+    two-branch union of the same cube DataFrame would NOT be shared:
+    per-branch column pruning makes the aggregates differ, so
+    ReuseExchange can't kick in — hence the explode form.)
+    grouping_id — not NULL-ness — distinguishes subtotal rows, so the
+    slice is correct even for NULL-valued real groups."""
+    ro = aggregates.agg_rollup(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    ).select(
+        F.lit("rollup").alias("tag"),
+        F.col("n_name").alias("k1"),
+        F.col("o_orderstatus").alias("k2"),
+        F.col("total_price").alias("measure"),
+        F.col("n_orders").alias("n"),
+    )
+    cube_all = (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    cube_gs = (
+        cube_all.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("cube").alias("tag"),
+                        F.col("l_returnflag").alias("k1"),
+                        F.col("l_linestatus").alias("k2"),
+                        F.col("sum_qty").alias("measure"),
+                        F.col("n_rows").alias("n"),
+                        F.lit(True).alias("keep"),
+                    ),
+                    F.struct(
+                        F.lit("gsets").alias("tag"),
+                        F.col("l_returnflag").alias("k1"),
+                        F.col("l_linestatus").alias("k2"),
+                        F.col("sum_price").alias("measure"),
+                        F.lit(None).cast("bigint").alias("n"),
+                        F.col("gid").isin(1, 2, 3).alias("keep"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .filter("r.keep")
+        .select("r.tag", "r.k1", "r.k2", "r.measure", "r.n")
+    )
+    return (
+        ro.unionByName(cube_gs)
+        .orderBy("tag", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_distinct_collect",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)                  AS n_cust,
+           count(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+                                                      AS statuses,
+           count(*)                                   AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_distinct_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 exact distinct counts (single- and multi-column) plus the
+    array-agg surface (collect_set → sort_array → concat_ws, the
+    deterministic string form both engines agree on) in one grouped
+    pass."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
+                "statuses"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / joins (§2.2-2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "proj_filter_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+    ORDER BY o_orderkey
+    """,
+)
+def proj_filter_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/P3/P5: projection + predicate, both pushed into the scan."""
+    return relational.project_filter(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J2/P6: membership filter as LEFT SEMI (main.py:244)."""
+    big_orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        relational.semi_join(
+            _t(spark, sf, "customer"),
+            big_orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/P7: new-row detection shape (main.py:176)."""
+    big_orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        relational.anti_join(
+            _t(spark, sf, "customer"),
+            big_orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "snapshot_delta_events",
+    """
+    WITH old AS (
+        SELECT user_id, count(*) AS play_count, sum(value) AS play_duration
+        FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+    ), new AS (
+        SELECT user_id, count(*) AS play_count, sum(value) AS play_duration
+        FROM events GROUP BY user_id
+    )
+    SELECT o.user_id,
+           n.play_count - o.play_count AS play_count_diff,
+           round(n.play_duration - o.play_duration, 4) AS play_duration_diff
+    FROM old o JOIN new n USING (user_id)
+    WHERE n.play_count - o.play_count > 0
+    ORDER BY o.user_id
+    """,
+)
+def snapshot_delta_events(spark: SparkSession, sf: str) -> DataFrame:
+    """J1+F3+P5: the reference's update_time_play (main.py:193-207)
+    mapped onto events — two per-user activity snapshots diffed."""
+    events = _t(spark, sf, "events")
+    mk = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("play_count"), F.sum("value").alias("play_duration")
+    )
+    old = mk(events.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+    new = mk(events)
+    return (
+        relational.snapshot_delta(
+            old, new, "user_id",
+            [("play_count", "play_count_diff"), ("play_duration", "play_duration_diff")],
+            keep_positive_on="play_count_diff",
+        )
+        .withColumn("play_duration_diff", F.round("play_duration_diff", 4))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "merge_full_upsert",
+    """
+    WITH src AS (
+        SELECT o_custkey AS c_custkey,
+               'new-' || o_custkey AS c_name,
+               (o_custkey % 25)::INTEGER AS c_nationkey,
+               round(sum(o_totalprice), 2) AS c_acctbal,
+               'NEW' AS c_mktsegment
+        FROM orders GROUP BY o_custkey
+        UNION ALL
+        SELECT o_custkey + 1000000,
+               'new-' || (o_custkey + 1000000),
+               ((o_custkey + 1000000) % 25)::INTEGER,
+               round(sum(o_totalprice), 2),
+               'NEW'
+        FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           coalesce(s.c_acctbal, c.c_acctbal) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c LEFT JOIN src s USING (c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment
+    FROM src s LEFT JOIN customer c USING (c_custkey)
+    WHERE c.c_custkey IS NULL
+    ORDER BY c_custkey
+    """,
+)
+def merge_full_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """J4 + full MERGE in one plan: matched customers get c_acctbal
+    replaced (UPDATE…FROM restated as join+coalesce, main.py:274-284)
+    AND unmatched source rows are inserted (the reference's anti-join
+    append, main.py:176-185) — ``merge.merge_insert_and_upsert``
+    composes both.  The updates side is an aggregate over the whole
+    orders table, so NO broadcast hint: AQE sizes the join (the hint
+    stays opt-in for genuinely dim-sized feeds)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+
+    def src_rows(df, shift: int):
+        return (
+            df.groupBy((F.col("o_custkey") + shift).alias("c_custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+            .select(
+                "c_custkey",
+                F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                (F.col("c_custkey") % 25).cast("int").alias("c_nationkey"),
+                "c_acctbal",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+
+    src = src_rows(o, 0).unionByName(
+        src_rows(o.filter(F.col("o_custkey") % 100 == 0), 1000000)
+    )
+    return merge.merge_insert_and_upsert(
+        c, src.select(*c.columns), "c_custkey", ["c_acctbal"]
+    ).orderBy("c_custkey")
+
+
+@register(
+    "merge_scd2",
+    """
+    WITH dim AS (
+        SELECT c_custkey AS ck, c_mktsegment AS segment,
+               round(c_acctbal, 2) AS acctbal,
+               TIMESTAMP '2024-01-01' AS effective_ts
+        FROM customer
+    ),
+    upd AS (
+        SELECT ck, segment || '-R2' AS segment,
+               round(acctbal + 100, 2) AS acctbal,
+               TIMESTAMP '2024-06-01' AS ts
+        FROM dim WHERE ck % 3 = 0
+        UNION ALL
+        SELECT ck, segment, acctbal, TIMESTAMP '2024-06-01'
+        FROM dim WHERE ck % 3 <> 0 AND ck % 5 = 1
+        UNION ALL
+        SELECT ck + 900000, 'NEW', 0.0, TIMESTAMP '2024-06-01'
+        FROM dim WHERE ck % 11 = 0
+    ),
+    changed AS (
+        SELECT d.ck, d.segment AS old_segment, d.acctbal AS old_acctbal,
+               u.segment, u.acctbal, u.ts
+        FROM dim d JOIN upd u USING (ck)
+        WHERE u.segment IS DISTINCT FROM d.segment
+           OR u.acctbal IS DISTINCT FROM d.acctbal
+    )
+    SELECT ck, old_segment AS segment, old_acctbal AS acctbal,
+           TIMESTAMP '2024-01-01' AS effective_ts, ts AS end_ts,
+           FALSE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT ck, segment, acctbal, ts, NULL, TRUE FROM changed
+    UNION ALL
+    SELECT ck, segment, acctbal, effective_ts, NULL, TRUE
+    FROM dim WHERE ck NOT IN (SELECT ck FROM changed)
+    UNION ALL
+    SELECT u.ck, u.segment, u.acctbal, u.ts, NULL, TRUE
+    FROM upd u WHERE u.ck NOT IN (SELECT ck FROM dim)
+    ORDER BY ck, effective_ts
+    """,
+)
+def merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 versioned upsert (operators/merge.scd2_apply) — the
+    history-keeping form of the reference's in-place UPDATE
+    (/root/reference/main.py:274-284).  One batch against a seeded
+    dimension exercises all four paths at once: attribute changes close
+    the open version and insert a new one, no-op updates are dropped
+    (idempotent reruns), untouched keys pass through, and brand-new
+    keys insert their first version.  The oracle restates close/open/
+    insert as a join + three-way union in SQL."""
+    c = _t(spark, sf, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2024-01-01").cast("timestamp").alias("effective_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        F.lit(True).alias("is_current"),
+    )
+    ck = F.col("ck")
+    new_ts = F.lit("2024-06-01").cast("timestamp").alias("effective_ts")
+    changed = dim.filter(ck % 3 == 0).select(
+        "ck",
+        F.concat("segment", F.lit("-R2")).alias("segment"),
+        F.round(F.col("acctbal") + 100, 2).alias("acctbal"),
+        new_ts,
+    )
+    noop = dim.filter((ck % 3 != 0) & (ck % 5 == 1)).select(
+        "ck", "segment", "acctbal", new_ts
+    )
+    fresh = dim.filter(ck % 11 == 0).select(
+        (ck + 900000).alias("ck"),
+        F.lit("NEW").alias("segment"),
+        F.lit(0.0).alias("acctbal"),
+        new_ts,
+    )
+    upd = changed.unionByName(noop).unionByName(fresh)
+    return merge.scd2_apply(
+        dim, upd, "ck", ["segment", "acctbal"], ts_col="effective_ts"
+    ).orderBy("ck", "effective_ts")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (§2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_suite_orders",
+    """
+    SELECT o_orderkey,
+           right(o_orderpriority, 3)                     AS prio3,
+           replace(o_orderpriority, '-', '')             AS prio_clean,
+           replace(right(o_orderpriority, 3), 'E', '_')  AS prio_swapped,
+           concat(right(replace(o_orderpriority, '-', ''), 7),
+                  strftime(o_orderdate, '%d%H%Y%m'))     AS sk,
+           cast(o_orderkey AS VARCHAR)                   AS okey_str,
+           cast(date_trunc('day', o_orderdate) AS TIMESTAMP) AS odate_day,
+           cast(epoch(o_orderdate) - epoch(TIMESTAMP '1995-01-01') AS DOUBLE)
+                                                         AS secs_since_1995,
+           upper(o_orderstatus)                          AS status_upper,
+           trim(o_orderpriority)                         AS prio_trim,
+           year(o_orderdate)                             AS yr,
+           month(o_orderdate)                            AS mo,
+           day(o_orderdate)                              AS dy,
+           quarter(o_orderdate)                          AS qtr,
+           last_day(cast(o_orderdate AS DATE))           AS month_end,
+           cast(o_orderdate AS DATE) + 30                AS plus_30d,
+           datediff('day', cast(o_orderdate AS DATE), DATE '1998-01-01')
+                                                         AS days_to_98,
+           cast(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           trim(replace(regexp_replace(o_orderstatus || ' é—λ' || chr(10) || 'ok',
+                '[^\\x00-\\x7F]+', ' ', 'g'), chr(10), ''))  AS cleaned,
+           3::BIGINT AS bronze, 2::BIGINT AS silver,
+           1::BIGINT AS gold,   0::BIGINT AS platinum,
+           round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_orderkey % 3) END, 4) AS safe_div,
+           try_cast(o_orderpriority AS INT)              AS prio_int,
+           greatest(o_totalprice, 200000.0)              AS gst,
+           least(o_totalprice, 150000.0)                 AS lst,
+           nullif(o_orderstatus, 'O')                    AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')  AS status_filled,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                         AS price_band
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_suite_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """The full scalar surface in one scan, all native codegen'd
+    expressions — no UDFs (cf. main.py:102's lambda):
+
+    * F1/F2/F4/F5/F6/F7/F8/F11 (reference transforms): substring-from-
+      end, literal replace, surrogate key with the odd ddHHyyyyMM field
+      order, casts, date truncation, interval→seconds, trim/upper.
+    * §2.7 date breadth: component extraction (year/month/day/quarter),
+      month boundaries (last_day, trunc), day arithmetic, datediff.
+    * ANSI-safe variants (Spark 4 runs ANSI mode, where /0 and bad
+      casts THROW): try_divide, try_cast.
+    * Conditional scalars: greatest/least, nullif, coalesce, CASE
+      ladder.
+    * F9 sanitize (main.py:81-82): non-ASCII + newline strip over a
+      deliberately dirty concat.
+    * F10 dict→columns transpose (main.py:320-323): a profile dict
+      becomes a one-row DataFrame broadcast-cross-joined on (constant
+      dims are exactly the broadcast case).
+
+    One scan, zero shuffles at any scale — fusing them costs nothing
+    and keeps the checked registry to one entry per operator class."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        last_n_chars("o_orderpriority", 3).alias("prio3"),
+        F.translate("o_orderpriority", "-", "").alias("prio_clean"),
+        F.regexp_replace(last_n_chars("o_orderpriority", 3), "E", "_").alias(
+            "prio_swapped"
+        ),
+        surrogate_key(
+            F.translate("o_orderpriority", "-", ""), "o_orderdate"
+        ).alias("sk"),
+        F.col("o_orderkey").cast("string").alias("okey_str"),
+        F.date_trunc("DAY", "o_orderdate").alias("odate_day"),
+        (
+            F.unix_timestamp("o_orderdate")
+            - F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+        )
+        .cast("double")
+        .alias("secs_since_1995"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.trim("o_orderpriority").alias("prio_trim"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add("o_orderdate", 30).alias("plus_30d"),
+        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").alias(
+            "days_to_98"
+        ),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.round(
+            F.try_divide("o_totalprice", F.col("o_orderkey") % 3), 4
+        ).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.greatest("o_totalprice", F.lit(200000.0)).alias("gst"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("lst"),
+        F.nullif("o_orderstatus", F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("open")
+        ).alias("status_filled"),
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("price_band"),
+        sanitize_ascii(
+            F.concat(F.col("o_orderstatus"), F.lit(" é—λ\nok"))
+        ).alias("cleaned"),
+    ).crossJoin(
+        F.broadcast(
+            trophy_document(spark, {"bronze": 3, "silver": 2, "gold": 1})
+        )
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5) / sorts & limits (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_events_suite",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+               AS value_delta,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def window_events_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 per-user event-stream windows over ONE window spec (so
+    Catalyst sorts each partition once): lag delta (the window
+    reformulation of the reference's snapshot diff, main.py:197-203),
+    running sum with an explicit ROWS frame, and LOCF gap-fill (carry
+    the most recent purchase value forward — F.last ignorenulls over a
+    running frame; the frame needs no full-partition buffering, and
+    the unique (ts, event_id) sort key keeps the fill deterministic)."""
+    from play_bq_gcp_spark.operators.windows import lag_delta, running_sum
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    out = lag_delta(
+        _t(spark, sf, "events"), "user_id", ["ts", "event_id"], "value",
+        alias="value_delta",
+    )
+    out = running_sum(out, "user_id", ["ts", "event_id"], "value",
+                      alias="running_value")
+    return (
+        out.withColumn("value_delta", F.round("value_delta", 4))
+        .withColumn("running_value", F.round("running_value", 4))
+        .withColumn(
+            "last_purchase_value", F.last(masked, ignorenulls=True).over(w)
+        )
+        .select(
+            "event_id", "user_id", "value_delta", "running_value",
+            "last_purchase_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "window_rank_topk",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal, rn, rnk, dense_rnk, pct_rnk, quartile
+    FROM (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               row_number()  OVER wt AS rn,
+               rank()        OVER w  AS rnk,
+               dense_rank()  OVER w  AS dense_rnk,
+               round(percent_rank() OVER w, 6) AS pct_rnk,
+               ntile(4)      OVER w  AS quartile
+        FROM supplier
+        WINDOW w  AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC),
+               wt AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ) WHERE rn <= 3
+    ORDER BY s_nationkey, rn
+    """,
+)
+def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.5 ranking suite + top-k per group in one pass: the full rank
+    family (rank / dense_rank / percent_rank / ntile) computed over
+    each nation's suppliers, then row_number ≤ 3 keeps the top-k (the
+    tiebreak key makes row_number deterministic; rank measures are
+    computed over the FULL group before the filter).  One shuffle —
+    both window specs share the partition key, and Catalyst's
+    WindowGroupLimit pushes the k-filter below the sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    wt = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            "s_acctbal",
+            F.row_number().over(wt).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("s_nationkey", "rn")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH b AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM b
+    )
+    SELECT user_id,
+           cast(max(session_id) AS BIGINT) AS n_sessions,
+           count(*)                        AS n_events
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (30-min gap; a gap of exactly the threshold
+    opens a new session, matching F.session_window's exclusive end) —
+    streaming twin uses F.session_window."""
+    from play_bq_gcp_spark.operators.windows import sessionize
+
+    return (
+        sessionize(_t(spark, sf, "events"), "user_id", "ts", gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "distinct_sort_limit",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    LIMIT 10
+    """,
+)
+def distinct_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 distinct + global orderBy + limit in one plan: the distinct
+    shuffles on the pair key, then TakeOrderedAndProject keeps the
+    top-10 without a full sort materialization (deterministic: the
+    full key pair is the sort key).  q3_shipping_priority covers the
+    agg-then-top-k form of sort+limit."""
+    return (
+        _t(spark, sf, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_suite",
+    """
+    SELECT 'union_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'except', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    ORDER BY op, o_custkey
+    """,
+)
+def set_ops_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.6 set operations — UNION ALL (plan-level concat, no shuffle),
+    INTERSECT and EXCEPT (each one hash shuffle on the key) — tagged
+    into one result.  The tag is attached AFTER each set op so the
+    distinct semantics stay exact."""
+    from play_bq_gcp_spark.operators.setops import (
+        except_distinct,
+        intersect,
+        union_all,
+    )
+
+    o = _t(spark, sf, "orders")
+    o_open = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    o_filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_pending = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    legs = [
+        union_all(o_open, o_filled).withColumn("op", F.lit("union_all")),
+        intersect(o_open, o_filled).withColumn("op", F.lit("intersect")),
+        except_distinct(o_open, o_pending).withColumn("op", F.lit("except")),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select("op", "o_custkey").orderBy("op", "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# JSON / pivot / unpivot (§2.7 extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semistructured_suite",
+    """
+    SELECT event_id, key AS field,
+           json_extract_string(props, '$.' || key) AS sval,
+           NULL::DOUBLE AS nval
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS key FROM events) t
+    UNION ALL
+    SELECT event_id, 'k_path', NULL,
+           cast(json_extract_string(props, '$.k') AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT event_id, 'uid', NULL, user_id::DOUBLE FROM events
+    UNION ALL
+    SELECT event_id, 'etype', event_type, NULL FROM events
+    UNION ALL
+    SELECT event_id, 'v', NULL, round(value, 4) FROM events
+    ORDER BY event_id, field
+    """,
+)
+def semistructured_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 semi-structured access, three surfaces in one tagged long
+    result: JSON map explode (every key/value of props), JSON path
+    extraction (get_json_object '$.k'), and nested-StructType dotted
+    access (S2/§1.1: a two-level struct built then read back through
+    ``payload.who.uid`` paths — the Spark restatement of the
+    reference's ``profile["trophySummary"]["earnedTrophies"]``).  All
+    three legs are map-side over one table; the union is plan-level."""
+    from play_bq_gcp_spark.functions.json_fns import explode_json_map, json_get
+
+    ev = _t(spark, sf, "events")
+    sval = lambda c: c.cast("string").alias("sval")  # noqa: E731
+    nval = lambda c: c.cast("double").alias("nval")  # noqa: E731
+    json_map = explode_json_map(ev).select(
+        "event_id",
+        F.col("json_key").alias("field"),
+        sval(F.col("json_value")),
+        nval(F.lit(None)),
+    )
+    json_path = ev.select(
+        "event_id",
+        F.lit("k_path").alias("field"),
+        sval(F.lit(None)),
+        nval(json_get("props", "k")),
+    )
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.col("event_type").alias("etype"),
+            ).alias("who"),
+            F.col("value").alias("v"),
+        ).alias("payload"),
+    )
+    nested_rows = nested.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("uid").alias("field"),
+                    sval(F.lit(None)),
+                    nval(F.col("payload.who.uid")),
+                ),
+                F.struct(
+                    F.lit("etype").alias("field"),
+                    sval(F.col("payload.who.etype")),
+                    nval(F.lit(None)),
+                ),
+                F.struct(
+                    F.lit("v").alias("field"),
+                    sval(F.lit(None)),
+                    nval(F.round("payload.v", 4)),
+                ),
+            )
+        ).alias("r"),
+    ).select("event_id", "r.field", "r.sval", "r.nval")
+    return (
+        json_map.unionByName(json_path)
+        .unionByName(nested_rows)
+        .orderBy("event_id", "field")
+    )
+
+
+_FORMAT_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_csv_json_roundtrip",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+)
+def scan_csv_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format breadth (§2.1): the same slice landed ONCE per sf
+    as header'd CSV and as JSONL, then both read back with an EXPLICIT
+    schema — never inferSchema, which at 100 TB is a full extra scan —
+    and verified identical row-for-row (inner join on every column;
+    the entry returns only rows both formats agree on, so a format
+    that mangled even one value would break the oracle's row count).
+    Parquet remains the engine's native layout; CSV/JSONL are the
+    interchange surfaces a real ingest edge needs."""
+    import os
+    import tempfile
+
+    slice_df = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "lang", "n_chars")
+    )
+    if sf not in _FORMAT_DIRS:
+        d = scratch_dir("fmt_roundtrip_")
+        slice_df.write.option("header", True).csv(os.path.join(d, "csv"))
+        slice_df.write.json(os.path.join(d, "jsonl"))
+        _FORMAT_DIRS[sf] = d
+    d = _FORMAT_DIRS[sf]
+    schema = "doc_id long, lang string, n_chars long"
+    csv_df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(d, "csv"))
+    )
+    json_df = spark.read.schema(schema).json(os.path.join(d, "jsonl"))
+    return (
+        csv_df.join(json_df, ["doc_id", "lang", "n_chars"], "inner")
+        .orderBy("doc_id")
+    )
+
+
+_PRUNED_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_partition_pruned",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE ts::DATE = (SELECT min(ts)::DATE FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-pruned scan: events re-landed partitionBy(date) (the
+    100 TB fact layout) ONCE per sf by ``_prepare_pruned_layout``, then
+    one day read back through a partition filter — the scan touches
+    only that day's files (PartitionFilters asserted in
+    tests/test_plans.py).  The query itself only reads; repeated
+    invocation in one session does zero writes."""
+    from play_bq_gcp_spark.catalog import read_table
+
+    pruned_dir = _prepare_pruned_layout(spark, sf)
+    ev = read_table(spark, sf, "events")
+    first_day = ev.select(F.min(F.to_date("ts"))).first()[0]
+    return (
+        spark.read.parquet(pruned_dir)
+        .filter(F.col("date") == F.lit(first_day))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _prepare_pruned_layout(spark: SparkSession, sf: str) -> str:
+    """Fixture-prep (NOT part of the measured query): land events
+    partitioned by date once per sf, cached for the session."""
+    import tempfile
+
+    from play_bq_gcp_spark.catalog import overwrite, read_table
+
+    if sf not in _PRUNED_DIRS:
+        d = scratch_dir("events_by_date_")
+        ev = read_table(spark, sf, "events").withColumn("date", F.to_date("ts"))
+        overwrite(ev, d, partition_by=["date"])
+        _PRUNED_DIRS[sf] = d
+    return _PRUNED_DIRS[sf]
+
+
+@register(
+    "pivot_unpivot_roundtrip",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS l_linestatus, o_qty AS sum_qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F', f_qty FROM wide
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.7 pivot AND unpivot in one plan: lineitem quantities pivot to
+    a wide (one column per linestatus) shape, then stack() unpivots
+    back to long — missing (flag, status) combos survive the round
+    trip as NULL measures.  One aggregation shuffle; the reshapes are
+    plan-level."""
+    wide = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'O', O, 'F', F) AS (l_linestatus, sum_qty)",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Advanced joins (§2.3 'absent in reference')
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_outer_cross_suite",
+    """
+    SELECT 'full_outer' AS tag,
+           coalesce(c.c_nationkey, s.s_nationkey)::VARCHAR AS k1,
+           NULL::VARCHAR AS k2,
+           coalesce(n_customers, 0) AS v1,
+           coalesce(n_suppliers, 0) AS v2
+    FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+    FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    UNION ALL
+    SELECT 'right_outer', c_mktsegment, NULL,
+           count(*), count(o_orderkey)
+    FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'cross', r_name, o_orderstatus, NULL, NULL
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    ORDER BY tag, k1, k2
+    """,
+)
+def join_outer_cross_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.3 join-matrix completion in one tagged result: FULL OUTER
+    (union-of-perspectives over two keyed aggregates, zero-filled),
+    RIGHT OUTER (orders right-joined to customer so orderless customers
+    survive with NULL orders — count(*) vs count(o_orderkey) makes the
+    null-extension visible), and CROSS (tiny dimension × distinct
+    statuses, a broadcast nested loop by construction).  With semi,
+    anti, inner, as-of, and range joins elsewhere in the registry this
+    completes every join type the engine ships."""
+    from play_bq_gcp_spark.operators.joins_advanced import full_outer_counts
+
+    c = (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    fo = full_outer_counts(c, s, "nationkey", "n_customers", "n_suppliers").select(
+        F.lit("full_outer").alias("tag"),
+        F.col("nationkey").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_customers").alias("v1"),
+        F.col("n_suppliers").alias("v2"),
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    ro = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right_outer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("v1"),
+            F.count("o_orderkey").alias("v2"),
+        )
+        .select(
+            F.lit("right_outer").alias("tag"),
+            F.col("c_mktsegment").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "v1",
+            "v2",
+        )
+    )
+    statuses = orders.select("o_orderstatus").distinct()
+    cr = (
+        _t(spark, sf, "region")
+        .select("r_name")
+        .crossJoin(statuses)
+        .select(
+            F.lit("cross").alias("tag"),
+            F.col("r_name").alias("k1"),
+            F.col("o_orderstatus").alias("k2"),
+            F.lit(None).cast("bigint").alias("v1"),
+            F.lit(None).cast("bigint").alias("v2"),
+        )
+    )
+    return fo.unionByName(ro).unionByName(cr).orderBy("tag", "k1", "k2")
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS last_click_ts,
+           round(epoch(p.ts) - epoch(c.ts), 4) AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (no native Spark equivalent): for each purchase, the
+    latest click at-or-before it by the same user.  Composition: tagged
+    union + one window pass (operators/joins_advanced.py)."""
+    from play_bq_gcp_spark.operators.joins_advanced import asof_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("last_click_ts")
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "last_click_ts",
+                    ["last_click_ts"])
+    return (
+        out.withColumn(
+            "secs_since_click",
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"), 4
+            ),
+        )
+        .select("event_id", "user_id", "ts", "last_click_ts", "secs_since_click")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "asof_join_pandas",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600 THEN c.ts END
+               AS last_click_ts,
+           CASE WHEN epoch(p.ts) - epoch(c.ts) <= 3600
+                THEN round(epoch(p.ts) - epoch(c.ts), 4) END
+               AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with TOLERANCE via grouped ``applyInPandas`` cogroup
+    around ``pd.merge_asof`` (§2.9 grouped-map surface): the latest
+    same-user click at-or-before each purchase, but only within a
+    1-hour horizon — the tolerance semantics the pure window
+    composition (asof_join_purchase_click) can't express.  Arrow
+    batches per user group; one shuffle on the key."""
+    from play_bq_gcp_spark.operators.joins_advanced import asof_join_pandas as asof_pd
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("ts").alias("last_click_ts"),
+    )
+    out = asof_pd(
+        purchases, clicks, "user_id", "ts", "click_ts", ["last_click_ts"],
+        tolerance_s=3600,
+    )
+    return (
+        out.withColumn(
+            "secs_since_click",
+            F.round(
+                F.col("ts").cast("double") - F.col("last_click_ts").cast("double"),
+                4,
+            ),
+        )
+        .select("event_id", "user_id", "ts", "last_click_ts", "secs_since_click")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_price_bands",
+    """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 150000.0), ('mid', 150000.0, 350000.0),
+               ('high', 350000.0, 1000000000.0)
+    )
+    SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band ORDER BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Band join: non-equi predicate against a tiny broadcast side →
+    BroadcastNestedLoopJoin (the right plan); at scale, bucketize."""
+    from play_bq_gcp_spark.operators.joins_advanced import range_join_bands
+
+    bands = spark.createDataFrame(
+        [("low", 0.0, 150000.0), ("mid", 150000.0, 350000.0),
+         ("high", 350000.0, 1000000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join_bands(_t(spark, sf, "orders"), bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "agg_stats_percentiles",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+           round(sum(l_quantity), 2) AS sum_qty,
+           quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.5)
+               / 100.0 AS median_price,
+           round(quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.9)
+               / 100.0, 2) AS p90_price,
+           round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.4 stats bundle (min/max/stddev/sum) + EXACT interpolated
+    percentiles (Spark `percentile` ≡ SQL quantile_cont — the approx
+    sketch's checkable twin) + the bivariate co-moment family
+    (corr / covar_samp / regr_slope) in ONE grouped pass: the
+    co-moments are algebraic with constant-size map-side partials; the
+    exact percentiles are holistic — their merge buffer is a per-group
+    value→count map bounded by group distinct-cardinality (fine here:
+    l_quantity has 50 distinct values; swap to percentile_approx when
+    the measure is high-cardinality at scale)."""
+    return aggregates.stats_percentiles(_t(spark, sf, "lineitem"))
+
+
+@register(
+    "udaf_geomean_price",
+    """
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 2) AS geomean_price,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf (§2.9 UDAF surface): per-group
+    geometric mean over the Arrow batch of the whole group."""
+    from play_bq_gcp_spark.functions.scalar import geometric_mean_udaf
+
+    gmean = geometric_mean_udaf()
+    li = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice") > 0)
+    # a grouped-agg pandas UDF cannot share an agg() with JVM
+    # aggregates — compute each and join on the group key
+    g = li.groupBy("l_returnflag").agg(
+        F.round(gmean("l_extendedprice"), 2).alias("geomean_price")
+    )
+    n = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(n, "l_returnflag").orderBy("l_returnflag")
+
+
+@register(
+    "join_bucketed_dim",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed-layout join (§4.2): both sides written hash-bucketed on
+    the key ONCE per sf by ``_prepare_bucketed_layout``, so the join
+    itself needs no Exchange (asserted in tests/test_plans.py); result
+    equals the plain join.  The query function only reads — repeated
+    invocation in one session does zero writes."""
+    t_orders, t_cust = _prepare_bucketed_layout(spark, sf)
+    return (
+        spark.table(t_orders)
+        .join(spark.table(t_cust), "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("custkey").alias("n_customers"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+
+
+def _prepare_bucketed_layout(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Fixture-prep (NOT part of the measured query): write orders and
+    customer hash-bucketed on the join key once per sf, cached for the
+    session.  Table names are keyed by sf so layouts never collide."""
+    if sf not in _BUCKETED_TABLES:
+        from play_bq_gcp_spark.catalog import write_bucketed
+
+        tag = "".join(ch if ch.isalnum() else "_" for ch in sf.strip("/"))
+        t_orders, t_cust = f"q_b_orders_{tag}", f"q_b_cust_{tag}"
+        orders = _t(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
+        )
+        cust = _t(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        write_bucketed(orders, t_orders, "custkey", n_buckets=8)
+        write_bucketed(cust, t_cust, "custkey", n_buckets=8)
+        _BUCKETED_TABLES[sf] = (t_orders, t_cust)
+    return _BUCKETED_TABLES[sf]
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING
+           ), 2) AS nearby_total
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based, vs the row-based frames elsewhere):
+    per order, the total of same-customer orders within ±10k price."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "skew_salted_suite",
+    """
+    SELECT 'salted_agg' AS tag, event_type AS key,
+           count(*) AS n,
+           round(sum(value), 2) AS total,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'salted_join', c_mktsegment,
+           count(*),
+           round(sum(o_totalprice), 2),
+           NULL, NULL
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY tag, key
+    """,
+)
+def skew_salted_suite(spark: SparkSession, sf: str) -> DataFrame:
+    """§4.2 skew mitigation, both forms, tagged into one result —
+    each MUST equal its plain (unsalted) twin, which is exactly what
+    the oracle computes:
+
+    * salted_agg: two-stage aggregation over a low-cardinality
+      (skew-prone) key — partial groupBy(key, salt) spreads the hot
+      key over n tasks, then a cheap finalize groupBy(key).
+    * salted_join: hot side salted, dimension replicated 8×, join on
+      (key, salt) so no single task owns a hot key."""
+    from play_bq_gcp_spark.operators.skew import salted_agg, salted_join
+
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    agg_leg = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count_star", "value"),
+            "__sum_value": ("sum", "value"),
+            "__min_value": ("min", "value"),
+            "__max_value": ("max", "value"),
+        },
+    ).select(
+        F.lit("salted_agg").alias("tag"),
+        F.col("event_type").alias("key"),
+        "n",
+        F.round("__sum_value", 2).alias("total"),
+        F.round("__min_value", 4).alias("min_value"),
+        F.round("__max_value", 4).alias("max_value"),
+    )
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    join_leg = (
+        salted_join(orders, cust, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit("salted_join").alias("tag"),
+            F.col("c_mktsegment").alias("key"),
+            "n",
+            "total",
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+        )
+    )
+    return agg_leg.unionByName(join_leg).orderBy("tag", "key")

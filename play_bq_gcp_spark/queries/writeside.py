@@ -1,0 +1,536 @@
+"""Write-side curation (round-6/7 additions): token-budget selection,
+weighted systematic sampling, shard manifests, CMS streaming merge,
+federated scan, PSI drift.
+
+Split from the original single-file registry (round 7); behavior and
+registration order are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.queries.llm import _SQL_TOKS
+from play_bq_gcp_spark.scratch import scratch_dir
+
+# ---------------------------------------------------------------------------
+# Round 6 late additions: budgeted selection, systematic sampling, shard
+# manifests — the write-side curation steps between "clean corpus" and
+# "training shards on disk".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_token_budget_select",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS score
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    w AS (
+        SELECT doc_id, score, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               CAST((SELECT sum(n_tokens) FROM d) AS BIGINT) AS total
+        FROM d
+    )
+    SELECT doc_id, score, n_tokens, cum_tokens
+    FROM w
+    WHERE cum_tokens - n_tokens < (total * 1) // 2
+    ORDER BY score DESC, doc_id
+    """,
+)
+def curation_token_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy quality-ranked selection to a token budget
+    (operators/curation.py:token_budget_select): best documents first
+    (distinct-token score) until half the corpus's tokens are taken.
+    The Spark plan is the scale-safe threshold decomposition (per-score
+    histogram + boundary-bucket window — no global ordered window); the
+    oracle is the semantically identical single global window, which is
+    exactly the equivalence worth proving."""
+    from play_bq_gcp_spark.operators.curation import token_budget_select
+
+    return token_budget_select(_t(spark, sf, "documents"))
+
+
+def _shard_manifest_oracle() -> str:
+    """DuckDB twin of the md5 shard bucket: first 6 hex digits of
+    md5(doc_id) as an integer, mod n_shards — digit-composed with the
+    position() idiom the classifier oracle established."""
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    hexval = dig(1)
+    for p in range(2, 7):
+        hexval = f"({hexval} * 16 + {dig(p)})"
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST({hexval} % 8 AS INTEGER) AS shard,
+               CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           CAST((sum(n_tokens) + 511) // 512 AS BIGINT) AS n_bins
+    FROM d GROUP BY shard ORDER BY shard
+    """
+
+
+@register("curation_shard_manifest", _shard_manifest_oracle())
+def curation_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-output write plan (operators/curation.py:shard_manifest):
+    md5-bucket shard assignment + the per-shard manifest (doc/token/char
+    totals, id range, sequence-pack bin count).  At scale the shard
+    column is the repartition key and the manifest is one map-side
+    combinable groupBy; md5 keeps the assignment engine- and
+    partitioning-independent."""
+    from play_bq_gcp_spark.operators.curation import shard_manifest
+
+    return shard_manifest(_t(spark, sf, "documents"))
+
+
+@register(
+    "sampling_weighted_systematic",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+        WHERE n_chars > 0
+    ),
+    c AS (
+        SELECT doc_id, w,
+               CAST(sum(w) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_w,
+               CAST((SELECT sum(w) FROM d) AS BIGINT) AS total_w
+        FROM d
+    )
+    SELECT doc_id, w, cum_w,
+           ((cum_w - w) * 50) // total_w AS slot
+    FROM c
+    WHERE (cum_w * 50) // total_w > ((cum_w - w) * 50) // total_w
+    ORDER BY doc_id
+    """,
+)
+def sampling_weighted_systematic(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, systematic/deterministic
+    form (operators/sampling.py:weighted_systematic_sample): pick the
+    row under every 1/50th of cumulative n_chars mass — inclusion
+    probability proportional to weight, selection integer-exact (no
+    float pow/log priority keys).  The Spark side runs the two-level
+    block prefix sum (no global ordered window); the oracle is the
+    plain global-window restatement."""
+    from play_bq_gcp_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    return weighted_systematic_sample(_t(spark, sf, "documents"))
+
+
+def _cms_oracle(
+    tok_sql: str = f"SELECT unnest({_SQL_TOKS}) AS tok FROM documents",
+) -> str:
+    """DuckDB replay of the Count-Min pipeline over any token source,
+    f-strung from the operator's own depth/width/probe constants so
+    parameter drift breaks the differential loudly (the PQ_EXACT
+    precedent)."""
+    from play_bq_gcp_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_PROBE_K,
+        CMS_WIDTH,
+    )
+
+    def hex7(h: str) -> str:
+        val = f"(position(substr({h}, 1, 1) IN '0123456789abcdef') - 1)"
+        for p in range(2, 8):
+            d = f"(position(substr({h}, {p}, 1) IN '0123456789abcdef') - 1)"
+            val = f"({val} * 16 + {d})"
+        return val
+
+    cell_rows = "\n        UNION ALL ".join(
+        f"SELECT {r} AS row, ({hex7(f'h{r}')}) % {CMS_WIDTH} AS col FROM hs"
+        for r in range(CMS_DEPTH)
+    )
+    probe_rows = "\n        UNION ALL ".join(
+        f"SELECT tok, exact_n, {r} AS row,"
+        f" ({hex7(f'h{r}')}) % {CMS_WIDTH} AS col FROM ehs"
+        for r in range(CMS_DEPTH)
+    )
+    md5s = ", ".join(
+        f"md5(tok || '#{r}') AS h{r}" for r in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH tok AS (
+        {tok_sql}
+    ),
+    hs AS (SELECT tok, {md5s} FROM tok),
+    cells AS (
+        {cell_rows}
+    ),
+    sketch AS (
+        SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY row, col
+    ),
+    exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+        FROM tok GROUP BY tok
+        ORDER BY exact_n DESC, tok LIMIT {CMS_PROBE_K}
+    ),
+    ehs AS (SELECT tok, exact_n, {md5s} FROM exact),
+    pc AS (
+        {probe_rows}
+    ),
+    est AS (
+        SELECT pc.tok, pc.exact_n, min(s.cnt) AS cms_est
+        FROM pc JOIN sketch s USING (row, col)
+        GROUP BY pc.tok, pc.exact_n
+    )
+    SELECT tok, exact_n, cms_est, cms_est - exact_n AS overcount
+    FROM est ORDER BY exact_n DESC, tok
+    """
+
+
+@register("agg_countmin_sketch", _cms_oracle())
+def agg_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch + accuracy audit
+    (operators/aggregates.py:countmin_sketch): the linear overcounting
+    frequent-items sketch next to Misra-Gries's undercounting one —
+    fixed 4x256 counter table built with one partial-agg-collapsed
+    groupBy, point estimates for the top-20 tokens as min-across-rows,
+    overcount reported per token.  md5-derived counter indices make the
+    oracle a full pipeline replay."""
+    from play_bq_gcp_spark.operators.aggregates import countmin_sketch
+    from play_bq_gcp_spark.operators.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("t"))
+    return countmin_sketch(toks)
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the full SemDeDup pipeline — quantization, k
+    seeded centroids, unrolled Lloyd rounds with truncating-division
+    updates (DuckDB // truncates toward zero; the operator's driver
+    side matches), first-index argmin assignment, and the
+    cross-multiplied cosine prune — f-strung from the operator's own
+    constants (the pagerank/PQ precedent for iterative oracles)."""
+    from play_bq_gcp_spark.operators.dedup import (
+        SEM_ITERS,
+        SEM_K,
+        SEM_SCALE,
+        SEM_THR_DEN,
+        SEM_THR_NUM,
+    )
+
+    dist = (
+        "list_sum(list_transform(list_zip(q.v, c.cv),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])))"
+    )
+    parts = [
+        f"""
+    aug AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding::DOUBLE[], x -> x + 0.01)
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * {SEM_SCALE}) AS BIGINT)) AS v
+        FROM aug
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS cluster,
+               v AS cv
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {SEM_K})
+    )"""
+    ]
+    for i in range(1, SEM_ITERS + 2):
+        parts.append(f"""
+    a{i} AS (
+        SELECT vec_id, v, cluster FROM (
+            SELECT q.vec_id, q.v, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {dist}, c.cluster
+                   ) AS rn
+            FROM q CROSS JOIN c{i - 1} c
+        ) WHERE rn = 1
+    )""")
+        if i <= SEM_ITERS:
+            parts.append(f"""
+    u{i} AS (
+        SELECT cluster, pos, sum(val) AS s, count(*) AS n
+        FROM (SELECT cluster, generate_subscripts(v, 1) AS pos,
+                     unnest(v) AS val
+              FROM a{i})
+        GROUP BY cluster, pos
+    ),
+    cn{i} AS (
+        SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cv
+        FROM u{i} GROUP BY cluster
+    ),
+    c{i} AS (
+        SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+        FROM c{i - 1} p LEFT JOIN cn{i} n USING (cluster)
+    )""")
+    last = SEM_ITERS + 1
+    parts.append(f"""
+    f AS (
+        SELECT vec_id, cluster, v,
+               CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+        FROM a{last}
+    ),
+    p AS (
+        SELECT b.vec_id AS dup_id, a.n2 AS na2, b.n2 AS nb2,
+               CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                    z -> z[1]*z[2])) AS BIGINT) AS dot
+        FROM f a JOIN f b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    drp AS (
+        SELECT DISTINCT dup_id AS vec_id FROM p
+        WHERE dot >= 0
+          AND {SEM_THR_DEN * SEM_THR_DEN} * dot * dot
+              >= {SEM_THR_NUM * SEM_THR_NUM} * na2 * nb2
+    )""")
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+    FROM f LEFT JOIN drp d ON f.vec_id = d.vec_id
+    ORDER BY f.vec_id
+    """
+
+
+@register("dedup_semantic_semdedup", _semdedup_oracle())
+def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/dedup.py:semantic_dedup):
+    integer-exact k-means (bounded centroid model, map-only HOF
+    assignment) + intra-cluster cosine pruning against lower ids —
+    pairwise work bounded by cluster size, never corpus size.  Runs on
+    the planted-near-dup augmentation the cosine-dedup entry
+    established (every 25th vector +0.01-shifted); those copies land in
+    their source's cluster and must be the ones pruned."""
+    from play_bq_gcp_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    return semantic_dedup(aug)
+
+
+@register(
+    "streaming_countmin_merge",
+    _cms_oracle("SELECT CAST(user_id AS VARCHAR) AS tok FROM events"),
+)
+def streaming_countmin_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch maintained across micro-batches
+    (streaming/daily.py:countmin_stream_merge): each batch's d×w
+    counter table merges into parquet state by summing on (row, col).
+    Because the merge is exact addition, the streamed sketch IS the
+    batch sketch — so the oracle is the plain batch CMS replay over
+    events user_ids, and the differential asserts streaming-vs-batch
+    equivalence, not an approximation.  State stays ≤ d·w rows
+    regardless of batch count or size."""
+    from play_bq_gcp_spark.streaming.daily import countmin_stream_merge
+
+    return countmin_stream_merge(spark, sf)
+
+
+@register(
+    "text_encoding_audit",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_total,
+               CAST(length(text)
+                    - length(regexp_replace(text,
+                        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                    AS BIGINT) AS n_ctrl,
+               CAST(length(text)
+                    - length(regexp_replace(text, '�', '', 'g'))
+                    AS BIGINT) AS n_replacement,
+               CAST(length(text)
+                    - length(regexp_replace(text, 'Ã', '', 'g'))
+                    AS BIGINT)
+               + CAST(len(string_split(text, 'â€')) - 1 AS BIGINT)
+                   AS n_mojibake,
+               CAST(length(regexp_replace(text, '[^\x20-\x7e]', '', 'g'))
+                    AS BIGINT) AS ascii_printable
+        FROM documents
+    )
+    SELECT doc_id, n_chars_total, n_ctrl, n_replacement, n_mojibake,
+           round(ascii_printable * 1.0 / greatest(n_chars_total, 1), 4)
+               AS ascii_ratio,
+           (n_ctrl > 0 OR n_replacement > 0 OR n_mojibake > 1) AS suspect
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-encoding health screen
+    (operators/text.py:encoding_audit): control/replacement-char
+    counts, double-encoded-UTF-8 marker counts ('Ã', 'â€'), printable-
+    ascii ratio, and a suspect flag — the map-only gate that runs
+    before any tokenizer at 100 TB.  Counts are length-diffs over
+    single-char-class regexp_replace, the engine-portable formulation
+    (regexp_count is Spark-only)."""
+    from play_bq_gcp_spark.operators.text import encoding_audit
+
+    return encoding_audit(_t(spark, sf, "documents"))
+
+
+@register(
+    "events_psi_feature_drift",
+    """
+    WITH b AS (
+        SELECT (event_type = 'purchase') AS is_ref,
+               CAST(floor(value * 10) AS BIGINT) AS vq
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    hv AS (SELECT is_ref, vq, count(*) AS c FROM b GROUP BY is_ref, vq),
+    cum AS (
+        SELECT vq,
+               sum(c) OVER (ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(c) OVER () AS n_ref
+        FROM hv WHERE is_ref
+    ),
+    edges AS (
+        SELECT DISTINCT edge FROM (
+            SELECT need, min(vq) AS edge
+            FROM (SELECT c.vq, c.cum, (t.i * c.n_ref + 9) // 10 AS need
+                  FROM cum c
+                  CROSS JOIN (SELECT unnest(range(1, 10)) AS i) t)
+            WHERE cum >= need GROUP BY need
+        )
+    ),
+    vq_bins AS (
+        SELECT h.vq, CAST(count(e.edge) AS INTEGER) AS bin
+        FROM (SELECT DISTINCT vq FROM hv) h
+        LEFT JOIN edges e ON h.vq >= e.edge
+        GROUP BY h.vq
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(CASE WHEN is_ref THEN c ELSE 0 END) AS BIGINT)
+                   AS ref_n,
+               CAST(sum(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS BIGINT)
+                   AS cur_n
+        FROM hv JOIN vq_bins USING (vq) GROUP BY bin
+    ),
+    tot AS (
+        SELECT sum(ref_n) AS t_ref, sum(cur_n) AS t_cur, count(*) AS k
+        FROM per_bin
+    )
+    SELECT bin, ref_n, cur_n,
+           CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT)
+               AS psi_contrib_nanos
+    FROM (SELECT bin, ref_n, cur_n,
+                 (ref_n + 1) * 1.0 / (t_ref + k) AS p,
+                 (cur_n + 1) * 1.0 / (t_cur + k) AS q
+          FROM per_bin CROSS JOIN tot)
+    ORDER BY bin
+    """,
+)
+def events_psi_feature_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI numeric-feature drift
+    (operators/behavior.py:psi_feature_drift): purchase-value
+    distribution as reference, view-value as current, reference-decile
+    bins (type-1, integer-exact), per-bin add-1-smoothed contributions
+    floored to 1e-9 units.  Completes the drift family next to the
+    token KL/TV entry."""
+    from play_bq_gcp_spark.operators.behavior import psi_feature_drift
+
+    return psi_feature_drift(_t(spark, sf, "events"))
+
+
+_FED_DIRS: dict[str, str] = {}
+
+
+@register(
+    "scan_federated_union",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'csv' WHEN 1 THEN 'orc'
+           ELSE 'parquet' END AS fmt,
+           lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY fmt, lang ORDER BY fmt, lang
+    """,
+)
+def scan_federated_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Federated multi-format read (§2.1 breadth): one logical corpus
+    physically split across parquet, CSV, and ORC landings (the
+    lakehouse edge where yesterday's ingest is CSV, the archive is
+    ORC, and the native layout is parquet), read back with explicit
+    schemas — never inferSchema — unioned by name with a provenance
+    column, and aggregated per (format, lang).  The oracle's CASE over
+    doc_id%3 restates which rows landed where, so a format that
+    dropped or mangled rows breaks the counts."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    if sf not in _FED_DIRS:
+        d = scratch_dir("federated_")
+        docs.filter(F.col("doc_id") % 3 == 0).write.option(
+            "header", True
+        ).csv(os.path.join(d, "csv"))
+        docs.filter(F.col("doc_id") % 3 == 1).write.orc(
+            os.path.join(d, "orc")
+        )
+        docs.filter(F.col("doc_id") % 3 == 2).write.parquet(
+            os.path.join(d, "parquet")
+        )
+        _FED_DIRS[sf] = d
+    d = _FED_DIRS[sf]
+    schema = "doc_id long, lang string, n_chars long"
+    parts = [
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(d, "csv"))
+        .withColumn("fmt", F.lit("csv")),
+        spark.read.schema(schema)
+        .orc(os.path.join(d, "orc"))
+        .withColumn("fmt", F.lit("orc")),
+        spark.read.schema(schema)
+        .parquet(os.path.join(d, "parquet"))
+        .withColumn("fmt", F.lit("parquet")),
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy("fmt", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("fmt", "lang")
+    )

@@ -1,6 +1,6 @@
 """Adversarial fixture generator for differential fuzzing.
 
-The oracle contract (queries.py) is data-independent: every entry's
+The oracle contract (the queries/ registry) is data-independent: every entry's
 Spark plan and DuckDB SQL compute the same function, so they must agree
 on ANY schema-compatible input, not just the driver's fixtures.  This
 tool generates seeded random fixture directories that keep the schemas

@@ -56,6 +56,8 @@ AUDIT = [
     "curation_shard_manifest",
     "sampling_weighted_systematic",
     "text_encoding_audit",
+    # round 7
+    "multimodal_audio_fp_exact",
 ]
 
 
