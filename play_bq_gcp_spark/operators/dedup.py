@@ -453,9 +453,9 @@ def _sign_bucket_keys(
     from play_bq_gcp_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_tables * bits_per_table, seed)
-    planes_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
-    )
+    from play_bq_gcp_spark.functions.vector import mat_lit
+
+    planes_lit = mat_lit(planes)
     bits = bind(
         F.col("v"),
         lambda vv: F.transform(

@@ -25,7 +25,9 @@ from play_bq_gcp_spark.operators.text import bind
 
 
 def _vec_lit(v) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    from play_bq_gcp_spark.functions.vector import vec_lit
+
+    return vec_lit(v)
 
 
 def brute_force_topk(
@@ -56,7 +58,9 @@ def signature_col(vec_col, planes: np.ndarray):
     literal, and the bits fold via ``aggregate`` — one interpreted HOF
     tree instead of n_planes sibling subtrees (which Catalyst would
     re-expand per reference)."""
-    planes_lit = F.array(*[_vec_lit(p) for p in planes])
+    from play_bq_gcp_spark.functions.vector import mat_lit
+
+    planes_lit = mat_lit(planes)
     pows = F.array(
         *[F.lit(1 << i).cast("long") for i in range(len(planes))]
     )
@@ -90,8 +94,10 @@ def _sims_to_cents(vec_col, cents: list):
     recomputing norm(v)."""
     from play_bq_gcp_spark.functions.vector import norm, py_norm
 
-    cents_lit = F.array(*[_vec_lit(c) for c in cents])
-    norms_lit = F.array(*[F.lit(py_norm(c)) for c in cents])
+    from play_bq_gcp_spark.functions.vector import mat_lit, vec_lit
+
+    cents_lit = mat_lit(cents)
+    norms_lit = vec_lit([py_norm(c) for c in cents])
     return bind(
         vec_col,
         lambda vv: bind(
@@ -699,7 +705,9 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
+    from play_bq_gcp_spark.functions.vector import mat_lit as _ml
+
+    lut_lit = _ml(lut)
     adc = bind(
         codes,
         lambda cs: F.aggregate(
@@ -811,7 +819,9 @@ def ivfpq_topk(
         ]
         for s in range(m)
     ]
-    lut_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in lut])
+    from play_bq_gcp_spark.functions.vector import mat_lit as _ml
+
+    lut_lit = _ml(lut)
     adc = F.aggregate(
         F.zip_with(lut_lit, F.col("codes"), lambda row, c: F.element_at(row, c + 1)),
         F.lit(0.0),
