@@ -53,6 +53,68 @@ def mat_lit(mat) -> Column:
     return F.array(*[F.array(*[F.lit(x) for x in row]) for row in rows])
 
 
+def cube_lit(cube) -> Column:
+    """``array<array<array<double>>>`` literal via one parsed SQL
+    string — PQ codebook tables (m subspaces × n codes × d_sub)."""
+    c = [[[float(x) for x in row] for row in mat] for mat in cube]
+    if all(
+        x == x and abs(x) != float("inf")
+        for mat in c for row in mat for x in row
+    ):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(_num_lit(x) for x in row) + ")"
+                    for row in mat
+                )
+                + ")"
+                for mat in c
+            )
+            + ")"
+        )
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in row]) for row in mat])
+            for mat in c
+        ]
+    )
+
+
+def int_mat_lit(mat) -> Column:
+    """Integer-matrix literal via one parsed SQL string.  Plain
+    numeric text reproduces per-element ``F.lit(int)`` typing exactly
+    (int32-ranged values parse as INT, wider as BIGINT; arrays coerce
+    to the widest member either way)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(int(x)) for x in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def int_cube_lit(cube) -> Column:
+    """Integer 3-D literal via one parsed SQL string (quantized PQ
+    codebooks)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(int(x)) for x in row) + ")"
+                for row in mat
+            )
+            + ")"
+            for mat in cube
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

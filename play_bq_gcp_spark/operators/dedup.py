@@ -996,9 +996,9 @@ def semantic_dedup(
     dim = len(cents[0])
 
     def assign(df: DataFrame, cs: list[list[int]]) -> DataFrame:
-        cent_lit = F.array(
-            *[F.array(*[F.lit(int(x)) for x in c]) for c in cs]
-        )
+        from play_bq_gcp_spark.functions.vector import int_mat_lit
+
+        cent_lit = int_mat_lit(cs)
         dists = F.transform(
             cent_lit,
             lambda c: F.aggregate(

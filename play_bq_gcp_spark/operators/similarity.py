@@ -602,9 +602,9 @@ def _pq_train(
             )
         ).alias("sub_id", "sv")
     )
-    books_lit = F.array(
-        *[F.array(*[_vec_lit(c) for c in book]) for book in books]
-    )
+    from play_bq_gcp_spark.functions.vector import cube_lit
+
+    books_lit = cube_lit(books)
     # nearest code by L2 over this row's subspace codebook
     code = bind(
         F.element_at(books_lit, F.col("sub_id") + 1),
@@ -672,9 +672,9 @@ def pq_topk(
     books = _pq_train(embeddings, m, n_codes)
     d_sub = len(books[0][0])
     v = F.col("embedding").cast("array<double>")
-    books_lit = F.array(
-        *[F.array(*[_vec_lit(c) for c in book]) for book in books]
-    )
+    from play_bq_gcp_spark.functions.vector import cube_lit
+
+    books_lit = cube_lit(books)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: bind(
@@ -766,9 +766,9 @@ def ivfpq_topk(
     d_sub = len(books[0][0])
 
     v = F.col("embedding").cast("array<double>")
-    books_lit = F.array(
-        *[F.array(*[_vec_lit(c) for c in book]) for book in books]
-    )
+    from play_bq_gcp_spark.functions.vector import cube_lit
+
+    books_lit = cube_lit(books)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: bind(
@@ -1035,15 +1035,10 @@ def pq_adc_exact(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * scale).cast("long"),
     )
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
-            for book in books
-        ]
-    )
-    lut_lit = F.array(
-        *[F.array(*[F.lit(int(x)) for x in row]) for row in lut]
-    )
+    from play_bq_gcp_spark.functions.vector import int_cube_lit, int_mat_lit
+
+    books_lit = int_cube_lit(books)
+    lut_lit = int_mat_lit(lut)
     # per-subspace argmin of exact integer squared distance
     codes = bind(
         vq,

@@ -496,7 +496,9 @@ def quality_classifier(
     weights (``classifier_weights``) make the sum exact, so results
     carry zero FP ambiguity across summation orders or engines."""
     w = weights if weights is not None else classifier_weights(n_buckets, seed)
-    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    from play_bq_gcp_spark.functions.vector import vec_lit
+
+    w_lit = vec_lit(w)
 
     def bucket_w(t):
         return F.element_at(
