@@ -46,6 +46,23 @@ _log = logging.getLogger(__name__)
 MAX_BUCKET_SIZE = 1000
 
 
+
+def _obs_metric(obs, key: str, default: int = 0) -> int:
+    """Read one Observation metric, tolerating the zero-row plan case.
+
+    PySpark 4.1.x: ``Observation.get`` raises a ``toPyRow`` assertion
+    when the observed node emitted ZERO rows (no metrics row exists) —
+    e.g. an LSH corpus with no bucket of size > 1, or an empty pair
+    set.  Zero observed rows means the summed metric is vacuously
+    ``default``, so that is what we return (fuzz seed 77 caught the
+    crash via pipeline_pretrain_corpus on a 16-doc pool with no
+    duplicate buckets)."""
+    try:
+        return obs.get[key] or default
+    except Exception:
+        return default
+
+
 def _bucket_candidate_pairs(
     buckets: DataFrame,
     key_cols: tuple[str, str],
@@ -103,7 +120,7 @@ def _bucket_candidate_pairs(
         # one action materializes pairs AND collects the overflow count
         # (bucket shuffle runs once; downstream never recomputes it)
         cand = cand.localCheckpoint(eager=True)
-        n_over = obs.get["n_over"] or 0
+        n_over = _obs_metric(obs, "n_over")
         if n_over:
             _log.warning(
                 "%d LSH bucket(s) exceeded max_bucket_size=%d and were "
@@ -630,7 +647,7 @@ def connected_dup_groups(
                 .select("doc_id", "label")
                 .localCheckpoint(eager=True)
             )
-            changed = obs.get["n"] or 0
+            changed = _obs_metric(obs, "n")
             labels = new_labels
             if changed == 0:
                 break
@@ -684,14 +701,16 @@ def incremental_dedup(
     both sides are derived in-plan from the same fixture table.
     """
     def signed(df: DataFrame) -> DataFrame:
-        return (
-            spread(df.select("doc_id", "text"))
-            .select(
-                "doc_id",
-                F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
-                shingle_hashes("text", k=shingle_k).alias("hs"),
-            )
-            .filter(F.size("hs") > 0)
+        # NO shingle-count filter here: a doc too short to shingle
+        # (< 2 tokens, including empty text) must still pass through
+        # exact-digest screening and come out with a verdict — dropping
+        # it here silently LOSES the doc from the ingest (fuzz seed 77
+        # caught exactly that: empty docs vanished from the output).
+        # The near layer below excludes shingle-less rows explicitly.
+        return spread(df.select("doc_id", "text")).select(
+            "doc_id",
+            F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
+            shingle_hashes("text", k=shingle_k).alias("hs"),
         )
 
     new_sig = signed(new_docs).cache()
@@ -708,10 +727,13 @@ def incremental_dedup(
 
         # --- layer 2: asymmetric LSH probe + exact verify -----------------
         band_keys = _band_keys_expr(num_bands, rows_per_band)
-        probe = survivors.select(
+        # shingle-less docs can't be probed (an empty signature would
+        # hash to one shared key and spuriously bucket them together);
+        # they skip the near layer and fall through to `fresh`
+        probe = survivors.filter(F.size("hs") > 0).select(
             "doc_id", F.posexplode(band_keys).alias("band", "key")
         )
-        index = corp_sig.select(
+        index = corp_sig.filter(F.size("hs") > 0).select(
             F.col("doc_id").alias("corpus_id"),
             F.posexplode(band_keys).alias("band", "key"),
         )

@@ -303,8 +303,7 @@ def events_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH ntok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
     fp AS (
-        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp FROM ntok
-        WHERE len(tk) > 0
+        SELECT doc_id, md5(coalesce(array_to_string(tk, ' '), '')) AS fp FROM ntok
     ),
     corp_fp AS (
         SELECT fp, count(*) AS n FROM fp WHERE doc_id % 5 <> 0 GROUP BY 1
@@ -410,7 +409,7 @@ def profile_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     ),
     fp AS (
         SELECT doc_id, source, tk,
-               md5(array_to_string(tk, ' ')) AS fp
+               md5(coalesce(array_to_string(tk, ' '), '')) AS fp
         FROM pool
     ),
     keep_exact AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
@@ -548,8 +547,8 @@ def _ingest_oracle_sql(n_batches: int = 4) -> str:
         SELECT doc_id, {_SQL_TOKS} AS tk FROM alldocs
     ),
     fps AS MATERIALIZED (
-        SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp
-        FROM ntokall WHERE len(tk) > 0
+        SELECT doc_id, md5(coalesce(array_to_string(tk, ' '), '')) AS fp
+        FROM ntokall
     ),
     newdocs AS MATERIALIZED (
         SELECT doc_id, ((doc_id // 5) % {n_batches}) AS b
@@ -952,7 +951,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
                 THEN round(sqrt(s.s2 / 4194304.0), 6) END AS rms_w1,
            CASE WHEN b.nb >= 256
                 THEN round(s.flips / 255.0, 6) END AS zcr_w1
-    FROM b JOIN s USING (doc_id)
+    FROM b LEFT JOIN s USING (doc_id)
     ORDER BY doc_id
     """,
 )
@@ -1865,19 +1864,22 @@ WITH aug AS (
          octet_length(encode(text)) AS nb
   FROM aug
 ), geo AS (
-  SELECT doc_id, hx,
+  SELECT doc_id, hx, nb,
          greatest(CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT), 1) AS s0
   FROM b
 ), geo2 AS (
-  SELECT doc_id, hx, s0,
+  SELECT doc_id, hx, nb, s0,
          greatest(s0, 8) - (greatest(s0, 8) % 8) AS crop,
          (greatest(s0, 8) - (greatest(s0, 8) % 8)) // 8 AS blk
   FROM geo
 ), cells AS (
   SELECT doc_id, (r // blk) * 8 + (c // blk) AS cell,
+         -- nb = 0: the synth pads a sub-1-pixel payload with one zero
+         -- pixel (attach_bmp), so the whole image is value 0
+         CASE WHEN nb = 0 THEN 0 ELSE
          CAST(('0x' || substr(hx,
            CAST(2 * (least(r, s0 - 1) * s0 + least(c, s0 - 1)) + 1 AS INT),
-           2)) AS BIGINT) AS v
+           2)) AS BIGINT) END AS v
   FROM geo2,
        unnest(range(0, crop)) AS tr(r),
        unnest(range(0, crop)) AS tc(c)

@@ -67,7 +67,7 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
     )
-    SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS text_fp,
+    SELECT md5(coalesce(array_to_string({_SQL_TOKS}, ' '), '')) AS text_fp,
            min(doc_id) AS keep_doc_id,
            count(*)    AS n_copies
     FROM dupinput
@@ -438,8 +438,8 @@ def knn_join_lsh_entry(spark: SparkSession, sf: str) -> DataFrame:
                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
                 ELSE 'es' END AS pred_lang,
-           md5(array_to_string(toks, ' ')) AS text_fp,
-           md5(array_to_string(toks[1:8], ' ')) AS prefix_fp
+           md5(coalesce(array_to_string(toks, ' '), '')) AS text_fp,
+           md5(coalesce(array_to_string(toks[1:8], ' '), '')) AS prefix_fp
     FROM ratios
     ORDER BY doc_id
     """,
@@ -559,7 +559,7 @@ def pandas_udf_token_count(spark: SparkSession, sf: str) -> DataFrame:
         FROM ratios
     ), kept AS (
         SELECT doc_id, n_tokens, quality,
-               md5(array_to_string(toks, ' ')) AS text_fp
+               md5(coalesce(array_to_string(toks, ' '), '')) AS text_fp
         FROM scored WHERE quality >= 0.25 AND n_tokens >= 20
     )
     SELECT doc_id, n_tokens, quality

@@ -613,6 +613,59 @@ def test_incremental_dedup_layers(spark):
     assert out[30] == ("new", 0)
 
 
+def test_incremental_dedup_shingleless_docs_get_verdicts(spark):
+    """Docs too short to shingle (< 2 tokens, including empty text)
+    must NOT vanish from the ingest: they pass exact-digest screening
+    (two empty docs ARE duplicates) and skip only the near layer.
+    Regression for fuzz seed 77, where empty docs silently disappeared
+    from the verdict output."""
+    from play_bq_gcp_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "plain old corpus text here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, ""), (20, "solo"), (30, "word"), (40, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.verdict, r.n_matches)
+        for r in incremental_dedup(new, corpus).collect()
+    }
+    assert set(out) == {10, 20, 30, 40}, "every new doc gets a verdict"
+    assert out[10] == ("exact_dup", 1)   # empty matches corpus empty
+    assert out[20] == ("exact_dup", 1)   # 1-token exact dup
+    assert out[30] == ("new", 0)         # 1-token fresh
+    assert out[40] == ("exact_dup", 1)   # second empty also screened
+
+
+def test_obs_metric_tolerates_zero_row_plan(spark):
+    """PySpark 4.1 Observation.get raises a toPyRow assertion when the
+    observed node emitted zero rows; _obs_metric must return the
+    default instead (the metric is vacuously zero).  Regression for
+    the pipeline_pretrain_corpus crash on a no-duplicate fuzz pool."""
+    from pyspark.sql import Observation
+
+    from play_bq_gcp_spark.operators.dedup import _obs_metric
+
+    df = spark.createDataFrame([(1, "k1"), (2, "k2")], "id long, k string")
+    agg = (
+        df.groupBy("k")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    obs = Observation()
+    agg = agg.observe(
+        obs, F.sum((F.size("ids") > 3).cast("long")).alias("n_over")
+    )
+    out = agg.select(F.explode("ids").alias("x")).localCheckpoint(
+        eager=True
+    )
+    assert out.count() == 0
+    assert _obs_metric(obs, "n_over") == 0
+
+
 def test_mmr_rerank_diversity_floor(spark):
     """MMR floor: rank-1 is the exact argmax; output is within the
     retrieval pool; and with planted duplicates MMR spends its budget
