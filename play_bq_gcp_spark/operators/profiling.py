@@ -80,9 +80,17 @@ def value_outliers(
     ntile together (shared sort, single shuffle on the key).  The
     decile order is made deterministic by tie-breaking on ``id_col``.
     Keys with fewer than 2 rows (stddev undefined) emit nothing.
+
+    NULL measurements are dropped BEFORE the window (the
+    psi_feature_drift precedent: a NULL value carries no mass): they
+    can never be outliers themselves (z is NULL), but their placement
+    in the ntile sort differs between engines (Spark ascending sorts
+    NULLS FIRST, DuckDB NULLS LAST), which would shift every other
+    row's decile — fuzz seed 80 caught exactly that.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(value_col).isNotNull())
     stats = Window.partitionBy(key_col)
     order = Window.partitionBy(key_col).orderBy(
         F.col(value_col), F.col(id_col)

@@ -266,6 +266,7 @@ def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY value, event_id
                ) AS decile
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_id, user_id, round(value, 4) AS value,
            round(z, 4) AS z, decile

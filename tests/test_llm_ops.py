@@ -582,6 +582,28 @@ def test_value_outliers_flags_only_extremes(spark):
     assert out[0].z > 2.0
 
 
+def test_value_outliers_null_values_do_not_shift_deciles(spark):
+    """NULL measurements are dropped before the decile window: they
+    can't be outliers, and their engine-dependent sort placement
+    (Spark NULLS FIRST vs DuckDB NULLS LAST) would otherwise shift
+    every other row's ntile.  Regression for fuzz seed 80."""
+    from play_bq_gcp_spark.operators.profiling import value_outliers
+
+    base = [(i, 1, 10.0) for i in range(9)] + [(9, 1, 100.0)]
+    with_nulls = base + [(100, 1, None), (101, 1, None)]
+    df_a = spark.createDataFrame(
+        base, "event_id long, user_id long, value double"
+    )
+    df_b = spark.createDataFrame(
+        with_nulls, "event_id long, user_id long, value double"
+    )
+    a = {(r.event_id, r.decile) for r in
+         value_outliers(df_a, "user_id", "value", "event_id").collect()}
+    b = {(r.event_id, r.decile) for r in
+         value_outliers(df_b, "user_id", "value", "event_id").collect()}
+    assert a == b == {(9, 10)}
+
+
 def test_incremental_dedup_layers(spark):
     from play_bq_gcp_spark.operators.dedup import incremental_dedup
 
