@@ -155,14 +155,24 @@ def stats_percentiles(lineitem: DataFrame) -> DataFrame:
                 )
                 / 100.0
             ).alias("median_price"),
+            # p90 as an INTEGER cents×10 tick, never a rounded dollar
+            # value: the 0.9-quantile's interpolation fraction is a
+            # multiple of 0.1, so true_value×10 is an integer; a round
+            # to integer absorbs any last-ulp op-order difference,
+            # whereas round(x/100, 2) sits exactly on a .5 boundary
+            # whenever the interpolated cents end in .5 and the two
+            # engines' decimal-rounding paths disagree (fuzz seed 82:
+            # 81098.525 → .53 Spark / .52 DuckDB)
             F.round(
                 F.percentile(
                     F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
                     F.lit(0.9),
                 )
-                / 100.0,
-                2,
-            ).alias("p90_price"),
+                * 10.0,
+                0,
+            )
+            .cast("long")
+            .alias("p90_cents_x10"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
                 "qty_price_corr"
             ),

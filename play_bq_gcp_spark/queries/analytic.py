@@ -304,7 +304,7 @@ def similarity_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     lsh = lsh_topk(
-        e, qvec, k=10, n_planes=6, multi_probe=1, n_tables=8
+        e, qvec, k=10, n_planes=6, multi_probe=2, n_tables=8
     ).withColumn("method", F.lit("lsh"))
     ivf = ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8).withColumn(
         "method", F.lit("ivf")
@@ -325,7 +325,7 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return lsh_topk(
-        e, qvec, k=10, n_planes=6, multi_probe=1, n_tables=8
+        e, qvec, k=10, n_planes=6, multi_probe=2, n_tables=8
     ).select("vec_id", "cosine")
 
 

@@ -2783,7 +2783,7 @@ def similarity_ann_recall_floors(spark: SparkSession, sf: str) -> DataFrame:
     methods = {
         "ivf": ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8),
         "ivfpq": ivfpq_topk(e, qvec, k=10),
-        "lsh": lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=1, n_tables=8),
+        "lsh": lsh_topk(e, qvec, k=10, n_planes=6, multi_probe=2, n_tables=8),
         "pq": pq_topk(e, qvec, k=10),
     }
     parts = [

@@ -1204,8 +1204,9 @@ def range_join_price_bands(spark: SparkSession, sf: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty,
            quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.5)
                / 100.0 AS median_price,
-           round(quantile_cont(round(l_extendedprice * 100, 0)::BIGINT, 0.9)
-               / 100.0, 2) AS p90_price,
+           CAST(round(quantile_cont(round(l_extendedprice * 100, 0)::BIGINT,
+                                    0.9) * 10, 0) AS BIGINT)
+               AS p90_cents_x10,
            round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
            round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,

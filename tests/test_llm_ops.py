@@ -500,7 +500,7 @@ def test_lsh_topk_multitable_recall(spark):
         lsh = {
             r.vec_id
             for r in similarity.lsh_topk(
-                e, qv, k=10, n_planes=6, multi_probe=1, n_tables=8
+                e, qv, k=10, n_planes=6, multi_probe=2, n_tables=8
             ).collect()
         }
         hits += len(brute & lsh)

@@ -23,6 +23,19 @@ while deliberately injecting the edge cases the calm fixtures lack:
 
 Usage: python tools/fuzz_fixture.py SEED OUT_DIR
 Then:  python tools/compare.py OUT_DIR          # full differential
+
+Known data-DEPENDENT entry (the one deliberate exception to the
+"every entry must agree on any input" contract):
+``similarity_ann_recall_floors`` asserts a QUALITY property — each
+approximate index's recall@10 >= 0.8 against brute force — whose
+oracle is a literal TRUE table.  On the driver fixtures the floor
+holds with margin (and multi_probe=2 holds it on most random corpora
+too), but approximate indexes have no distribution-free recall
+guarantee: an adversarial random corpus can legitimately drop one
+method below the floor (seed 84: IVF 7/10).  A red there on a fuzz
+corpus is the quality assertion doing its job on out-of-calibration
+data, NOT an engine divergence — every other entry must stay green on
+every seed.
 """
 
 from __future__ import annotations
