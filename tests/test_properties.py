@@ -876,3 +876,55 @@ def test_token_budget_select_matches_python_model(spark, docs):
             want.append((i, s, n, cum + n))
         cum += n
     assert got == want
+
+
+spectral_samples = st.lists(
+    st.integers(min_value=-128, max_value=127),
+    min_size=32,
+    max_size=160,
+)
+
+
+@given(samples=spectral_samples)
+@settings(**_SETTINGS)
+def test_audio_spectral_exact_matches_python_model(spark, samples):
+    """The distributed fixed-point DFT fingerprint equals a pure-Python
+    replay of the same integer arithmetic: per full 32-sample frame,
+    re/im against the shared tick tables, exact energies, argmin-tied
+    peak bin, positional 17^frame fold.  Any op-order or overflow slip
+    in the Spark expression tree breaks this on random inputs."""
+    from play_bq_gcp_spark.operators.multimodal import (
+        SPECTRAL_FRAMES,
+        SPECTRAL_TABLE,
+        SPECTRAL_WINDOW,
+        audio_spectral_exact,
+        encode_wav,
+    )
+
+    w, nfr = SPECTRAL_WINDOW, SPECTRAL_FRAMES
+    cos = {(i, k): c for i, k, c, _ in SPECTRAL_TABLE}
+    sin = {(i, k): s for i, k, _, s in SPECTRAL_TABLE}
+
+    usable = min(len(samples) - len(samples) % w, w * nfr)
+    peaks = []
+    for f in range(usable // w):
+        frame = samples[f * w : (f + 1) * w]
+        best = None
+        for k in range(1, 9):
+            re = sum(s * cos[(i, k)] for i, s in enumerate(frame))
+            im = sum(s * sin[(i, k)] for i, s in enumerate(frame))
+            e = re * re + im * im
+            if best is None or e > best[0]:
+                best = (e, k)
+        peaks.append(best[1])
+    want_fp = sum(b * 17**f for f, b in enumerate(peaks))
+
+    payload = encode_wav([s << 8 for s in samples], 16000, 1)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = audio_spectral_exact(df).collect()
+    if not peaks:
+        assert out == []
+    else:
+        assert len(out) == 1
+        assert out[0].n_frames_fp == len(peaks)
+        assert out[0].fp_exact == want_fp
