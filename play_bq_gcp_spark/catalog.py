@@ -195,3 +195,25 @@ def create_database(spark: SparkSession, name: str) -> None:
 def drop_table(spark: SparkSession, name: str) -> None:
     """DDL: drop-if-exists (S10; /root/reference/main.py:287)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def point_embedding(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Driver-side point read of one embedding row via pyarrow — no
+    Spark job.  A query vector must become a plan LITERAL anyway (the
+    similarity entries fold it into codegen), so fetching it through
+    ``df.filter(...).first()`` pays a full scan-stage round trip
+    (~0.3-1 s per entry) for one row; a pyarrow dataset filter reads
+    just the matching row group in milliseconds.  Parquet is the
+    common substrate, and float32 → Python float is the same exact
+    widening both paths perform, so the literal is bit-identical.
+    Falls back loudly if the id is absent (the fixtures guarantee
+    vec_id=0 exists)."""
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(table_path(sf_dir, "embeddings"), format="parquet")
+    t = d.to_table(
+        filter=ds.field("vec_id") == vec_id, columns=["embedding"]
+    )
+    if t.num_rows == 0:
+        raise ValueError(f"embeddings has no row with vec_id={vec_id}")
+    return [float(x) for x in t.column("embedding")[0].as_py()]

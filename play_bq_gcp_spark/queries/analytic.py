@@ -302,7 +302,9 @@ def similarity_ann_suite(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import ivf_topk, lsh_topk
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     lsh = lsh_topk(
         e, qvec, k=10, n_planes=6, multi_probe=2, n_tables=8
     ).withColumn("method", F.lit("lsh"))
@@ -323,7 +325,9 @@ def similarity_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     return lsh_topk(
         e, qvec, k=10, n_planes=6, multi_probe=2, n_tables=8
     ).select("vec_id", "cosine")
@@ -337,7 +341,9 @@ def similarity_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     return ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8).select(
         "vec_id", "cosine"
     )

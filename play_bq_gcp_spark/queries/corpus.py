@@ -2289,7 +2289,9 @@ def similarity_mmr_exact(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import mmr_rerank_exact
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     return mmr_rerank_exact(e, qvec)
 
 
@@ -2778,7 +2780,9 @@ def similarity_ann_recall_floors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     exact = brute_force_topk(e, qvec, k=10).select("vec_id")
     methods = {
         "ivf": ivf_topk(e, qvec, k=10, n_lists=16, n_probe=8),

@@ -306,7 +306,9 @@ def similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.similarity import brute_force_topk
 
     e = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    from play_bq_gcp_spark.catalog import point_embedding
+
+    qvec = point_embedding(sf)
     return brute_force_topk(e, qvec, k=10)
 
 
