@@ -895,15 +895,11 @@ def similarity_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     applyInPandas group.  Permanently rows-only BY DESIGN (the greedy
     re-rank is iterative, no SQL twin); the diversity/relevance
     trade-off is pinned in pytest."""
+    from play_bq_gcp_spark.catalog import point_embedding
     from play_bq_gcp_spark.operators.similarity import mmr_rerank
 
     emb = _t(spark, sf, "embeddings")
-    qv = [
-        r[0]
-        for r in emb.filter(F.col("vec_id") == 0)
-        .select(F.explode("embedding"))
-        .collect()
-    ]
+    qv = point_embedding(sf)
     out = mmr_rerank(emb, qv, k=10, pool=50)
     return out.select(
         "rank",
