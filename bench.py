@@ -104,21 +104,24 @@ def main() -> None:
     gate_wait_max = 300.0
     gate_t0 = time.monotonic()
     waited = 0.0
-    while (
-        os.getloadavg()[0] >= gate_threshold
-        and time.monotonic() - gate_t0 < gate_wait_max
-    ):
+    # sample load ONCE per iteration so the logged value, the loop
+    # condition, and the final timed_out flag all describe the same
+    # reading (a dip between two samples used to record timed_out=false
+    # after a full 300 s wait under load)
+    load1 = os.getloadavg()[0]
+    while load1 >= gate_threshold and time.monotonic() - gate_t0 < gate_wait_max:
         print(
-            f"# load gate: 1-min load {os.getloadavg()[0]:.2f} >= "
+            f"# load gate: 1-min load {load1:.2f} >= "
             f"{gate_threshold}, waiting...",
             file=sys.stderr,
         )
         time.sleep(10)
         waited = round(time.monotonic() - gate_t0, 1)
+        load1 = os.getloadavg()[0]
     gate = {
         "threshold": gate_threshold,
         "waited_sec": waited,
-        "timed_out": os.getloadavg()[0] >= gate_threshold,
+        "timed_out": load1 >= gate_threshold,
         "loadavg_at_start": [round(x, 2) for x in os.getloadavg()],
     }
 

@@ -90,9 +90,24 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     partitions and this is a no-op (no shuffle inserted)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Prefer the public file-count metadata over df.rdd.getNumPartitions():
+    # .rdd builds a pickled-row conversion RDD just to read one number
+    # (and does not exist under Spark Connect).  A scan with >= target
+    # input files already fans out at least that wide; fewer files than
+    # cores is exactly the small-table case spread() exists for.  For
+    # non-file plans (memory fixtures, streams) fall back to the RDD
+    # metadata probe rather than inserting an unconditional shuffle.
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    # Few/no files can still mean wide scans (one 10 GB file splits by
+    # maxPartitionBytes), so only then pay the precise RDD probe.
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass  # Connect-style sessions: no .rdd — repartition is safe
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -29,6 +29,11 @@ def vec_lit(vec) -> Column:
     finite (hyperplanes/centroids always are); non-finite falls back
     to the slow exact path rather than guessing parser behavior."""
     xs = [float(x) for x in vec]
+    if not xs:
+        # F.expr("array()") types as array<void>, not array<double> —
+        # callers (hyperplanes, centroids, LUTs) are never empty, so
+        # make the invariant explicit instead of emitting a wrong type
+        raise ValueError("vec_lit: empty vector (element type would be void)")
     if all(x == x and abs(x) != float("inf") for x in xs):
         return F.expr("array(" + ",".join(_num_lit(x) for x in xs) + ")")
     return F.array(*[F.lit(x) for x in xs])
@@ -39,6 +44,8 @@ def mat_lit(mat) -> Column:
     the matrix twin of ``vec_lit`` (plane sets, centroid tables,
     ADC lookup tables)."""
     rows = [[float(x) for x in row] for row in mat]
+    if not rows or any(not row for row in rows):
+        raise ValueError("mat_lit: empty matrix/row (type would be void)")
     if all(
         x == x and abs(x) != float("inf") for row in rows for x in row
     ):
@@ -57,6 +64,10 @@ def cube_lit(cube) -> Column:
     """``array<array<array<double>>>`` literal via one parsed SQL
     string — PQ codebook tables (m subspaces × n codes × d_sub)."""
     c = [[[float(x) for x in row] for row in mat] for mat in cube]
+    if not c or any(
+        not mat or any(not row for row in mat) for mat in c
+    ):
+        raise ValueError("cube_lit: empty codebook level (type would be void)")
     if all(
         x == x and abs(x) != float("inf")
         for mat in c for row in mat for x in row

@@ -34,7 +34,13 @@ import logging
 from pyspark.sql import DataFrame, functions as F
 
 from play_bq_gcp_spark.catalog import spread
-from play_bq_gcp_spark.operators.text import bind, shingle_hashes, token_set, tokens
+from play_bq_gcp_spark.operators.text import (
+    bind,
+    shingle_hashes,
+    text_fp,
+    token_set,
+    tokens,
+)
 
 _log = logging.getLogger(__name__)
 
@@ -56,11 +62,21 @@ def _obs_metric(obs, key: str, default: int = 0) -> int:
     set.  Zero observed rows means the summed metric is vacuously
     ``default``, so that is what we return (fuzz seed 77 caught the
     crash via pipeline_pretrain_corpus on a 16-doc pool with no
-    duplicate buckets)."""
+    duplicate buckets).  ONLY that signature maps to the default:
+    the zero-row path surfaces as a Py4JJavaError wrapping the Scala
+    ``assert`` inside ``PythonSQLUtils.toPyRow`` (both substrings
+    appear in the wrapped java stack).  Any other failure — timeout,
+    API change, real plan error — re-raises, because at
+    connected_dup_groups the metric drives the convergence loop and a
+    silently-defaulted read would terminate iteration early and emit
+    wrong duplicate groups."""
     try:
         return obs.get[key] or default
-    except Exception:
-        return default
+    except Exception as e:
+        msg = f"{type(e).__name__}: {e}"
+        if "AssertionError" in msg and "toPyRow" in msg:
+            return default
+        raise
 
 
 def _bucket_candidate_pairs(
@@ -139,7 +155,7 @@ def exact_dedup_groups(documents: DataFrame, min_copies: int = 2) -> DataFrame:
     at scale you never shuffle full documents to find dups.  Only
     (doc_id, text) is spread for the parallel hashing pass; every
     shuffle after that moves digests."""
-    key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
+    key = text_fp("text").alias("text_fp")
     return (
         spread(documents.select("doc_id", "text")).select(key, "doc_id")
         .groupBy("text_fp")
@@ -183,7 +199,7 @@ def casefold_dedup_groups(
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep one row per distinct normalized text (the min doc_id) —
     dropDuplicates with an explicit deterministic keeper."""
-    key = F.md5(F.array_join(tokens("text"), " ")).alias("text_fp")
+    key = text_fp("text").alias("text_fp")
     w_min = documents.select("doc_id", key).groupBy("text_fp").agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -709,7 +725,7 @@ def incremental_dedup(
         # The near layer below excludes shingle-less rows explicitly.
         return spread(df.select("doc_id", "text")).select(
             "doc_id",
-            F.md5(F.array_join(tokens("text"), " ")).alias("fp"),
+            text_fp("text").alias("fp"),
             shingle_hashes("text", k=shingle_k).alias("hs"),
         )
 

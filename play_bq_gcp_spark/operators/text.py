@@ -41,6 +41,16 @@ def token_set(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def text_fp(col: Column | str) -> Column:
+    """md5 fingerprint of the normalized token stream.  NULL text maps
+    to the empty-string digest (coalesce), matching the DuckDB oracle's
+    ``md5(coalesce(array_to_string(tk, ' '), ''))`` — without the
+    coalesce a NULL document hashes to NULL (md5 is null-propagating),
+    so it would look "new" to incremental dedup while the oracle calls
+    it an empty-text exact duplicate."""
+    return F.md5(F.coalesce(F.array_join(tokens(col), " "), F.lit("")))
+
+
 def bind(arr: Column, f) -> Column:
     """Evaluate ``arr`` ONCE and pass it to ``f`` as a lambda variable.
 

@@ -584,7 +584,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     rounds, and partitionings — the property a training-subset draw
     needs that rand()-based sampling lacks."""
     from play_bq_gcp_spark.catalog import spread
-    from play_bq_gcp_spark.operators.text import quality_columns, tokens
+    from play_bq_gcp_spark.operators.text import quality_columns, text_fp
 
     q = quality_columns()
     scored = (
@@ -593,7 +593,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             q["n_tokens"].alias("n_tokens"),
             q["quality"].alias("quality"),
-            F.md5(F.array_join(tokens("text"), " ")).alias("text_fp"),
+            text_fp("text").alias("text_fp"),
         )
         .filter((F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20))
     )
