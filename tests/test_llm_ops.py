@@ -1589,3 +1589,100 @@ def test_weighted_systematic_all_zero_weights_returns_empty(spark):
         [(1, 0), (2, 0)], "doc_id long, n_chars long"
     )
     assert weighted_systematic_sample(df, k=5).count() == 0
+
+
+def test_lsh_exact_topk_self_hit_and_bucket_pruning(spark):
+    """Integer-exact LSH retrieval (round-8 twin): the query (vec_id 0)
+    must rank first with d2 = 0; distances are non-negative integers
+    sorted with a vec_id tie-break; ranks dense from 1; and every
+    returned candidate's signature is within Hamming distance 1 of the
+    query's — i.e. the bucket filter really pruned, nothing leaked in
+    from outside the probe set."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import (
+        LSH_EXACT_PLANES,
+        LSH_EXACT_SCALE,
+        _quantize_rows,
+        _quantized_query,
+        lsh_exact_topk,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = lsh_exact_topk(emb).collect()
+    assert rows[0].vec_id == 0 and rows[0].d2 == 0
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert sorted(rows, key=lambda r: (r.d2, r.vec_id)) == rows
+
+    # replay the signature math in pure python for the returned ids
+    seeds = _quantize_rows(emb, 2 * LSH_EXACT_PLANES, LSH_EXACT_SCALE)
+    dim = len(seeds[0])
+    planes = [
+        [seeds[2 * t][i] - seeds[2 * t + 1][i] for i in range(dim)]
+        for t in range(LSH_EXACT_PLANES)
+    ]
+
+    def sig(v):
+        return sum(
+            1 << t
+            for t in range(LSH_EXACT_PLANES)
+            if sum(v[i] * planes[t][i] for i in range(dim)) > 0
+        )
+
+    import math
+
+    qv = _quantized_query(emb, 0, LSH_EXACT_SCALE)
+    qsig = sig(qv)
+    got = {r.vec_id for r in rows}
+    vecs = {
+        r.vec_id: [math.floor(float(x) * LSH_EXACT_SCALE)
+                   for x in r.embedding]
+        for r in emb.filter(emb.vec_id.isin(list(got))).collect()
+    }
+    for vid in got:
+        ham = bin(sig(vecs[vid]) ^ qsig).count("1")
+        assert ham <= 1, f"vec {vid} outside the probe set (hamming {ham})"
+
+
+def test_ivf_exact_topk_self_hit_and_list_pruning(spark):
+    """Integer-exact IVF retrieval: query ranks first at d2 = 0, ranks
+    dense, and every candidate's argmin centroid is one of the query's
+    n_probe nearest lists (the partition-pruning contract)."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import (
+        IVF_EXACT_LISTS,
+        IVF_EXACT_PROBE,
+        LSH_EXACT_SCALE,
+        _quantize_rows,
+        _quantized_query,
+        ivf_exact_topk,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_exact_topk(emb).collect()
+    assert rows[0].vec_id == 0 and rows[0].d2 == 0
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+    cents = _quantize_rows(emb, IVF_EXACT_LISTS, LSH_EXACT_SCALE)
+    qv = _quantized_query(emb, 0, LSH_EXACT_SCALE)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probed = set(
+        sorted(range(IVF_EXACT_LISTS), key=lambda c: (d2(qv, cents[c]), c))[
+            :IVF_EXACT_PROBE
+        ]
+    )
+    import math
+
+    got = [r.vec_id for r in rows]
+    vecs = {
+        r.vec_id: [math.floor(float(x) * LSH_EXACT_SCALE)
+                   for x in r.embedding]
+        for r in emb.filter(emb.vec_id.isin(got)).collect()
+    }
+    for vid in got:
+        assigned = min(
+            range(IVF_EXACT_LISTS), key=lambda c: (d2(vecs[vid], cents[c]), c)
+        )
+        assert assigned in probed, f"vec {vid} from unprobed list {assigned}"
