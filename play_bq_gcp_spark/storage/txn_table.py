@@ -420,6 +420,28 @@ def append(
     files, rows, stats = _write_data_files(
         _cluster(df, cluster_by, target_files), path
     )
+    return commit_append(
+        path, files, rows, stats=stats, meta=meta, max_retries=max_retries
+    )
+
+
+def commit_append(
+    path: str,
+    files,
+    rows: int,
+    stats: dict | None = None,
+    meta: dict | None = None,
+    max_retries: int = 5,
+) -> Snapshot:
+    """The append COMMIT loop alone, data files already landed:
+    read latest → publish next version → on ``CommitConflict`` rebase
+    on the winner's snapshot and retry.  Factored out of ``append`` so
+    the cross-process race test (tests/test_txn_race.py) can drive the
+    REAL production retry loop from plain processes without a Spark
+    session per process — the BigQuery-transactionality parity check
+    vs /root/reference/main.py:268-287 (multi-writer contention is the
+    one guarantee the warehouse gave the reference for free)."""
+    stats = stats or {}
     for _ in range(max_retries):
         base = snapshot(path)
         snap = Snapshot(
