@@ -1686,3 +1686,21 @@ def test_ivf_exact_topk_self_hit_and_list_pruning(spark):
             range(IVF_EXACT_LISTS), key=lambda c: (d2(vecs[vid], cents[c]), c)
         )
         assert assigned in probed, f"vec {vid} from unprobed list {assigned}"
+
+
+def test_auto_planes_bit_schedule():
+    """Pin the auto_planes bit schedule at the SCALING.md round-8
+    probe scales (1x/10x/30x corpora incl. planted twins) plus the
+    asymptotic bounds: occupancy n/2^bits must stay within (2, 4]
+    above the floor — the invariant that makes candidate shuffle
+    linear-in-corpus with a <=2x sawtooth."""
+    from play_bq_gcp_spark.operators.dedup import auto_planes
+
+    assert auto_planes(2080) == 10   # 1x probe corpus
+    assert auto_planes(20800) == 13  # 10x
+    assert auto_planes(62400) == 14  # 30x
+    assert auto_planes(1_000_000_000) == 24  # hi ceiling
+    for n in (2080, 20800, 62400, 5_000_000, 16_777_216):
+        bits = auto_planes(n)
+        occ = n / 2 ** bits
+        assert 2 < occ <= 4 or bits in (6, 24), (n, bits, occ)

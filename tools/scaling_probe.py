@@ -42,7 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-REPLICAS = (1, 3, 10)
+REPLICAS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_PROBE_REPLICAS", "1 3 10").split()
+)
 QUERIES = tuple(
     os.environ.get(
         "SPARK_PROBE_QUERIES",
@@ -53,6 +56,41 @@ QUERIES = tuple(
         "dedup_containment_pairs text_boilerplate_spans",
     ).split()
 )
+
+
+def _emb_cosine_auto(spark, d):
+    """dedup_embedding_cosine with ``bits_per_table="auto"`` — the
+    production scale path (auto_planes sizes AND-bits to the corpus so
+    bucket occupancy stays constant).  The registry entry pins the
+    fixture-scale bit count for oracle-hash stability, so the probe
+    carries the auto variant itself; round-8 ask: prove the 10x
+    superlinear candidate-shuffle growth (1.9 -> 376 MB pinned) goes
+    ~linear under auto sizing out to 30x."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
+
+    e = read_table(spark, d, "embeddings")
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # identical planted-twin scheme to the dedup_embedding_cosine
+    # registry entry (queries/llm.py) so row counts are comparable:
+    # every 25th vector gets a +0.01-shifted copy at vec_id+1e6
+    aug = base.unionByName(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x + F.lit(0.01),
+            ).alias("embedding"),
+        )
+    )
+    return embedding_cosine_pairs(
+        aug, threshold=0.9, bits_per_table="auto"
+    ).orderBy("vec_a", "vec_b")
+
+
+EXTRA_QUERIES = {"dedup_embedding_cosine_auto": _emb_cosine_auto}
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -176,9 +214,11 @@ def main() -> None:
             print(f"# building {n}x fixture", file=sys.stderr)
             build_fixture(spark, sf_dir, n, d)
 
+    lookup = {**dict(q.QUERIES), **EXTRA_QUERIES}
+
     # warm codegen/session on the smallest fixture so 1x isn't billed JIT
     for name in QUERIES:
-        q.QUERIES[name](spark, os.path.join(root, "x1")).count()
+        lookup[name](spark, os.path.join(root, "x1")).count()
 
     results = []
     for n in REPLICAS:
@@ -187,7 +227,7 @@ def main() -> None:
             before_over = overflow.n
             meter.mark()
             t0 = time.perf_counter()
-            rows = q.QUERIES[name](spark, d).count()
+            rows = lookup[name](spark, d).count()
             wall = time.perf_counter() - t0
             sread, swrite = meter.delta()
             results.append(
@@ -225,7 +265,10 @@ def main() -> None:
     from play_bq_gcp_spark.operators.dedup import containment_pairs
 
     cap_rows = []
-    for n in REPLICAS:
+    cap_replicas = (
+        () if os.environ.get("SPARK_PROBE_SKIP_CAP") else REPLICAS
+    )
+    for n in cap_replicas:
         d = os.path.join(root, f"x{n}")
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         n_docs = docs.count()
