@@ -463,3 +463,59 @@ def test_cms_merge_batch_plan_shuffle_budget(spark, sf_dir):
     )
     assert n_batch <= 1, f"cms batch sketch: {n_batch} Exchanges > 1"
     assert n_merged <= 2, f"cms state merge: {n_merged} Exchanges > 2"
+
+
+def test_salted_join_splits_zipf_hot_key(spark):
+    """The round-8 skew-stress pin (tools/skew_stress.py findings in
+    SCALING.md): on a floor-Pareto (zipf s≈2) key distribution where
+    the hottest key owns ~50% of rows, salted_join must (a) spread the
+    hot key over all n_salts buckets with no bucket holding more than
+    2x the per-bucket mean, (b) stay a pure equi-join on (key, salt) —
+    no nested-loop or cartesian fallback, and (c) return EXACTLY the
+    plain join's result."""
+    from play_bq_gcp_spark.operators.skew import _salt_col, salted_join
+
+    n_salts = 16
+    u = (F.pmod(F.xxhash64("id"), F.lit(100_000)) + 1) / 100_000.0
+    facts = spark.range(200_000).select(
+        F.least(F.ceil(1.0 / u), F.lit(1_000)).alias("key"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)).alias("value"),
+    )
+    dim = spark.range(1, 1_001).select(
+        F.col("id").alias("key"), F.pmod("id", F.lit(7)).alias("seg")
+    )
+
+    # (a) hot-key spread: every salt bucket materializes, none > 2x mean
+    hot = (
+        facts.withColumn("__salt", _salt_col(facts, n_salts))
+        .filter(F.col("key") == 2)
+        .groupBy("__salt")
+        .count()
+        .collect()
+    )
+    assert len(hot) == n_salts, "hot key must hit every salt bucket"
+    counts = [r["count"] for r in hot]
+    mean = sum(counts) / n_salts
+    assert max(counts) <= 2 * mean, (max(counts), mean)
+    assert sum(counts) > 50_000, "fixture lost its zipf head"
+
+    # (b) plan shape: equi-join carrying the salt in its keys
+    joined = salted_join(facts, dim, "key", n_salts=n_salts)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__salt" in plan, "salt column must participate in the join"
+
+    # (c) exact equality with the plain join (integer-only payload)
+    plain = (
+        facts.join(dim, "key")
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    salted = (
+        joined.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

@@ -1,0 +1,253 @@
+"""Zipf-skew join stress: salted vs AQE-skew-split vs nothing.
+
+`skew_salted_suite` proves the salted plans EQUAL their unsalted twins
+on the standard corpus; this probe (r7 judge ask #4) measures them on
+a corpus built to hurt: join keys drawn from a floor-Pareto inverse
+CDF — ``key = least(ceil(1/u), K)`` with ``u`` a deterministic
+xxhash64-derived uniform — so key 1 owns ~50% of all fact rows, key 2
+~17%, a 1/r(r-1) ≈ zipf(s=2) head over a K-key universe.  A plain
+hash-shuffle join lands half the table on ONE reduce task; the probe
+times three arms of the identical logical join + aggregate:
+
+* ``unsalted_noaqe``  — AQE skew-join splitting OFF: the straggler.
+* ``unsalted_aqe``    — AQE skew-join ON (thresholds lowered to fire
+  at probe scale); the runtime split counters are pulled from the UI
+  REST /sql endpoint as evidence AQE actually intervened.
+* ``salted``          — ``operators/skew.salted_join`` (hot side
+  salted, dim replicated): the plan that never builds the hot
+  partition in the first place, and the only option for engines/paths
+  where runtime re-planning is unavailable (and for aggregations,
+  which AQE does not re-salt).
+
+The dim side is padded past the broadcast threshold so every arm is a
+real shuffle join (a broadcastable dim would dodge the skew entirely —
+at 100 TB the dim that fits in memory is the exception).
+
+Usage: python tools/skew_stress.py [n_facts] [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N_FACTS = 8_000_000
+K_KEYS = 500_000
+N_SALTS = int(os.environ.get("SPARK_SKEW_SALTS", "32"))
+ROOT = "/tmp/skew_stress"
+
+
+def build_fixture(spark, n_facts: int) -> None:
+    os.makedirs(ROOT, exist_ok=True)
+    fpath = os.path.join(ROOT, "facts.parquet")
+    dpath = os.path.join(ROOT, "dim.parquet")
+    if os.path.isdir(fpath) and os.path.isdir(dpath):
+        return
+    # u in (0, 1] from a hash so the draw is reproducible; the
+    # floor-Pareto map gives P(key=r) ~ 1/(r(r-1)) — key 1 ~ 50%
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0
+    facts = (
+        spark.range(n_facts)
+        .select(
+            F.least(F.ceil(1.0 / u), F.lit(K_KEYS)).alias("key"),
+            (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10_000)) / 100.0)
+            .alias("value"),
+        )
+    )
+    facts.write.mode("overwrite").parquet(fpath)
+    # dim: K rows with an INCOMPRESSIBLE 128-hex-char pad (sha2 —
+    # repeat('x') compressed to nothing and the dim broadcast, dodging
+    # the skew entirely on the first probe run) -> ~45 MB parquet
+    dim = spark.range(1, K_KEYS + 1).select(
+        F.col("id").alias("key"),
+        F.pmod(F.col("id"), F.lit(97)).alias("seg"),
+        F.sha2(F.col("id").cast("string"), 512).alias("pad"),
+    )
+    # 32 files: a single-file dim made ONE map task carry the whole
+    # n_salts-way explode in the salted arm (5.4 s straggler that was
+    # fixture shape, not plan shape); real dims at scale are multi-file
+    dim.repartition(32).write.mode("overwrite").parquet(dpath)
+
+
+def _skew_metrics(spark) -> dict:
+    """AQE skew evidence from the UI REST /sql endpoint: sum of the
+    'number of skewed partitions' / 'number of skewed partition splits'
+    metrics over the most recent SQL execution."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/sql?details=true&length=1000"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        execs = json.load(r)
+    if not execs:
+        return {}
+    last = max(execs, key=lambda e: e["id"])
+    out: dict[str, int] = {}
+    for node in last.get("nodes", []):
+        for m in node.get("metrics", []):
+            name = m.get("name", "")
+            if "skewed" in name:
+                try:
+                    v = int(str(m.get("value", "0")).split()[0].replace(",", ""))
+                except ValueError:
+                    continue
+                out[name] = out.get(name, 0) + v
+    return out
+
+
+class _StageMarks:
+    """Track completed stages between arms and surface the MAX task
+    duration across an arm's new stages — the straggler metric: on a
+    1000-executor cluster wall-clock converges to max-task, while
+    local[32] wall hides it behind total-work/32."""
+
+    def __init__(self, spark):
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        self.base = f"{base}/api/v1/applications/{app}"
+        self.seen: set[tuple[int, int]] = set()
+
+    def _get(self, path):
+        with urllib.request.urlopen(self.base + path, timeout=10) as r:
+            return json.load(r)
+
+    def mark(self):
+        self.seen = {
+            (st["stageId"], st["attemptId"])
+            for st in self._get("/stages?status=complete")
+        }
+
+    def max_task_sec(self) -> float:
+        worst = 0.0
+        for st in self._get("/stages?status=complete"):
+            key = (st["stageId"], st["attemptId"])
+            if key in self.seen or st.get("numCompleteTasks", 0) == 0:
+                continue
+            try:
+                q = self._get(
+                    f"/stages/{key[0]}/{key[1]}/taskSummary?quantiles=1.0"
+                )
+                worst = max(worst, q["executorRunTime"][0] / 1000.0)
+            except Exception:
+                continue
+        return round(worst, 2)
+
+
+def run_arm(spark, tag: str, facts, dim, salted: bool, aqe_skew: bool,
+            marks: _StageMarks):
+    from play_bq_gcp_spark.operators.skew import salted_join
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(aqe_skew).lower())
+    # fire at probe scale (defaults: 256 MB partitions — lab-invisible)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    marks.mark()
+    t0 = time.perf_counter()
+    joined = (
+        salted_join(facts, dim, "key", n_salts=N_SALTS)
+        if salted
+        else facts.join(dim, "key")
+    )
+    out = joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    rows = out.collect()
+    wall = round(time.perf_counter() - t0, 2)
+    # PRIMARY skew evidence: the executed adaptive plan itself — the
+    # REST /sql metric read proved flaky across runs, while the final
+    # plan's markers are deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    skew_marked = "skew=true" in plan
+    skew = _skew_metrics(spark)
+    max_task = marks.max_task_sec()
+    per_seg = {r.seg: r.n for r in rows}
+    n_rows = sum(per_seg.values())
+    print(f"# {tag}: {wall}s max_task={max_task}s rows={n_rows} "
+          f"plan_skew={skew_marked} skew_metrics={skew}", file=sys.stderr)
+    return {
+        "arm": tag,
+        "wall_s": wall,
+        "max_task_s": max_task,
+        "rows": n_rows,
+        "per_seg": per_seg,
+        "plan_skew_split": skew_marked,
+        "skewed_partitions": skew.get("number of skewed partitions", 0),
+        "skew_splits": skew.get("number of skewed partition splits", 0),
+    }
+
+
+def main() -> None:
+    n_facts = int(sys.argv[1]) if len(sys.argv) > 1 else N_FACTS
+    out_md = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="skew_stress",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the 100 TB regime under test: the dim does NOT fit in
+            # memory, every arm is a genuine shuffle join (first probe
+            # run: a compressible dim broadcast and dodged the skew)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    build_fixture(spark, n_facts)
+    facts = spark.read.parquet(os.path.join(ROOT, "facts.parquet"))
+    dim = spark.read.parquet(os.path.join(ROOT, "dim.parquet"))
+
+    hot = facts.groupBy("key").count().orderBy(F.desc("count")).limit(3)
+    hot_rows = [(r.key, r["count"]) for r in hot.collect()]
+    print(f"# hottest keys: {hot_rows}", file=sys.stderr)
+
+    # warm the scans so arm order doesn't bill the page cache
+    facts.count(), dim.count()
+
+    marks = _StageMarks(spark)
+    results = []
+    for tag, salted, aqe in (
+        ("unsalted_noaqe", False, False),
+        ("unsalted_aqe", False, True),
+        ("salted", True, True),
+    ):
+        results.append(run_arm(spark, tag, facts, dim, salted, aqe, marks))
+
+    # all three arms MUST agree (same logical join) — a mismatch means
+    # the salt leaked into the semantics and the timing is meaningless;
+    # integer per-seg counts are order-independent, unlike float sums
+    assert len({json.dumps(r["per_seg"], sort_keys=True) for r in results}) == 1
+    for r in results:
+        del r["per_seg"]
+
+    lines = [
+        f"facts={n_facts} keys<={K_KEYS} hot={hot_rows} salts={N_SALTS}",
+        "",
+        "| arm | wall (s) | max task (s) | plan skew-split "
+        "| AQE skewed partitions | AQE skew splits |",
+        "| --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['arm']} | {r['wall_s']} | {r['max_task_s']} "
+            f"| {r['plan_skew_split']} | {r['skewed_partitions']} "
+            f"| {r['skew_splits']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    print(json.dumps(results))
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
