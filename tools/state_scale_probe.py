@@ -1,0 +1,198 @@
+"""Streaming state-CARDINALITY probe (r7 judge ask #7).
+
+The r5 variant study fixed the micro-batch count for
+`streaming_stateful_user_stats` (per-batch state-store commit overhead
+is the floor); what it did not test is state cardinality.  This probe
+re-runs the same applyInPandasWithState running-totals operator over
+synthetic events with 1x/10x/100x the fixture's 150 distinct users
+(events-per-user held at the fixture's ~100, so the 100x point is
+1.5M rows / 15 000 keys across 4 micro-batches), under BOTH state
+store providers:
+
+* ``hdfs``    — HDFSBackedStateStoreProvider (Spark default): every
+  committed version snapshots the full in-memory map; memory grows
+  with keys-per-partition.
+* ``rocksdb`` — RocksDBStateStoreProvider: on-disk LSM with changelog
+  commits; the provider a 100 TB deployment would run, where per-key
+  state dwarfs executor heap.
+
+Recorded per run: wall, final state rows, summed state-commit time,
+state memory, provider custom metrics — from the query's OWN progress
+events (StreamingQueryProgress.stateOperators), not wall-clock
+inference.  The r5 verdict ("HDFS-backed is fine at fixture scale")
+flips only if rocksdb wins at the 100x point; SCALING.md records the
+outcome either way.
+
+Usage: python tools/state_scale_probe.py [out_md]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+SCALES = (1, 10, 100)
+BASE_USERS = 150
+EVENTS_PER_USER = 100
+N_CHUNKS = 4
+STATE_PARTITIONS = 8
+ROOT = "/tmp/state_scale"
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+HDFS = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+def build_fixture(spark, scale: int) -> str:
+    """Synthetic events: scale*150 users x 100 events, landed as
+    N_CHUNKS parquet files (one per micro-batch).  Deterministic
+    hash-derived values; users interleave across chunks so every
+    micro-batch touches most keys — the worst case for commit cost."""
+    d = os.path.join(ROOT, f"x{scale}")
+    if os.path.isdir(d):
+        return d
+    n_users = BASE_USERS * scale
+    n_rows = n_users * EVENTS_PER_USER
+    (
+        spark.range(n_rows)
+        .select(
+            F.pmod(F.col("id"), F.lit(n_users)).alias("user_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("value"),
+        )
+        .repartition(N_CHUNKS)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def run_stream(spark, chunk_dir: str, provider: str) -> dict:
+    """The streaming/stateful.py running_user_stats shape verbatim:
+    file source at maxFilesPerTrigger=1, per-user GroupState running
+    (count, sum), memory sink, availableNow-style drain."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STATE_PARTITIONS)
+    )
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "value")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    running = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, total_value double",
+        "n_events long, total_value double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = (
+        running.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(ROOT, "ckpt", name))
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+
+    commit_ms = updates_ms = 0
+    rows_total = mem = 0
+    custom: dict[str, int] = {}
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            commit_ms += op.get("commitTimeMs", 0)
+            updates_ms += op.get("allUpdatesTimeMs", 0)
+            rows_total = op.get("numRowsTotal", rows_total)
+            mem = max(mem, op.get("memoryUsedBytes", 0))
+            for k, v in (op.get("customMetrics") or {}).items():
+                if isinstance(v, (int, float)):
+                    custom[k] = custom.get(k, 0) + int(v)
+    n_out = spark.table(name).count()
+    return {
+        "wall_s": wall,
+        "state_rows": rows_total,
+        "commit_ms": commit_ms,
+        "updates_ms": updates_ms,
+        "state_mem_mb": round(mem / 1e6, 1),
+        "out_rows": n_out,
+        "rocksdb_commit_ms": custom.get("rocksdbCommitLatencyMs", 0),
+    }
+
+
+def main() -> None:
+    out_md = sys.argv[1] if len(sys.argv) > 1 else None
+
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="state_scale_probe")
+    os.makedirs(os.path.join(ROOT, "ckpt"), exist_ok=True)
+
+    results = []
+    for scale in SCALES:
+        d = build_fixture(spark, scale)
+        for pname, provider in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
+            r = run_stream(spark, d, provider)
+            n_users = BASE_USERS * scale
+            # correctness floor: final state must hold every key and
+            # the sink at least one row per key
+            assert r["state_rows"] == n_users, (scale, pname, r)
+            assert r["out_rows"] >= n_users, (scale, pname, r)
+            results.append({"scale": scale, "provider": pname, **r})
+            print(f"# x{scale} {pname}: {r}", file=sys.stderr)
+
+    lines = [
+        f"users={BASE_USERS}x(1,10,100) events/user={EVENTS_PER_USER} "
+        f"chunks={N_CHUNKS} state_partitions={STATE_PARTITIONS}",
+        "",
+        "| scale | provider | wall (s) | state rows | commit (ms) "
+        "| updates (ms) | state mem (MB) |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['scale']}x | {r['provider']} | {r['wall_s']} "
+            f"| {r['state_rows']} | {r['commit_ms']} | {r['updates_ms']} "
+            f"| {r['state_mem_mb']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    print(json.dumps(results))
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
