@@ -58,6 +58,9 @@ AUDIT = [
     "text_encoding_audit",
     # round 7
     "multimodal_audio_fp_exact",
+    # round 8
+    "similarity_ann_lsh_exact",
+    "similarity_ann_ivf_exact",
 ]
 
 
