@@ -98,6 +98,8 @@ def int_mat_lit(mat) -> Column:
     numeric text reproduces per-element ``F.lit(int)`` typing exactly
     (int32-ranged values parse as INT, wider as BIGINT; arrays coerce
     to the widest member either way)."""
+    if not mat or any(not row for row in mat):
+        raise ValueError("int_mat_lit: empty matrix/row (type would be void)")
     return F.expr(
         "array("
         + ",".join(
@@ -111,6 +113,10 @@ def int_mat_lit(mat) -> Column:
 def int_cube_lit(cube) -> Column:
     """Integer 3-D literal via one parsed SQL string (quantized PQ
     codebooks)."""
+    if not cube or any(
+        not mat or any(not row for row in mat) for mat in cube
+    ):
+        raise ValueError("int_cube_lit: empty level (type would be void)")
     return F.expr(
         "array("
         + ",".join(

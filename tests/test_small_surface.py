@@ -221,3 +221,34 @@ def test_equi_depth_bins_quartiles(spark):
     assert [out[b].n for b in range(4)] == [25, 25, 25, 25]
     assert out[0].min_cents == 1 and out[0].max_cents == 25
     assert out[3].min_cents == 76 and out[3].max_cents == 100
+
+
+def test_vector_literals_reject_empty_input(spark):
+    """ADVICE r7: an empty vector/matrix through the parsed-literal
+    fast path would type as array<void>, not array<double>/<bigint> —
+    the helpers now refuse instead of emitting a wrong type.  (The
+    ``spark`` fixture is only needed because building a non-empty
+    literal Column requires an active session.)"""
+    import pytest
+
+    from play_bq_gcp_spark.functions.vector import (
+        cube_lit,
+        int_cube_lit,
+        int_mat_lit,
+        mat_lit,
+        vec_lit,
+    )
+
+    for fn, bad in [
+        (vec_lit, []),
+        (mat_lit, []),
+        (mat_lit, [[1.0], []]),
+        (cube_lit, [[[1.0]], [[]]]),
+        (int_mat_lit, []),
+        (int_mat_lit, [[], [1]]),
+        (int_cube_lit, [[[1], []]]),
+    ]:
+        with pytest.raises(ValueError):
+            fn(bad)
+    # non-empty still works (expression builds without a session)
+    vec_lit([1.0, 2.0]); mat_lit([[1.0]]); int_mat_lit([[1, 2]])
