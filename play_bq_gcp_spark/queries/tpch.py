@@ -52,7 +52,9 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+             + 5000) // 10000) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -68,7 +70,17 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q10 shape: who returned the most revenue last quarter —
     fact-fact join shuffles on the keys, nation broadcast, top-20 via
-    TakeOrdered."""
+    TakeOrdered.
+
+    Revenue is summed in EXACT integer micro-dollars (cents x
+    discount basis points, both derived with the same IEEE ops from
+    the same input doubles in either engine), then half-up rounded to
+    cents by integer division — fuzz seed 94 caught the float-sum
+    alternative landing on opposite sides of a half-cent boundary
+    (106076.335 -> Spark .33 / DuckDB .34: summation order plus
+    Spark's BigDecimal.valueOf round vs DuckDB's binary round).
+    Prices/discounts are 2-dp by fixture contract, so the tick
+    mapping is exact, order-free, and engine-portable."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -76,15 +88,21 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    micro = cents * (F.lit(10000) - disc_bp)
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(micro).alias("__rev_micro"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.expr("(__rev_micro + 5000) div 10000") / 100.0)
+            .alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)

@@ -6,7 +6,13 @@ on ANY schema-compatible input, not just the driver's fixtures.  This
 tool generates seeded random fixture directories that keep the schemas
 and the handful of structural invariants entries genuinely require
 (vec_id=0 exists for the ANN query vector; every event_type occurs;
-n_chars == length(text); 64-dim embeddings with non-degenerate norms)
+n_chars == length(text); documents.text is NON-NULL — empty is legal,
+NULL is not: a round-8 probe ran the full differential on a 3%-NULL
+variant and 11 entries fail, from text-profile divergences to hard
+crashes in the multimodal synth UDFs that derive binary payloads from
+text, so NULL docs are an ingest-drop contract, not an input class;
+the dedup fingerprints still coalesce defensively (operators/text.py
+text_fp); 64-dim embeddings with non-degenerate norms)
 while deliberately injecting the edge cases the calm fixtures lack:
 
 * empty strings, single-token and 2k-token documents, CJK/emoji/
