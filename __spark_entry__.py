@@ -61,7 +61,7 @@ _WINDOW = [
     "similarity_ann_ivf_exact",
     # -- changed this round: fuzz-94 boundary fix (integer micro-dollars)
     "q10_returned_items",
-    # -- r5 vintage (37 of 48; TPC-H q11-q22 defer to round 9) -----------
+    # -- r5 vintage (36 of 48; q11-q22 + rank_family defer to round 9) ---
     "agg_approx_sketches",
     "attribution_first_last",
     "basket_part_pairs_lift",
