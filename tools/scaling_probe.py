@@ -90,7 +90,28 @@ def _emb_cosine_auto(spark, d):
     ).orderBy("vec_a", "vec_b")
 
 
-EXTRA_QUERIES = {"dedup_embedding_cosine_auto": _emb_cosine_auto}
+def _knn_join_auto(spark, d):
+    """knn_join_lsh with ``n_planes="auto"`` — same query draw and
+    table count as the registry entry (every 100th vector, 8 tables),
+    but AND-bits sized to the corpus.  Both sides of this join grow
+    with the fixture, so fixed planes densify BILINEARLY
+    (candidates ~ |Q|x|C| / 2^planes); auto sizing restores
+    candidates ~ |Q| x occupancy."""
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import knn_join_lsh
+
+    e = read_table(spark, d, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return knn_join_lsh(
+        qs, e, k=5, n_planes="auto", seed=42, dim=64, multi_probe=True,
+        n_tables=8,
+    )
+
+
+EXTRA_QUERIES = {
+    "dedup_embedding_cosine_auto": _emb_cosine_auto,
+    "knn_join_lsh_auto": _knn_join_auto,
+}
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
