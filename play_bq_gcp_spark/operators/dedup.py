@@ -819,8 +819,6 @@ def canonical_survivors(
     """
     from pyspark.sql import Window
 
-    from play_bq_gcp_spark.operators.text import tokens
-
     groups = connected_dup_groups(documents, jaccard_distance)
     sized = groups.join(
         documents.select(
