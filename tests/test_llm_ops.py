@@ -1704,3 +1704,53 @@ def test_auto_planes_bit_schedule():
         bits = auto_planes(n)
         occ = n / 2 ** bits
         assert 2 < occ <= 4 or bits in (6, 24), (n, bits, occ)
+
+
+def test_containment_candidate_governor(spark, caplog):
+    """Round-8 governor pin: on a corpus whose growth replicates
+    structure (every doc shares a boilerplate clause), the auto df cap
+    admits mid-frequency shingles and candidate volume grows with
+    cap² — the governor must lower the cap to fit the budget, say so
+    LOUDLY, and keep the planted true pair (its shingles are rare, and
+    the governor drops high-df shingles first)."""
+    import logging
+
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+
+    # 8000 docs -> auto cap = 40; each group of 30 docs shares a
+    # 6-token clause (df = 30: UNDER the cap, so only the governor can
+    # stop its 30²/2-per-shingle pair expansion across ~267 groups)
+    rows = [
+        (
+            i,
+            f"unique{i}a unique{i}b unique{i}c "
+            f"shared clause number {i // 30} repeated here",
+        )
+        for i in range(8000)
+    ]
+    # planted truncated repost: doc 9000 is the unique prefix of doc 0
+    rows.append((9000, "unique0a unique0b unique0c"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="play_bq_gcp_spark.operators.dedup"):
+        out = {
+            (r.doc_a, r.doc_b)
+            for r in containment_pairs(
+                docs, threshold=0.8, candidate_budget=5_000
+            ).collect()
+        }
+    assert any("candidate governor" in r.message for r in caplog.records), (
+        "governor must engage loudly on the boilerplate corpus"
+    )
+    assert (0, 9000) in out, "planted rare-shingle pair must survive"
+
+    # with a huge budget the governor is a no-op and results agree on
+    # the planted pair (boilerplate-only pairs may legitimately differ)
+    big = {
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(
+            docs, threshold=0.8, candidate_budget=10**12
+        ).collect()
+    }
+    assert (0, 9000) in big
