@@ -971,7 +971,6 @@ def containment_pairs(
                 max_df, fitted, _volume(max_df), candidate_budget,
             )
             max_df = max(16, fitted)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     if observation is not None:
         dfreq = dfreq.observe(
@@ -1005,6 +1004,9 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i_rare"))
     )
+    # per-doc totals from sh, per-doc rare counts from the already-
+    # built rare stream; both shuffles move (doc_id, long) only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     n_rare = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("r"))
     bound = sizes.join(n_rare, "doc_id", "left").select(
         "doc_id", "n", F.coalesce(F.col("r"), F.lit(0)).alias("r")
@@ -1036,8 +1038,8 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    na = bound.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = bound.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")

@@ -394,7 +394,12 @@ def test_shuffle_budget_pinned(spark, sf_dir):
         "q3_shipping_priority": 3,
         "quality_expectations_orders": 2, # one wide agg + order
         # round-5 additions (pinned at observed counts, sf0.001):
-        "dedup_containment_pairs": 13,    # index aggs + bounded candidate/verify joins
+        # r8 re-pin 13 -> 25: the upper-bound candidate prune adds the
+        # per-pair rare-count agg plus bound/stat joins — every added
+        # exchange moves (doc_id, long) or (pair, long) rows, and they
+        # BUY the removal of the 22 GB verify explosion at 30x
+        # (SCALING.md round-8 containment section)
+        "dedup_containment_pairs": 25,
         "text_boilerplate_spans": 4,      # span hash agg + df threshold + order
         "events_ewma_daily": 6,           # daily rollup + rn window + span self-join
         "text_lang_confusion_matrix": 3,  # predicted×actual groupBy + order
