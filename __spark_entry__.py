@@ -37,9 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # r4-vintage entries deferred from round 7 (all bench-executed every
 # round, now due), (b) this round's two NEW integer-exact ANN
 # retrieval twins (the r7 judge's ask #5) plus the CHANGED
-# q10_returned_items (fuzz-94 half-cent boundary fix), and (c) 36 of
-# the 48 r5-vintage entries.  The 12 r5 entries deferred to round 9
-# are the TPC-H q11-q22 family plus window_rank_family_full: textbook SQL untouched since round 5, each
+# q10_returned_items (fuzz-94 half-cent boundary fix) and
+# dedup_containment_pairs (upper-bound candidate prune), and (c) 35
+# of the 48 r5-vintage entries.  The 13 entries deferred to round 9
+# are the TPC-H q11-q22 family, window_rank_family_full, and
+# trend_daily_revenue: textbook SQL untouched since round 5, each
 # re-verified green TODAY by the local tools/compare.py full sweep at
 # sf0.01 (0 failures, logged in BASELINE.md round-8 notes), so the
 # driver re-check waiting one round carries no unexamined risk.
@@ -61,7 +63,9 @@ _WINDOW = [
     "similarity_ann_ivf_exact",
     # -- changed this round: fuzz-94 boundary fix (integer micro-dollars)
     "q10_returned_items",
-    # -- r5 vintage (36 of 48; q11-q22 + rank_family defer to round 9) ---
+    # -- changed this round: upper-bound candidate prune + governor ------
+    "dedup_containment_pairs",
+    # -- r5 vintage (35 of 48; see deferral note at the list tail) -------
     "agg_approx_sketches",
     "attribution_first_last",
     "basket_part_pairs_lift",
@@ -97,11 +101,11 @@ _WINDOW = [
     "text_keywords_tfidf",
     "text_lm_fluency",
     "text_repetition_profile",
-    "trend_daily_revenue",
-    # window_rank_family_full yields its slot to the changed q10
-    # (re-attestation of a changed entry outranks rotation); it is
-    # pytest-covered, locally green in today's full sweep, and its
-    # window cousins were driver-attested r6/r7 — due round 9.
+    # trend_daily_revenue and window_rank_family_full yield their
+    # slots to the two CHANGED entries (q10's integer micro-dollars,
+    # containment's candidate prune) — re-attestation of changed code
+    # outranks rotation; both deferred entries are pytest-covered,
+    # locally green in today's full 3-SF sweeps, and due round 9.
 ]
 
 
