@@ -1,0 +1,144 @@
+"""Rounding-boundary scanner for sum-then-round oracle outputs.
+
+Fuzz seed 94 caught q10's float revenue sum landing on opposite sides
+of a half-cent boundary across engines (fixed with integer
+micro-dollars).  That class — ``round(sum(<float expr>), n)`` where
+the raw sum sits within a few ulp of a ``5 x 10^-(n+1)`` boundary —
+otherwise surfaces only when a fuzz corpus happens to hit it.  This
+tool makes the detection deterministic: for every registry oracle
+containing ``round(sum(...), n)``, strip exactly those rounds, run
+the raw query in DuckDB against a fixture directory, and report
+values whose distance from a rounding boundary is within
+``ULP_FACTOR`` ulps of the value — the candidates for the per-catch
+integer-ticks conversion policy (BASELINE.md round-8 notes).
+
+Reading the report: a hit is NOT automatically a bug.  Triage order
+(validated on the sf0.01 fixture scan, round 8):
+
+1. Entries already summing INTEGER ticks (e.g. mv_incremental_refresh
+   sums ``CAST(round(price*100) AS BIGINT)`` cents) — their sums are
+   exact; the hits are false positives from cross-scale checking
+   (an avg column rounded at scale 6 flagged against scale 2) or from
+   the formality round on an already-exact value.  Safe.
+2. Rounds of single deterministic picks (percentiles, first/last) —
+   both engines hold the identical double; identical rounding.  Safe.
+3. Genuine float SUMS rounded at the flagged scale — the q10 class:
+   cross-engine accumulation order can land either side of the
+   boundary.  Convert to integer ticks (per-catch policy,
+   BASELINE.md).  Note the engines' rounding rules ALSO differ on
+   some exact doubles (measured: 237778.85499999998 at scale 2 →
+   DuckDB .86, Spark .85), so "same raw sum" does not imply "same
+   rounded output" near a boundary.
+
+Usage: python tools/boundary_scan.py [sf_dir] [ulp_factor]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_ROUND_SUM = re.compile(r"round\(\s*sum\(", re.I)
+
+
+def _strip_round_sums(sql: str) -> tuple[str, list[int]]:
+    """Replace every round(sum(...), n) with ((sum(...))) and return
+    the list of scales n that were stripped."""
+    scales: list[int] = []
+    while True:
+        m = _ROUND_SUM.search(sql)
+        if not m:
+            return sql, scales
+        j = m.start() + len("round(")
+        depth, k = 1, j
+        while depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[j : k - 1]
+        d, cut = 0, None
+        for t, ch in enumerate(inner):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                cut = t
+        if cut is None:
+            expr, scale = inner, 0
+        else:
+            expr = inner[:cut]
+            try:
+                scale = int(inner[cut + 1 :].strip())
+            except ValueError:
+                expr, scale = inner, 0
+        scales.append(scale)
+        sql = sql[: m.start()] + f"(({expr}))" + sql[k:]
+
+
+def scan(sf_dir: str, ulp_factor: float = 20.0) -> list[tuple]:
+    from play_bq_gcp_spark import queries as q
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    hits = []
+    for name, sql in q.ORACLES.items():
+        if not _ROUND_SUM.search(sql):
+            continue
+        raw_sql, scales = _strip_round_sums(sql)
+        try:
+            rows = con.sql(raw_sql).fetchall()
+        except Exception as e:  # stripped SQL can break ORDER BY aliases
+            print(f"# skip {name}: {type(e).__name__}", file=sys.stderr)
+            continue
+        for row in rows:
+            for v in row:
+                if not isinstance(v, float) or not math.isfinite(v):
+                    continue
+                if v == int(v):
+                    continue
+                for n in sorted(set(scales)):
+                    x = abs(v) * 10**n
+                    if x > 2**50:  # fraction is ulp noise at this size
+                        continue
+                    dist = abs((x - math.floor(x)) - 0.5)
+                    ulp = max(abs(v), 1.0) * 2**-52 * 10**n
+                    if dist <= ulp_factor * ulp:
+                        hits.append(
+                            (name, v, n, round(dist / ulp, 1) if ulp else 0.0)
+                        )
+    return hits
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ulp_factor = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
+    hits = scan(sf_dir, ulp_factor)
+    if not hits:
+        print(f"{sf_dir}: no sum-round outputs within "
+              f"{ulp_factor} ulp of a boundary")
+        return
+    print(f"{sf_dir}: {len(hits)} boundary-adjacent sum-round value(s) "
+          f"(entry, raw value, round scale, distance in ulps):")
+    for name, v, n, d in sorted(hits, key=lambda h: h[3]):
+        print(f"  {name}: {v!r} @ scale {n} -> {d} ulp from boundary")
+
+
+if __name__ == "__main__":
+    main()
