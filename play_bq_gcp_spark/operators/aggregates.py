@@ -18,34 +18,59 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from play_bq_gcp_spark.functions import money
+
 
 def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-02") -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the engine's flagship aggregate.
 
     Filter → groupBy(2 keys) → 8 aggregates → sort.  Catalyst pushes the
     shipdate predicate into the parquet scan and prunes to 7 columns.
+
+    All money aggregates are computed in EXACT integer ticks
+    (functions/money.py): prices as cents, discount/tax as integer
+    percent, so the sums are order-free and the half-up cent/6-dp
+    roundings are integer divisions — identical in any engine.  The
+    float-sum original was the q10/fuzz-94 divergence class:
+    boundary_scan showed the sf0.001 raw sum_disc_price 1.8 ulp from a
+    half-cent, and Spark/DuckDB round() measurably disagree on
+    boundary doubles.  Quantities are exact small integers either way;
+    their sum is kept as a plain double (round is the identity on it).
     """
-    return (
+    cents = money.ticks("l_extendedprice")
+    d_pct = money.ticks("l_discount")  # integer percent: 2-dp contract
+    t_pct = money.ticks("l_tax")
+    qty = money.ticks(F.col("l_quantity"), scale=1)  # integer-valued
+    agg = (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money.tick_sum(qty).alias("__sq"),
+            money.tick_sum(cents).alias("__sp"),
+            money.tick_sum(cents * (100 - d_pct)).alias("__sr"),
+            money.tick_sum(cents * (100 - d_pct) * (100 + t_pct)).alias("__sc"),
+            money.tick_sum(d_pct).alias("__sd"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return (
+        agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("__sq") / 1.0).cast("double").alias("sum_qty"),
+            (F.col("__sp") / F.lit(100.0)).cast("double").alias("sum_base_price"),
+            (money.half_up_cents("__sr", 100) / 100.0).alias("sum_disc_price"),
+            (money.half_up_cents("__sc", 10000) / 100.0).alias("sum_charge"),
+            (money.half_up_micro_avg("__sq", "count_order", 1) / 1e6).alias(
+                "avg_qty"
+            ),
+            (money.half_up_micro_avg("__sp", "count_order", 100) / 1e6).alias(
+                "avg_price"
+            ),
+            (money.half_up_micro_avg("__sd", "count_order", 100) / 1e6).alias(
+                "avg_disc"
+            ),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -25,19 +25,38 @@ from play_bq_gcp_spark.sources.rest_api import trophy_document
 
 @register(
     "q1_pricing_summary",
+    # Exact integer ticks (functions/money.py): cents = floor(p*100+.5),
+    # integer percent for discount/tax — sums are order-free BIGINT->
+    # HUGEINT, the cent/6-dp roundings are integer divisions, and the
+    # only double conversions are exact final divisions shared with the
+    # Spark side.  Replaces the round(sum(float)) form that fuzz-94 /
+    # boundary_scan proved divergence-prone.
     """
+    WITH g AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity + 0.5) AS BIGINT))          AS sq,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sp,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS sr,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                   * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS sc,
+               sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT))    AS sd,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                       AS avg_qty,
-           round(avg(l_extendedprice), 6)                                  AS avg_price,
-           round(avg(l_discount), 6)                                       AS avg_disc,
-           count(*)                                                        AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           sq / 1.0                                  AS sum_qty,
+           sp / 100.0                                AS sum_base_price,
+           ((sr + 50) // 100) / 100.0                AS sum_disc_price,
+           ((sc + 5000) // 10000) / 100.0            AS sum_charge,
+           ((2000000 * sq + n) // (2 * n)) / 1000000.0 AS avg_qty,
+           ((20000 * sp + n) // (2 * n)) / 1000000.0   AS avg_price,
+           ((20000 * sd + n) // (2 * n)) / 1000000.0   AS avg_disc,
+           n                                          AS count_order
+    FROM g
     ORDER BY l_returnflag, l_linestatus
     """,
 )
