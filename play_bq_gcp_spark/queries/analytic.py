@@ -9,6 +9,7 @@ registration order are unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.functions import money
 from play_bq_gcp_spark.operators import aggregates, merge, relational
 from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
 from play_bq_gcp_spark.queries.llm import _SQL_TOKS
@@ -21,9 +22,14 @@ from play_bq_gcp_spark.queries.llm import _SQL_TOKS
 
 @register(
     "q3_shipping_priority",
+    # Revenue in exact integer ticks (functions/money.py): boundary_scan
+    # showed q3-class raw sums landing ON half-cent boundaries on fuzz
+    # corpora, and a flipped cent here reorders the top-10.
     """
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -41,8 +47,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     agg → top-k.  The customer side is filtered to ~1/5 before the join,
     so AQE picks a broadcast for it at small SF; at 100 TB the
     orders⨝lineitem leg stays a shuffle join on the already-filtered
-    orders.  Deterministic top-k: revenue is rounded BEFORE the sort so
-    both engines order identical values, with o_orderkey as tiebreak."""
+    orders.  Deterministic top-k: revenue is an EXACT integer-cent sum
+    (functions/money.py ticks — order-free, engine-portable) so both
+    engines order identical values, with o_orderkey as tiebreak."""
     c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf, "orders").where(
         F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
@@ -50,16 +57,20 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     l = _t(spark, sf, "lineitem").where(
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
+    rev_ticks = money.ticks("l_extendedprice") * (
+        100 - money.ticks("l_discount")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(money.tick_sum(rev_ticks).alias("__sr"))
+        .select(
+            "o_orderkey",
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
         )
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -67,9 +78,12 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q5_region_supplier_volume",
+    # Revenue in exact integer ticks (functions/money.py, q10 template).
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey
@@ -110,9 +124,12 @@ def q5_region_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money.tick_sum(
+                money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
+            ).alias("__sr")
+        )
+        .select(
+            "n_name", (money.half_up_cents("__sr", 100) / 100.0).alias("revenue")
         )
         .orderBy("n_name")
     )
