@@ -8,6 +8,7 @@ registration order are unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from play_bq_gcp_spark.functions import money
 from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
 
 # ---------------------------------------------------------------------------
@@ -20,8 +21,11 @@ from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, regis
 
 @register(
     "q6_forecast_revenue",
+    # Exact ticks: cents x discount-pct (functions/money.py template).
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+             + 50) // 100) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -33,18 +37,25 @@ from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, regis
 def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter+aggregate — every predicate pushes
     to the parquet scan, no shuffle at all (partial agg merges one
-    row)."""
+    row).  Revenue is summed in exact integer ticks (cents x integer
+    discount percent) per the q1/q10 boundary-divergence template."""
     li = _t(spark, sf, "lineitem")
-    return li.filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
-        & (F.col("l_discount").between(0.05, 0.07))
-        & (F.col("l_quantity") < 24)
-    ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money.tick_sum(
+                money.ticks("l_extendedprice") * money.ticks("l_discount")
+            ).alias("__sr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"), "n"
+        )
     )
 
 
@@ -235,7 +246,9 @@ def q18_large_volume_customers(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -288,9 +301,15 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money.tick_sum(
+                money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
+            ).alias("__sr")
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
