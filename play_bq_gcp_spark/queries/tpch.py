@@ -154,36 +154,47 @@ def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q14_promo_revenue",
+    # Exact ticks: round(100*S1/S2, 4) becomes one integer division on
+    # two exact tick sums (functions/money.py template).
     """
-    SELECT round(
-               100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0 END)
-               / sum(l_extendedprice * (1 - l_discount)), 4
-           ) AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    WITH g AS (
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        ELSE 0 END) AS s1,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS s2
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT ((2000000 * s1 + s2) // (2 * s2)) / 10000.0 AS promo_pct FROM g
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation over a dimension join
-    (part broadcast) — promo share of one month's revenue."""
+    (part broadcast) — promo share of one month's revenue, computed as
+    exact integer tick sums so the 4-dp share rounds identically in
+    both engines (q1/q10 template)."""
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
     p = _t(spark, sf, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_pct")
+            money.tick_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+            ).alias("__s1"),
+            money.tick_sum(rev).alias("__s2"),
+        )
+        # promo_pct = round(100*S1/S2, 4); x1e4 -> 1e6*S1/S2 half-up.
+        .select(
+            (F.expr("(2000000 * __s1 + __s2) div (2 * __s2)") / 10000.0).alias(
+                "promo_pct"
+            )
         )
     )
 
@@ -320,7 +331,9 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+               ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 + 50) // 100) / 100.0 AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -335,15 +348,25 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
 def q15_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q15 shape: the 'view' is a revenue aggregate reused twice
     — once as the join input, once reduced to its max (a 1-row
-    broadcast), replacing the correlated scalar subquery."""
+    broadcast), replacing the correlated scalar subquery.  Revenue is
+    an exact integer-cent sum (money.py template), which also makes
+    the `total_rev = max(total_rev)` equality a comparison of exact
+    cents instead of float-rounded sums."""
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_rev")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            money.tick_sum(
+                money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
+            ).alias("__sr")
+        )
+        .select(
+            "supplier_no",
+            (money.half_up_cents("__sr", 100) / 100.0).alias("total_rev"),
+        )
     )
     mx = rev.agg(F.max("total_rev").alias("__mx"))
     s = _t(spark, sf, "supplier")
@@ -363,7 +386,8 @@ def q15_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS threshold
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) + 7)
+            // 14) / 100.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN avg_qty ON ap = l_partkey
@@ -383,8 +407,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_qty, F.col("ap") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("threshold"))
-        .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        # round(S_cents/700 dollars, 2) = half-up(S_cents/7) cents:
+        # exact integer arithmetic on an exact cent sum (money.py).
+        .agg(money.tick_sum(money.ticks("l_extendedprice")).alias("__sp"))
+        .select(
+            (F.expr("(2 * __sp + 7) div 14") / 100.0).alias("avg_yearly")
         )
     )
 
@@ -436,7 +463,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH sales AS (
         SELECT year(o_orderdate) AS o_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS volume,
                sn.n_name AS supp_nation
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -451,8 +479,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
           AND o_orderdate <  TIMESTAMP '1998-01-01'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           ((2000000 * sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                                ELSE 0 END) + sum(volume))
+            // (2 * sum(volume))) / 1000000.0 AS mkt_share
     FROM sales GROUP BY o_year ORDER BY o_year
     """,
 )
@@ -479,7 +508,7 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"),
         F.col("n_name").alias("supp_nation"),
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
     sales = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -497,14 +526,19 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     return (
         sales.groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
-                    .otherwise(0.0)
-                )
-                / F.sum("volume"),
-                6,
-            ).alias("mkt_share")
+            money.tick_sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(F.lit(0))
+            ).alias("__s1"),
+            money.tick_sum(F.col("volume")).alias("__s2"),
+        )
+        .select(
+            "o_year",
+            # round(S1/S2, 6) as exact integer arithmetic: both tick
+            # sums are exact, so the share rounds identically anywhere.
+            (F.expr("(2000000 * __s1 + __s2) div (2 * __s2)") / 1e6).alias(
+                "mkt_share"
+            ),
         )
         .orderBy("o_year")
     )
@@ -513,7 +547,9 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q19_bracketed_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT ((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 50) // 100) / 100.0 AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -547,10 +583,13 @@ def q19_bracketed_revenue(spark: SparkSession, sf: str) -> DataFrame:
             | bracket("Brand#3", 35, 20, 40)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money.tick_sum(
+                money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
+            ).alias("__sr"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"), "n"
         )
     )
 
