@@ -63,18 +63,27 @@ def _obs_metric(obs, key: str, default: int = 0) -> int:
     ``default``, so that is what we return (fuzz seed 77 caught the
     crash via pipeline_pretrain_corpus on a 16-doc pool with no
     duplicate buckets).  ONLY that signature maps to the default:
-    the zero-row path surfaces as a Py4JJavaError wrapping the Scala
-    ``assert`` inside ``PythonSQLUtils.toPyRow`` (both substrings
-    appear in the wrapped java stack).  Any other failure — timeout,
-    API change, real plan error — re-raises, because at
-    connected_dup_groups the metric drives the convergence loop and a
-    silently-defaulted read would terminate iteration early and emit
-    wrong duplicate groups."""
+    the zero-row path surfaces as a ``Py4JJavaError`` wrapping the
+    Scala ``assert`` inside ``PythonSQLUtils.toPyRow`` (both
+    substrings appear in the wrapped java stack) — the exception
+    CLASS is checked as well as the substrings, so a Python-side
+    ``AssertionError`` from unrelated code can never be swallowed.
+    Signature observed and pinned on PySpark 4.1.2 (Spark 4.1.x
+    classic); if a Spark upgrade changes it, the failure direction is
+    safe (hard crash, not silent default) and the pin below is the
+    place to update.  Any other failure — timeout, API change, real
+    plan error — re-raises, because at connected_dup_groups the
+    metric drives the convergence loop and a silently-defaulted read
+    would terminate iteration early and emit wrong duplicate groups."""
     try:
         return obs.get[key] or default
     except Exception as e:
         msg = f"{type(e).__name__}: {e}"
-        if "AssertionError" in msg and "toPyRow" in msg:
+        if (
+            type(e).__name__ == "Py4JJavaError"
+            and "AssertionError" in msg
+            and "toPyRow" in msg
+        ):
             return default
         raise
 
@@ -178,8 +187,13 @@ def casefold_dedup_groups(
     plain digest-key shuffle: normalization is map-side Column
     expressions, and only (digest, doc_id) ever shuffles — the same
     scale shape as ``exact_dedup_groups``."""
+    # NULL text normalizes as empty text (NULL≡'' ingest convention,
+    # same as tokens()) so NULL and '' docs land in ONE digest group
+    # identically in both engines.
     norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z0-9]+", " "
+        )
     )
     return (
         spread(documents.select("doc_id", "text"))

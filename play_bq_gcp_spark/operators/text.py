@@ -30,9 +30,18 @@ STOPWORDS = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Normalized distinct-preserving token array."""
+    """Normalized distinct-preserving token array.
+
+    NULL text tokenizes as empty text (coalesce) — the NULL≡'' ingest
+    convention every dedup oracle already applies via
+    ``coalesce(array_to_string(...), '')``.  Centralizing it here makes
+    every derived fingerprint (``token_set``, ``text_fp``,
+    ``shingle_hashes``) NULL-robust at once, so a NULL-text row can
+    never look "new" to dedup on one engine and "empty duplicate" on
+    the other (VERDICT r8 #7).  Fixture/fuzz corpora pin text non-NULL,
+    so this changes nothing on attested outputs."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(c), _TOKEN_CLEAN_RE, " ")
+    cleaned = F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), _TOKEN_CLEAN_RE, " ")
     return F.filter(F.split(cleaned, " +"), lambda t: t != "")
 
 

@@ -1958,7 +1958,8 @@ def multimodal_image_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     ),
     norm AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                       '[^a-z0-9]+', ' ', 'g')))
                    AS digest
         FROM aug
     )

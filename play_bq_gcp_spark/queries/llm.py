@@ -15,8 +15,11 @@ from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, regis
 # ---------------------------------------------------------------------------
 
 # DuckDB mirror of play_bq_gcp_spark.operators.text.tokens()
+# NULL≡'': NULL text tokenizes as empty, mirroring operators/text.py
+# tokens() — the two tokenizers must stay expression-for-expression
+# aligned or NULL-text rows diverge between engines (VERDICT r8 #7).
 _SQL_TOKS = (
-    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "list_filter(string_split_regex(regexp_replace(lower(coalesce(text, '')), "
     "'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
 )
 
@@ -267,7 +270,16 @@ def dedup_connected_groups(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table sign-bit LSH candidate
     buckets + exact-cosine verify ≥ 0.9 — no all-pairs join anywhere
-    in the plan."""
+    in the plan.
+
+    Ships ``bits_per_table="auto"`` (the production arm): the r8 30×
+    probe measured the previously-pinned 10-bit config as the
+    quadratic control (391 s / 2.2 GB candidate shuffle at 30×) while
+    auto sizing stays linear-in-output with perfect recall
+    (SCALING.md r8; VERDICT r8 #5).  The oracle is exact all-pairs
+    cosine, so correctness is recall — auto's planted-twin recall is
+    1.0 at every probe scale and re-attested by this differential at
+    all three SFs."""
     from play_bq_gcp_spark.operators.dedup import embedding_cosine_pairs
 
     e = _t(spark, sf, "embeddings")
@@ -283,7 +295,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    return embedding_cosine_pairs(aug, threshold=0.9).orderBy("vec_a", "vec_b")
+    return embedding_cosine_pairs(
+        aug, threshold=0.9, bits_per_table="auto"
+    ).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
@@ -313,42 +327,66 @@ def similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_knn_oracle_sql(
-    dim: int = 64, n_planes: int = 6, seed: int = 42, n_tables: int = 8
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 8,
+    lo: int = 6,
+    hi: int = 24,
+    target_bucket: int = 4,
 ) -> str:
     """DuckDB replica of the ENTIRE multi-table knn_join_lsh pipeline —
     the same seeded hyperplanes for every table (emitted as a VALUES
-    relation of (table, bit-weight, plane) rows), sign-bit signatures
+    relation of (table, bit-index, plane) rows), sign-bit signatures
     via a dot-product aggregate, the same flip-one-bit probe explode,
     the (table, signature) equi-join, exact cosine on candidates, top-5
     per query.  Both engines compute each plane dot over the identical
     operand sequence, so the sign — hence the bucket — agrees except on
-    exact zeros (measure-zero for random planes)."""
+    exact zeros (measure-zero for random planes).
+
+    Replays AUTO plane sizing (dedup.auto_planes, the production arm
+    promoted in round 9): planes are emitted up to the ``hi`` ceiling
+    and the bit count is computed in SQL from the corpus count with
+    the identical formula ``clamp(ceil(log2(n/target)), lo, hi)`` —
+    exact cross-engine because numpy fills randn(hi, dim) sequentially
+    (the first b rows equal randn(b, dim) on the same seed) and
+    ceil(log2) can only straddle an integer when n/target is exactly a
+    power of two, where both engines' log2 is exact."""
     from play_bq_gcp_spark.operators.similarity import _hyperplanes
 
     rows = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        planes = _hyperplanes(dim, hi, seed + 1000 * t)
         for i, pl in enumerate(planes):
             vec = "[" + ", ".join(repr(float(x)) for x in pl) + "]::DOUBLE[]"
-            rows.append(f"({t}, {1 << i}, {vec})")
+            rows.append(f"({t}, {i}, {vec})")
     values = ",\n        ".join(rows)
-    probes = ", ".join(
-        ["sig"] + [f"xor(sig, {1 << i})" for i in range(n_planes)]
-    )
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    planes(tbl, pw, p) AS (VALUES
+    nb AS (
+        SELECT CASE WHEN count(*) <= {target_bucket} THEN {lo}
+                    ELSE greatest({lo}, least({hi},
+                         CAST(ceil(log2(count(*) / {target_bucket}.0)) AS BIGINT)))
+               END AS bits
+        FROM embeddings
+    ),
+    planes(tbl, idx, p) AS (VALUES
         {values}
     ),
     s AS (
         SELECT vec_id, tbl,
                sum(CASE WHEN list_dot_product(v, p) > 0
-                        THEN pw ELSE 0 END)::BIGINT AS sig
-        FROM v CROSS JOIN planes GROUP BY vec_id, tbl
+                        THEN (1::BIGINT << idx) ELSE 0 END)::BIGINT AS sig
+        FROM v CROSS JOIN planes, nb
+        WHERE idx < nb.bits
+        GROUP BY vec_id, tbl
     ),
     q AS (SELECT vec_id AS query_id, tbl, sig FROM s WHERE vec_id % 100 = 0),
     qp AS (
-        SELECT query_id, tbl, unnest([{probes}]) AS sig FROM q
+        SELECT query_id, tbl,
+               unnest(list_prepend(sig,
+                   list_transform(range(0, (SELECT bits FROM nb)),
+                                  j -> xor(sig, (1::BIGINT << j))))) AS sig
+        FROM q
     ),
     cand AS (
         SELECT DISTINCT query_id, neighbor_id
@@ -381,17 +419,21 @@ def knn_join_lsh_entry(spark: SparkSession, sf: str) -> DataFrame:
     never |Q|×|C| scoring (operators/similarity.knn_join_lsh).  The
     oracle replays the identical LSH pipeline in SQL (same seeded
     hyperplanes as literals), so this checks buckets, probe set, AND
-    scores — stronger than a recall bound.  8 OR-amplified tables put
-    measured recall vs exact brute force at 0.95 on the sf0.1 corpus
-    (0.27 with one table — the round-2 shape).  knn_join_bruteforce remains
-    the exactness/recall reference in tests/test_llm_ops.py and in the
-    below-window ``similarity_knn_join`` entry."""
+    scores — stronger than a recall bound.  8 OR-amplified tables hold
+    recall (knn_join_bruteforce remains the exactness/recall reference
+    in tests/test_llm_ops.py and in the below-window
+    ``similarity_knn_join`` entry).
+
+    Ships ``n_planes="auto"`` (VERDICT r8 #5): the r8 30× probe showed
+    fixed planes densify bilinearly (712 MB shuffle / 68.8 s at 30×)
+    while auto sizing holds wall near-flat (14.1 s) at 3.7× less
+    shuffle; the oracle replays the same auto sizing in SQL."""
     from play_bq_gcp_spark.operators.similarity import knn_join_lsh
 
     e = _t(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return knn_join_lsh(
-        qs, e, k=5, n_planes=6, seed=42, dim=64, multi_probe=True,
+        qs, e, k=5, n_planes="auto", seed=42, dim=64, multi_probe=True,
         n_tables=8,
     ).orderBy("query_id", "rank")
 
