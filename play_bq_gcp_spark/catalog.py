@@ -152,9 +152,11 @@ def atomic_overwrite(
     stays readable as the plan's input — no checkpoint needed), then
     two directory renames swap it in.  POSIX rename is atomic; the
     worst crash window leaves the old table at a recovery path instead
-    of gone.  Object stores have no atomic rename — there, use dynamic
-    partition overwrite or a table format (Delta/Iceberg); this is the
-    single-filesystem implementation of the same contract."""
+    of gone.  This rewrites the FULL table — for upserts touching a
+    few partitions use ``dynamic_partition_overwrite`` (below), or
+    ``storage.txn_table.overwrite_partitions`` when the swap must be
+    atomic across partitions / on object stores (no atomic rename
+    there; the manifest create is the commit)."""
     import shutil
     import uuid
 
@@ -169,6 +171,35 @@ def atomic_overwrite(
         os.rename(path, old)
     os.rename(stage, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def dynamic_partition_overwrite(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """INSERT OVERWRITE with dynamic partition resolution: ONLY the
+    partitions present in ``df`` are replaced; every other partition's
+    files stay byte-identical on disk.  This is the 100 TB merge-path
+    write (SURVEY.md §4.3): an upsert touching k dates rewrites k
+    date directories, never the table — the answer the prose at
+    operators/merge.py and ``atomic_overwrite`` promised.
+
+    Spark-native: ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    scopes the overwrite to the written partitions (set per-write and
+    restored, so the session default stays untouched).  Atomicity is
+    PER PARTITION on a plain filesystem — a crash mid-write can leave
+    some touched partitions new and some old (each individually
+    complete, since the committer renames per-partition output in one
+    pass).  When cross-partition atomicity matters, use the manifest
+    path (``storage.txn_table.overwrite_partitions``), which commits
+    all partitions in one compare-and-swap."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_bucketed(

@@ -15,8 +15,13 @@ DEFAULT is no hint: AQE sizes the join at runtime, so an updates side
 that is actually an aggregate over a 100 TB fact table (e.g. per-key
 order totals) never gets force-broadcast into driver/executor OOM.
 When both sides are huge, bucket both on the key so the join is
-co-located; the overwrite should then go partition-by-partition
-(dynamic partition overwrite) rather than full-table.
+co-located; the overwrite then goes partition-by-partition —
+``catalog.dynamic_partition_overwrite`` (Spark-native, per-partition
+atomic) or ``storage.txn_table.overwrite_partitions`` (manifest
+commit, atomic across partitions) — rather than full-table.
+``plans.pipeline.PartitionedWarehouse`` wires exactly that into the
+daily dimension merge: changed keys select their hash-bucket
+partitions, and only those partitions are rewritten.
 """
 
 from __future__ import annotations

@@ -624,6 +624,263 @@ def delete_where(
     return out
 
 
+def _write_partition_aligned(
+    df: DataFrame, path: str, part_col: str
+) -> tuple[list[str], int, dict[str, dict]]:
+    """Land ``df`` as immutable files each holding EXACTLY ONE value of
+    ``part_col`` (min == max in its footer stats) — the layout
+    ``overwrite_partitions`` needs so a later partition replace can
+    drop whole files instead of rewriting straddlers.
+
+    One distributed job: the writer partitions by a DUPLICATE of the
+    partition column (``__pp``), so the real column stays inside the
+    data files; the hive-style ``__pp=v/`` directories are then
+    flattened driver-side (k cheap same-filesystem renames) because
+    manifest readers scan files BY NAME and must never trip Spark's
+    partition-discovery on shared ``key=value`` parent dirs."""
+    from pyspark.sql import functions as F
+
+    commit_id = uuid.uuid4().hex[:12]
+    out = os.path.join(_data_dir(path), commit_id)
+    (
+        df.withColumn("__pp", F.col(part_col))
+        .write.mode("error")
+        .partitionBy("__pp")
+        .parquet(out)
+    )
+    files: list[str] = []
+    for sub in sorted(os.listdir(out)):
+        subdir = os.path.join(out, sub)
+        if not (os.path.isdir(subdir) and sub.startswith("__pp=")):
+            continue
+        for f in sorted(os.listdir(subdir)):
+            if not f.endswith(".parquet"):
+                continue
+            flat = f"{len(files)}_{f}"
+            os.rename(os.path.join(subdir, f), os.path.join(out, flat))
+            files.append(os.path.join("data", commit_id, flat))
+        # leftovers are committer artifacts (.crc checksums, _SUCCESS);
+        # the renamed files no longer match their crc names anyway
+        import shutil
+
+        shutil.rmtree(subdir, ignore_errors=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(files)))) as ex:
+        stat_list = list(
+            ex.map(lambda f: _file_stats(os.path.join(path, f)), files)
+        )
+    stats = dict(zip(files, stat_list))
+    rows = sum(s["rows"] for s in stats.values())
+    return files, rows, stats
+
+
+def _classify_partition_files(
+    snap: Snapshot, part_col: str, replaced: set
+) -> tuple[list[str], list[str], list[str]]:
+    """Split a snapshot's files by their footer stats for ``part_col``
+    against the replaced-value set: (keep, drop, straddle).
+
+    * keep — [min, max] cannot contain any replaced value;
+    * drop — single-valued (min == max) on a replaced value: the whole
+      file IS a replaced partition;
+    * straddle — overlaps a replaced value but is not single-valued
+      (or carries no stats): must be rewritten with replaced rows
+      filtered out, or the commit would drop live rows."""
+    keep: list[str] = []
+    drop: list[str] = []
+    straddle: list[str] = []
+    for f in snap.files:
+        st = snap.file_stats.get(f, {}).get("cols", {}).get(part_col)
+        if st is None:
+            straddle.append(f)
+            continue
+        fmin, fmax = st
+        hit = any(fmin <= v <= fmax for v in replaced)
+        if not hit:
+            keep.append(f)
+        elif fmin == fmax:
+            drop.append(f)
+        else:
+            straddle.append(f)
+    return keep, drop, straddle
+
+
+def commit_overwrite_partitions(
+    path: str,
+    part_col: str,
+    replaced,
+    new_files,
+    new_stats: dict,
+    meta: dict | None = None,
+    max_retries: int = 5,
+) -> Snapshot:
+    """Commit loop for a dynamic partition overwrite, data already
+    landed: every base file wholly inside the replaced partition set is
+    dropped, every file that cannot contain a replaced value is kept BY
+    REFERENCE (byte-identical — never rewritten, never copied), and the
+    new files are added.
+
+    Unlike full ``overwrite``, losing a race here is NOT automatically
+    a logical conflict: the replaced set names exactly which partitions
+    this commit owns, so a retry RE-CLASSIFIES against the winner's
+    snapshot — two writers replacing DISJOINT partitions both land,
+    in either order (the disjointness proof is the classification
+    itself: re-derived per attempt, the loser keeps the winner's new
+    files because they sit outside its replaced set).  A base file that
+    STRADDLES replaced and live values raises instead — this
+    manifest-only loop cannot rewrite data; use
+    ``overwrite_partitions``, which filters straddlers with Spark
+    before retrying."""
+    replaced = set(replaced)
+    new_stats = dict(new_stats)
+    for _ in range(max_retries):
+        base = snapshot(path)
+        keep, _drop, straddle = _classify_partition_files(
+            base, part_col, replaced
+        )
+        if straddle:
+            raise ValueError(
+                f"{len(straddle)} base file(s) straddle replaced "
+                f"partitions of {part_col} (e.g. {straddle[0]}); use "
+                "overwrite_partitions() to rewrite them"
+            )
+        kept_stats = {
+            f: base.file_stats[f] for f in keep if f in base.file_stats
+        }
+        rows = sum(
+            s["rows"] for s in {**kept_stats, **new_stats}.values()
+        )
+        snap = Snapshot(
+            base.version + 1,
+            tuple(keep) + tuple(new_files),
+            rows,
+            "overwrite_partitions",
+            time.time(),
+            {
+                "partition_col": part_col,
+                "replaced": sorted(str(v) for v in replaced),
+                **(meta or {}),
+            },
+            {**kept_stats, **new_stats},
+        )
+        try:
+            _publish(path, base.version + 1, snap)
+            return snap
+        except CommitConflict:
+            continue  # rebase: re-classify against the winner's files
+    raise CommitConflict(
+        f"overwrite_partitions lost {max_retries} races at {path}"
+    )
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    max_retries: int = 5,
+    meta: dict | None = None,
+) -> Snapshot:
+    """Transactional dynamic partition overwrite (replace-where): the
+    partitions PRESENT in ``df`` are replaced by ``df``'s rows; every
+    other partition's files are carried into the new version untouched
+    and byte-identical.  The 100 TB merge-path answer promised at
+    operators/merge.py / catalog.atomic_overwrite: an upsert touching
+    k partitions rewrites k partitions, never the table.
+
+    Steps: (1) one tiny distinct-aggregate collects the replaced
+    partition values (bounded by the number of partitions touched — a
+    daily upsert touches days, not rows); (2) the new data lands
+    partition-aligned (one job; each file single-valued on
+    ``part_col``); (3) the commit loop drops replaced files, keeps the
+    rest by reference, and rebases on conflict.  Legacy base files that
+    straddle the replaced set (written before this layout) are
+    rewritten once here — filtered to their live rows and re-landed
+    aligned — after which they never straddle again."""
+    from pyspark.sql import functions as F
+
+    values = [
+        r[0] for r in df.select(part_col).distinct().collect()
+    ]  # bounded: one value per touched partition
+    if not values:
+        return snapshot(path)
+    new_files, _, new_stats = _write_partition_aligned(df, path, part_col)
+    for _ in range(max_retries):
+        base = snapshot(path)
+        _keep, _drop, straddle = _classify_partition_files(
+            base, part_col, set(values)
+        )
+        extra_files: list[str] = []
+        extra_stats: dict[str, dict] = {}
+        if straddle:
+            live = spark.read.parquet(
+                *[os.path.join(path, f) for f in straddle]
+            ).filter(~F.col(part_col).isin(values))
+            extra_files, _, extra_stats = _write_partition_aligned(
+                live, path, part_col
+            )
+            # straddlers' replaced rows are superseded by df; their
+            # live rows now exist re-landed aligned, so the commit
+            # below drops the straddlers (they classify as straddle
+            # against the SAME pinned base and are excluded from keep).
+        try:
+            return _commit_partition_replace(
+                path,
+                base,
+                part_col,
+                set(values),
+                straddle,
+                list(new_files) + extra_files,
+                {**new_stats, **extra_stats},
+                meta,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"overwrite_partitions lost {max_retries} races at {path}"
+    )
+
+
+def _commit_partition_replace(
+    path: str,
+    base: Snapshot,
+    part_col: str,
+    replaced: set,
+    rewritten: list,
+    new_files,
+    new_stats: dict,
+    meta: dict | None,
+) -> Snapshot:
+    """Single manifest-create attempt for ``overwrite_partitions``.
+    Classification, the straddler rewrite, and this commit are all
+    pinned to ONE base version; ``_publish``'s compare-and-swap on
+    ``base.version + 1`` rejects the attempt if ANY commit interleaved,
+    so a stale rewrite can never resurrect rows a racing writer
+    replaced — the caller's loop re-reads, re-classifies, and re-lands
+    from scratch (orphaned data files are immutable and vacuumable)."""
+    keep, _drop, _straddle = _classify_partition_files(
+        base, part_col, replaced
+    )
+    kept_stats = {f: base.file_stats[f] for f in keep if f in base.file_stats}
+    rows = sum(s["rows"] for s in {**kept_stats, **new_stats}.values())
+    snap = Snapshot(
+        base.version + 1,
+        tuple(keep) + tuple(new_files),
+        rows,
+        "overwrite_partitions",
+        time.time(),
+        {
+            "partition_col": part_col,
+            "replaced": sorted(str(v) for v in replaced),
+            **(meta or {}),
+        },
+        {**kept_stats, **new_stats},
+    )
+    _publish(path, base.version + 1, snap)
+    return snap
+
+
 def merge_into(
     spark: SparkSession,
     path: str,

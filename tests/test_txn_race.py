@@ -186,3 +186,83 @@ def test_append_race_scales_with_contention(tmp_path, n_procs):
     outs = _spawn(_race_appender, path, n_procs)
     assert all(o[0] == "ok" for o in outs), outs
     assert tt.current_version(path) == n_procs * N_APPENDS
+
+
+N_PART_ROUNDS = 6
+
+
+def _stats(day, rows=1):
+    return {"rows": rows, "cols": {"day": [day, day]}}
+
+
+def _race_partition_writer(path, barrier, wid, out_q):
+    """One writer process owning ONE partition (day = wid): repeatedly
+    replaces its partition via the REAL commit_overwrite_partitions
+    retry loop while every other process replaces theirs.  Disjoint
+    partitions must never conflict away: all rounds of all writers
+    land."""
+    try:
+        barrier.wait(timeout=60)
+        results = []
+        for i in range(N_PART_ROUNDS):
+            fname = f"data/day{wid}_round{i}.parquet"
+            snap = tt.commit_overwrite_partitions(
+                path,
+                "day",
+                [wid],
+                [fname],
+                {fname: _stats(wid)},
+                max_retries=500,
+            )
+            results.append((snap.version, fname))
+        out_q.put(("ok", wid, results))
+    except BaseException as e:
+        out_q.put(("err", wid, repr(e)))
+
+
+def test_concurrent_partition_overwrites_disjoint_partitions_all_land(
+    tmp_path,
+):
+    """4 processes x 6 rounds, each dynamically overwriting its OWN
+    partition, all contending on the manifest CAS: every round lands
+    (disjoint replaces are not logical conflicts — the loser's retry
+    re-classifies against the winner's snapshot), the final manifest
+    holds exactly each partition's LAST file, and untouched partitions
+    ride through every commit by reference."""
+    path = str(tmp_path / "t")
+    tt.init_table(path)
+    # seed: one ALIGNED file per partition (stats carried), plus a
+    # bystander partition (day=99) that no writer ever touches
+    for d in list(range(N_PROCS)) + [99]:
+        f = f"data/seed2_day{d}.parquet"
+        tt.commit_overwrite_partitions(path, "day", [d], [f], {f: _stats(d)})
+
+    outs = _spawn(_race_partition_writer, path, N_PROCS)
+    errs = [o for o in outs if o[0] == "err"]
+    assert not errs, f"child writer failed: {errs}"
+
+    final = tt.snapshot(path)
+    files = set(final.files)
+    # every writer's LAST round file is live; no earlier round survives
+    for status, wid, results in outs:
+        assert len(results) == N_PART_ROUNDS
+        last = results[-1][1]
+        assert last in files, f"writer {wid}'s final replace lost"
+        for _, fname in results[:-1]:
+            assert fname not in files, f"stale {fname} resurrected"
+    # the bystander partition's file survived every commit by reference
+    assert "data/seed2_day99.parquet" in files
+    # version chain contiguous and each manifest parseable
+    top = tt.current_version(path)
+    assert top == (N_PROCS + 1) + N_PROCS * N_PART_ROUNDS
+    for v in range(top + 1):
+        with open(tt._manifest_path(path, v)) as f:
+            json.load(f)
+    # genuine interleaving across writers
+    per_writer = [[v for v, _ in results] for _, _, results in outs]
+    interleaved = any(
+        min(b) < max(a) and min(a) < max(b)
+        for i, a in enumerate(per_writer)
+        for b in per_writer[i + 1 :]
+    )
+    assert interleaved, "schedules never overlapped — no race exercised"

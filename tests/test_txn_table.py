@@ -364,3 +364,92 @@ def test_changes_replay_reproduces_target_version(spark, table):
             (r.id, r.v) for r in tt.read(spark, table, version=top).collect()
         )
         assert +base == target, f"replay from v{v_from} diverged"
+
+
+# --- dynamic partition overwrite (replace-where) -------------------------
+
+
+def _pdf(spark, rows):
+    """(day, id, v) rows for partition-overwrite tests."""
+    return spark.createDataFrame(rows, "day int, id long, v long")
+
+
+def _file_bytes(table, snap):
+    """{relpath: raw bytes} for every file in a snapshot."""
+    out = {}
+    for f in snap.files:
+        with open(os.path.join(table, f), "rb") as fh:
+            out[f] = fh.read()
+    return out
+
+
+def test_overwrite_partitions_rewrites_only_touched_days(spark, table):
+    base = tt.overwrite_partitions(
+        spark,
+        _pdf(spark, [(d, 10 * d + i, 0) for d in (1, 2, 3) for i in range(4)]),
+        table,
+        "day",
+    )
+    before = _file_bytes(table, base)
+    day1_files = {
+        f for f in base.files
+        if base.file_stats[f]["cols"]["day"] == [1, 1]
+    }
+    assert day1_files and len(day1_files) < len(base.files)
+
+    upd = tt.overwrite_partitions(
+        spark, _pdf(spark, [(1, 99, 7), (1, 98, 7)]), table, "day"
+    )
+    # untouched partitions: same files BY REFERENCE, bytes identical
+    kept = set(base.files) - day1_files
+    assert kept <= set(upd.files)
+    after = _file_bytes(table, upd)
+    for f in kept:
+        assert after[f] == before[f], f"untouched file {f} changed"
+    # replaced partition: old files gone from the manifest, new content in
+    assert not (day1_files & set(upd.files))
+    got = {
+        (r.day, r.id, r.v) for r in tt.read(spark, table).collect()
+    }
+    assert {(1, 99, 7), (1, 98, 7)} <= got
+    assert all(day != 1 or id_ in (98, 99) for day, id_, _ in got)
+    assert {d for d, _, _ in got} == {1, 2, 3}
+    # history: the pre-replace version still reads day-1's old rows
+    assert (
+        tt.read(spark, table, version=base.version)
+        .filter("day = 1").count() == 4
+    )
+
+
+def test_overwrite_partitions_rewrites_straddling_legacy_files(spark, table):
+    # legacy layout: ONE file spanning days 1-3 (plain append, no alignment)
+    tt.append(
+        _pdf(spark, [(d, 10 * d + i, 0) for d in (1, 2, 3) for i in range(3)])
+        .coalesce(1),
+        table,
+    )
+    snap = tt.overwrite_partitions(
+        spark, _pdf(spark, [(2, 77, 5)]), table, "day"
+    )
+    got = sorted(
+        (r.day, r.id, r.v) for r in tt.read(spark, table).collect()
+    )
+    # day 2 fully replaced; days 1 and 3 preserved from the straddler
+    assert [(d, i) for d, i, _ in got if d == 2] == [(2, 77)]
+    assert len([1 for d, _, _ in got if d == 1]) == 3
+    assert len([1 for d, _, _ in got if d == 3]) == 3
+    # and the rewritten live rows are now partition-aligned: every file
+    # single-valued on day, so future replaces drop files, never rewrite
+    for f in snap.files:
+        lo, hi = snap.file_stats[f]["cols"]["day"]
+        assert lo == hi
+
+
+def test_commit_overwrite_partitions_refuses_straddlers(spark, table):
+    tt.append(
+        _pdf(spark, [(1, 1, 0), (2, 2, 0)]).coalesce(1), table
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        tt.commit_overwrite_partitions(
+            table, "day", [1], ["data/x.parquet"], {"data/x.parquet": {"rows": 1, "cols": {"day": [1, 1]}}}
+        )
