@@ -82,6 +82,62 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_nanos_ts(df, NANOS_TS_COLS.get(name, ()))
 
 
+def _packed_scan_tasks(df: DataFrame, files: list[str]) -> int:
+    """Estimate how many scan tasks Spark's file bin-packing will
+    produce for ``files`` — FilePartition's own arithmetic:
+    ``maxSplit = min(maxPartitionBytes, max(openCost, totalPadded /
+    defaultParallelism))`` then ``tasks ≈ totalPadded / maxSplit``
+    with every file padded by ``openCostInBytes``.  Local file: URIs
+    only (one stat per file, driver-side); anything unparseable
+    returns a large number so the caller's count-based short-circuit
+    stands (the prior, pre-r9 behavior — never an extra shuffle)."""
+    try:
+        sizes = []
+        for f in files:
+            if not f.startswith("file:"):
+                return 1 << 30
+            p = f[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+            sizes.append(os.path.getsize(p))
+        conf = df.sparkSession.conf
+
+        def _bytes(key: str, default: int) -> int:
+            try:
+                v = conf.get(key)
+                return int(v.lower().removesuffix("b"))
+            except Exception:
+                return default
+
+        open_cost = _bytes("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+        max_pb = _bytes(
+            "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+        )
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        total = sum(s + open_cost for s in sizes)
+        max_split = max(
+            1, min(max_pb, max(open_cost, total // max(1, parallelism)))
+        )
+        # replicate FilePartition.getFilePartitions' greedy pack: files
+        # sorted by length desc, split into <= max_split chunks, a
+        # partition closes when the NEXT chunk's length would overflow,
+        # and every chunk pads the accumulator by open_cost.
+        tasks, cur = 0, 0
+        for s in sorted(sizes, reverse=True):
+            while True:
+                chunk = min(s, max_split)
+                if cur + chunk > max_split:
+                    tasks += 1
+                    cur = 0
+                cur += chunk + open_cost
+                s -= chunk
+                if s <= 0:
+                    break
+        return tasks + (1 if cur > 0 else 0)
+    except Exception:
+        return 1 << 30
+
+
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Ensure at least one partition per core before an expensive
     map-side pass (tokenization, featurization, Python workers).  A
@@ -92,13 +148,17 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     target = sc.defaultParallelism * multiplier
     # Prefer the public file-count metadata over df.rdd.getNumPartitions():
     # .rdd builds a pickled-row conversion RDD just to read one number
-    # (and does not exist under Spark Connect).  A scan with >= target
-    # input files already fans out at least that wide; fewer files than
-    # cores is exactly the small-table case spread() exists for.  For
-    # non-file plans (memory fixtures, streams) fall back to the RDD
-    # metadata probe rather than inserting an unconditional shuffle.
+    # (and does not exist under Spark Connect).  File COUNT alone is
+    # not sufficient: the scan bin-packs small files
+    # (maxPartitionBytes/openCostInBytes), so 64 tiny files can still
+    # collapse to a handful of tasks — estimate the packed task count
+    # with FilePartition's own arithmetic and only short-circuit when
+    # it clears the target (ADVICE r8: count-only check skipped
+    # repartition in exactly the many-tiny-files case spread() exists
+    # for).  For non-file plans (memory fixtures, streams) fall back to
+    # the RDD metadata probe rather than an unconditional shuffle.
     files = df.inputFiles()
-    if len(files) >= target:
+    if len(files) >= target and _packed_scan_tasks(df, files) >= target:
         return df
     # Few/no files can still mean wide scans (one 10 GB file splits by
     # maxPartitionBytes), so only then pay the precise RDD probe.

@@ -139,6 +139,75 @@ def running_user_stats(
     )
 
 
+def running_user_stats_native(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """``running_user_stats`` restated as a NATIVE streaming
+    aggregation — identical input, output schema, and final totals
+    (pinned equal in tests/test_streaming.py), but state lives in the
+    JVM state store and updates inside codegen: no Python worker, no
+    Arrow round trip.
+
+    WHEN TO USE WHICH (the SCALING.md r9 decision note): the 100×-keys
+    probe (tools/state_scale_probe.py) shows ``applyInPandasWithState``
+    is bounded by ``allUpdatesTimeMs`` — the per-batch Python/Arrow
+    boundary — not by the state store (5 MB state, ~90 s summed update
+    time at 15k keys), and that cost scales with keys × batches.  So:
+
+    * per-key logic expressible as a keyed/windowed NATIVE aggregate
+      (counts, sums, min/max, approx sketches, time windows) → restate
+      it like THIS function: the update path stays JVM-side and the
+      Python tax disappears;
+    * genuinely procedural state (conditional emission, per-event
+      state machines, session logic with custom timeout semantics,
+      state that is not a commutative aggregate) →
+      ``applyInPandasWithState`` / transformWithState remain the right
+      tool — budget wall-clock for the Python boundary, which is the
+      scale ceiling, and keep per-batch emitted rows small."""
+    chunk_dir = _chunked_events_dir(spark, sf_dir, n_chunks)
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "value")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    import uuid
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas drives its state protocol over
     protobuf; usable iff ``_protobuf_compat.ensure_protobuf`` can stand

@@ -55,6 +55,25 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     assert got == want
 
 
+def test_native_streaming_agg_twin_matches_pandas_state(spark, sf_dir):
+    """The SCALING.md r9 A/B: running_user_stats_native (JVM streaming
+    aggregate, no Python boundary) produces identical final totals to
+    the applyInPandasWithState version — the precondition for the
+    'restate aggregable state natively' guidance."""
+    from play_bq_gcp_spark.streaming import stateful
+
+    native = stateful.running_user_stats_native(spark, sf_dir)
+    pandas_state = stateful.running_user_stats(spark, sf_dir)
+    got = {
+        (r.user_id, r.n_events, r.total_value) for r in native.collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in pandas_state.collect()
+    }
+    assert got == want
+
+
 def test_stateful_stream_ran_multiple_batches(spark, sf_dir):
     """The chunked source really delivers >1 micro-batch: with 4 chunk
     files and maxFilesPerTrigger=1, most keys are updated more than

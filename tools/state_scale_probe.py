@@ -151,6 +151,62 @@ def run_stream(spark, chunk_dir: str, provider: str) -> dict:
     }
 
 
+def run_stream_native(spark, chunk_dir: str, provider: str) -> dict:
+    """The SAME running totals restated as a NATIVE streaming
+    aggregation (``groupBy(user_id).agg(count, sum)``, update mode):
+    state lives in the JVM state store and updates inside whole-stage
+    codegen — no Python worker, no Arrow round trip.  This is the A/B
+    control arm for the SCALING.md stateful-streaming decision note:
+    the r8 probe showed ``allUpdatesTimeMs`` (the Python boundary)
+    dominating applyInPandasWithState at 15k keys while state memory
+    stayed at 5 MB, so per-key logic expressible as a windowed/keyed
+    native aggregate should be restated — this arm measures what that
+    buys on identical input, output, and state cardinality."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("user_id", "value")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(ROOT, "ckpt", name))
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    commit_ms = updates_ms = 0
+    rows_total = mem = 0
+    for p in q.recentProgress:
+        for op in p.get("stateOperators", []):
+            commit_ms += op.get("commitTimeMs", 0)
+            updates_ms += op.get("allUpdatesTimeMs", 0)
+            rows_total = op.get("numRowsTotal", rows_total)
+            mem = max(mem, op.get("memoryUsedBytes", 0))
+    n_out = spark.table(name).count()
+    return {
+        "wall_s": wall,
+        "state_rows": rows_total,
+        "commit_ms": commit_ms,
+        "updates_ms": updates_ms,
+        "state_mem_mb": round(mem / 1e6, 1),
+        "out_rows": n_out,
+        "rocksdb_commit_ms": 0,
+    }
+
+
 def main() -> None:
     out_md = sys.argv[1] if len(sys.argv) > 1 else None
 
@@ -159,11 +215,16 @@ def main() -> None:
     spark = get_spark(app_name="state_scale_probe")
     os.makedirs(os.path.join(ROOT, "ckpt"), exist_ok=True)
 
+    arms = (
+        ("hdfs", HDFS, run_stream),
+        ("rocksdb", ROCKSDB, run_stream),
+        ("native-hdfs", HDFS, run_stream_native),
+    )
     results = []
     for scale in SCALES:
         d = build_fixture(spark, scale)
-        for pname, provider in (("hdfs", HDFS), ("rocksdb", ROCKSDB)):
-            r = run_stream(spark, d, provider)
+        for pname, provider, runner in arms:
+            r = runner(spark, d, provider)
             n_users = BASE_USERS * scale
             # correctness floor: final state must hold every key and
             # the sink at least one row per key
