@@ -910,8 +910,12 @@ def containment_pairs(
     or disable AQE for the diagnostic pass.)
 
     ``max_df="auto"`` needs the corpus size; pass ``n_docs`` if known
-    to keep plan construction lazy — otherwise a ``documents.count()``
-    action runs eagerly inside this builder.
+    to skip the eager ``documents.count()``.  Plan construction is
+    then fully lazy whenever the auto cap lands on its df<=16 floor
+    (n <= 3200); above it, the governor materializes the df aggregate
+    ONCE (executor-side checkpoint, reused by the rare index) to read
+    its histogram — the one eager step, proportional to distinct
+    shingles, never to pairs.
 
     Scale: shuffles carry 8-byte shingle hashes and integer ids only;
     every stage is bounded (df cap, candidate count) — no all-pairs
@@ -940,7 +944,8 @@ def containment_pairs(
     sh = documents.select(
         F.col("doc_id"), F.explode(shingle_hashes("text", shingle_k)).alias("g")
     )
-    if auto_mode:
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if auto_mode and max_df > 16:
         # Candidate-VOLUME governor (round 8).  The n/200 recall cap
         # grows with the corpus, but candidate work is Σ df·(df-1)/2
         # over kept shingles — on a corpus whose growth REPLICATES
@@ -958,13 +963,20 @@ def containment_pairs(
         # signal) shingles first, so fixture-scale recall is
         # untouched — the governor only engages when volume actually
         # explodes, and LOUDLY.
+        #
+        # Gated on max_df > 16 (ADVICE r8): with the cap at its df<=16
+        # floor the governor cannot lower it, so small corpora build a
+        # fully lazy plan — no eager histogram job.  When it CAN bind,
+        # dfreq is materialized ONCE (executor-side checkpoint) and
+        # reused by both the histogram and the rare-shingle index, so
+        # the governor costs one tiny grouped read of checkpointed
+        # data, not a duplicate full aggregation.
+        dfreq = dfreq.localCheckpoint(eager=True)
         if candidate_budget == "auto":
             candidate_budget = max(2_000_000, 400 * n)
         hist = sorted(
             (r.df, r.c)
-            for r in sh.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
+            for r in dfreq.filter(F.col("df") <= max_df)
             .groupBy("df")
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
@@ -981,11 +993,17 @@ def containment_pairs(
             _log.warning(
                 "containment candidate governor: df cap %d -> %d "
                 "(pair volume %d exceeds budget %d; high-df shingles "
-                "dropped first — recall floor df<=16 preserved)",
+                "dropped first — recall floor df<=16 preserved).  "
+                "NOTE: a governed cap can drop qualifying pairs whose "
+                "rarest shared shingle sits between the fitted and "
+                "ungoverned caps — any differential oracle modeling "
+                "the ungoverned n/200 cap (or exact all-pairs, as the "
+                "registry entry does) may diverge while this governor "
+                "is engaged; at fixture scales it never engages "
+                "(pinned in test_containment_candidate_governor).",
                 max_df, fitted, _volume(max_df), candidate_budget,
             )
             max_df = max(16, fitted)
-    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     if observation is not None:
         dfreq = dfreq.observe(
             observation,

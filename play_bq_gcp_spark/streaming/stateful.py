@@ -154,8 +154,10 @@ def running_user_stats_native(
     WHEN TO USE WHICH (the SCALING.md r9 decision note): the 100×-keys
     probe (tools/state_scale_probe.py) shows ``applyInPandasWithState``
     is bounded by ``allUpdatesTimeMs`` — the per-batch Python/Arrow
-    boundary — not by the state store (5 MB state, ~90 s summed update
-    time at 15k keys), and that cost scales with keys × batches.  So:
+    boundary — not by the state store (5 MB state, 118 s summed update
+    time at 15k keys vs 3.7 s for THIS native twin on identical input;
+    native wall flat 5.3→4.7 s across 150→15k keys while pandas-state
+    grows to 20.2 s), and that cost scales with keys × batches.  So:
 
     * per-key logic expressible as a keyed/windowed NATIVE aggregate
       (counts, sums, min/max, approx sketches, time windows) → restate
