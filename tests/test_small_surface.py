@@ -252,3 +252,52 @@ def test_vector_literals_reject_empty_input(spark):
             fn(bad)
     # non-empty still works (expression builds without a session)
     vec_lit([1.0, 2.0]); mat_lit([[1.0]]); int_mat_lit([[1, 2]])
+
+
+def test_variant_write_read_roundtrip(spark, tmp_path):
+    """Spark 4 VARIANT through the STORAGE path (VERDICT r8 #8): parse
+    JSON to variant, WRITE the variant column to parquet, read it back,
+    and extract typed paths — values and variant-ness must survive the
+    physical round trip, not just in-plan extraction (the r8
+    semistructured_variant entry only reads)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(20).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"name":"row_'),
+                F.col("id").cast("string"),
+                F.lit('","n":'),
+                F.col("id").cast("string"),
+                F.lit(',"tags":[1,'),
+                (F.col("id") * 2).cast("string"),
+                F.lit("]}"),
+            )
+        ).alias("v"),
+    )
+    path = str(tmp_path / "variant_tbl")
+    src.write.mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.typeName() == "variant"
+    got = (
+        back.select(
+            "id",
+            F.expr("variant_get(v, '$.name', 'string')").alias("name"),
+            F.expr("variant_get(v, '$.n', 'long')").alias("n"),
+            F.expr("variant_get(v, '$.tags[1]', 'long')").alias("t1"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == 20
+    for r in got:
+        assert r.name == f"row_{r.id}"
+        assert r.n == r.id
+        assert r.t1 == 2 * r.id
+    # shred/unshred fidelity: re-serializing the read-back variant
+    # yields the same canonical JSON as the pre-write plan
+    a = [r.j for r in src.select(F.to_json("v").alias("j")).orderBy("id").collect()]
+    b = [r.j for r in back.select(F.to_json("v").alias("j")).orderBy("id").collect()]
+    assert a == b

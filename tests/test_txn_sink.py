@@ -85,3 +85,62 @@ def test_merge_sink_updates_inserts_and_skips_replay(spark, table):
     # shows the pre-merge state (snapshot isolation survives overwrites)
     v1 = {r.user_id: r.total for r in tt.read(spark, table, version=1).collect()}
     assert v1 == {1: 10.0, 2: 20.0}
+
+
+def test_engine_replay_after_crash_between_commit_and_ack(
+    spark, table, tmp_path
+):
+    """The REAL crash window, driven by the engine (VERDICT r8 #8): the
+    foreachBatch function COMMITS batch 1's data to the txn table and
+    then dies before Structured Streaming can record the batch as
+    complete.  On restart from the same checkpoint the engine
+    re-delivers batch 1 (the documented at-least-once contract); the
+    batch-id-tagged manifest makes the replay a no-op, so the final
+    table holds every source row exactly once and batch 1 appears in
+    exactly one commit's metadata."""
+    import os
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    crash_flag = str(tmp_path / "crashed_once")
+    apply = exactly_once_append(table)
+
+    def crashy(batch_df, batch_id):
+        apply(batch_df, batch_id)  # data + id committed atomically
+        if batch_id == 1 and not os.path.exists(crash_flag):
+            open(crash_flag, "w").close()
+            raise RuntimeError("injected crash after commit, before ack")
+
+    def run():
+        schema = spark.read.parquet(src).schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(crashy)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run()  # dies inside batch 1, AFTER its commit
+    assert os.path.exists(crash_flag)
+    run()  # restart: batch 1 replays (skipped), batch 2 completes
+
+    got = sorted(r.id for r in tt.read(spark, table).collect())
+    assert got == list(range(30)), "replay duplicated or lost rows"
+    # batch 1 committed exactly once across the whole history
+    tagged = [
+        tt.snapshot(table, v).meta.get(BATCH_KEY)
+        for v in tt.versions(table)
+    ]
+    assert tagged.count("1") + tagged.count(1) == 1
+    assert last_committed_batch_id(table) == 2
