@@ -70,6 +70,9 @@ _WINDOW = [
     "q15_top_suppliers",
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
+    # -- changed: q10's micro-dollar sum upgraded to DECIMAL accumulation
+    # (consistency with money.tick_sum; long would wrap at 100 TB rows)
+    "q10_returned_items",
     # -- changed: auto plane sizing promoted to the registry default -----
     "dedup_embedding_cosine",
     "knn_join_lsh",
@@ -113,7 +116,10 @@ _WINDOW = [
     "merge_scd2",
     "quality_referential_integrity",
     "range_join_price_bands",
-    "sampling_weighted_systematic",
+    # sampling_weighted_systematic yields its slot to the CHANGED
+    # q10_returned_items (re-attestation of changed code outranks
+    # rotation); it is pytest-covered, green in this round's local
+    # sweeps, and joins the 21-entry r6 cohort due round 10.
 ]
 
 

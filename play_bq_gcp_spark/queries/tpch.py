@@ -107,7 +107,11 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(micro).alias("__rev_micro"))
+        # DECIMAL accumulation for the same reason as money.tick_sum:
+        # per-row micro-dollars reach ~1e11, so a LONG sum wraps at
+        # 100 TB row counts; DuckDB's sum(BIGINT) already widens to
+        # HUGEINT (r9 consistency pass over the q10 template itself).
+        .agg(F.sum(micro.cast("decimal(38,0)")).alias("__rev_micro"))
         .select(
             "c_custkey",
             "c_name",
