@@ -1,0 +1,184 @@
+"""Partition-overwrite scale probe (round 9): quantify what the
+dynamic-partition merge path buys over the full-table rewrite it
+replaced (VERDICT r8 missing #2).
+
+A date-partitioned fact of N_PARTS partitions gets a small upsert
+touching K partitions, through three write paths:
+
+* ``full``     — the pre-r9 shape: merge in-plan, ``atomic_overwrite``
+  the WHOLE table (every partition rewritten);
+* ``dynamic``  — ``catalog.dynamic_partition_overwrite``: only the K
+  touched partition directories rewritten (Spark-native, per-partition
+  atomic);
+* ``txn``      — ``storage/txn_table.overwrite_partitions``: manifest
+  replace-where (atomic across partitions; untouched files carried by
+  reference).
+
+Recorded per arm: wall seconds and bytes physically written (the
+table's on-disk delta for the hive arms; the new commit's data files
+for the txn arm).  Outputs are cross-checked identical across arms
+before timings count.  The expectation being tested: full-table cost
+scales with TABLE size, the partition paths with TOUCHED size — the
+difference IS the 100 TB merge story, so SCALING.md records the
+measured ratio.
+
+Usage: python tools/partition_overwrite_probe.py [rows_per_part]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+N_PARTS = 64
+K_TOUCHED = 2
+ROOT = "/tmp/part_overwrite_probe"
+
+
+def du(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def base_df(spark, rows_per_part: int):
+    n = N_PARTS * rows_per_part
+    return spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(N_PARTS)).cast("int").alias("day"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+
+
+def upsert_df(spark, rows_per_part: int):
+    """The day's update: replaces partitions 0..K_TOUCHED-1 entirely
+    (same row count per partition, new values)."""
+    n = K_TOUCHED * rows_per_part
+    return spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.col("id"), F.lit(K_TOUCHED)).cast("int").alias("day"),
+        F.lit(-1.0).alias("v"),
+    )
+
+
+def expected(spark, rows_per_part: int):
+    keep = base_df(spark, rows_per_part).filter(F.col("day") >= K_TOUCHED)
+    return keep.unionByName(upsert_df(spark, rows_per_part))
+
+
+def checksum(df) -> tuple:
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("s"),
+        F.sum(F.col("v").cast("decimal(20,1)")).alias("sv"),
+    ).first()
+    return (r.n, r.s, float(r.sv))
+
+
+def arm_full(spark, rows_per_part: int) -> dict:
+    from play_bq_gcp_spark.catalog import atomic_overwrite
+
+    path = os.path.join(ROOT, "full")
+    shutil.rmtree(path, ignore_errors=True)
+    base_df(spark, rows_per_part).write.partitionBy("day").parquet(path)
+    upd = upsert_df(spark, rows_per_part)
+    before = du(path)
+    t0 = time.perf_counter()
+    stored = spark.read.parquet(path)
+    merged = stored.filter(~F.col("day").isin(list(range(K_TOUCHED)))).unionByName(
+        upd.select(stored.columns)
+    )
+    atomic_overwrite(merged, path, partition_by=["day"])
+    wall = time.perf_counter() - t0
+    return {
+        "arm": "full",
+        "wall_s": round(wall, 2),
+        "bytes_written": du(path),  # entire table rewritten
+        "check": checksum(spark.read.parquet(path)),
+    }
+
+
+def arm_dynamic(spark, rows_per_part: int) -> dict:
+    from play_bq_gcp_spark.catalog import dynamic_partition_overwrite
+
+    path = os.path.join(ROOT, "dynamic")
+    shutil.rmtree(path, ignore_errors=True)
+    base_df(spark, rows_per_part).write.partitionBy("day").parquet(path)
+    upd = upsert_df(spark, rows_per_part)
+    # bytes written = size of the touched partition dirs afterwards
+    t0 = time.perf_counter()
+    dynamic_partition_overwrite(upd, path, ["day"])
+    wall = time.perf_counter() - t0
+    touched_bytes = sum(
+        du(os.path.join(path, f"day={d}")) for d in range(K_TOUCHED)
+    )
+    return {
+        "arm": "dynamic",
+        "wall_s": round(wall, 2),
+        "bytes_written": touched_bytes,
+        "check": checksum(spark.read.parquet(path)),
+    }
+
+
+def arm_txn(spark, rows_per_part: int) -> dict:
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    path = os.path.join(ROOT, "txn")
+    shutil.rmtree(path, ignore_errors=True)
+    tt.init_table(path)
+    tt.overwrite_partitions(spark, base_df(spark, rows_per_part), path, "day")
+    upd = upsert_df(spark, rows_per_part)
+    before = du(path)
+    t0 = time.perf_counter()
+    snap = tt.overwrite_partitions(spark, upd, path, "day")
+    wall = time.perf_counter() - t0
+    return {
+        "arm": "txn",
+        "wall_s": round(wall, 2),
+        "bytes_written": du(path) - before,  # immutable: delta = new files
+        "check": checksum(tt.read(spark, path)),
+    }
+
+
+def main() -> None:
+    rows_per_part = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="partition_overwrite_probe")
+    os.makedirs(ROOT, exist_ok=True)
+
+    want = checksum(expected(spark, rows_per_part))
+    rows = []
+    for arm in (arm_full, arm_dynamic, arm_txn):
+        r = arm(spark, rows_per_part)
+        assert r["check"] == want, (r["arm"], r["check"], want)
+        rows.append(r)
+        print(f"# {r}", file=sys.stderr)
+
+    print(
+        f"rows_per_part={rows_per_part} n_parts={N_PARTS} "
+        f"touched={K_TOUCHED}\n"
+    )
+    print("| arm | wall (s) | bytes written (MB) |")
+    print("| --- | --- | --- |")
+    for r in rows:
+        print(
+            f"| {r['arm']} | {r['wall_s']} "
+            f"| {round(r['bytes_written'] / 1e6, 1)} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
