@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, functions as F
 from play_bq_gcp_spark.functions import money
 
 
-def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-02") -> DataFrame:
+def pricing_summary(
+    lineitem: DataFrame,
+    ship_cutoff: str = "2001-09-02",
+    exact_mode: str = "long_guarded",
+) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the engine's flagship aggregate.
 
     Filter → groupBy(2 keys) → 8 aggregates → sort.  Catalyst pushes the
@@ -36,23 +40,51 @@ def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "2001-09-02") -> Dat
     half-cent, and Spark/DuckDB round() measurably disagree on
     boundary doubles.  Quantities are exact small integers either way;
     their sum is kept as a plain double (round is the identity on it).
-    """
+
+    ``exact_mode``: a single decimal(38,0) sum buffer drops the hash
+    aggregate off Spark's vectorized fast path (measured +55% wall at
+    sf0.1), so the default accumulates LONG ticks on the fast path and
+    certifies no-wrap with ``money.overflow_guard`` on the six output
+    rows (max|tick| × n < 2^63 — exact, loud on failure).  Charge
+    ticks reach ~1.2e11/row, so the guard trips around 1e8 rows per
+    group; for the 100 TB global-aggregate regime pass
+    ``exact_mode="decimal"`` to take the linear decimal path instead
+    (bit-identical values, exact to 1e38)."""
     cents = money.ticks("l_extendedprice")
     d_pct = money.ticks("l_discount")  # integer percent: 2-dp contract
     t_pct = money.ticks("l_tax")
     qty = money.ticks(F.col("l_quantity"), scale=1)  # integer-valued
+    r_ticks = cents * (100 - d_pct)
+    c_ticks = cents * (100 - d_pct) * (100 + t_pct)
+    if exact_mode == "decimal":
+        sums = [
+            money.tick_sum(qty).alias("__sq"),
+            money.tick_sum(cents).alias("__sp"),
+            money.tick_sum(r_ticks).alias("__sr"),
+            money.tick_sum(c_ticks).alias("__sc"),
+            money.tick_sum(d_pct).alias("__sd"),
+        ]
+        guards = []
+    else:
+        sums = [
+            F.sum(qty).alias("__sq"),
+            F.sum(cents).alias("__sp"),
+            F.sum(r_ticks).alias("__sr"),
+            F.sum(c_ticks).alias("__sc"),
+            F.sum(d_pct).alias("__sd"),
+        ]
+        # charge ticks dominate every other tick magnitude, so one
+        # max certifies all five sums
+        guards = [F.max(F.abs(c_ticks)).alias("__max_tick")]
     agg = (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money.tick_sum(qty).alias("__sq"),
-            money.tick_sum(cents).alias("__sp"),
-            money.tick_sum(cents * (100 - d_pct)).alias("__sr"),
-            money.tick_sum(cents * (100 - d_pct) * (100 + t_pct)).alias("__sc"),
-            money.tick_sum(d_pct).alias("__sd"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+        .agg(*sums, *guards, F.count(F.lit(1)).alias("count_order"))
     )
+    if guards:
+        agg = agg.filter(
+            money.overflow_guard("__max_tick", "count_order").isNull()
+        )
     return (
         agg.select(
             "l_returnflag",

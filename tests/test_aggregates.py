@@ -225,3 +225,30 @@ def test_countmin_never_undercounts_and_merges_linearly(spark, sf_dir):
         for k, v in part.items():
             summed[k] = summed.get(k, 0) + v
     assert summed == whole
+
+
+def test_pricing_summary_overflow_guard_fires(spark):
+    """long_guarded mode must FAIL LOUDLY (never wrap silently) when a
+    group's volume approaches 2^63: under Spark 4's default ANSI mode
+    the accumulation itself raises ARITHMETIC_OVERFLOW, and on
+    ansi-off sessions the money.overflow_guard certificate ("overflow
+    risk") catches the bound — either way the failure names overflow
+    and the SAME data succeeds in decimal mode."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.aggregates import pricing_summary
+
+    big = spark.range(1_000_000).select(
+        F.lit("A").alias("l_returnflag"),
+        F.lit("F").alias("l_linestatus"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(10_000_000_000.0).alias("l_extendedprice"),  # 1e12 cents
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("2000-01-01").cast("timestamp").alias("l_shipdate"),
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        pricing_summary(big).collect()
+    out = pricing_summary(big, exact_mode="decimal").collect()
+    assert len(out) == 1 and out[0].count_order == 1_000_000
