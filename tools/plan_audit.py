@@ -61,6 +61,13 @@ AUDIT = [
     # round 8
     "similarity_ann_lsh_exact",
     "similarity_ann_ivf_exact",
+    # round 9: the integer-tick conversions with new plan shapes
+    # (guarded-long fast-path agg; tick-sum + integer-division selects)
+    # and the auto-planes-promoted knn entry
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q15_top_suppliers",
+    "knn_join_lsh",
 ]
 
 
