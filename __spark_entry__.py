@@ -49,6 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # NULL-injected fuzz corpus green across the dedup family); those
 # entries re-attest on their normal rotation schedule.
 #
+# q9_profit_by_nation_year also took the decimal-accumulation upgrade
+# this round (its (nation, year) groups hold ~1e10 rows at 100 TB, so
+# the long accumulator was the one remaining wrap risk); q9 is
+# r8-attested and displacing a staler window entry for it would lose
+# more freshness than it buys, so it is instead re-verified locally at
+# all three SFs plus fuzz-94 after the change (output BIT-IDENTICAL:
+# the same exact integer sum, only the accumulator widened) and joins
+# the round-10 window first.  q11's per-part groups stay
+# constant-sized as the corpus scales, so its long sums need no such
+# upgrade.
+#
 # (b) ROTATION — all 9 remaining r5-vintage entries (the documented
 # round-9 debt: TPC-H q11/q12/q16/q18/q20/q21/q22,
 # window_rank_family_full, trend_daily_revenue) and 26 of the 47

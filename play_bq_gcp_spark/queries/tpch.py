@@ -763,6 +763,11 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
             F.year("l_shipdate").alias("o_year"),
         )
+        # DECIMAL accumulation (money.tick_sum discipline): per-row
+        # profit cents reach ~1e9 and a (nation, year) group at 100 TB
+        # holds ~1e10 rows, so a LONG sum would overflow; the output
+        # cast back to long matches the oracle's BIGINT (total profit
+        # in cents stays far inside int64).
         .agg(
             F.sum(
                 F.floor(
@@ -771,8 +776,10 @@ def q9_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
                         - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
                     )
                     * 100
-                )
-            ).alias("profit_cents")
+                ).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("profit_cents")
         )
         .orderBy("nation_name", "o_year")
     )
