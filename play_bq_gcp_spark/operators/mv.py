@@ -33,6 +33,15 @@ def aggregate_state(
 
     One map-side-combined shuffle on ``keys``; the result is the
     mergeable MV representation, not a finished report.
+
+    Scale note (r9 long-sum audit): the LONG cent accumulator is exact
+    while max-cents-per-row x rows-per-key stays under 2^63 — ~9e11
+    rows per key at 1e7 cents/row.  Fine-grained MV keys (per
+    customer/part/day) keep per-key cardinality constant as the corpus
+    grows, so they never approach it, and Spark 4's default ANSI mode
+    raises rather than wraps if a degenerate key does; for a
+    deliberately coarse MV (per nation/year at 100 TB) cast the cents
+    to decimal(38,0) as queries/tpch.py q9 does.
     """
     cents = F.round(F.col(amount_col) * 100).cast("long")
     return facts.groupBy(*keys).agg(
