@@ -30,6 +30,19 @@ Reading the report: a hit is NOT automatically a bug.  Triage order
    DuckDB .86, Spark .85), so "same raw sum" does not imply "same
    rounded output" near a boundary.
 
+Round-9 status: the conversion work-list this scanner generated is
+COMPLETE — every genuinely-float money sum/ratio/average (q1, q3, q5,
+q6, q7, q8, q14, q15, q17, q19; q10 upgraded further to DECIMAL
+accumulation) now computes in exact integer ticks
+(functions/money.py), and the scanner reports zero hits in any
+converted entry on the frozen fixtures.  Remaining hits triage to the
+safe classes above (integer-cent mv_* sums; deterministic percentile
+picks); round(sum(x), 2) where x is itself 2-dp is boundary-safe by
+construction (the true sum is an exact multiple of 0.01, so the
+nearest boundary is 0.005 away vs ~1e-8 accumulated error).  Keep
+running this after any fixture or oracle change — a NEW hit outside
+those classes means a new conversion is due.
+
 Usage: python tools/boundary_scan.py [sf_dir] [ulp_factor]
 """
 
