@@ -696,7 +696,13 @@ def _classify_partition_files(
             straddle.append(f)
             continue
         fmin, fmax = st
-        hit = any(fmin <= v <= fmax for v in replaced)
+        try:
+            hit = any(fmin <= v <= fmax for v in replaced)
+        except TypeError:
+            # stats type and replaced-value type don't compare (e.g. a
+            # JSON-string stat vs an int value): conservatively rewrite
+            straddle.append(f)
+            continue
         if not hit:
             keep.append(f)
         elif fmin == fmax:
@@ -803,6 +809,14 @@ def overwrite_partitions(
     values = [
         r[0] for r in df.select(part_col).distinct().collect()
     ]  # bounded: one value per touched partition
+    if any(v is None for v in values):
+        # NULL has no total order against file stats and no stable
+        # directory identity; partition columns must be non-NULL
+        # (derive a sentinel value upstream, as hive layouts do)
+        raise ValueError(
+            f"overwrite_partitions: NULL value in partition column "
+            f"{part_col!r} — partition columns must be non-NULL"
+        )
     if not values:
         return snapshot(path)
     new_files, _, new_stats = _write_partition_aligned(df, path, part_col)
