@@ -62,13 +62,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # (b) ROTATION — all 9 remaining r5-vintage entries (the documented
 # round-9 debt: TPC-H q11/q12/q16/q18/q20/q21/q22,
-# window_rank_family_full, trend_daily_revenue) and 26 of the 47
-# r6-vintage entries, preferring the tokenizer-adjacent ones (text_*,
-# dedup_*, multimodal_*, pandas_udf_token_count) so the NULL≡'' change
-# gets driver attestation beyond the fixture-contract argument.  The
-# 21 r6 entries deferred to round 10 (scalar/scan/similarity/streaming
-# families, untouched this round) are all bench- or pytest-covered and
-# green in this round's local 3-SF sweeps.
+# window_rank_family_full, trend_daily_revenue) and 25 r6-vintage
+# entries in the rotation block below, preferring the
+# tokenizer-adjacent ones (text_*, dedup_*, multimodal_*,
+# pandas_udf_token_count) so the NULL≡'' change gets driver
+# attestation beyond the fixture-contract argument.  Ledger: 4 more
+# r6-vintage entries sit in the CHANGED section (q3, q5,
+# dedup_casefold_exact, dedup_embedding_cosine), so 29 of the 47
+# r6-vintage entries attest this round and 18 defer to round 10
+# (sampling_weighted_systematic + the scalar/scan/similarity/
+# streaming families, untouched this round) — all bench- or
+# pytest-covered and green in this round's local 3-SF sweeps.
 _WINDOW = [
     # -- changed: integer-tick money conversions -------------------------
     "q1_pricing_summary",

@@ -90,16 +90,16 @@ def _packed_scan_tasks(df: DataFrame, files: list[str]) -> int:
     with every file padded by ``openCostInBytes``.  Local file: URIs
     only (one stat per file, driver-side); anything unparseable
     returns a large number so the caller's count-based short-circuit
-    stands (the prior, pre-r9 behavior — never an extra shuffle)."""
+    stands (the prior, pre-r9 behavior — never an extra shuffle).
+
+    Driver cost is BOUNDED (r9 review): when the file count alone
+    guarantees enough packed tasks (every file pads the accumulator by
+    open_cost and a partition holds at most max_partition_bytes of
+    padded volume, so tasks >= n_files * open_cost / max_pb regardless
+    of sizes), no file is ever stat'ed — a 10^6-file table returns
+    immediately; the per-file stat path only runs below
+    ~(max_pb/open_cost) x parallelism files (~1024 at defaults)."""
     try:
-        sizes = []
-        for f in files:
-            if not f.startswith("file:"):
-                return 1 << 30
-            p = f[len("file:") :]
-            while p.startswith("//"):
-                p = p[1:]
-            sizes.append(os.path.getsize(p))
         conf = df.sparkSession.conf
 
         def _bytes(key: str, default: int) -> int:
@@ -114,6 +114,23 @@ def _packed_scan_tasks(df: DataFrame, files: list[str]) -> int:
             "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
         )
         parallelism = df.sparkSession.sparkContext.defaultParallelism
+        # a packed partition accumulates at most max_split + open_cost
+        # of padded volume (the close check precedes the add), so the
+        # sound size-free lower bound divides by (max_pb + open_cost)
+        if (
+            open_cost > 0
+            and len(files) * open_cost
+            >= parallelism * (max_pb + open_cost)
+        ):
+            return (len(files) * open_cost) // max(1, max_pb + open_cost)
+        sizes = []
+        for f in files:
+            if not f.startswith("file:"):
+                return 1 << 30
+            p = f[len("file:") :]
+            while p.startswith("//"):
+                p = p[1:]
+            sizes.append(os.path.getsize(p))
         total = sum(s + open_cost for s in sizes)
         max_split = max(
             1, min(max_pb, max(open_cost, total // max(1, parallelism)))

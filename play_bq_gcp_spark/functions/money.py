@@ -101,6 +101,17 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     ``tick_scale`` is ticks-per-cent (100 for price*(1-disc) ticks,
     10000 for price*(1-disc)*(1+tax) ticks).  Matches DuckDB's
     ``(S + h) // t`` exactly for S >= 0.
+
+    Output-domain bound: Spark's ``div`` always yields BIGINT, so the
+    ROUNDED result (cents) must itself fit int64 — i.e. total money
+    under 2^63 cents ≈ $9.2e16.  A 100 TB TPC-H corpus totals ~2.4e18
+    cents, inside that with ~4x headroom (the DECIMAL accumulation
+    headroom protects the pre-division SUM, whose ticks run 1e2-1e4x
+    larger); beyond it Spark raises CAST_OVERFLOW under its default
+    ANSI mode — loud, never a silent wrong value — while DuckDB's
+    HUGEINT ``//`` would keep going, so the contract is
+    "identical values within 2^63-cent totals, loud error beyond",
+    not unbounded parity.
     """
     half = tick_scale // 2
     return F.expr(f"({sum_col} + {half}) div {tick_scale}")

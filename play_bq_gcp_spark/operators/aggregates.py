@@ -73,18 +73,53 @@ def pricing_summary(
             F.sum(c_ticks).alias("__sc"),
             F.sum(d_pct).alias("__sd"),
         ]
-        # charge ticks dominate every other tick magnitude, so one
-        # max certifies all five sums
-        guards = [F.max(F.abs(c_ticks)).alias("__max_tick")]
+        # one max per summed column (all primitive longs — the fast
+        # hash map keeps its vectorized path); max x n certifies each
+        # SUM, and only then are the sums themselves trustworthy
+        # inputs for the rounding-numerator checks below
+        guards = [
+            F.max(F.abs(qty)).alias("__mx_q"),
+            F.max(F.abs(cents)).alias("__mx_p"),
+            F.max(F.abs(r_ticks)).alias("__mx_r"),
+            F.max(F.abs(c_ticks)).alias("__mx_c"),
+            F.max(F.abs(d_pct)).alias("__mx_d"),
+        ]
     agg = (
         lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(*sums, *guards, F.count(F.lit(1)).alias("count_order"))
     )
     if guards:
-        agg = agg.filter(
-            money.overflow_guard("__max_tick", "count_order").isNull()
+        # the certificate covers BOTH the long accumulations (max|tick|
+        # x n per column) AND every integer-rounding numerator the
+        # select below builds from them (2e6*S+n / 2e4*S+n avg forms,
+        # S+half cent divisions) — all evaluated in decimal on the six
+        # output rows, loud assert_true on failure (r9 review: the
+        # charge-only bound left the avg numerators uncertified)
+        bound = (
+            "greatest("
+            "  CAST(__mx_q AS DECIMAL(38,0)) * count_order,"
+            "  CAST(__mx_p AS DECIMAL(38,0)) * count_order,"
+            "  CAST(__mx_r AS DECIMAL(38,0)) * count_order,"
+            "  CAST(__mx_c AS DECIMAL(38,0)) * count_order,"
+            "  CAST(__mx_d AS DECIMAL(38,0)) * count_order,"
+            "  2000000 * abs(CAST(__sq AS DECIMAL(38,0))) + count_order,"
+            "  20000 * abs(CAST(__sp AS DECIMAL(38,0))) + count_order,"
+            "  20000 * abs(CAST(__sd AS DECIMAL(38,0))) + count_order,"
+            "  abs(CAST(__sr AS DECIMAL(38,0))) + 50,"
+            "  abs(CAST(__sc AS DECIMAL(38,0))) + 5000"
+            ")"
         )
+        agg = agg.filter(
+            F.assert_true(
+                F.expr(bound) < F.lit(2**63 - 1).cast("decimal(38,0)"),
+                F.lit(
+                    "long tick-sum overflow risk: a sum or rounding "
+                    "numerator can reach 2^63 — rerun with "
+                    "exact_mode='decimal'"
+                ),
+            ).isNull()
+        ).drop("__mx_q", "__mx_p", "__mx_r", "__mx_c", "__mx_d")
     return (
         agg.select(
             "l_returnflag",

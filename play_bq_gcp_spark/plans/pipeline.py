@@ -191,39 +191,45 @@ class PartitionedWarehouse(Warehouse):
         fresh: DataFrame,
     ) -> None:
         """Partition-pruned dimension update: rewrite ONLY the buckets
-        the changed/fresh ids hash into.  The stored-side read filters
-        on the partition column, so Spark's partition discovery prunes
-        untouched bucket directories out of the scan as well as out of
-        the write."""
+        the changed/fresh ids hash into.  The merge reads the CALLER'S
+        ``stored`` view (honoring the Warehouse.merge_dim contract —
+        a version-pinned or repaired ``stored`` is merged as given,
+        and run_daily's cache is reused) with the bucket column
+        re-derived from the same ``pmod(hash(id))`` expression the
+        write path uses, so the touched-bucket filter selects the same
+        rows partition discovery would."""
         from play_bq_gcp_spark.catalog import dynamic_partition_overwrite
 
         changed = semi_join(snapshot, deltas.select("id"), "id")
         incoming = self._bucketed(
             changed.unionByName(fresh.select(changed.columns))
         ).cache()
-        buckets = [
-            r[0] for r in incoming.select("__bucket").distinct().collect()
-        ]  # bounded: ≤ n_buckets values
-        if not buckets:
+        try:
+            buckets = [
+                r[0]
+                for r in incoming.select("__bucket").distinct().collect()
+            ]  # bounded: ≤ n_buckets values
+            if not buckets:
+                return
+            touched = self._bucketed(stored).filter(
+                F.col("__bucket").isin(buckets)
+            )
+            merged = merge_upsert(
+                touched,
+                incoming.drop("__bucket"),
+                "id",
+                DIM_UPDATE_COLS,
+            )
+            new_rows = incoming.join(
+                touched.select("id"), on="id", how="left_anti"
+            ).select(merged.columns)
+            dynamic_partition_overwrite(
+                merged.unionByName(new_rows),
+                self.path(table),
+                partition_by=["__bucket"],
+            )
+        finally:
             incoming.unpersist()
-            return
-        stored_all = spark.read.parquet(self.path(table))
-        touched = stored_all.filter(F.col("__bucket").isin(buckets))
-        merged = merge_upsert(
-            touched,
-            incoming.drop("__bucket"),
-            "id",
-            DIM_UPDATE_COLS,
-        )
-        new_rows = incoming.join(
-            touched.select("id"), on="id", how="left_anti"
-        ).select(merged.columns)
-        dynamic_partition_overwrite(
-            merged.unionByName(new_rows),
-            self.path(table),
-            partition_by=["__bucket"],
-        )
-        incoming.unpersist()
 
 
 class TxnWarehouse(Warehouse):

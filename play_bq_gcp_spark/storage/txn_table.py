@@ -257,18 +257,37 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         raise CommitConflict(f"version {version} already committed at {path}")
 
 
+def _enc_stat(v):
+    """Canonical JSON encoding for a stats value — ALSO applied to
+    query-side values before comparing against recorded stats, so
+    typed values (datetime/date/bytes) and their footer encodings
+    (isoformat/utf-8 strings) land in the same, order-preserving
+    domain (ISO-8601 strings compare lexicographically in
+    chronological order)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 def _file_stats(abs_path: str) -> dict:
     """Per-file column stats from the parquet footer (metadata-only
     read): {col: [min, max]} for columns whose row groups all carry
-    stats, plus the footer's exact row count.  JSON-encodable values
-    only — bytes/timestamps fall back to ISO/utf-8 strings, and any
+    stats, per-column NULL counts (-1 when any row group omits them),
+    plus the footer's exact row count.  JSON-encodable values only —
+    bytes/timestamps fall back to ISO/utf-8 strings, and any
     non-encodable stat drops the column (pruning then keeps the file:
-    always safe)."""
+    always safe).  NULL counts exist because parquet min/max EXCLUDE
+    nulls: a file can be single-valued on its non-null rows and still
+    carry NULL rows, which partition replacement must not destroy."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    null_cov: dict[str, int] = {}  # row groups that REPORTED a count
     ok = None
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
@@ -276,9 +295,18 @@ def _file_stats(abs_path: str) -> dict:
         for i in range(rg.num_columns):
             c = rg.column(i)
             st = c.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 continue
-            cols[c.path_in_schema] = (st.min, st.max)
+            name = c.path_in_schema
+            if st.null_count is not None:
+                null_cov[name] = null_cov.get(name, 0) + 1
+                if nulls.get(name, 0) >= 0:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls[name] = -1
+            if not st.has_min_max:
+                continue
+            cols[name] = (st.min, st.max)
         ok = set(cols) if ok is None else (ok & set(cols))
         for name, (lo, hi) in cols.items():
             if name not in mins or lo < mins[name]:
@@ -286,22 +314,20 @@ def _file_stats(abs_path: str) -> dict:
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
 
-    def enc(v):
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return v
-
+    # a column whose null count wasn't reported by EVERY row group is
+    # unknown (-1) — partial sums would undercount
+    for name in list(nulls):
+        if null_cov.get(name, 0) != md.num_row_groups:
+            nulls[name] = -1
     stats = {}
     for name in ok or ():
         try:
-            pair = [enc(mins[name]), enc(maxs[name])]
+            pair = [_enc_stat(mins[name]), _enc_stat(maxs[name])]
             json.dumps(pair)
         except (TypeError, ValueError):
             continue
         stats[name] = pair
-    return {"rows": md.num_rows, "cols": stats}
+    return {"rows": md.num_rows, "cols": stats, "nulls": nulls}
 
 
 def _cluster(df: DataFrame, cluster_by, target_files=None) -> DataFrame:
@@ -681,31 +707,44 @@ def _classify_partition_files(
     """Split a snapshot's files by their footer stats for ``part_col``
     against the replaced-value set: (keep, drop, straddle).
 
-    * keep — [min, max] cannot contain any replaced value;
-    * drop — single-valued (min == max) on a replaced value: the whole
-      file IS a replaced partition;
-    * straddle — overlaps a replaced value but is not single-valued
-      (or carries no stats): must be rewritten with replaced rows
-      filtered out, or the commit would drop live rows."""
+    * keep — [min, max] cannot contain any replaced value (NULL rows,
+      which stats exclude, are never replaced — a kept file keeps
+      them untouched);
+    * drop — single-valued (min == max) on a replaced value AND
+      provably NULL-free in the partition column: the whole file IS a
+      replaced partition (parquet min/max exclude nulls, so without
+      the null-count proof a 'single-valued' file could still hide
+      NULL rows that dropping would destroy);
+    * straddle — overlaps a replaced value but is not single-valued,
+      carries no/unknown stats, or may contain NULL rows: must be
+      rewritten with replaced rows filtered out (NULL-preserving), or
+      the commit would drop live rows.
+
+    Replaced values are compared through ``_enc_stat`` so typed
+    date/timestamp/bytes partition columns meet their footer-string
+    encodings in one order-preserving domain."""
+    replaced_enc = {_enc_stat(v) for v in replaced}
     keep: list[str] = []
     drop: list[str] = []
     straddle: list[str] = []
     for f in snap.files:
-        st = snap.file_stats.get(f, {}).get("cols", {}).get(part_col)
+        meta = snap.file_stats.get(f, {})
+        st = meta.get("cols", {}).get(part_col)
         if st is None:
             straddle.append(f)
             continue
         fmin, fmax = st
         try:
-            hit = any(fmin <= v <= fmax for v in replaced)
+            hit = any(fmin <= v <= fmax for v in replaced_enc)
         except TypeError:
-            # stats type and replaced-value type don't compare (e.g. a
-            # JSON-string stat vs an int value): conservatively rewrite
+            # stats type and replaced-value type don't compare even
+            # after canonical encoding: conservatively rewrite
             straddle.append(f)
             continue
+        n_null = meta.get("nulls", {}).get(part_col, -1)
         if not hit:
             keep.append(f)
-        elif fmin == fmax:
+        elif fmin == fmax and n_null == 0:
             drop.append(f)
         else:
             straddle.append(f)
@@ -828,9 +867,14 @@ def overwrite_partitions(
         extra_files: list[str] = []
         extra_stats: dict[str, dict] = {}
         if straddle:
+            # NULL-preserving residual: isin(NULL) is NULL (falsy), so
+            # a bare negation would DELETE legacy NULL-partition rows —
+            # keep a row when it is NULL or provably not replaced
             live = spark.read.parquet(
                 *[os.path.join(path, f) for f in straddle]
-            ).filter(~F.col(part_col).isin(values))
+            ).filter(
+                F.col(part_col).isNull() | ~F.col(part_col).isin(values)
+            )
             extra_files, _, extra_stats = _write_partition_aligned(
                 live, path, part_col
             )

@@ -192,7 +192,7 @@ N_PART_ROUNDS = 6
 
 
 def _stats(day, rows=1):
-    return {"rows": rows, "cols": {"day": [day, day]}}
+    return {"rows": rows, "cols": {"day": [day, day]}, "nulls": {"day": 0}}
 
 
 def _race_partition_writer(path, barrier, wid, out_q):

@@ -453,3 +453,57 @@ def test_commit_overwrite_partitions_refuses_straddlers(spark, table):
         tt.commit_overwrite_partitions(
             table, "day", [1], ["data/x.parquet"], {"data/x.parquet": {"rows": 1, "cols": {"day": [1, 1]}}}
         )
+
+
+def test_overwrite_partitions_preserves_null_partition_rows(spark, table):
+    """Parquet min/max EXCLUDE nulls, so a legacy file can look
+    single-valued while hiding NULL-partition rows; replacement must
+    rewrite such files NULL-preservingly, never drop them wholesale
+    (r9 review finding)."""
+    legacy = spark.createDataFrame(
+        [(1, 10, 0), (None, 11, 0), (None, 12, 0), (2, 13, 0)],
+        "day int, id long, v long",
+    ).coalesce(1)
+    tt.append(legacy, table)
+    tt.overwrite_partitions(spark, _pdf(spark, [(1, 99, 7)]), table, "day")
+    got = sorted(
+        [(r.day, r.id) for r in tt.read(spark, table).collect()],
+        key=lambda x: (x[0] is None, x[0] or 0, x[1]),
+    )
+    assert (None, 11) in got and (None, 12) in got, "NULL rows destroyed"
+    assert (1, 99) in got and (1, 10) not in got
+    assert (2, 13) in got
+    # a second replace still preserves them (re-landed all-NULL files
+    # classify straddle and keep flowing through the residual filter)
+    tt.overwrite_partitions(spark, _pdf(spark, [(2, 88, 8)]), table, "day")
+    days = [r.day for r in tt.read(spark, table).collect()]
+    assert days.count(None) == 2
+
+
+def test_overwrite_partitions_date_typed_column(spark, table):
+    """DATE/TIMESTAMP partition columns: footer stats are ISO strings,
+    collected values are datetime objects — classification must meet
+    them in one encoded domain (r9 review finding: without it every
+    file straddles and every call rewrites the whole table)."""
+    import datetime as dt
+
+    rows = [
+        (dt.date(2024, 1, d), 100 * d + i, 0)
+        for d in (1, 2, 3)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "day date, id long, v long")
+    base = tt.overwrite_partitions(spark, df, table, "day")
+    upd = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 999, 5)], "day date, id long, v long"
+    )
+    snap = tt.overwrite_partitions(spark, upd, table, "day")
+    # untouched date partitions carried BY REFERENCE (same file names)
+    untouched = {
+        f for f in base.files
+        if base.file_stats[f]["cols"]["day"][0] != "2024-01-02"
+    }
+    assert untouched and untouched <= set(snap.files)
+    got = sorted((str(r.day), r.id) for r in tt.read(spark, table).collect())
+    assert [i for d, i in got if d == "2024-01-02"] == [999]
+    assert len([1 for d, _ in got if d == "2024-01-01"]) == 3
