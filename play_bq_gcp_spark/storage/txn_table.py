@@ -1069,7 +1069,16 @@ def compact(
     and commit the identical DATA as a new version.  Many-small-files
     is the classic failure mode of streaming appends; compaction keeps
     scan planning O(target) without blocking readers (old versions
-    remain intact until vacuum)."""
+    remain intact until vacuum).
+
+    Interaction with ``overwrite_partitions`` layouts: compacted files
+    mix partition values, so the next partition replace classifies
+    them as straddlers and rewrites them once (correct, just a
+    one-time extra rewrite).  To compact WITHOUT losing partition
+    alignment, pass ``cluster_by=[partition_col]`` with
+    ``target_files >= number of partitions`` — range clustering puts
+    each partition's rows in contiguous files and most land
+    single-valued again."""
     base_version = (
         current_version(path) if expected_version is None else expected_version
     )

@@ -1,0 +1,152 @@
+"""Integer-ticks scaling probe (round 9): does the exact-arithmetic
+conversion change how the TPC-H money aggregates SCALE, or only add a
+flat multiplicative cost?
+
+The conversion (functions/money.py) swaps per-row double multiplies
+for integer tick multiplies and, on the q1 flagship, adds five
+guard-max columns and a decimal certificate on the output rows.  None
+of that should alter plan shape (same scans, same exchanges), so wall
+must stay linear in rows with a roughly constant ticks/float ratio —
+a growing ratio would mean the integer path has a hidden scaling term
+(e.g. codegen fallback) and the conversion is wrong for 100 TB.
+
+Corpora: the sf0.1 lineitem/orders/customer tables unioned k times
+with key-shifted copies (distinct orderkeys/custkeys per copy, same
+value distributions), k in {1, 3, 10} — ~6M/18M/60M lineitem rows at
+10x.  Arms per scale: q1 ticks (guarded-long, the shipped form), q1
+float (the pre-r9 expression, kept ONLY as the probe control), q3
+ticks, q3 float.  Walls are min-of-2; outputs sanity-checked non-empty.
+
+Usage: python tools/ticks_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SCALES = (1, 3, 10)
+ROOT = "/tmp/ticks_scale"
+SF_DIR = "/root/testdata/sf0.1"
+KEY_SHIFT = 100_000_000
+
+
+def build(spark, scale: int) -> str:
+    d = os.path.join(ROOT, f"x{scale}")
+    if os.path.isdir(os.path.join(d, "lineitem")):
+        return d
+    from play_bq_gcp_spark.catalog import read_table
+
+    for name, keys in (
+        ("lineitem", ("l_orderkey",)),
+        ("orders", ("o_orderkey", "o_custkey")),
+        ("customer", ("c_custkey",)),
+    ):
+        base = read_table(spark, SF_DIR, name)
+        parts = []
+        for i in range(scale):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_SHIFT))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(d, name))
+    return d
+
+
+def q1_ticks(spark, d):
+    from play_bq_gcp_spark.operators.aggregates import pricing_summary
+
+    return pricing_summary(spark.read.parquet(os.path.join(d, "lineitem")))
+
+
+def q1_float(spark, d):
+    li = spark.read.parquet(os.path.join(d, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3(spark, d, ticks: bool):
+    from play_bq_gcp_spark.functions import money
+
+    c = spark.read.parquet(os.path.join(d, "customer")).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(os.path.join(d, "orders")).where(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    )
+    li = spark.read.parquet(os.path.join(d, "lineitem")).where(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey).join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    g = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+    if ticks:
+        rev = money.ticks("l_extendedprice") * (100 - money.ticks("l_discount"))
+        out = g.agg(money.tick_sum(rev).alias("__sr")).select(
+            "o_orderkey",
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"),
+        )
+    else:
+        out = g.agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        ).select("o_orderkey", "revenue")
+    return out.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+def main() -> None:
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="ticks_scale_probe")
+    os.makedirs(ROOT, exist_ok=True)
+    arms = (
+        ("q1_ticks", q1_ticks),
+        ("q1_float", q1_float),
+        ("q3_ticks", lambda s, d: _q3(s, d, True)),
+        ("q3_float", lambda s, d: _q3(s, d, False)),
+    )
+    print("| scale | arm | wall (s) | rows |")
+    print("| --- | --- | --- | --- |")
+    for scale in SCALES:
+        d = build(spark, scale)
+        for label, fn in arms:
+            best, rows = 9e9, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = len(fn(spark, d).collect())
+                best = min(best, time.perf_counter() - t0)
+            assert rows > 0, (scale, label)
+            print(f"| {scale}x | {label} | {best:.2f} | {rows} |")
+            sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
