@@ -1,4 +1,4 @@
-"""Integer-ticks scaling probe (round 9): does the exact-arithmetic
+"""Integer-ticks scaling probe (round 9, 10x/30x of sf0.1 = 60M/180M\nlineitem rows): does the exact-arithmetic
 conversion change how the TPC-H money aggregates SCALE, or only add a
 flat multiplicative cost?
 
@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-SCALES = (1, 3, 10)
+SCALES = (10, 30)
 ROOT = "/tmp/ticks_scale"
 SF_DIR = "/root/testdata/sf0.1"
 KEY_SHIFT = 100_000_000
@@ -133,6 +133,13 @@ def main() -> None:
         ("q3_ticks", lambda s, d: _q3(s, d, True)),
         ("q3_float", lambda s, d: _q3(s, d, False)),
     )
+    # JIT/codegen warmup at the smallest corpus so the first measured
+    # arm doesn't pay compilation (the r9 first cut showed 1x walls
+    # DOMINATED by fixed overhead + JIT — scales below ~10x sit under
+    # the scheduling floor on this host, hence the 10x/30x ladder)
+    warm = build(spark, SCALES[0])
+    for _, fn in arms:
+        fn(spark, warm).collect()
     print("| scale | arm | wall (s) | rows |")
     print("| --- | --- | --- | --- |")
     for scale in SCALES:
