@@ -928,3 +928,92 @@ def test_audio_spectral_exact_matches_python_model(spark, samples):
         assert len(out) == 1
         assert out[0].n_frames_fp == len(peaks)
         assert out[0].fp_exact == want_fp
+
+
+# --- exact integer-tick money arithmetic (round 9) -------------------------
+
+money_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),  # price cents
+        st.integers(min_value=0, max_value=10),          # discount pct
+        st.integers(min_value=0, max_value=8),           # tax pct
+        st.integers(min_value=1, max_value=50),          # quantity
+        st.sampled_from(["A", "N", "R"]),                # group key
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=money_rows)
+@settings(**_SETTINGS)
+def test_pricing_summary_matches_fraction_reference(spark, rows):
+    """The whole q1 tick pipeline — per-row tick derivation, grouped
+    sums, half-up cent and 6-dp average roundings — must equal a pure
+    Fraction reference computed from the DECIMAL values the 2-dp
+    doubles encode, for BOTH exact modes.  This pins the arithmetic
+    identities (floor((2kS+n)/(2n)) forms) against any future edit,
+    independent of fixtures and of either engine's float rules."""
+    import datetime as dt
+    from fractions import Fraction
+
+    from play_bq_gcp_spark.operators.aggregates import pricing_summary
+
+    data = [
+        (
+            g,
+            "F",
+            float(q),
+            c / 100.0,
+            d / 100.0,
+            t / 100.0,
+            dt.datetime(2000, 1, 1),
+        )
+        for c, d, t, q, g in rows
+    ]
+    li = spark.createDataFrame(
+        data,
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate timestamp",
+    )
+
+    def half_up(x: Fraction) -> int:
+        # round half AWAY from zero for non-negative rationals
+        return int(x + Fraction(1, 2)) if x >= 0 else -int(-x + Fraction(1, 2))
+
+    want = {}
+    for flag in {g for *_xs, g in rows}:
+        grp = [(c, d, t, q) for c, d, t, q, g in rows if g == flag]
+        n = len(grp)
+        sq = sum(q for *_x, q in grp)
+        sp = sum(c for c, *_x in grp)
+        sr = sum(Fraction(c * (100 - d), 100) for c, d, *_x in grp)  # cents
+        sc = sum(
+            Fraction(c * (100 - d) * (100 + t), 10000) for c, d, t, _q in grp
+        )
+        want[flag] = (
+            float(sq),
+            sp / 100.0,
+            half_up(sr) / 100.0,
+            half_up(sc) / 100.0,
+            half_up(Fraction(sq * 10**6, n)) / 1e6,
+            half_up(Fraction(sp * 10**4, n)) / 1e6,
+            half_up(Fraction(sum(d for _c, d, *_x in grp) * 10**4, n)) / 1e6,
+            n,
+        )
+    for mode in ("long_guarded", "decimal"):
+        got = {
+            r.l_returnflag: (
+                r.sum_qty,
+                r.sum_base_price,
+                r.sum_disc_price,
+                r.sum_charge,
+                r.avg_qty,
+                r.avg_price,
+                r.avg_disc,
+                r.count_order,
+            )
+            for r in pricing_summary(li, exact_mode=mode).collect()
+        }
+        assert got == want, (mode, got, want)
