@@ -260,23 +260,26 @@ def dynamic_partition_overwrite(
     date directories, never the table — the answer the prose at
     operators/merge.py and ``atomic_overwrite`` promised.
 
-    Spark-native: ``spark.sql.sources.partitionOverwriteMode=dynamic``
-    scopes the overwrite to the written partitions (set per-write and
-    restored, so the session default stays untouched).  Atomicity is
-    PER PARTITION on a plain filesystem — a crash mid-write can leave
-    some touched partitions new and some old (each individually
-    complete, since the committer renames per-partition output in one
-    pass).  When cross-partition atomicity matters, use the manifest
-    path (``storage.txn_table.overwrite_partitions``), which commits
-    all partitions in one compare-and-swap."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    Spark-native: ``partitionOverwriteMode=dynamic`` scopes the
+    overwrite to the written partitions.  Passed as a PER-WRITE
+    DataFrameWriter option — which takes precedence over the session
+    conf — rather than toggling the session-global
+    ``spark.sql.sources.partitionOverwriteMode``, so a concurrent
+    writer on the same session can never observe a flipped mode
+    mid-window (a static full overwrite silently turning dynamic, or
+    vice versa).  Atomicity is PER PARTITION on a plain filesystem —
+    a crash mid-write can leave some touched partitions new and some
+    old (each individually complete, since the committer renames
+    per-partition output in one pass).  When cross-partition atomicity
+    matters, use the manifest path
+    (``storage.txn_table.overwrite_partitions``), which commits all
+    partitions in one compare-and-swap."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

@@ -223,8 +223,16 @@ class PartitionedWarehouse(Warehouse):
             new_rows = incoming.join(
                 touched.select("id"), on="id", how="left_anti"
             ).select(merged.columns)
+            # Materialize BEFORE overwriting: the output plan reads the
+            # very bucket directories the overwrite replaces, and the
+            # read side is only safe while the caller's cache of
+            # ``stored`` stays resident.  localCheckpoint(eager=True)
+            # cuts the lineage back to the target path, so an uncached
+            # caller (or a mid-write cache eviction) cannot recompute
+            # the output from directories the write just deleted.
+            out = merged.unionByName(new_rows).localCheckpoint(eager=True)
             dynamic_partition_overwrite(
-                merged.unionByName(new_rows),
+                out,
                 self.path(table),
                 partition_by=["__bucket"],
             )

@@ -263,9 +263,34 @@ def _enc_stat(v):
     typed values (datetime/date/bytes) and their footer encodings
     (isoformat/utf-8 strings) land in the same, order-preserving
     domain (ISO-8601 strings compare lexicographically in
-    chronological order)."""
+    chronological order).
+
+    Timestamps need an explicit canonical domain — **UTC-naive** —
+    because the two sides arrive in DIFFERENT encodings: pyarrow
+    footer stats for ``isAdjustedToUTC`` parquet timestamps are
+    tz-AWARE UTC datetimes, while Spark-collected ``TimestampType``
+    values are NAIVE datetimes in the driver's local wall clock
+    (pyspark's ``TimestampType.fromInternal`` goes through
+    ``datetime.fromtimestamp``).  Raw ``isoformat()`` of those never
+    matches — the aware side carries a ``+00:00`` suffix and, under a
+    non-UTC driver TZ, a shifted wall time — so a replaced timestamp
+    partition would fail the hit test, classify its file as *keep*,
+    and silently survive as duplicate rows.  Both sides therefore
+    normalize here: aware → convert to UTC, naive → interpret as local
+    wall time then convert to UTC, and drop tzinfo before isoformat.
+    (TIMESTAMP_NTZ stats and values are both naive wall clocks; they
+    shift by the same local offset on both sides, so equality and
+    order are preserved.  Within a DST fall-back hour the local→UTC
+    interpretation is ambiguous — both sides resolve it identically,
+    keeping the comparison consistent.)"""
+    import datetime as _dt
+
     if isinstance(v, bytes):
         return v.decode("utf-8", "replace")
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.astimezone()  # naive == driver-local wall time
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -663,17 +688,52 @@ def _write_partition_aligned(
     data files; the hive-style ``__pp=v/`` directories are then
     flattened driver-side (k cheap same-filesystem renames) because
     manifest readers scan files BY NAME and must never trip Spark's
-    partition-discovery on shared ``key=value`` parent dirs."""
+    partition-discovery on shared ``key=value`` parent dirs.
+
+    Filesystem constraint: the flatten uses driver-side
+    ``os.listdir``/``os.rename``, so ``overwrite_partitions`` requires
+    the table path to be a local/shared POSIX filesystem — narrower
+    than the COMMIT protocol, whose ``CommitStrategy`` seam
+    (``ConditionalPutCommit``) is object-store portable.  Porting the
+    write path to an object store means routing this flatten through a
+    filesystem abstraction (list + server-side rename/copy), leaving
+    the manifest commit unchanged.
+
+    Timestamp partition columns: Spark's default parquet encoding for
+    TimestampType is INT96, whose (deprecated) stats pyarrow ignores —
+    landed files would carry NO min/max for the partition column and
+    every later replace would straddle-rewrite the whole table.  When
+    ``part_col`` is timestamp-typed, the write is scoped to
+    TIMESTAMP_MICROS so its footer stats exist and classify.  The
+    session-conf toggle here is benign to concurrent writers (unlike
+    an overwrite-MODE toggle): both encodings losslessly hold Spark's
+    micros-precision timestamps and read back identically — a racer
+    that observes MICROS instead of INT96 produces equally-correct
+    files."""
     from pyspark.sql import functions as F
 
     commit_id = uuid.uuid4().hex[:12]
     out = os.path.join(_data_dir(path), commit_id)
-    (
+    writer = (
         df.withColumn("__pp", F.col(part_col))
         .write.mode("error")
         .partitionBy("__pp")
-        .parquet(out)
     )
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    part_is_ts = any(
+        f.name == part_col and f.dataType.typeName().startswith("timestamp")
+        for f in df.schema.fields
+    )
+    if part_is_ts:
+        conf = df.sparkSession.conf
+        prev = conf.get(ts_key, "INT96")
+        conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            writer.parquet(out)
+        finally:
+            conf.set(ts_key, prev)
+    else:
+        writer.parquet(out)
     files: list[str] = []
     for sub in sorted(os.listdir(out)):
         subdir = os.path.join(out, sub)

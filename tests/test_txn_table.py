@@ -507,3 +507,133 @@ def test_overwrite_partitions_date_typed_column(spark, table):
     got = sorted((str(r.day), r.id) for r in tt.read(spark, table).collect())
     assert [i for d, i in got if d == "2024-01-02"] == [999]
     assert len([1 for d, _ in got if d == "2024-01-01"]) == 3
+
+
+def test_overwrite_partitions_timestamp_typed_column(spark, table):
+    """TIMESTAMP partition columns hit two encoding traps at once
+    (r9 ADVICE): (a) Spark's default INT96 encoding carries no
+    pyarrow-readable stats, so landed files would never classify —
+    ``_write_partition_aligned`` must scope the write to
+    TIMESTAMP_MICROS; (b) pyarrow footer stats arrive tz-AWARE UTC
+    while Spark-collected values arrive NAIVE, so raw isoformat never
+    matches (the ``+00:00`` suffix alone breaks equality even under a
+    UTC driver) — ``_enc_stat`` must meet both in UTC-naive.  Without
+    both fixes a replaced single-valued file classifies *keep* and its
+    stale rows silently survive as duplicates."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, d, 12, 0, 0), 100 * d + i, 0)
+        for d in (1, 2, 3)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "day timestamp, id long, v long")
+    base = tt.overwrite_partitions(spark, df, table, "day")
+    # the aligned write produced USABLE single-valued stats (INT96
+    # would leave the column absent from every footer)
+    for f in base.files:
+        st = base.file_stats[f]["cols"].get("day")
+        assert st is not None, f"{f}: no footer stats for timestamp col"
+        assert st[0] == st[1]
+    upd = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2, 12, 0, 0), 999, 5)],
+        "day timestamp, id long, v long",
+    )
+    snap = tt.overwrite_partitions(spark, upd, table, "day")
+    # k-of-N: untouched timestamp partitions carried BY REFERENCE
+    replaced_enc = tt._enc_stat(dt.datetime(2024, 1, 2, 12, 0, 0))
+    untouched = {
+        f for f in base.files
+        if base.file_stats[f]["cols"]["day"][0] != replaced_enc
+    }
+    assert untouched and untouched <= set(snap.files)
+    # no stale duplicates in the replaced partition
+    got = sorted((r.day, r.id) for r in tt.read(spark, table).collect())
+    day2 = [i for d, i in got if d == dt.datetime(2024, 1, 2, 12, 0, 0)]
+    assert day2 == [999], f"stale rows survived: {day2}"
+    assert len([1 for d, _ in got if d.day == 1]) == 3
+    assert len([1 for d, _ in got if d.day == 3]) == 3
+
+
+_TZ_CHILD = r"""
+import datetime as dt, json, sys
+sys.path.insert(0, "/root/repo")
+from play_bq_gcp_spark.storage import txn_table as tt
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.driver.extraJavaOptions",
+            "-Duser.timezone=America/New_York")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+path = sys.argv[1]
+tt.init_table(path)
+rows = [
+    (dt.datetime(2024, 3, 1, d, 30, 0), 100 * d + i, 0)
+    for d in (1, 2, 3)
+    for i in range(3)
+]
+df = spark.createDataFrame(rows, "day timestamp, id long, v long")
+base = tt.overwrite_partitions(spark, df, path, "day")
+upd = spark.createDataFrame(
+    [(dt.datetime(2024, 3, 1, 2, 30, 0), 999, 5)],
+    "day timestamp, id long, v long",
+)
+snap = tt.overwrite_partitions(spark, upd, path, "day")
+got = sorted(
+    (r.day.isoformat(), r.id)
+    for r in tt.read(spark, path).collect()
+)
+json.dump(
+    {
+        "base_files": list(base.files),
+        "snap_files": list(snap.files),
+        "base_stats": {f: base.file_stats[f]["cols"].get("day")
+                       for f in base.files},
+        "rows": got,
+    },
+    open(sys.argv[2], "w"),
+)
+spark.stop()
+"""
+
+
+def test_overwrite_partitions_timestamp_partition_non_utc_tz(tmp_path):
+    """The r9 ADVICE scenario verbatim: a NON-UTC driver/session
+    timezone shifts Spark-collected timestamp wall clocks away from
+    the footers' UTC instants — a fresh subprocess JVM pinned to
+    America/New_York (TZ env + user.timezone + session tz) replaces
+    one timestamp partition and must neither duplicate it nor rewrite
+    the bystanders."""
+    import json as _json
+    import subprocess
+    import sys
+
+    table = str(tmp_path / "t")
+    out = str(tmp_path / "out.json")
+    env = dict(os.environ, TZ="America/New_York")
+    res = subprocess.run(
+        [sys.executable, "-c", _TZ_CHILD, table, out],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, f"child failed:\n{res.stderr[-3000:]}"
+    r = _json.load(open(out))
+    # local wall 02:30 EST == 07:30 UTC; child collects local wall
+    day2_rows = [i for d, i in r["rows"] if d.endswith("02:30:00")]
+    assert day2_rows == [999], f"stale rows survived: {r['rows']}"
+    assert len(r["rows"]) == 7  # 3 + 1 + 3
+    # k-of-N: bystander partitions carried by reference
+    replaced_enc = "2024-03-01T07:30:00"  # UTC-naive canonical domain
+    untouched = {
+        f for f, st in r["base_stats"].items()
+        if st is not None and st[0] != replaced_enc
+    }
+    assert untouched, f"stats missing or all-replaced: {r['base_stats']}"
+    assert untouched <= set(r["snap_files"]), "bystanders were rewritten"
