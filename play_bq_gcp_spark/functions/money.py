@@ -30,7 +30,10 @@ already widens to HUGEINT (int128).  ``div`` (Spark) / ``//`` (DuckDB)
 agree for the non-negative sums these queries produce (truncation vs
 floor differ only on negatives — callers with signed sums must keep
 the numerator non-negative or shift it; q9 avoids the issue by
-emitting raw cents with no rounding division).
+emitting raw cents with no rounding division).  The ROUNDED outputs
+(cents) must themselves fit int64: Spark's decimal ``div`` silently
+wraps past 2^63 even under ANSI (measured), so ``half_up_cents``
+carries its own assert_true bound — see its docstring.
 
 Reference parity note: the reference delegated all money aggregation
 to BigQuery (/root/reference/main.py:320 area), which computes on
@@ -107,14 +110,32 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     under 2^63 cents ≈ $9.2e16.  A 100 TB TPC-H corpus totals ~2.4e18
     cents, inside that with ~4x headroom (the DECIMAL accumulation
     headroom protects the pre-division SUM, whose ticks run 1e2-1e4x
-    larger); beyond it Spark raises CAST_OVERFLOW under its default
-    ANSI mode — loud, never a silent wrong value — while DuckDB's
-    HUGEINT ``//`` would keep going, so the contract is
+    larger).  Beyond the bound the loud path is OUR OWN assert, not
+    Spark's: measured on 4.1.2, ``div`` on DECIMAL inputs silently
+    WRAPS past int64 even under ANSI mode ((2^63*100+12395) div 100 →
+    a negative long, no error), so this builder evaluates an explicit
+    ``assert_true`` certificate on each output row before dividing.
+    DuckDB's HUGEINT ``//`` would keep going, so the contract is
     "identical values within 2^63-cent totals, loud error beyond",
-    not unbounded parity.
+    not unbounded parity — pinned by
+    tests/test_aggregates.py::test_half_up_cents_overflow_is_loud.
     """
     half = tick_scale // 2
-    return F.expr(f"({sum_col} + {half}) div {tick_scale}")
+    bound = F.lit(2**63 - 1).cast("decimal(38,0)") * F.lit(tick_scale)
+    guard = F.assert_true(
+        F.expr(f"CAST({sum_col} AS DECIMAL(38,0)) + {half}") < bound,
+        F.lit(
+            f"half_up_cents overflow: {sum_col} exceeds the 2^63-cent "
+            "output domain (total past ~$9.2e16) — Spark's div would "
+            "wrap silently; widen the output type instead"
+        ),
+    )
+    # assert_true is NULL on success; when() both sequences the check
+    # before the division and keeps the wrapped expr from constant-
+    # folding around it.  Evaluated on OUTPUT rows only (post-agg).
+    return F.when(
+        guard.isNull(), F.expr(f"({sum_col} + {half}) div {tick_scale}")
+    )
 
 
 def half_up_micro_avg(sum_col: str, count_col: str, per_unit: int) -> Column:
@@ -123,6 +144,17 @@ def half_up_micro_avg(sum_col: str, count_col: str, per_unit: int) -> Column:
     half-up 6-dp rounding is ``(2 * (1e6/per_unit) * S + n) div (2n)``
     micro-units.  ``per_unit`` is ticks per original unit (1 for
     integer quantities, 100 for cents) and must divide 1e6.
+
+    NON-NULL input contract: ``count_col`` is whatever count the
+    CALLER aggregated — pricing_summary passes ``count(*)``
+    (count_order), which equals SQL ``AVG``'s non-NULL denominator
+    only when the measure column has no NULLs (true for every
+    ``lineitem`` measure by the TPC-H spec and pinned by
+    FIXTURES.md; the DuckDB oracle divides by the same count, so the
+    differential gate holds bit-for-bit).  For a general corpus where
+    the measure may be NULL, aggregate and pass ``count(col)``
+    instead — NULL rows also contribute 0 to a tick sum only if the
+    tick expression coalesces them, so handle both sides explicitly.
     """
     mult = 2_000_000 // per_unit
     return F.expr(f"({mult} * {sum_col} + {count_col}) div (2 * {count_col})")

@@ -252,3 +252,62 @@ def test_pricing_summary_overflow_guard_fires(spark):
         pricing_summary(big).collect()
     out = pricing_summary(big, exact_mode="decimal").collect()
     assert len(out) == 1 and out[0].count_order == 1_000_000
+
+
+def test_pricing_summary_guard_certificate_fires_before_wrap(spark):
+    """The r9 verdict's red-path pin for the CERTIFICATE itself: a
+    corpus where every raw long tick sum still fits int64 (so ANSI's
+    ARITHMETIC_OVERFLOW never fires) but a rounding NUMERATOR
+    (20000 * sum_price_cents) exceeds 2^63 — only the
+    money.overflow_guard certificate can catch this class, and it must
+    fail loudly with its own message, never emit a wrapped average.
+    600 rows x $1e10: charge-tick sum 6e18 < 2^63 (no raw overflow),
+    numerator 1.2e19 > 2^63 (certificate trips)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.aggregates import pricing_summary
+
+    corpus = spark.range(600).select(
+        F.lit("A").alias("l_returnflag"),
+        F.lit("F").alias("l_linestatus"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(10_000_000_000.0).alias("l_extendedprice"),  # 1e12 cents
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("2000-01-01").cast("timestamp").alias("l_shipdate"),
+    )
+    with pytest.raises(Exception, match="overflow risk"):
+        pricing_summary(corpus).collect()
+    # the same data is fine in decimal mode, with exact integer results
+    out = pricing_summary(corpus, exact_mode="decimal").collect()
+    assert len(out) == 1
+    assert out[0].sum_base_price == 600 * 1e10
+    assert out[0].sum_charge == 600 * 1e10
+    assert out[0].avg_price == 1e10
+
+
+def test_half_up_cents_overflow_is_loud(spark):
+    """Output-domain contract pin (functions/money.py): beyond 2^63
+    cents Spark's decimal ``div`` silently WRAPS even under ANSI
+    (measured on 4.1.2: a negative long, no error), so half_up_cents
+    carries its own assert_true bound.  Below the bound: exact
+    half-up cents.  Beyond: loud failure naming the helper, never a
+    wrapped value."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.functions import money
+
+    ok = spark.sql(
+        "SELECT CAST(100000000000000000000 AS DECIMAL(38,0)) AS s"  # 1e20
+    )
+    got = ok.select(money.half_up_cents("s", 100).alias("cents")).collect()
+    assert got[0].cents == 10**18  # exact, inside the 2^63-cent domain
+
+    # straddle the bound: one tick past 2^63 cents must raise
+    bad = spark.sql(
+        f"SELECT CAST({2**63 * 100 + 12345} AS DECIMAL(38,0)) AS s"
+    )
+    with pytest.raises(Exception, match="half_up_cents overflow"):
+        bad.select(money.half_up_cents("s", 100).alias("cents")).collect()
