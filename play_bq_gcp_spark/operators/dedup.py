@@ -996,11 +996,15 @@ def containment_pairs(
                 "dropped first — recall floor df<=16 preserved).  "
                 "NOTE: a governed cap can drop qualifying pairs whose "
                 "rarest shared shingle sits between the fitted and "
-                "ungoverned caps — any differential oracle modeling "
-                "the ungoverned n/200 cap (or exact all-pairs, as the "
-                "registry entry does) may diverge while this governor "
-                "is engaged; at fixture scales it never engages "
-                "(pinned in test_containment_candidate_governor).",
+                "ungoverned caps — an oracle modeling the ungoverned "
+                "n/200 cap (or exact all-pairs, as dedup_containment_"
+                "pairs does) may diverge while this governor is "
+                "engaged; the fitted cap is deterministic given the "
+                "corpus, and the dedup_containment_governed registry "
+                "entry replays this entire sizing formula in SQL so a "
+                "governed run stays differential-checkable.  On the "
+                "UNgoverned fixtures it never engages (pinned in "
+                "test_containment_candidate_governor).",
                 max_df, fitted, _volume(max_df), candidate_budget,
             )
             max_df = max(16, fitted)

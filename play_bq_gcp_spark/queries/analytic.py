@@ -1186,6 +1186,127 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return containment_pairs(aug, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
+# Governor-engaged containment (r9 verdict ask #3): the candidate-volume
+# governor's FITTED df cap is deterministic given the corpus, so the
+# oracle can replay the whole sizing formula in SQL — cap0 =
+# greatest(16, n // 200), cumulative pair volume from the df histogram,
+# fitted = max(16, largest d with cumvol <= budget) when vol(cap0)
+# exceeds the budget — and a governor-engaged run stays
+# differential-checkable instead of logged-divergent.  The x8
+# text-identical replication models boilerplate-at-web-scale (df
+# multiplies with the corpus instead of diluting), and the explicit
+# 200k candidate budget makes the governor engage at EVERY fixture SF
+# (measured vol(cap0): 827k/809k/88.3M at sf0.001/0.01/0.1 — all over
+# budget).  The companion all-pairs entry above keeps the stronger
+# recall-1.0 check on the ungoverned arm.
+_CONTAIN_GOV_R = 8
+_CONTAIN_GOV_BUDGET = 200_000
+
+
+@register(
+    "dedup_containment_governed",
+    f"""
+    WITH aug AS (
+        SELECT doc_id * {_CONTAIN_GOV_R} + r AS doc_id, text
+        FROM documents
+        CROSS JOIN (SELECT unnest(generate_series(0, {_CONTAIN_GOV_R - 1})) AS r)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+              FROM aug)
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(t, 2) OVER w IS NOT NULL
+    ),
+    params AS (SELECT greatest(16, count(*) // 200) AS cap0 FROM aug),
+    dfreq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),
+    hist AS (
+        SELECT d, count(*) AS c
+        FROM dfreq CROSS JOIN params WHERE d <= cap0 GROUP BY d
+    ),
+    vols AS (
+        SELECT d, sum(c * d * (d - 1) // 2) OVER (ORDER BY d) AS cumvol
+        FROM hist
+    ),
+    fitted AS (
+        SELECT CASE
+            WHEN cap0 <= 16 THEN cap0
+            WHEN (SELECT max(cumvol) FROM vols) <= {_CONTAIN_GOV_BUDGET}
+                THEN cap0
+            ELSE greatest(16, coalesce((SELECT max(d) FROM vols
+                 WHERE cumvol <= {_CONTAIN_GOV_BUDGET}), 16))
+        END AS cap
+        FROM params
+    ),
+    rare AS (
+        SELECT sh.doc_id, sh.s
+        FROM sh JOIN dfreq ON sh.s = dfreq.s CROSS JOIN fitted
+        WHERE dfreq.d <= cap
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / least(sx.n, sy.n), 4) AS containment
+    FROM inter
+    JOIN sz sx ON sx.doc_id = doc_a
+    JOIN sz sy ON sy.doc_id = doc_b
+    WHERE round(i::DOUBLE / least(sx.n, sy.n), 4) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_governed(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment dedup WITH the candidate-volume governor engaged
+    (operators/dedup.py:containment_pairs): the corpus is every
+    document replicated x8 text-identical — boilerplate-style growth
+    where shingle df multiplies instead of diluting — under an
+    explicit 200k candidate budget, so the governor must lower the
+    auto n/200 df cap at every fixture SF.  The oracle replays the
+    ENTIRE sizing formula (auto cap, df histogram, cumulative pair
+    volume, fitted cap with its df<=16 floor) in SQL and then models
+    the engine's candidate generation (rare-shingle index at the
+    fitted cap → exact full-intersection verify), so engine and
+    oracle agree bit-for-bit even where the governed cap drops
+    qualifying pairs — the r9 verdict's 'governed run stays
+    differential-checkable' ask.  String-shingle df in SQL equals
+    hashed-shingle df in the engine because shingle_hashes is
+    distinct-per-doc and xxhash64 collisions are ~1e-10 on this
+    vocabulary (a collision would shift the histogram and fail this
+    gate loudly)."""
+    from play_bq_gcp_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_CONTAIN_GOV_R - 1))
+        ).alias("__r"),
+    ).select(
+        (F.col("doc_id") * _CONTAIN_GOV_R + F.col("__r")).alias("doc_id"),
+        "text",
+    )
+    return containment_pairs(
+        aug, threshold=0.8, candidate_budget=_CONTAIN_GOV_BUDGET
+    ).orderBy("doc_a", "doc_b")
+
+
 @register(
     "streaming_session_timers_tws",
     """

@@ -1834,3 +1834,44 @@ def test_containment_candidate_governor(spark, caplog):
         ).collect()
     }
     assert (0, 9000) in big
+
+
+def test_containment_governed_registry_entry_engages(spark, caplog):
+    """The r10 registry entry dedup_containment_governed must actually
+    run on the governed arm (its whole point is a driver-attested
+    governor-engaged differential): the x8 replicated corpus under a
+    200k budget lowers the sf0.001 auto cap 20 -> 16, loudly, and
+    text-identical replicas of rare-vocabulary docs survive as
+    containment-1.0 pairs (their shingles have df = 8 <= the fitted
+    floor).  Bit-level equality with the SQL replay of the sizing
+    formula is the compare.py/driver gate, not re-proved here."""
+    import logging
+
+    from play_bq_gcp_spark.queries.analytic import (
+        dedup_containment_governed,
+    )
+
+    with caplog.at_level(
+        logging.WARNING, logger="play_bq_gcp_spark.operators.dedup"
+    ):
+        out = dedup_containment_governed(spark, "/root/testdata/sf0.001")
+        pairs = {(r.doc_a, r.doc_b): r.containment for r in out.collect()}
+    assert any(
+        "candidate governor" in r.message for r in caplog.records
+    ), "the governed entry must engage the governor on every fixture SF"
+    assert len(pairs) > 0
+    # replicas of any rare-vocabulary doc (one with a df<=2 original
+    # shingle, so replicated df <= 16 stays under the fitted floor)
+    # are mutual containment-1.0 pairs; docs whose every shingle is
+    # common lose their replica pairs to the governed cap ON BOTH
+    # ENGINES — that loss is the governed arm's defining behavior
+    replica_pairs = {
+        (a, b): c
+        for (a, b), c in pairs.items()
+        if a // 8 == b // 8
+    }
+    assert replica_pairs, "no replica pair survived the governed cap"
+    assert all(c == 1.0 for c in replica_pairs.values())
+    assert len(replica_pairs) < 500 * 28, (
+        "every replica pair survived — the governed cap dropped nothing"
+    )
