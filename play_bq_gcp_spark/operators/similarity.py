@@ -34,7 +34,7 @@ _log = logging.getLogger(__name__)
 #: structure train to max pairwise cosine 0.17-0.25 (sf0.1/0.01/0.001
 #: fixtures — recall@10 = 10/10, sublinear probing preserved), while
 #: STRUCTURELESS random corpora train to 0.67-1.0, and every observed
-#: recall-floor miss sits in that band (seeds 8/40/84/98: 6-7/10 at
+#: recall-floor miss sits in that band (seeds 8/40/60/84/98: 6-7/10 at
 #: maxcos 0.79-0.89 — near-duplicate lists make the nearest-list
 #: assignment arbitrary, so true neighbors scatter into unprobed
 #: lists, and NOT always past any tight threshold: seed 40 missed at
