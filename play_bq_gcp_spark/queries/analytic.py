@@ -1307,6 +1307,127 @@ def dedup_containment_governed(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# Funnel horizon shared by the engine call and the oracle replay (the
+# operator-constant discipline): 24 h — measured as the gap where the
+# fixture exercises BOTH emission kinds at every SF (1800 s yields zero
+# conversions on this corpus; 86400 s: 11/5, 80/57, 837/514
+# converted/abandoned at sf0.001/0.01/0.1).
+_FUNNEL_GAP_S = 86400
+
+
+@register(
+    "streaming_funnel_fsm_tws",
+    f"""
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, epoch_us(ts) AS t, event_type AS typ,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS i
+        FROM events
+    ),
+    machine AS (
+        -- literal event-by-event replay of the funnel state machine
+        -- (streaming/stateful.py:funnel_state_machine_tws): one row
+        -- per (user, step); emit_* carry that step's emission, if any
+        SELECT DISTINCT user_id, 0 AS i, 0 AS phase,
+               CAST(NULL AS BIGINT) AS view_us,
+               CAST(NULL AS BIGINT) AS click_us,
+               CAST(NULL AS VARCHAR) AS emit_kind,
+               CAST(NULL AS BIGINT) AS emit_start,
+               CAST(NULL AS BIGINT) AS emit_end
+        FROM ordered
+        UNION ALL
+        SELECT m.user_id, o.i,
+               CASE WHEN p2 = 0 THEN CASE WHEN o.typ = 'view' THEN 1 ELSE 0 END
+                    WHEN p2 = 1 THEN CASE WHEN o.typ = 'view' THEN 1
+                                          WHEN o.typ = 'click' THEN 2
+                                          ELSE 0 END
+                    ELSE CASE WHEN o.typ = 'purchase' THEN 0
+                              WHEN o.typ = 'view' THEN 1
+                              WHEN o.typ = 'click' THEN 2
+                              ELSE 0 END
+               END AS phase,
+               CASE WHEN p2 = 0 THEN CASE WHEN o.typ = 'view' THEN o.t END
+                    WHEN p2 = 1 THEN CASE WHEN o.typ = 'view' THEN o.t
+                                          WHEN o.typ = 'click' THEN v2 END
+                    ELSE CASE WHEN o.typ = 'view' THEN o.t
+                              WHEN o.typ = 'click' THEN v2 END
+               END AS view_us,
+               CASE WHEN p2 = 2 AND o.typ = 'click' THEN o.t
+                    WHEN p2 = 1 AND o.typ = 'click' THEN o.t
+               END AS click_us,
+               CASE WHEN expired THEN 'abandoned'
+                    WHEN p2 = 2 AND o.typ = 'purchase' THEN 'converted'
+               END AS emit_kind,
+               CASE WHEN expired THEN m.view_us
+                    WHEN p2 = 2 AND o.typ = 'purchase' THEN v2
+               END AS emit_start,
+               CASE WHEN expired THEN m.click_us
+                    WHEN p2 = 2 AND o.typ = 'purchase' THEN o.t
+               END AS emit_end
+        FROM machine m
+        JOIN ordered o ON o.user_id = m.user_id AND o.i = m.i + 1
+        CROSS JOIN LATERAL (
+            -- pre-step horizon check: an event past click+gap proves
+            -- no conversion; the machine abandons, then processes the
+            -- event from idle
+            SELECT (m.phase = 2 AND o.t > m.click_us + {_FUNNEL_GAP_S * 1_000_000})
+                       AS expired
+        ) x
+        CROSS JOIN LATERAL (
+            SELECT CASE WHEN expired THEN 0 ELSE m.phase END AS p2,
+                   CASE WHEN expired THEN NULL
+                        ELSE m.view_us END AS v2
+        ) y
+    ),
+    stream_emits AS (
+        SELECT user_id, emit_kind AS kind, emit_start AS start_us,
+               emit_end AS end_us
+        FROM machine WHERE emit_kind IS NOT NULL
+    ),
+    -- stream tail: users left in the clicked state emit 'abandoned'
+    -- iff the FINAL watermark (max event ts, ms-floored — AvailableNow
+    -- advances it over everything seen) covers click + gap; the
+    -- ceil-to-ms timer encoding makes that exactly click+gap <= wm_us
+    wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm_us FROM events),
+    last_step AS (
+        SELECT user_id, max(i) AS n_i FROM ordered GROUP BY user_id
+    ),
+    tail_emits AS (
+        SELECT m.user_id, 'abandoned' AS kind,
+               m.view_us AS start_us, m.click_us AS end_us
+        FROM machine m
+        JOIN last_step l ON l.user_id = m.user_id AND m.i = l.n_i
+        CROSS JOIN wm
+        WHERE m.phase = 2 AND m.click_us + {_FUNNEL_GAP_S * 1_000_000} <= wm.wm_us
+    ),
+    allr AS (
+        SELECT * FROM stream_emits UNION ALL SELECT * FROM tail_emits
+    )
+    SELECT user_id, kind, start_us, end_us,
+           end_us - start_us AS span_us
+    FROM allr
+    ORDER BY user_id, end_us, start_us, kind
+    """,
+)
+def streaming_funnel_fsm_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """Procedural per-event state machine on transformWithStateInPandas
+    (streaming/stateful.py:funnel_state_machine_tws) — the r9 verdict's
+    ask #7: logic that CANNOT be a native streaming aggregate (output
+    depends on event-type ORDER, silent resets, and per-event horizon
+    comparisons), with conditional emission ('converted' on a
+    view->click+->purchase run inside the click horizon, 'abandoned'
+    when the horizon passes — in event time at the next event, or by a
+    registered timer when only the watermark passes it) — attested by
+    a recursive-CTE oracle that replays the machine event-by-event
+    rather than re-deriving it."""
+    from play_bq_gcp_spark.streaming.stateful import funnel_state_machine_tws
+
+    return funnel_state_machine_tws(
+        spark, sf, gap_s=_FUNNEL_GAP_S, n_chunks=4
+    )
+
+
 @register(
     "streaming_session_timers_tws",
     """

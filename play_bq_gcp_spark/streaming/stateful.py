@@ -364,7 +364,10 @@ SESSION_STATE_SCHEMA = "n_events long, start_us long, end_us long"
 
 
 def _time_ordered_chunks(
-    spark: SparkSession, sf_dir: str, n_chunks: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int,
+    cols: tuple[str, ...] = ("event_id", "user_id", "ts"),
 ) -> tuple[str, list[int]]:
     """Land events as ``n_chunks`` files covering CONSECUTIVE time
     ranges, mtime-ordered so FileStreamSource delivers them
@@ -377,10 +380,10 @@ def _time_ordered_chunks(
 
     from play_bq_gcp_spark.catalog import read_table
 
-    key = (sf_dir, n_chunks)
+    key = (sf_dir, n_chunks, cols)
     if key not in _ORDERED_CHUNK_DIRS:
         d = scratch_dir("events_ordered_")
-        ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        ev = read_table(spark, sf_dir, "events").select(*cols)
         maxes: list[int] = []
         # deterministic equal-size time ranges: global sort + ntile.
         # Fixture-prep only (single-partition window sort): a real
@@ -695,6 +698,228 @@ def session_close_on_timer_tws(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return spark.table(name).orderBy("user_id", "start_us")
+
+
+FUNNEL_SCHEMA = (
+    "user_id long, kind string, start_us long, end_us long, span_us long"
+)
+
+
+def funnel_state_machine_tws(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    n_chunks: int = 4,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Per-event funnel STATE MACHINE with conditional emission and
+    event-time timers — the procedural exemplar the r9 verdict asked
+    for: logic that genuinely cannot be restated as a native streaming
+    aggregate (the r9 decision rule at ``running_user_stats_native``
+    reserves this API for exactly this class).  Per user, over events
+    ordered by (ts, event_id):
+
+    * idle --view--> viewed (a later view refreshes ``view_us``);
+    * viewed --click--> clicked (any other type resets to idle);
+    * clicked --purchase--> EMIT ``converted`` (span view->purchase)
+      and reset; --click--> refresh the horizon; --view--> back to
+      viewed; signup/error reset SILENTLY;
+    * the clicked state carries an event-time HORIZON ``click + gap``:
+      an event arriving past it proves no conversion — EMIT
+      ``abandoned`` (span view->click) BEFORE processing that event
+      from idle — and a registered timer emits the same row when the
+      WATERMARK passes the horizon with no further events (stream
+      tail).  A user still inside the horizon at stream end stays in
+      state, unemitted — the rows a restart would resume.
+
+    Why this is not an aggregate: output depends on the ORDER of
+    event types (view click purchase converts; click view purchase
+    does not), on RESETS (an error erases progress), and on per-event
+    horizon comparisons — none commutative, none expressible as
+    sum/min/max merges.  The DuckDB oracle replays the machine
+    LITERALLY with a recursive CTE stepping event-by-event (the
+    sql_recursive_spine precedent), so the differential checks the
+    machine, not a re-derivation of it.
+
+    Mechanics mirror ``session_close_on_timer_tws`` (same ceil-to-ms
+    horizon encoding, same stale-timer double-check, RocksDB store,
+    AvailableNow, time-ordered chunks so the watermark advances
+    deterministically)."""
+    import uuid
+
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which is "
+            "not usable in this environment"
+        )
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from play_bq_gcp_spark.streaming import _protobuf_compat
+
+    cloudpickle.register_pickle_by_value(_protobuf_compat)
+    _boot = _protobuf_compat.ensure_protobuf
+
+    chunk_dir, _ = _time_ordered_chunks(
+        spark, sf_dir, n_chunks,
+        cols=("event_id", "user_id", "ts", "event_type"),
+    )
+    schema = spark.read.parquet(chunk_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", "0 seconds")
+    )
+    gap_us = gap_s * 1_000_000
+
+    class FunnelMachine(StatefulProcessor):
+        def __reduce__(self):
+            return (_rebuild_funnel_machine, ())
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            # phase: 0 idle / 1 viewed / 2 clicked; -1 = no value
+            self._fsm = handle.getValueState(
+                "fsm", "phase int, view_us long, click_us long, timer_ms long"
+            )
+
+        @staticmethod
+        def _emit(key, rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "kind": [r[0] for r in rows],
+                    "start_us": [r[1] for r in rows],
+                    "end_us": [r[2] for r in rows],
+                    "span_us": [r[2] - r[1] for r in rows],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            evs = sorted(
+                (int(v.value // 1_000), int(e), str(ty))
+                for pdf in rows
+                for v, e, ty in zip(
+                    pd.to_datetime(pdf["ts"]),
+                    pdf["event_id"],
+                    pdf["event_type"],
+                )
+            )
+            phase, view_us, click_us, old_timer = 0, -1, -1, None
+            if self._fsm.exists():
+                phase, view_us, click_us, old_timer = self._fsm.get()
+            out = []
+            for t, _eid, typ in evs:
+                if phase == 2 and t > click_us + gap_us:
+                    out.append(("abandoned", view_us, click_us))
+                    phase, view_us, click_us = 0, -1, -1
+                if phase == 0:
+                    if typ == "view":
+                        phase, view_us = 1, t
+                elif phase == 1:
+                    if typ == "view":
+                        view_us = t
+                    elif typ == "click":
+                        phase, click_us = 2, t
+                    else:
+                        phase, view_us = 0, -1
+                else:  # phase 2, t <= click_us + gap_us
+                    if typ == "purchase":
+                        out.append(("converted", view_us, t))
+                        phase, view_us, click_us = 0, -1, -1
+                    elif typ == "view":
+                        phase, view_us, click_us = 1, t, -1
+                    elif typ == "click":
+                        click_us = t
+                    else:
+                        phase, view_us, click_us = 0, -1, -1
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            if phase == 2:
+                # same ceil-to-ms discipline as the session twin: the
+                # horizon passes when wm covers click+gap in µs
+                close_at_ms = (click_us + gap_us + 999) // 1_000
+                if old_timer is not None and old_timer not in (
+                    -1, close_at_ms
+                ):
+                    self._handle.deleteTimer(old_timer)
+                if close_at_ms <= wm_ms:
+                    out.append(("abandoned", view_us, click_us))
+                    self._fsm.clear()
+                else:
+                    self._fsm.update((2, view_us, click_us, close_at_ms))
+                    if old_timer != close_at_ms:
+                        self._handle.registerTimer(close_at_ms)
+            else:
+                if old_timer is not None and old_timer != -1:
+                    self._handle.deleteTimer(old_timer)
+                if phase == 0:
+                    self._fsm.clear()
+                else:
+                    self._fsm.update((1, view_us, -1, -1))
+            if out:
+                yield self._emit(key, out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._fsm.exists():
+                return
+            phase, view_us, click_us, timer_ms = self._fsm.get()
+            if (
+                phase != 2
+                or timer_ms != expiredTimerInfo.getExpiryTimeInMs()
+            ):
+                return  # stale timer raced an in-batch transition
+            self._fsm.clear()
+            yield self._emit(key, [("abandoned", view_us, click_us)])
+
+        def close(self) -> None:
+            pass
+
+    def _rebuild_funnel_machine():
+        if not _boot():
+            raise RuntimeError("google.protobuf unusable in worker")
+        return FunnelMachine()
+
+    funnel = ev.groupBy("user_id").transformWithStateInPandas(
+        FunnelMachine(), FUNNEL_SCHEMA, "Append", "EventTime"
+    )
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                funnel.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return spark.table(name).orderBy("user_id", "end_us", "start_us", "kind")
 
 
 TYPE_STATS_SCHEMA = (

@@ -683,3 +683,71 @@ def test_cms_merge_epoch_guard_is_idempotent(spark, tmp_path):
     daily.merge_cms_state(spark, state, b1, 2)  # genuinely new epoch
     assert sum(cells().values()) == sum(after_two.values()) + 2 * 4
     assert os.path.isdir(state)
+
+
+def test_funnel_fsm_every_transition_hand_corpus(spark, tmp_path):
+    """Hand corpus driving EVERY arc of the funnel state machine
+    (streaming/stateful.funnel_state_machine_tws, gap 100 s):
+    conversion, view-refresh before the click run, click-refresh of
+    the horizon, silent error reset, event-time abandonment proven by
+    the NEXT event (purchase past the horizon converts nothing),
+    timer/watermark abandonment with no further events, a user still
+    inside the horizon at stream end (unemitted), and a click with no
+    prior view (ignored)."""
+    import datetime as dt
+
+    from play_bq_gcp_spark.streaming.stateful import (
+        funnel_state_machine_tws,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows, eid = [], 0
+    for user, seq in {
+        1: [("view", 0), ("click", 10), ("purchase", 50)],
+        2: [("view", 0), ("view", 5), ("click", 10), ("click", 60),
+            ("purchase", 140)],
+        3: [("view", 0), ("click", 10), ("error", 20), ("view", 30),
+            ("click", 40)],
+        4: [("view", 0), ("click", 10), ("purchase", 200)],
+        5: [("click", 0), ("purchase", 10)],
+        6: [("view", 250), ("click", 280)],
+        7: [("view", 0), ("click", 5)],
+    }.items():
+        for typ, s in seq:
+            eid += 1
+            rows.append((eid, t(s), user, typ))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+
+    out = funnel_state_machine_tws(
+        spark, str(tmp_path), gap_s=100, n_chunks=2
+    )
+    got = {
+        (r.user_id, r.kind, r.start_us, r.end_us, r.span_us)
+        for r in out.collect()
+    }
+
+    def us(s):
+        return int(t(s).timestamp() * 1_000_000)
+
+    assert got == {
+        # straight conversion
+        (1, "converted", us(0), us(50), 50_000_000),
+        # view refresh (start = LAST view) + click horizon refresh
+        (2, "converted", us(5), us(140), 135_000_000),
+        # error reset erased the first run; the restart abandons when
+        # the watermark (max ts 280) passes 40+100
+        (3, "abandoned", us(30), us(40), 10_000_000),
+        # purchase PAST the horizon abandons and converts nothing
+        (4, "abandoned", us(0), us(10), 10_000_000),
+        # cross-chunk timer abandonment, no further user events
+        (7, "abandoned", us(0), us(5), 5_000_000),
+        # user 5 (click with no view) and user 6 (horizon 380 beyond
+        # the final watermark 280) emit nothing
+    }
