@@ -122,6 +122,47 @@ def _q3(spark, d, ticks: bool):
     return out.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
 
 
+def _q9(spark, d, decimal_acc: bool):
+    """q9's shipped DECIMAL(38,0) accumulation (r9: its (nation, year)
+    groups hold ~1e10 rows at 100 TB, so the long accumulator was the
+    one remaining wrap risk) vs a LONG-sum control of the identical
+    expression — the r9 verdict's ask #6: measure the decimal arm's
+    10x/30x ratio so the 100 TB coarse-group mode has the same
+    constant-factor evidence as q1/q3.  Dimensions join unreplicated
+    from SF_DIR (the key shift touches order/cust keys only), so each
+    lineitem copy re-joins the same broadcast dims — profit volume
+    scales with k while group count stays fixed at (nation x year),
+    exactly the coarse-group regime where ONE decimal buffer knocks
+    the hash aggregate off the vectorized path."""
+    from play_bq_gcp_spark.catalog import read_table
+
+    li = spark.read.parquet(os.path.join(d, "lineitem"))
+    p = read_table(spark, SF_DIR, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    s = read_table(spark, SF_DIR, "supplier")
+    n = read_table(spark, SF_DIR, "nation")
+    profit = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    )
+    acc = profit.cast("decimal(38,0)") if decimal_acc else profit.cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(acc).cast("long").alias("profit_cents"))
+        .orderBy("nation_name", "o_year")
+    )
+
+
 def main() -> None:
     from play_bq_gcp_spark.session import get_spark
 
@@ -132,6 +173,8 @@ def main() -> None:
         ("q1_float", q1_float),
         ("q3_ticks", lambda s, d: _q3(s, d, True)),
         ("q3_float", lambda s, d: _q3(s, d, False)),
+        ("q9_decimal", lambda s, d: _q9(s, d, True)),
+        ("q9_long", lambda s, d: _q9(s, d, False)),
     )
     # JIT/codegen warmup at the smallest corpus so the first measured
     # arm doesn't pay compilation (the r9 first cut showed 1x walls
