@@ -58,15 +58,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # (b) ROTATION — the 18 r6-vintage deferrals ledgered last round (the
 # whole scalar/scan/similarity/streaming/sampling block below), then
-# 28 of the 43 r7-vintage entries (3 rounds old).  15 r7 entries defer
+# 26 of the 43 r7-vintage entries (3 rounds old).  17 r7 entries defer
 # to round 11, chosen for the strongest independent coverage:
 # dedup_ngram_jaccard + text_doc_profile are bench-run every round;
 # distinct_sort_limit, set_ops_suite, anti_join_customers,
 # pivot_unpivot_roundtrip, sql_surface_orders, sampling_suite,
 # agg_correlation, text_edit_distance, split_train_val_test,
 # text_top_tokens, events_outlier_zscore, domain_mix_sample,
-# embedding_quantize_int8 are simple deterministic shapes with direct
+# embedding_quantize_int8, curation_token_budget_select,
+# sequence_pack_bins are simple deterministic shapes with direct
 # pytest twins — all green in this round's local tri-SF sweeps.
+# curation_token_budget_select's and sequence_pack_bins's slots go to
+# the two entries NEW this round (first attestations outrank a 4th
+# re-attestation of a pytest-pinned deterministic shape):
+# dedup_lines_corpus (CCNet line-level dedup) and
+# curation_epoch_shuffle (seeded per-epoch training order).
 _WINDOW = [
     # -- changed r9, never driver-attested since (verdict ask #1) --------
     "q9_profit_by_nation_year",
@@ -74,6 +80,8 @@ _WINDOW = [
     "dedup_containment_governed",
     "streaming_funnel_fsm_tws",
     "similarity_ann_recall_floors",
+    "dedup_lines_corpus",
+    "curation_epoch_shuffle",
     # -- r6 vintage: the 18 documented deferrals, due first ---------------
     "sampling_weighted_systematic",
     "scalar_suite_orders",
@@ -115,13 +123,11 @@ _WINDOW = [
     "cohort_weekly_retention",
     "decontaminate_eval_overlap",
     "pii_redaction_profile",
-    "sequence_pack_bins",
     "pipeline_pretrain_corpus",
     "streaming_ingest_dedup",
     "temporal_join_versions",
     "streaming_static_enrich",
     "multimodal_audio_fp_exact",
-    "curation_token_budget_select",
 ]
 
 

@@ -386,3 +386,65 @@ def shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded global shuffle order for training epochs.
+
+    Training over a 100 TB corpus needs a DIFFERENT document order per
+    epoch, and that order must be deterministic (resumable mid-epoch,
+    reproducible across reruns and engines) without ever materializing
+    a global permutation on one node.  The standard construction —
+    order by a keyed hash — does both: ``md5(epoch || ':' || id)``
+    is the sort key, the leading hex digits bucket the shard (same
+    digit fold as ``shard_manifest``), and the within-shard rank is the
+    position.  The global training order for an epoch is
+    ``(shard, pos)``; a loader resumes from any (shard, pos) watermark.
+
+    Reference analogy: the reference pipeline re-loads its BigQuery
+    table in storage order every run (reference: main.py load steps) —
+    epoch ordering is what its downstream training consumer would need
+    the moment the corpus outgrows a single table scan.
+
+    Scale shape: the epoch fan-out is a ``sequence``+``explode`` (no
+    driver loop), the only wide stage is the per-(epoch, shard) window
+    rank — each window partition holds corpus/n_shards rows, so the
+    sort is shard-local; there is NO single-partition global sort, the
+    classic epoch-shuffle scale killer.  n_shards scales the
+    parallelism of the sort independently of cluster size.
+
+    Output: ``epoch, shard, pos, doc_id`` — pos is 1-based within
+    (epoch, shard); deterministic for a given (n_epochs, n_shards).
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("epoch").cast("string"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+        % int(n_shards)
+    ).cast("int")
+    keyed = d.select(
+        "epoch", "doc_id", h.alias("h"), shard.alias("shard")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+    ).orderBy("epoch", "shard", "pos")

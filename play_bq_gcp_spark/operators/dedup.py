@@ -1247,3 +1247,116 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def line_dedup(
+    documents: DataFrame,
+    min_doc_frac: float = 0.01,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """CCNet-style line-level corpus dedup with document reconstruction.
+
+    Web corpora carry per-site boilerplate (nav bars, cookie banners,
+    footers) that document-level exact/near dedup cannot touch: the
+    DOCUMENTS all differ, the LINES repeat.  CCNet (Wenzek et al.,
+    LREC 2020, §3.1) removes lines whose normalized form repeats across
+    the corpus before any fuzzy dedup; RefinedWeb and most pretraining
+    pipelines keep the same stage.  Reference analogy: the reference
+    cleans per-row payloads before load (reference: src/transform.py
+    sanitize/normalize steps) but has no cross-row text surgery — this
+    operator is the corpus-scale generalization its pipeline would need
+    at 100 TB.
+
+    Semantics:
+      * a "line" is a ``\\n``-separated segment of ``text``;
+      * each line normalizes through the shared ``tokens()`` expression
+        (lowercase, non-alnum → space); lines with no tokens are
+        dropped outright (they carry nothing trainable);
+      * a line is boilerplate when its normalized form appears in
+        ``>= max(min_doc_freq, floor(n_docs * min_doc_frac))`` DISTINCT
+        documents — corpus-relative, so the bar scales with corpus
+        size instead of pinning an absolute count that a 100× corpus
+        would trivially exceed with legitimate quotations;
+      * surviving lines reassemble in original line order; the output
+        carries ``md5`` of the cleaned text, not the text itself, so
+        the result stays narrow at any scale.
+
+    Plan shape (all native expressions, zero UDFs):
+      1. line view — ``split`` + ``posexplode`` + per-line ``tokens``:
+         map-only, no shuffle;
+      2. line frequency — one shuffle on the 128-bit line digest with
+         map-side partial aggregation (``count(DISTINCT doc_id)``
+         rewrites to a two-phase partial/final under whole-stage
+         codegen);
+      3. drop set — the ``>= threshold`` slice of the frequency table.
+         The FREQUENCY table is corpus-sized; the drop slice is only
+         the boilerplate vocabulary (tiny), so the anti join is left
+         unhinted for AQE to convert to broadcast at runtime — a hard
+         ``broadcast()`` hint would gamble on that size holding at
+         every scale, AQE measures it instead;
+      4. reconstruction — one shuffle keyed on ``doc_id`` (collect
+         surviving lines, ``array_sort`` by line number, rejoin).
+
+    At 100 TB: two wide shuffles (line digest, doc_id) + one
+    runtime-sized anti join — linear end to end, no quadratic region,
+    no driver-side data movement (the threshold scalar is a 1-row
+    broadcast).
+
+    Output: ``doc_id, n_lines, n_kept, cleaned_fp`` sorted by doc_id;
+    ``n_lines`` counts token-bearing lines only.
+    """
+    base = documents.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("raw_lines"),
+    )
+    lined = (
+        base.select(
+            "doc_id", F.posexplode("raw_lines").alias("line_no", "raw_line")
+        )
+        .withColumn("norm", F.array_join(tokens(F.col("raw_line")), " "))
+        .filter(F.col("norm") != "")
+        .withColumn("line_h", F.md5("norm"))
+    )
+    # Corpus-relative threshold: one 1-row aggregate, broadcast by the
+    # cross join — never a driver collect.
+    thr = documents.agg(
+        F.greatest(
+            F.lit(int(min_doc_freq)).cast("long"),
+            F.floor(F.count(F.lit(1)) * F.lit(float(min_doc_frac))),
+        ).alias("_thr")
+    )
+    freq = lined.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    drop = (
+        freq.crossJoin(thr)
+        .filter(F.col("doc_freq") >= F.col("_thr"))
+        .select("line_h")
+    )
+    kept = lined.join(drop, "line_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "raw_line"))),
+                lambda s: s["raw_line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    n_lines = F.size(
+        F.filter(
+            F.col("raw_lines"), lambda r: F.size(tokens(r)) > F.lit(0)
+        )
+    ).cast("long")
+    return (
+        base.select("doc_id", n_lines.alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )

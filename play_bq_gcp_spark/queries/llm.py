@@ -808,3 +808,117 @@ def multimodal_suite(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(frame_leg)
         .orderBy("doc_id", "metric", "value")
     )
+
+
+# Line-level (CCNet-style) corpus dedup.  The synthetic corpus has no
+# newlines, so the entry first BUILDS a lined corpus deterministically:
+# the normalized token stream segments into 10-token body lines, a
+# 10-token cookie-banner header is prepended to every doc_id % 3 == 0
+# and a footer line appended to every doc_id % 4 == 0 (per-site
+# boilerplate shape: documents all differ, lines repeat).  Both engines
+# replay the construction expression-for-expression, then the oracle
+# replays the operator itself.  Because the built lines come from the
+# shared tokens() normalizer (and the header/footer literals are
+# already lowercase-alnum), re-normalizing a line is the identity — the
+# oracle therefore uses the raw line where the operator computes
+# md5(normalized) (equality on the digest == equality on the line).
+_LINE_HDR = "please accept our cookie policy terms before continuing to read"
+_LINE_FTR = "copyright example site all rights reserved subscribe to our newsletter"
+
+
+def _lines_corpus_oracle() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    seg AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        range(0, cast(ceil(len(tk) / 10.0) AS int)),
+                        i -> array_to_string(
+                            list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))
+               END AS body
+        FROM base
+    ),
+    built AS (
+        SELECT doc_id,
+               list_concat(
+                   list_concat(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ['{_LINE_HDR}'] ELSE []::VARCHAR[] END,
+                       body),
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ['{_LINE_FTR}'] ELSE []::VARCHAR[] END
+               ) AS lines
+        FROM seg
+    ),
+    lined AS (
+        SELECT doc_id,
+               generate_subscripts(lines, 1) AS line_no,
+               unnest(lines) AS raw_line
+        FROM built
+    ),
+    nemp AS (SELECT * FROM lined WHERE raw_line <> ''),
+    thr AS (
+        SELECT greatest(2, cast(floor(count(*) * 0.01) AS bigint)) AS t
+        FROM documents
+    ),
+    freq AS (
+        SELECT raw_line, count(DISTINCT doc_id) AS dfreq
+        FROM nemp GROUP BY 1
+    ),
+    dropset AS (SELECT raw_line FROM freq, thr WHERE dfreq >= t),
+    kept AS (
+        SELECT n.* FROM nemp n
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dropset d WHERE d.raw_line = n.raw_line)
+    ),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(raw_line, chr(10) ORDER BY line_no) AS cleaned
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM nemp GROUP BY doc_id)
+    SELECT b.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           md5(coalesce(r.cleaned, '')) AS cleaned_fp
+    FROM built b
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+@register("dedup_lines_corpus", _lines_corpus_oracle())
+def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style line-level dedup (operators/dedup.line_dedup): drop
+    lines whose normalized form appears in >= max(2, 1% of docs)
+    distinct documents, reconstruct the survivors in order.  Linear:
+    one shuffle on the line digest, one on doc_id, AQE-sized anti
+    join for the (tiny) boilerplate drop set."""
+    from play_bq_gcp_spark.operators.dedup import line_dedup
+    from play_bq_gcp_spark.operators.text import tokens
+
+    K = 10
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_seg = F.floor((F.size(toks) + K - 1) / K).cast("int")
+    body = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(toks, i * K + 1, K), " "),
+        )
+    )
+    with_hdr = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.array(F.lit(_LINE_HDR)), body)
+    ).otherwise(body)
+    with_ftr = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(with_hdr, F.array(F.lit(_LINE_FTR))),
+    ).otherwise(with_hdr)
+    lined_corpus = d.select(
+        "doc_id", F.array_join(with_ftr, "\n").alias("text")
+    )
+    return line_dedup(lined_corpus).orderBy("doc_id")

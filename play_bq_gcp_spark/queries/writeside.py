@@ -534,3 +534,49 @@ def scan_federated_union(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("fmt", "lang")
     )
+
+
+def _epoch_shuffle_oracle() -> str:
+    """DuckDB twin of epoch_shuffle: same md5 sort key, same 6-hex-digit
+    shard fold (position() idiom), same within-(epoch, shard) rank."""
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    hexval = dig(1)
+    for p in range(2, 7):
+        hexval = f"({hexval} * 16 + {dig(p)})"
+    return f"""
+    WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+    x AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                   CAST(d.doc_id AS VARCHAR)) AS h
+        FROM documents d, e
+    ),
+    s AS (
+        SELECT epoch, doc_id, h,
+               CAST({hexval} % 8 AS INTEGER) AS shard
+        FROM x
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY h, doc_id
+           ) AS INTEGER) AS pos,
+           doc_id
+    FROM s
+    ORDER BY epoch, shard, pos
+    """
+
+
+@register("curation_epoch_shuffle", _epoch_shuffle_oracle())
+def curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded per-epoch global shuffle order
+    (operators/curation.epoch_shuffle): md5(epoch:id) is the sort key,
+    its leading hex digits the shard, the within-shard rank the
+    position — deterministic training order with a shard-local sort
+    only (no single-partition global sort at any scale)."""
+    from play_bq_gcp_spark.operators.curation import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf, "documents"))

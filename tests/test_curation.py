@@ -204,3 +204,37 @@ def test_weighted_systematic_sample_exact_k_and_stability(spark):
     df2 = spark.createDataFrame(heavy, "doc_id long, n_chars long")
     sel = weighted_systematic_sample(df2, k=25)
     assert sel.filter(F.col("doc_id") == 999).count() == 1
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch_and_differs_between(spark):
+    """epoch_shuffle: every (epoch) covers every doc exactly once,
+    pos is dense 1..n within (epoch, shard), the order is reproducible
+    across calls, and epoch 0's order differs from epoch 1's (the
+    point of reshuffling)."""
+    from play_bq_gcp_spark.operators.curation import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for ep, rows in by_epoch.items():
+        # permutation: every doc exactly once
+        assert sorted(r.doc_id for r in rows) == list(range(200))
+        # dense 1..n_shard_rows positions within each shard
+        shard_pos = {}
+        for r in rows:
+            shard_pos.setdefault(r.shard, []).append(r.pos)
+        for poss in shard_pos.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    order0 = [(r.shard, r.pos, r.doc_id) for r in by_epoch[0]]
+    order1 = [(r.shard, r.pos, r.doc_id) for r in by_epoch[1]]
+    assert order0 != order1  # epochs reshuffle
+
+    rerun = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    assert [tuple(r) for r in rerun] == [tuple(r) for r in out]  # stable

@@ -1933,3 +1933,81 @@ def test_containment_governed_registry_entry_engages(spark, caplog):
     assert len(replica_pairs) < 500 * 28, (
         "every replica pair survived — the governed cap dropped nothing"
     )
+
+
+def test_line_dedup_drops_boilerplate_and_reconstructs_in_order(spark):
+    """line_dedup: the repeated header/footer lines vanish, unique body
+    lines survive in original order, empty/NULL docs emit the
+    empty-text fingerprint, and n_lines counts token-bearing lines."""
+    import hashlib
+
+    hdr = "accept cookies to continue"
+    rows = [
+        (1, hdr + "\nalpha beta gamma\ndelta epsilon"),
+        (2, hdr + "\nzeta eta theta"),
+        (3, hdr + "\niota kappa"),
+        (4, "lambda mu nu\n" + hdr),  # boilerplate mid-corpus, tail position
+        (5, ""),                      # empty doc
+        (6, None),                    # NULL doc (NULL≡'' convention)
+        (7, "!!! ???\nxi omicron"),   # first line normalizes to empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 7 docs, min_doc_frac=0.01 -> floor(0.07)=0, so threshold is the
+    # absolute min_doc_freq=2 floor; hdr appears in 4 docs >= 2.
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+    def fp(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # doc 1: hdr dropped, two body lines kept in order
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[1].cleaned_fp == fp("alpha beta gamma\ndelta epsilon")
+    # doc 4: hdr at the END dropped; body line kept
+    assert (out[4].n_lines, out[4].n_kept) == (2, 1)
+    assert out[4].cleaned_fp == fp("lambda mu nu")
+    # empty and NULL docs: zero lines, empty-text fingerprint
+    for d in (5, 6):
+        assert (out[d].n_lines, out[d].n_kept) == (0, 0)
+        assert out[d].cleaned_fp == fp("")
+    # doc 7: the token-free line is not counted and not reconstructed
+    assert (out[7].n_lines, out[7].n_kept) == (1, 1)
+    assert out[7].cleaned_fp == fp("xi omicron")
+
+
+def test_line_dedup_threshold_is_corpus_relative(spark):
+    """The drop bar scales with corpus size: a line shared by 3 of 300
+    docs (1%) is boilerplate at min_doc_frac=0.01, but the same 3
+    absolute occurrences in a 1000-doc corpus (0.3% < 1%, and the
+    floor(1000*0.01)=10 bar) survive."""
+    shared = "identical quoted sentence here"
+    small = [(i, shared if i < 3 else f"unique text {i}") for i in range(300)]
+    big = [(i, shared if i < 3 else f"unique text {i}") for i in range(1000)]
+
+    df_small = spark.createDataFrame(small, "doc_id long, text string")
+    df_big = spark.createDataFrame(big, "doc_id long, text string")
+
+    out_small = {r.doc_id: r.n_kept for r in dedup.line_dedup(df_small).collect()}
+    out_big = {r.doc_id: r.n_kept for r in dedup.line_dedup(df_big).collect()}
+
+    assert out_small[0] == 0   # dropped: 3 >= floor(300*0.01)=3
+    assert out_big[0] == 1     # kept: 3 < floor(1000*0.01)=10
+
+
+def test_line_dedup_normalization_is_the_dedup_key(spark):
+    """Lines that differ only in case/punctuation are the SAME line to
+    the frequency counter (CCNet normalizes before hashing), and the
+    RAW line text is what reconstruction preserves."""
+    import hashlib
+
+    rows = [
+        (1, "Accept Cookies, to continue!\nbody one"),
+        (2, "accept cookies to continue\nbody two"),
+        (3, "ACCEPT  COOKIES  TO  CONTINUE\nbody three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    for d, body in [(1, "body one"), (2, "body two"), (3, "body three")]:
+        assert out[d].n_kept == 1
+        assert out[d].cleaned_fp == hashlib.md5(body.encode()).hexdigest()
