@@ -1,0 +1,242 @@
+"""Streaming state RECOVERY-cost probe (r9 verdict #7, second option).
+
+`state_scale_probe.py` measured steady-state commit cost per provider;
+what it did not measure is what a 100 TB deployment actually fears:
+**cold-restart recovery time** — an executor is lost or the job is
+redeployed, and every state partition must be rebuilt from the
+checkpoint before the first new micro-batch can commit.  The three
+production configurations differ exactly there:
+
+* ``hdfs`` — HDFSBackedStateStoreProvider: each commit uploads a full
+  delta file; recovery replays snapshot + all deltas since into an
+  in-heap map.
+* ``rocksdb`` — RocksDBStateStoreProvider, changelog checkpointing
+  OFF (default): each commit zips and uploads the changed SST files;
+  recovery downloads the latest version's files and re-opens the LSM.
+* ``rocksdb+changelog`` — ``rocksdb.changelogCheckpointing.enabled``:
+  commits upload only a tiny changelog (cheap, latency-stable);
+  recovery loads the last uploaded SNAPSHOT and replays every
+  changelog since — the classic write-fast/recover-slower trade, and
+  the config Databricks ships as default for low-latency pipelines.
+
+Provider/state-store caches make an in-JVM restart a warm no-op (the
+HDFS provider keeps ``loadedMaps`` in heap; RocksDB keeps its local
+working dir), so each phase runs in a FRESH subprocess JVM: the resume
+phase is a genuinely cold recovery, exactly like a replacement
+executor.  Measured per arm:
+
+* build phase — total wall, summed ``commitTimeMs`` across the
+  ``N_BUILD_CHUNKS`` micro-batches (the steady-state write cost the
+  changelog mode exists to shrink);
+* resume phase — wall from ``start()`` to availableNow drain of ONE
+  tail chunk, the first batch's ``durationMs`` breakdown, and the
+  RocksDB file-copy custom metrics (``rocksdbFilesCopied`` /
+  ``rocksdbBytesCopied`` are the download half of recovery).
+
+The state itself is a native streaming aggregation (no Python worker
+in the loop — the probe isolates the STORE, not the operator), sized
+at ``N_KEYS`` keys so snapshot size is non-trivial while the probe
+stays inside a CI minute budget.
+
+Usage: python tools/state_recovery_probe.py [out_md]
+       python tools/state_recovery_probe.py --phase build|resume \
+              <provider> <changelog:0|1> <data_dir> <ckpt_dir>   # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_KEYS = 50_000
+EVENTS_PER_CHUNK = 250_000
+N_BUILD_CHUNKS = 6
+STATE_PARTITIONS = 8
+ROOT = "/tmp/state_recovery"
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+HDFS = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+def _session(provider: str, changelog: bool):
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="state_recovery_probe", shuffle_partitions=STATE_PARTITIONS
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true" if changelog else "false",
+    )
+    return spark
+
+
+def write_chunk(spark, data_dir: str, chunk_no: int) -> None:
+    """One micro-batch worth of events as ONE parquet file.  Every
+    chunk touches every key (worst-case commit: all partitions dirty,
+    full state churn) — deterministic hash-derived values."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(EVENTS_PER_CHUNK)
+        .select(
+            F.pmod(F.col("id") + chunk_no, F.lit(N_KEYS)).alias("user_id"),
+            (F.pmod(F.xxhash64(F.col("id") + chunk_no * 7919), F.lit(10_000))
+             / 100.0).alias("value"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(data_dir)
+    )
+
+
+def run_phase(provider: str, changelog: bool, data_dir: str,
+              ckpt: str) -> dict:
+    """Drain whatever unprocessed files exist (availableNow), return
+    timing + state metrics.  In the resume phase the file-source log in
+    the checkpoint makes this exactly one tail batch after recovery."""
+    from pyspark.sql import functions as F
+
+    spark = _session(provider, changelog)
+    ev = (
+        spark.readStream.schema(
+            spark.read.parquet(data_dir).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+        .select("user_id", "value")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    # memory sink does not support checkpoint recovery; foreachBatch
+    # does, and a count() keeps the sink cost negligible + identical
+    # across arms.
+    sunk: list[int] = []
+    t0 = time.perf_counter()
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, bid: sunk.append(df.count())
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+
+    progresses = list(q.recentProgress)
+    commit_ms = 0
+    rows_total = 0
+    copied_files = copied_bytes = 0
+    for p in progresses:
+        for op in p.get("stateOperators", []):
+            commit_ms += op.get("commitTimeMs", 0)
+            rows_total = op.get("numRowsTotal", rows_total)
+            cm = op.get("customMetrics") or {}
+            copied_files += int(cm.get("rocksdbFilesCopied", 0))
+            copied_bytes += int(cm.get("rocksdbBytesCopied", 0))
+    first = progresses[0]["durationMs"] if progresses else {}
+    return {
+        "wall_s": wall,
+        "n_batches": len(progresses),
+        "commit_ms": commit_ms,
+        "state_rows": rows_total,
+        "first_addBatch_ms": int(first.get("addBatch", 0)),
+        "first_total_ms": int(sum(v for v in first.values())),
+        "rocksdb_files_copied": copied_files,
+        "rocksdb_mb_copied": round(copied_bytes / 1e6, 1),
+    }
+
+
+def _subphase(phase: str, provider: str, changelog: bool,
+              data_dir: str, ckpt: str) -> dict:
+    """Run one phase in a fresh JVM; its JSON line is the last stdout
+    line (Spark banners go to stderr)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--phase", phase,
+         provider, "1" if changelog else "0", data_dir, ckpt],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"{phase} failed:\n{out.stderr[-4000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
+        phase, provider, chl, data_dir, ckpt = sys.argv[2:7]
+        if phase == "build":
+            spark = _session(provider, chl == "1")
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+            for i in range(N_BUILD_CHUNKS):
+                write_chunk(spark, data_dir, i)
+        else:
+            spark = _session(provider, chl == "1")
+            write_chunk(spark, data_dir, N_BUILD_CHUNKS)
+        r = run_phase(provider, chl == "1", data_dir, ckpt)
+        print(json.dumps(r))
+        return
+
+    out_md = sys.argv[1] if len(sys.argv) > 1 else None
+    arms = (
+        ("hdfs", HDFS, False),
+        ("rocksdb", ROCKSDB, False),
+        ("rocksdb+changelog", ROCKSDB, True),
+    )
+    results = []
+    for label, provider, changelog in arms:
+        data_dir = os.path.join(ROOT, label.replace("+", "_"), "data")
+        ckpt = os.path.join(ROOT, label.replace("+", "_"), "ckpt")
+        b = _subphase("build", provider, changelog, data_dir, ckpt)
+        r = _subphase("resume", provider, changelog, data_dir, ckpt)
+        assert b["state_rows"] == N_KEYS, (label, b)
+        assert r["state_rows"] == N_KEYS, (label, r)
+        assert r["n_batches"] == 1, (label, r)  # cold recovery + 1 batch
+        results.append({"arm": label, "build": b, "resume": r})
+        print(f"# {label}: build={b} resume={r}", file=sys.stderr)
+
+    lines = [
+        f"keys={N_KEYS} events/chunk={EVENTS_PER_CHUNK} "
+        f"build_chunks={N_BUILD_CHUNKS} state_partitions={STATE_PARTITIONS} "
+        "(fresh JVM per phase; resume = cold recovery + 1 tail batch)",
+        "",
+        "| arm | build wall (s) | build commit (ms) | resume wall (s) "
+        "| resume 1st batch (ms) | files copied | MB copied |",
+        "| --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for r in results:
+        b, re_ = r["build"], r["resume"]
+        lines.append(
+            f"| {r['arm']} | {b['wall_s']} | {b['commit_ms']} "
+            f"| {re_['wall_s']} | {re_['first_total_ms']} "
+            f"| {re_['rocksdb_files_copied']} | {re_['rocksdb_mb_copied']} |"
+        )
+    table = "\n".join(lines)
+    print(table)
+    print(json.dumps(results))
+    if out_md:
+        with open(out_md, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()
