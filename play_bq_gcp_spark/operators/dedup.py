@@ -1281,44 +1281,54 @@ def line_dedup(
         carries ``md5`` of the cleaned text, not the text itself, so
         the result stays narrow at any scale.
 
-    Plan shape (all native expressions, zero UDFs):
-      1. line view — ``split`` + ``posexplode`` + per-line ``tokens``:
-         map-only, no shuffle;
-      2. line frequency — one shuffle on the 128-bit line digest with
+    Plan shape (all native expressions, zero UDFs).  The text-heavy
+    line view (``split`` + ``posexplode`` + per-line ``tokens``) is
+    deliberately evaluated in exactly TWO plan branches — once under
+    the frequency aggregate, once under the mark-and-rebuild pass —
+    because on a derived input (the registry entry synthesizes its
+    corpus from an expression) every extra branch re-runs the whole
+    upstream tokenization; the first cut of this operator carried four
+    such branches and measured 3-4x slower end to end (SCALING.md r10):
+      1. line frequency — one shuffle on the 128-bit line digest with
          map-side partial aggregation (``count(DISTINCT doc_id)``
          rewrites to a two-phase partial/final under whole-stage
          codegen);
-      3. drop set — the ``>= threshold`` slice of the frequency table.
+      2. drop set — the ``>= threshold`` slice of the frequency table.
          The FREQUENCY table is corpus-sized; the drop slice is only
-         the boilerplate vocabulary (tiny), so the anti join is left
+         the boilerplate vocabulary (tiny), so the mark join is left
          unhinted for AQE to convert to broadcast at runtime — a hard
          ``broadcast()`` hint would gamble on that size holding at
          every scale, AQE measures it instead;
-      4. reconstruction — one shuffle keyed on ``doc_id`` (collect
-         surviving lines, ``array_sort`` by line number, rejoin).
+      3. mark + rebuild — ONE pass over the line view: left join the
+         drop set (a NULL mark means the line survives), then a single
+         per-doc aggregate computes the total line count, the survivor
+         count, and the in-order reconstruction together
+         (``collect_list`` skips the NULLed-out dropped lines);
+      4. the doc universe re-enters through a doc_id-only left join —
+         column pruning keeps that branch free of all text work.
 
     At 100 TB: two wide shuffles (line digest, doc_id) + one
-    runtime-sized anti join — linear end to end, no quadratic region,
-    no driver-side data movement (the threshold scalar is a 1-row
-    broadcast).
+    runtime-sized broadcast join — linear end to end, no quadratic
+    region, no driver-side data movement (the threshold scalar is a
+    1-row broadcast; its branch prunes ``text`` away entirely).
 
     Output: ``doc_id, n_lines, n_kept, cleaned_fp`` sorted by doc_id;
     ``n_lines`` counts token-bearing lines only.
     """
-    base = documents.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), "\n").alias("raw_lines"),
-    )
     lined = (
-        base.select(
-            "doc_id", F.posexplode("raw_lines").alias("line_no", "raw_line")
+        documents.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+            ).alias("line_no", "raw_line"),
         )
         .withColumn("norm", F.array_join(tokens(F.col("raw_line")), " "))
         .filter(F.col("norm") != "")
         .withColumn("line_h", F.md5("norm"))
     )
     # Corpus-relative threshold: one 1-row aggregate, broadcast by the
-    # cross join — never a driver collect.
+    # cross join — never a driver collect.  count(1) prunes text, so
+    # this branch never tokenizes.
     thr = documents.agg(
         F.greatest(
             F.lit(int(min_doc_freq)).cast("long"),
@@ -1331,30 +1341,31 @@ def line_dedup(
     drop = (
         freq.crossJoin(thr)
         .filter(F.col("doc_freq") >= F.col("_thr"))
-        .select("line_h")
+        .select("line_h", F.lit(True).alias("_bp"))
     )
-    kept = lined.join(drop, "line_h", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = lined.join(drop, "line_h", "left")
+    keep_struct = F.when(
+        F.col("_bp").isNull(), F.struct("line_no", "raw_line")
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(keep_struct).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "raw_line"))),
+                F.array_sort(F.collect_list(keep_struct)),
                 lambda s: s["raw_line"],
             ),
             "\n",
         ).alias("cleaned"),
     )
-    n_lines = F.size(
-        F.filter(
-            F.col("raw_lines"), lambda r: F.size(tokens(r)) > F.lit(0)
-        )
-    ).cast("long")
     return (
-        base.select("doc_id", n_lines.alias("n_lines"))
-        .join(rebuilt, "doc_id", "left")
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_lines",
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
+                "n_lines"
+            ),
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
             F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
         )

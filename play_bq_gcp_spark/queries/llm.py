@@ -900,25 +900,37 @@ def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.text import tokens
 
     K = 10
-    d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = tokens("text")
-    n_seg = F.floor((F.size(toks) + K - 1) / K).cast("int")
+    # Materialize the token array as a COLUMN before the line windows
+    # reference it: the naive inline form re-expands the tokens()
+    # regexp tree at every reference inside the transform/when nest
+    # (CollapseProject keeps the projection because tokens() is
+    # non-cheap and multiply referenced), and measured 30s for 50k
+    # docs at the r10 scale probe before this split.  Each CASE branch
+    # below appears exactly once so the nest stays reference-shaped.
+    tk_df = _t(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    tk = F.col("tk")
+    n_seg = F.floor((F.size(tk) + K - 1) / K).cast("int")
     body = F.when(
-        F.size(toks) == 0, F.array().cast("array<string>")
+        F.size(tk) == 0, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(F.slice(toks, i * K + 1, K), " "),
+            lambda i: F.array_join(F.slice(tk, i * K + 1, K), " "),
         )
     )
-    with_hdr = F.when(
-        F.col("doc_id") % 3 == 0, F.concat(F.array(F.lit(_LINE_HDR)), body)
-    ).otherwise(body)
-    with_ftr = F.when(
-        F.col("doc_id") % 4 == 0,
-        F.concat(with_hdr, F.array(F.lit(_LINE_FTR))),
-    ).otherwise(with_hdr)
-    lined_corpus = d.select(
-        "doc_id", F.array_join(with_ftr, "\n").alias("text")
+    empty = F.array().cast("array<string>")
+    lines = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_LINE_HDR))).otherwise(
+            empty
+        ),
+        body,
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(_LINE_FTR))).otherwise(
+            empty
+        ),
+    )
+    lined_corpus = tk_df.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
     )
     return line_dedup(lined_corpus).orderBy("doc_id")

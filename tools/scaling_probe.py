@@ -108,9 +108,41 @@ def _knn_join_auto(spark, d):
     )
 
 
+def _force(df):
+    """Force FULL row materialization under the probe's ``.count()``.
+
+    A bare count() lets Catalyst prune everything cardinality-neutral:
+    window ranks, md5 reconstruction columns, and left joins against
+    unique-keyed aggregates all fold away, so entries whose output
+    row count is trivially derivable (dedup_lines_corpus,
+    curation_epoch_shuffle) measure ~nothing — and an ungrouped
+    checksum AGGREGATE is pruned the same way (count of a global agg
+    is 1 without executing it).  A filter on a hash of every column
+    cannot be pruned: count() must evaluate each output value per
+    row.  (!=42 never fires; xxhash64 avoids ANSI sum overflow.)"""
+    return df.filter(
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        != F.lit(42)
+    )
+
+
+def _lines_full(spark, d):
+    from play_bq_gcp_spark.queries._registry import QUERIES
+
+    return _force(QUERIES["dedup_lines_corpus"](spark, d))
+
+
+def _epoch_full(spark, d):
+    from play_bq_gcp_spark.queries._registry import QUERIES
+
+    return _force(QUERIES["curation_epoch_shuffle"](spark, d))
+
+
 EXTRA_QUERIES = {
     "dedup_embedding_cosine_auto": _emb_cosine_auto,
     "knn_join_lsh_auto": _knn_join_auto,
+    "dedup_lines_corpus_full": _lines_full,
+    "curation_epoch_shuffle_full": _epoch_full,
 }
 TABLES = (
     "region nation customer supplier part orders lineitem events "
