@@ -119,11 +119,19 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     "identical values within 2^63-cent totals, loud error beyond",
     not unbounded parity — pinned by
     tests/test_aggregates.py::test_half_up_cents_overflow_is_loud.
+
+    NULL passes through: an aggregate over zero matching rows sums to
+    NULL, and ``assert_true(NULL < bound)`` would RAISE the overflow
+    message on an empty result (caught by fuzz seed 102: q19's
+    brackets matched no rows and the certificate fired spuriously) —
+    so the certificate explicitly accepts NULL, and the division then
+    propagates NULL to the output exactly like the SQL twin.
     """
     half = tick_scale // 2
     bound = F.lit(2**63 - 1).cast("decimal(38,0)") * F.lit(tick_scale)
     guard = F.assert_true(
-        F.expr(f"CAST({sum_col} AS DECIMAL(38,0)) + {half}") < bound,
+        F.col(sum_col).isNull()
+        | (F.expr(f"CAST({sum_col} AS DECIMAL(38,0)) + {half}") < bound),
         F.lit(
             f"half_up_cents overflow: {sum_col} exceeds the 2^63-cent "
             "output domain (total past ~$9.2e16) — Spark's div would "

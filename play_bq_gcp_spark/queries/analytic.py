@@ -1133,18 +1133,26 @@ def text_lang_confusion_matrix(spark: SparkSession, sf: str) -> DataFrame:
         FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
         WHERE doc_id % 10 = 0 AND len(tk) >= 6
     ),
+    tkv AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+        FROM aug
+    ),
     tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (SELECT doc_id,
-                     list_filter(string_split_regex(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
-              FROM aug)
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc shingle
+        -- (operators/text.py shingle_hashes, r10 short-doc audit)
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -1211,18 +1219,28 @@ _CONTAIN_GOV_BUDGET = 200_000
         FROM documents
         CROSS JOIN (SELECT unnest(generate_series(0, {_CONTAIN_GOV_R - 1})) AS r)
     ),
+    tkv AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
+        FROM aug
+    ),
     tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (SELECT doc_id,
-                     list_filter(string_split_regex(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', ' ', 'g'), ' +'), x -> x <> '') AS tk
-              FROM aug)
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc shingle
+        -- (operators/text.py shingle_hashes, r10 short-doc audit);
+        -- on the x8 corpus these rows enter the df histogram too,
+        -- exactly as their hashes do in the engine's governor
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     params AS (SELECT greatest(16, count(*) // 200) AS cap0 FROM aug),
     dfreq AS (SELECT s, count(*) AS d FROM sh GROUP BY s),

@@ -24,15 +24,24 @@ from play_bq_gcp_spark.scratch import scratch_dir
 @register(
     "decontaminate_eval_overlap",
     f"""
-    WITH tok AS (
+    WITH tkv AS (
+        SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+    ),
+    tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents)
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc gram
+        -- (operators/text.py shingle_hashes, r10 short-doc audit) —
+        -- a short train doc identical to a short eval doc must flag
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3),
     corp AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 3),
@@ -1648,20 +1657,26 @@ def similarity_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_canonical_survivors",
     f"""
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE tkv AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (
-            SELECT doc_id,
-                   list_filter(string_split(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
-            FROM documents
-        )
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc shingle
+        -- (operators/text.py shingle_hashes, r10 short-doc audit)
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (

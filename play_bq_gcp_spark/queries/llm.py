@@ -100,19 +100,27 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     """
-    WITH tok AS (
+    WITH tkv AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (
-            SELECT doc_id,
-                   list_filter(string_split(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
-            FROM documents
-        )
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id, t || ' ' || lead(t, 1) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 1) OVER w IS NOT NULL
+        -- engine twin: a doc shorter than the shingle width collapses
+        -- to ONE whole-doc shingle (operators/text.py shingles/
+        -- shingle_hashes, r10 short-doc audit) — without this branch
+        -- two identical 1-token docs pair in the engine but not here
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) = 1
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -146,20 +154,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     """
-    WITH tok AS (
+    WITH tkv AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (
-            SELECT doc_id,
-                   list_filter(string_split(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
-            FROM documents
-        )
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc shingle
+        -- (operators/text.py shingle_hashes, r10 short-doc audit)
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -192,20 +206,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_connected_groups",
     """
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE tkv AS (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    tok AS (
         SELECT doc_id, unnest(tk) AS t, generate_subscripts(tk, 1) AS pos
-        FROM (
-            SELECT doc_id,
-                   list_filter(string_split(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' '), x -> x <> '') AS tk
-            FROM documents
-        )
+        FROM tkv
     ),
     sh AS (
         SELECT DISTINCT doc_id,
                t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
         QUALIFY lead(t, 2) OVER w IS NOT NULL
+        -- engine twin: <3-token docs collapse to one whole-doc shingle
+        -- (operators/text.py shingle_hashes, r10 short-doc audit)
+        UNION ALL
+        SELECT doc_id, array_to_string(tk, ' ') AS s
+        FROM tkv WHERE len(tk) BETWEEN 1 AND 2
     ),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (

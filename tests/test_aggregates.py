@@ -311,3 +311,33 @@ def test_half_up_cents_overflow_is_loud(spark):
     )
     with pytest.raises(Exception, match="half_up_cents overflow"):
         bad.select(money.half_up_cents("s", 100).alias("cents")).collect()
+
+
+def test_half_up_cents_null_sum_passes_through(spark):
+    """A zero-match aggregate sums to NULL; the overflow certificate
+    must accept it (assert_true(NULL < bound) would otherwise raise a
+    spurious overflow — fuzz seed 102, q19 with no bracket matches)
+    and the division must propagate NULL like the SQL twin."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.functions import money
+
+    li = spark.createDataFrame(
+        [(100.0, 0.05)], "l_extendedprice double, l_discount double"
+    )
+    out = (
+        li.filter(F.lit(False))  # zero matching rows
+        .agg(
+            money.tick_sum(
+                money.ticks("l_extendedprice")
+                * (100 - money.ticks("l_discount"))
+            ).alias("__sr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            (money.half_up_cents("__sr", 100) / 100.0).alias("revenue"), "n"
+        )
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].revenue is None and out[0].n == 0

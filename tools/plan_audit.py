@@ -68,6 +68,9 @@ AUDIT = [
     "q8_market_share",
     "q15_top_suppliers",
     "knn_join_lsh",
+    # round 10: the new LLM-pipeline entries
+    "dedup_lines_corpus",
+    "curation_epoch_shuffle",
 ]
 
 
