@@ -157,13 +157,18 @@ def main() -> None:
             df = fn(spark, sf_dir)
             # can't-prune materialization (see module docstring): the
             # hash filter makes every output column load-bearing, so
-            # count() executes the query, not a column-pruned skeleton
-            n = df.filter(
-                F.xxhash64(
-                    *[F.col(c).cast("string") for c in df.columns]
-                )
-                != F.lit(42)
-            ).count()
+            # count() executes the query, not a column-pruned skeleton.
+            # SPARK_BENCH_ACTION=count keeps the pre-r10 action for
+            # like-for-like protocol A/Bs.
+            if os.environ.get("SPARK_BENCH_ACTION") == "count":
+                n = df.count()
+            else:
+                n = df.filter(
+                    F.xxhash64(
+                        *[F.col(c).cast("string") for c in df.columns]
+                    )
+                    != F.lit(42)
+                ).count()
             t[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# pass{p + 1} {name}: {t[name]:.3f}s ({n} rows)",
@@ -195,7 +200,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "protocol": f"min_of_{len(passes)}_passes",
-                "action": "xxhash64_forced_count",
+                "action": (
+                    "count"
+                    if os.environ.get("SPARK_BENCH_ACTION") == "count"
+                    else "xxhash64_forced_count"
+                ),
                 "pass_totals": [
                     round(sum(t.values()), 3) for t in passes
                 ],
