@@ -101,7 +101,7 @@ _WINDOW = [
     "streaming_stateful_user_stats",
     "udaf_geomean_price",
     "window_rank_topk",
-    # -- r7 vintage (28 of 43; weakest independent coverage first) --------
+    # -- r7 vintage (26 of 43; weakest independent coverage first) --------
     "semistructured_suite",
     "agg_stats_percentiles",
     "join_bucketed_dim",

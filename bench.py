@@ -35,6 +35,20 @@ from pyspark.sql import functions as F
 from play_bq_gcp_spark import queries as q
 from play_bq_gcp_spark.session import get_spark
 
+def forced_materialization(df):
+    """Filter on xxhash64 over every output column, ``!= 42``: a
+    can't-prune materialization barrier.  Under a bare count()
+    Catalyst drops every cardinality-neutral output expression; this
+    filter makes each output value load-bearing while never removing a
+    row.  The ONE definition shared by bench.py and
+    tools/scaling_probe.py — the BENCH-vs-SCALING comparability
+    assumes both use the identical barrier (r10 self-review #6)."""
+    return df.filter(
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        != F.lit(42)
+    )
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "agg_group_analytics",
@@ -163,12 +177,7 @@ def main() -> None:
             if os.environ.get("SPARK_BENCH_ACTION") == "count":
                 n = df.count()
             else:
-                n = df.filter(
-                    F.xxhash64(
-                        *[F.col(c).cast("string") for c in df.columns]
-                    )
-                    != F.lit(42)
-                ).count()
+                n = forced_materialization(df).count()
             t[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# pass{p + 1} {name}: {t[name]:.3f}s ({n} rows)",

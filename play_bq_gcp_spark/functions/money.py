@@ -128,7 +128,12 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     propagates NULL to the output exactly like the SQL twin.
     """
     half = tick_scale // 2
-    bound = F.lit(2**63 - 1).cast("decimal(38,0)") * F.lit(tick_scale)
+    # Output fits int64 iff (S + half) div tick < 2^63, i.e.
+    # S + half < 2^63 * tick — NOT (2^63-1)*tick, which would reject
+    # totals rounding to exactly 2^63-1 cents, a representable value
+    # the contract promises to return (r10 self-review #3).
+    # (2^63 exceeds a Java long, so it enters as a SQL decimal literal)
+    bound = F.expr(f"CAST({2**63} AS DECIMAL(38,0))") * F.lit(tick_scale)
     guard = F.assert_true(
         F.col(sum_col).isNull()
         | (F.expr(f"CAST({sum_col} AS DECIMAL(38,0)) + {half}") < bound),

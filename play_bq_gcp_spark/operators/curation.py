@@ -334,6 +334,17 @@ def token_budget_select(
 # ---------------------------------------------------------------------------
 
 
+def _md5_fold(h: Column, n_shards: int) -> Column:
+    """Uniform bucket from an md5 hex digest: first 6 hex digits as an
+    integer, mod ``n_shards``.  The ONE definition behind both
+    ``shard_manifest`` and ``epoch_shuffle`` (their DuckDB oracles
+    replay it digit-by-digit, so the fold must not drift between
+    call sites — r10 self-review #7)."""
+    return (
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % int(n_shards)
+    ).cast("int")
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int = 8,
@@ -355,11 +366,7 @@ def shard_manifest(
     manifest doubles as the skew check: max/min shard token totals
     should be ~1 ± O(1/sqrt(docs_per_shard)).
     """
-    shard = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
-        .cast("long")
-        % n_shards
-    ).cast("int")
+    shard = _md5_fold(F.md5(F.col(id_col).cast("string")), n_shards)
     d = df.select(
         F.col(id_col).alias("doc_id"),
         shard.alias("shard"),
@@ -434,12 +441,8 @@ def epoch_shuffle(
             F.col("doc_id").cast("string"),
         )
     )
-    shard = (
-        F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
-        % int(n_shards)
-    ).cast("int")
     keyed = d.select(
-        "epoch", "doc_id", h.alias("h"), shard.alias("shard")
+        "epoch", "doc_id", h.alias("h"), _md5_fold(h, n_shards).alias("shard")
     )
     w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
     return keyed.select(

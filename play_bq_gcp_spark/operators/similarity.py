@@ -257,17 +257,6 @@ def _probe_lists(cents: list, query_vec, n_probe: int, method: str) -> list:
     brute-force fallback, linear cost, recall 1.0 by construction —
     with a loud log naming the pathology so an operator knows to
     retrain with different seeding or more lists."""
-    qv = np.asarray(query_vec, dtype=float)
-    qsims = [
-        (
-            i,
-            float(
-                np.dot(qv, np.asarray(c))
-                / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)
-            ),
-        )
-        for i, (_, c) in enumerate(cents)
-    ]
     C = np.asarray([c for _, c in cents], dtype=float)
     Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
     if len(cents) > 1:
@@ -287,6 +276,19 @@ def _probe_lists(cents: list, query_vec, n_probe: int, method: str) -> list:
             method, max_pair, IVF_SEP_ESCALATE, len(cents), n_probe,
         )
         return list(range(len(cents)))
+    # ranking computed only on the non-escalated path — the escalation
+    # branch above never reads it (r10 self-review #8)
+    qv = np.asarray(query_vec, dtype=float)
+    qsims = [
+        (
+            i,
+            float(
+                np.dot(qv, np.asarray(c))
+                / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-12)
+            ),
+        )
+        for i, (_, c) in enumerate(cents)
+    ]
     return [i for i, _ in sorted(qsims, key=lambda t: -t[1])[:n_probe]]
 
 

@@ -605,16 +605,27 @@ def read_pruned(
 
 def _overlapping(snap: Snapshot, col: str, lo, hi) -> list[str]:
     """Files whose recorded [min, max] for ``col`` may intersect
-    [lo, hi]; files without stats are conservatively included."""
+    [lo, hi]; files without stats are conservatively included.
+
+    The caller's lo/hi pass through ``_enc_stat`` first: recorded
+    stats live in the canonical encoding (UTC-naive ISO strings for
+    timestamps, plain values otherwise), so a raw ``datetime`` bound
+    would compare str-vs-datetime (TypeError) — or, under a non-UTC
+    driver TZ, compare shifted wall times and silently skip files
+    that contain matching rows (r10 self-review #1: the write-side
+    seam got the canonicalization in r10's partition-overwrite fix,
+    the query-side seam here did not)."""
+    lo_e = _enc_stat(lo) if lo is not None else None
+    hi_e = _enc_stat(hi) if hi is not None else None
 
     def overlaps(f: str) -> bool:
         st = snap.file_stats.get(f, {}).get("cols", {}).get(col)
         if st is None:
             return True
         fmin, fmax = st
-        if lo is not None and fmax < lo:
+        if lo_e is not None and fmax < lo_e:
             return False
-        if hi is not None and fmin > hi:
+        if hi_e is not None and fmin > hi_e:
             return False
         return True
 

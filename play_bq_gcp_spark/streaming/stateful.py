@@ -220,6 +220,71 @@ def tws_available() -> bool:
     return ensure_protobuf()
 
 
+def _run_tws_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_partitions: int,
+    output_mode: str,
+    skip_no_data: bool = False,
+) -> DataFrame:
+    """Memory-sink availableNow harness shared by every
+    transformWithState exemplar: pin shuffle partitions and the
+    RocksDB provider (tws typed state requires it), optionally skip
+    the closing no-data micro-batch (TimeMode "None": it cannot emit
+    or evict anything, so its store commit is pure overhead), drain,
+    restore every session conf, and return the sink table.  ONE
+    definition (r10 self-review #5: five byte-near-identical copies
+    had to move in lockstep — a provider or trigger tweak applied to
+    one twin could silently drift the others)."""
+    import uuid
+
+    name = f"s_{uuid.uuid4().hex[:12]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    prev_ndb = (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        if skip_no_data
+        else None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if skip_no_data:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        if skip_no_data:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
+    return spark.table(name)
+
+
+
 def running_user_stats_tws(
     spark: SparkSession,
     sf_dir: str,
@@ -306,44 +371,9 @@ def running_user_stats_tws(
         RunningStats(), OUTPUT_SCHEMA, "Update", "None"
     )
 
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
+    updates = _run_tws_stream(
+        spark, running, state_partitions, "update", skip_no_data=True
     )
-    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    # TimeMode "None": no timers, no watermark — the closing no-data
-    # micro-batch cannot emit or evict anything; skip its store commit
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                running.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
-        )
-
-    updates = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
         updates.withColumn("__rn", F.row_number().over(w))
@@ -668,36 +698,9 @@ def session_close_on_timer_tws(
         TimerSessions(), SESSION_SCHEMA, "Append", "EventTime"
     )
 
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                sessions.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-    return spark.table(name).orderBy("user_id", "start_us")
+    return _run_tws_stream(
+        spark, sessions, state_partitions, "append"
+    ).orderBy("user_id", "start_us")
 
 
 FUNNEL_SCHEMA = (
@@ -890,36 +893,9 @@ def funnel_state_machine_tws(
         FunnelMachine(), FUNNEL_SCHEMA, "Append", "EventTime"
     )
 
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                funnel.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-    return spark.table(name).orderBy("user_id", "end_us", "start_us", "kind")
+    return _run_tws_stream(
+        spark, funnel, state_partitions, "append"
+    ).orderBy("user_id", "end_us", "start_us", "kind")
 
 
 TYPE_STATS_SCHEMA = (
@@ -1015,44 +991,9 @@ def per_type_user_stats_tws(
         PerTypeStats(), TYPE_STATS_SCHEMA, "Update", "None"
     )
 
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
+    updates = _run_tws_stream(
+        spark, running, state_partitions, "update", skip_no_data=True
     )
-    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    # TimeMode "None": no timers, no watermark — the closing no-data
-    # micro-batch cannot emit or evict anything; skip its store commit
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                running.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
-        )
-
-    updates = spark.table(name)
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("n_events").desc()
     )
@@ -1166,44 +1107,9 @@ def recent_events_tws(
         RecentEvents(), RECENT_SCHEMA, "Update", "None"
     )
 
-    name = f"s_{uuid.uuid4().hex[:12]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
+    updates = _run_tws_stream(
+        spark, running, state_partitions, "update", skip_no_data=True
     )
-    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    # TimeMode "None": no timers, no watermark — the closing no-data
-    # micro-batch cannot emit or evict anything; skip its store commit
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        with tempfile.TemporaryDirectory() as ckpt:
-            q = (
-                running.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("update")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
-        )
-
-    updates = spark.table(name)
     w = Window.partitionBy("user_id", "pos").orderBy(F.col("n_seen").desc())
     return (
         updates.withColumn("__rn", F.row_number().over(w))

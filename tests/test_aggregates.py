@@ -305,7 +305,26 @@ def test_half_up_cents_overflow_is_loud(spark):
     got = ok.select(money.half_up_cents("s", 100).alias("cents")).collect()
     assert got[0].cents == 10**18  # exact, inside the 2^63-cent domain
 
-    # straddle the bound: one tick past 2^63 cents must raise
+    # exact boundary: a total rounding to exactly 2^63-1 cents is the
+    # LAST representable long and must come back, not raise (r10
+    # self-review: the first bound rejected it)
+    edge = spark.sql(
+        f"SELECT CAST({(2**63 - 1) * 100} AS DECIMAL(38,0)) AS s"
+    )
+    got = edge.select(money.half_up_cents("s", 100).alias("cents")).collect()
+    assert got[0].cents == 2**63 - 1
+
+    # first out-of-domain value: s + half reaches 2^63 * tick, the
+    # rounded output would be 2^63 — must raise
+    first_bad = spark.sql(
+        f"SELECT CAST({2**63 * 100 - 50} AS DECIMAL(38,0)) AS s"
+    )
+    with pytest.raises(Exception, match="half_up_cents overflow"):
+        first_bad.select(
+            money.half_up_cents("s", 100).alias("cents")
+        ).collect()
+
+    # well past the bound must also raise
     bad = spark.sql(
         f"SELECT CAST({2**63 * 100 + 12345} AS DECIMAL(38,0)) AS s"
     )

@@ -637,3 +637,43 @@ def test_overwrite_partitions_timestamp_partition_non_utc_tz(tmp_path):
     }
     assert untouched, f"stats missing or all-replaced: {r['base_stats']}"
     assert untouched <= set(r["snap_files"]), "bystanders were rewritten"
+
+
+def test_read_pruned_timestamp_column(spark, table):
+    """Timestamp stats are recorded as UTC-naive ISO strings (r9/r10
+    _enc_stat canonicalization), so query-side bounds must enter the
+    same domain: a raw datetime bound used to compare str-vs-datetime
+    (TypeError) — r10 self-review #1.  Pins: pruning actually skips
+    files, and the result equals the unpruned filter."""
+    import datetime as dt
+
+    def day_df(day: int):
+        return spark.createDataFrame(
+            [(day * 100 + i, dt.datetime(2024, 3, day, 6 + i)) for i in range(3)],
+            "id long, ts timestamp",
+        )
+
+    # default INT96 parquet timestamps carry no pyarrow-readable footer
+    # stats (files would be conservatively kept, proving nothing);
+    # MICROS is what the partition-aligned writer pins too
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        tt.append(day_df(1).coalesce(1), table)
+        tt.append(day_df(2).coalesce(1), table)
+        tt.append(day_df(3).coalesce(1), table)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+    lo = dt.datetime(2024, 3, 2, 0, 0)
+    hi = dt.datetime(2024, 3, 2, 23, 59)
+    pruned = tt.read_pruned(spark, table, "ts", lo=lo, hi=hi)
+    assert len(set(pruned.inputFiles())) == 1  # day-1/day-3 files skipped
+    got = sorted(r.id for r in pruned.collect())
+    expect = sorted(
+        r.id
+        for r in tt.read(spark, table)
+        .filter("ts >= '2024-03-02 00:00' AND ts <= '2024-03-02 23:59'")
+        .collect()
+    )
+    assert got == expect == [200, 201, 202]

@@ -117,13 +117,12 @@ def _force(df):
     row count is trivially derivable (dedup_lines_corpus,
     curation_epoch_shuffle) measure ~nothing — and an ungrouped
     checksum AGGREGATE is pruned the same way (count of a global agg
-    is 1 without executing it).  A filter on a hash of every column
-    cannot be pruned: count() must evaluate each output value per
-    row.  (!=42 never fires; xxhash64 avoids ANSI sum overflow.)"""
-    return df.filter(
-        F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-        != F.lit(42)
-    )
+    is 1 without executing it).  The barrier itself is bench.py's
+    ``forced_materialization`` — ONE definition, so BENCH and SCALING
+    numbers stay comparable by construction."""
+    from bench import forced_materialization
+
+    return forced_materialization(df)
 
 
 def _lines_full(spark, d):

@@ -159,7 +159,10 @@ def run_phase(provider: str, changelog: bool, data_dir: str,
         "commit_ms": commit_ms,
         "state_rows": rows_total,
         "first_addBatch_ms": int(first.get("addBatch", 0)),
-        "first_total_ms": int(sum(v for v in first.values())),
+        # triggerExecution IS the whole batch duration; summing every
+        # durationMs entry double-counts its constituents (r10
+        # self-review #2 — the first probe table read ~2x real)
+        "first_total_ms": int(first.get("triggerExecution", 0)),
         "rocksdb_files_copied": copied_files,
         "rocksdb_mb_copied": round(copied_bytes / 1e6, 1),
     }
