@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # (b) ROTATION — the 18 r6-vintage deferrals ledgered last round (the
 # whole scalar/scan/similarity/streaming/sampling block below), then
-# 26 of the 43 r7-vintage entries (3 rounds old).  17 r7 entries defer
+# 25 of the 43 r7-vintage entries (3 rounds old).  18 r7 entries defer
 # to round 11, chosen for the strongest independent coverage:
 # dedup_ngram_jaccard + text_doc_profile are bench-run every round;
 # distinct_sort_limit, set_ops_suite, anti_join_customers,
@@ -66,13 +66,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg_correlation, text_edit_distance, split_train_val_test,
 # text_top_tokens, events_outlier_zscore, domain_mix_sample,
 # embedding_quantize_int8, curation_token_budget_select,
-# sequence_pack_bins are simple deterministic shapes with direct
-# pytest twins — all green in this round's local tri-SF sweeps.
-# curation_token_budget_select's and sequence_pack_bins's slots go to
-# the two entries NEW this round (first attestations outrank a 4th
-# re-attestation of a pytest-pinned deterministic shape):
-# dedup_lines_corpus (CCNet line-level dedup) and
-# curation_epoch_shuffle (seeded per-epoch training order).
+# sequence_pack_bins, streaming_foreach_batch_merge are simple
+# deterministic shapes with direct pytest twins (the foreachBatch
+# merge additionally has the engine-driven exactly-once replay suite
+# in test_txn_sink) — all green in this round's local tri-SF sweeps.
+# Three of those slots go to the entries NEW this round (first
+# attestations outrank a 4th re-attestation of a pytest-pinned
+# deterministic shape): dedup_lines_corpus (CCNet line-level dedup),
+# curation_epoch_shuffle (seeded per-epoch training order), and
+# streaming_lines_ingest (growing line-frequency index — the
+# streaming twin of line dedup, transition batch value-checked).
 _WINDOW = [
     # -- changed r9, never driver-attested since (verdict ask #1) --------
     "q9_profit_by_nation_year",
@@ -82,6 +85,7 @@ _WINDOW = [
     "similarity_ann_recall_floors",
     "dedup_lines_corpus",
     "curation_epoch_shuffle",
+    "streaming_lines_ingest",
     # -- r6 vintage: the 18 documented deferrals, due first ---------------
     "sampling_weighted_systematic",
     "scalar_suite_orders",
@@ -101,12 +105,11 @@ _WINDOW = [
     "streaming_stateful_user_stats",
     "udaf_geomean_price",
     "window_rank_topk",
-    # -- r7 vintage (26 of 43; weakest independent coverage first) --------
+    # -- r7 vintage (25 of 43; weakest independent coverage first) --------
     "semistructured_suite",
     "agg_stats_percentiles",
     "join_bucketed_dim",
     "window_range_frame",
-    "streaming_foreach_batch_merge",
     "streaming_stateful_tws",
     "streaming_interval_join",
     "text_quality_classifier",

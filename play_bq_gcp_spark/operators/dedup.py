@@ -1249,6 +1249,50 @@ def semantic_dedup(
     )
 
 
+def lined_view(documents: DataFrame) -> DataFrame:
+    """``doc_id, line_no, raw_line, line_h`` for every token-bearing
+    line of ``text`` — the shared line surface behind ``line_dedup``
+    and the streaming line-frequency ingest.  Lines split on ``\n``,
+    normalize through the shared ``tokens()`` expression, and key on
+    the md5 of the normalized form; token-free lines are dropped
+    (they carry nothing trainable).  Map-only, no shuffle."""
+    return (
+        documents.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+            ).alias("line_no", "raw_line"),
+        )
+        .withColumn("norm", F.array_join(tokens(F.col("raw_line")), " "))
+        .filter(F.col("norm") != "")
+        .withColumn("line_h", F.md5("norm"))
+    )
+
+
+def mark_rebuild(lined: DataFrame, drop: DataFrame) -> DataFrame:
+    """ONE pass from a line view + a (tiny) drop set to per-doc
+    results: left join the drop set (a NULL mark means the line
+    survives), then a single per-doc aggregate computes the total line
+    count, the survivor count, and the in-order reconstruction
+    together (``collect_list`` skips the NULLed-out dropped lines).
+    ``drop`` must expose ``line_h`` and a non-null ``_bp`` marker."""
+    marked = lined.join(drop, "line_h", "left")
+    keep_struct = F.when(
+        F.col("_bp").isNull(), F.struct("line_no", "raw_line")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(keep_struct).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(keep_struct)),
+                lambda s: s["raw_line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+
+
 def line_dedup(
     documents: DataFrame,
     min_doc_frac: float = 0.01,
@@ -1315,17 +1359,7 @@ def line_dedup(
     Output: ``doc_id, n_lines, n_kept, cleaned_fp`` sorted by doc_id;
     ``n_lines`` counts token-bearing lines only.
     """
-    lined = (
-        documents.select(
-            "doc_id",
-            F.posexplode(
-                F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
-            ).alias("line_no", "raw_line"),
-        )
-        .withColumn("norm", F.array_join(tokens(F.col("raw_line")), " "))
-        .filter(F.col("norm") != "")
-        .withColumn("line_h", F.md5("norm"))
-    )
+    lined = lined_view(documents)
     # Corpus-relative threshold: one 1-row aggregate, broadcast by the
     # cross join — never a driver collect.  count(1) prunes text, so
     # this branch never tokenizes.
@@ -1343,21 +1377,7 @@ def line_dedup(
         .filter(F.col("doc_freq") >= F.col("_thr"))
         .select("line_h", F.lit(True).alias("_bp"))
     )
-    marked = lined.join(drop, "line_h", "left")
-    keep_struct = F.when(
-        F.col("_bp").isNull(), F.struct("line_no", "raw_line")
-    )
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.count(keep_struct).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(keep_struct)),
-                lambda s: s["raw_line"],
-            ),
-            "\n",
-        ).alias("cleaned"),
-    )
+    per_doc = mark_rebuild(lined, drop)
     return (
         documents.select("doc_id")
         .join(per_doc, "doc_id", "left")

@@ -2967,3 +2967,180 @@ def similarity_ann_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
     correctness proven bit-for-bit, companion to
     ``similarity_ann_lsh_exact``."""
     return _sim.ivf_exact_topk(_t(spark, sf, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming line-level dedup against a growing line-frequency index
+# ---------------------------------------------------------------------------
+
+# A banner line that exists ONLY in the streamed slice, rare enough
+# (doc_id % 125 == 0) that its cumulative doc-frequency crosses the
+# min_doc_freq=3 bar MID-STREAM at sf0.01: batch 0 carries two
+# occurrences (kept — df 2 < 3), batch 1's occurrence trips the bar
+# (dropped from batch 1 on).  The transition batch is value-checked by
+# the oracle, not hand-waved; at other SFs the same rule lands
+# elsewhere (sf0.001: one occurrence, always kept; sf0.1: the bar
+# trips inside batch 0) and the oracle replays that too.
+_LINE_BANNER = (
+    "subscribe to our premium newsletter for exclusive daily updates"
+)
+_LINES_MIN_DF = 3
+_LINES_N_BATCHES = 3
+_LINES_BATCH_DIRS: dict[tuple[str, int], str] = {}
+
+
+def _landed_line_batches(spark: SparkSession, sf: str, n_batches: int) -> str:
+    """Land the streamed slice (doc_id % 5 = 0) of the LINED corpus as
+    mtime-ordered single-file batches, batch = (doc_id div 5) % n —
+    the deterministic delivery discipline of streaming_ingest_dedup."""
+    import os
+    import shutil
+    import tempfile
+
+    from play_bq_gcp_spark.queries.llm import lined_fixture_corpus
+    from play_bq_gcp_spark.scratch import scratch_dir
+
+    key = (sf, n_batches)
+    if key not in _LINES_BATCH_DIRS:
+        d = scratch_dir("line_batches_")
+        lined = lined_fixture_corpus(
+            _t(spark, sf, "documents").select("doc_id", "text")
+        )
+        streamed = lined.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 125 == 0,
+                F.concat(F.col("text"), F.lit("\n" + _LINE_BANNER)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            (F.expr("doc_id div 5") % n_batches).alias("b"),
+        )
+        for i in range(n_batches):
+            part = streamed.filter(F.col("b") == i).drop("b")
+            tmp = tempfile.mkdtemp(prefix="line_tmp_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(d, f"batch_{i:02d}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        _LINES_BATCH_DIRS[key] = d
+    return _LINES_BATCH_DIRS[key]
+
+
+def _lines_ingest_oracle(n_batches: int, min_df: int) -> str:
+    """Unrolled SQL restatement of the streaming line-frequency dedup:
+    a streamed line in batch b is dropped iff its distinct-doc count
+    over seed (b = -1) plus batches <= b reaches the bar — exactly the
+    growing-index rule of streaming/ingest.run_line_stream, including
+    within-batch counting (the batch's own occurrences land in the
+    index before its drop set is computed).  Lines built from the
+    shared tokens() stream are already normalized, so the raw line IS
+    the dedup key (same identity argument as dedup_lines_corpus)."""
+    from play_bq_gcp_spark.queries.llm import (
+        _LINE_FTR,
+        _LINE_HDR,
+        _SQL_TOKS,
+    )
+
+    return f"""
+    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+    seg AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                    ELSE list_transform(
+                        range(0, cast(ceil(len(tk) / 10.0) AS int)),
+                        i -> array_to_string(
+                            list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))
+               END AS body
+        FROM base
+    ),
+    built AS (
+        SELECT doc_id,
+               list_concat(
+                   list_concat(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ['{_LINE_HDR}'] ELSE []::VARCHAR[] END,
+                       body),
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ['{_LINE_FTR}'] ELSE []::VARCHAR[] END
+               ) AS lines
+        FROM seg
+    ),
+    withban AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 125 = 0 AND doc_id % 5 = 0
+                    THEN list_concat(lines, ['{_LINE_BANNER}'])
+                    ELSE lines END AS lines
+        FROM built
+    ),
+    lined AS (
+        SELECT doc_id,
+               generate_subscripts(lines, 1) AS line_no,
+               unnest(lines) AS raw_line
+        FROM withban
+    ),
+    tagged AS (
+        SELECT doc_id, line_no, raw_line,
+               CASE WHEN doc_id % 5 <> 0 THEN -1
+                    ELSE CAST((doc_id // 5) % {n_batches} AS int) END AS b
+        FROM lined WHERE raw_line <> ''
+    ),
+    counts AS (
+        SELECT raw_line AS s, b, count(DISTINCT doc_id) AS c
+        FROM tagged GROUP BY 1, 2
+    ),
+    stream_lined AS (SELECT * FROM tagged WHERE b >= 0),
+    dfb AS (
+        SELECT l.doc_id, l.line_no, l.raw_line,
+               coalesce(sum(c.c), 0) AS df
+        FROM stream_lined l
+        LEFT JOIN counts c ON c.s = l.raw_line AND c.b <= l.b
+        GROUP BY l.doc_id, l.line_no, l.raw_line
+    ),
+    kept AS (SELECT * FROM dfb WHERE df < {min_df}),
+    reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(raw_line, chr(10) ORDER BY line_no) AS cleaned
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT doc_id, count(*) AS n_lines FROM stream_lined GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           coalesce(t.n_lines, 0) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           md5(coalesce(r.cleaned, '')) AS cleaned_fp
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) u
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN reb r USING (doc_id)
+    ORDER BY u.doc_id
+    """
+
+
+@register(
+    "streaming_lines_ingest",
+    _lines_ingest_oracle(_LINES_N_BATCHES, _LINES_MIN_DF),
+)
+def streaming_lines_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming line-level dedup against a GROWING line-frequency
+    index (streaming/ingest.run_line_stream): the lined corpus's
+    seed slice (doc_id % 5 != 0) initializes the index, three
+    deterministic micro-batches of streamed docs follow, and a line is
+    stripped from the batch it's in once its cumulative distinct-doc
+    count (seed + batches so far, own batch included) reaches
+    min_doc_freq=3.  Seed boilerplate (header/footer) is dropped from
+    batch 0; the stream-only banner line crosses the bar mid-stream,
+    and the oracle unrolls the exact rule — transition batch included."""
+    from play_bq_gcp_spark.queries.llm import lined_fixture_corpus
+    from play_bq_gcp_spark.streaming.ingest import run_line_stream
+
+    lined = lined_fixture_corpus(
+        _t(spark, sf, "documents").select("doc_id", "text")
+    )
+    seed = lined.filter(F.col("doc_id") % 5 != 0)
+    batches = _landed_line_batches(spark, sf, _LINES_N_BATCHES)
+    return run_line_stream(
+        spark, batches, seed, min_doc_freq=_LINES_MIN_DF
+    ).orderBy("doc_id")

@@ -909,27 +909,25 @@ def _lines_corpus_oracle() -> str:
     """
 
 
-@register("dedup_lines_corpus", _lines_corpus_oracle())
-def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet-style line-level dedup (operators/dedup.line_dedup): drop
-    lines whose normalized form appears in >= max(2, 1% of docs)
-    distinct documents, reconstruct the survivors in order.  Linear:
-    one shuffle on the line digest, one on doc_id, AQE-sized anti
-    join for the (tiny) boilerplate drop set."""
-    from play_bq_gcp_spark.operators.dedup import line_dedup
+def lined_fixture_corpus(d: DataFrame) -> DataFrame:
+    """The deterministic lined-corpus construction shared by
+    ``dedup_lines_corpus`` and the streaming ``streaming_lines_ingest``
+    entry: the normalized token stream segments into 10-token body
+    lines, the cookie-banner header prepends to every doc_id % 3 == 0,
+    the footer appends to every doc_id % 4 == 0, and the lines join
+    with newlines.  Both engines replay this expression-for-expression.
+
+    Materialize the token array as a COLUMN before the line windows
+    reference it: the naive inline form re-expands the tokens()
+    regexp tree at every reference inside the transform/when nest
+    (CollapseProject keeps the projection because tokens() is
+    non-cheap and multiply referenced), and measured 30s for 50k
+    docs at the r10 scale probe before this split.  Each CASE branch
+    below appears exactly once so the nest stays reference-shaped."""
     from play_bq_gcp_spark.operators.text import tokens
 
     K = 10
-    # Materialize the token array as a COLUMN before the line windows
-    # reference it: the naive inline form re-expands the tokens()
-    # regexp tree at every reference inside the transform/when nest
-    # (CollapseProject keeps the projection because tokens() is
-    # non-cheap and multiply referenced), and measured 30s for 50k
-    # docs at the r10 scale probe before this split.  Each CASE branch
-    # below appears exactly once so the nest stays reference-shaped.
-    tk_df = _t(spark, sf, "documents").select(
-        "doc_id", tokens("text").alias("tk")
-    )
+    tk_df = d.select("doc_id", tokens("text").alias("tk"))
     tk = F.col("tk")
     n_seg = F.floor((F.size(tk) + K - 1) / K).cast("int")
     body = F.when(
@@ -950,7 +948,19 @@ def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
             empty
         ),
     )
-    lined_corpus = tk_df.select(
-        "doc_id", F.array_join(lines, "\n").alias("text")
+    return tk_df.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@register("dedup_lines_corpus", _lines_corpus_oracle())
+def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style line-level dedup (operators/dedup.line_dedup): drop
+    lines whose normalized form appears in >= max(2, 1% of docs)
+    distinct documents, reconstruct the survivors in order.  Linear:
+    one shuffle on the line digest, one on doc_id, AQE-sized anti
+    join for the (tiny) boilerplate drop set."""
+    from play_bq_gcp_spark.operators.dedup import line_dedup
+
+    lined_corpus = lined_fixture_corpus(
+        _t(spark, sf, "documents").select("doc_id", "text")
     )
     return line_dedup(lined_corpus).orderBy("doc_id")

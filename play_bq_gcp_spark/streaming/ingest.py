@@ -139,3 +139,109 @@ def streaming_incremental_dedup(
     )
     batches = _landed_batches(spark, sf_dir, n_batches)
     return run_ingest_stream(spark, batches, corpus, threshold=threshold)
+
+
+def run_line_stream(
+    spark: SparkSession,
+    batches_dir: str,
+    seed: DataFrame,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """Streaming line-level dedup against a GROWING line-frequency
+    index — the streaming twin of ``operators/dedup.line_dedup`` and
+    the production shape of CCNet-style boilerplate removal on a live
+    crawl: a line becomes boilerplate the moment its CUMULATIVE
+    distinct-document count (seed corpus + every micro-batch so far,
+    including the current one) reaches ``min_doc_freq``, and from that
+    batch on it is stripped from incoming documents.
+
+    Per micro-batch (one landed file per trigger, mtime order):
+
+      1. the batch's line view (shared ``lined_view``) appends its
+         per-line distinct-doc counts to the frequency index — plain
+         parquet appends of ``(line_h, c)`` rows, summed on read, so
+         state lives in the index table and never in executor memory
+         (the ``streaming_ingest_dedup`` discipline; a production
+         deployment would compact the index periodically);
+      2. lines whose cumulative count clears the bar form the batch's
+         drop set (tiny — the boilerplate vocabulary), and the shared
+         ``mark_rebuild`` pass emits per-doc verdicts
+         (``n_lines, n_kept, cleaned_fp``).
+
+    Streaming trade-off, by design: a boilerplate line's FIRST
+    ``min_doc_freq - 1`` sightings are already emitted when the bar
+    trips — earlier batches are not retroactively re-cleaned (batch
+    outputs are append-only facts).  The batch operator re-levels at
+    rest; the differential oracle unrolls exactly this rule, so the
+    transition batch is value-checked, not hand-waved.
+
+    The bar is ABSOLUTE here, not corpus-relative: a relative bar
+    moves every batch, which makes early emissions incomparable run
+    to run; production recomputes the relative bar offline (the batch
+    operator) and ships the resulting absolute threshold to the
+    stream.
+    """
+    from play_bq_gcp_spark.operators.dedup import lined_view, mark_rebuild
+
+    work = scratch_dir("lines_run_")
+    freq_dir = os.path.join(work, "freq")
+    out_dir = os.path.join(work, "out")
+    (
+        lined_view(seed.select("doc_id", "text"))
+        .groupBy("line_h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .write.parquet(freq_dir)
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # reused by the freq append AND the mark pass — checkpoint so
+        # the batch tokenizes once
+        lined = lined_view(batch_df).localCheckpoint(eager=True)
+        (
+            lined.groupBy("line_h")
+            .agg(F.countDistinct("doc_id").alias("c"))
+            .write.mode("append")
+            .parquet(freq_dir)
+        )
+        freq = (
+            s.read.parquet(freq_dir)
+            .groupBy("line_h")
+            .agg(F.sum("c").alias("df"))
+        )
+        drop = freq.filter(F.col("df") >= int(min_doc_freq)).select(
+            "line_h", F.lit(True).alias("_bp")
+        )
+        per_doc = mark_rebuild(lined, drop)
+        out = (
+            batch_df.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
+                    "n_lines"
+                ),
+                F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
+                    "n_kept"
+                ),
+                F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
+                    "cleaned_fp"
+                ),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

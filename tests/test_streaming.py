@@ -751,3 +751,57 @@ def test_funnel_fsm_every_transition_hand_corpus(spark, tmp_path):
         # user 5 (click with no view) and user 6 (horizon 380 beyond
         # the final watermark 280) emit nothing
     }
+
+
+def test_line_stream_drops_line_only_after_bar_trips(spark, tmp_path):
+    """run_line_stream growing-index semantics, pinned on a hand-built
+    corpus: the banner line's cumulative doc count is 2 after batch 0
+    (seed 1 + batch0 1 — below the bar of 3, so batch 0 KEEPS it) and
+    3 after batch 1 (bar trips, batch 1 drops it).  Earlier batches
+    are not retroactively re-cleaned — their emitted rows still carry
+    the banner, by design."""
+    import hashlib
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_line_stream
+
+    banner = "accept all cookies now"
+    seed = spark.createDataFrame(
+        [(1, banner + "\nseed body line")], "doc_id long, text string"
+    )
+    batches = [
+        [(10, banner + "\nalpha beta"), (11, "gamma delta")],
+        [(20, banner + "\nepsilon zeta")],
+        [(30, banner + "\neta theta")],
+    ]
+    d = str(tmp_path / "batches")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"b{i:02d}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f + ".dir")
+        part = next(
+            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
+        )
+        os.rename(os.path.join(f + ".dir", part), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out = {
+        r.doc_id: r
+        for r in run_line_stream(spark, d, seed, min_doc_freq=3).collect()
+    }
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # batch 0: banner cumulative df = 2 < 3 -> kept
+    assert (out[10].n_lines, out[10].n_kept) == (2, 2)
+    assert out[10].cleaned_fp == fp(banner + "\nalpha beta")
+    assert (out[11].n_lines, out[11].n_kept) == (1, 1)
+    # batch 1: df reaches 3 -> banner dropped from THIS batch on
+    assert (out[20].n_lines, out[20].n_kept) == (2, 1)
+    assert out[20].cleaned_fp == fp("epsilon zeta")
+    # batch 2: still dropped
+    assert (out[30].n_lines, out[30].n_kept) == (2, 1)
+    assert out[30].cleaned_fp == fp("eta theta")
