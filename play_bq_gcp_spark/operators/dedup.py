@@ -1293,6 +1293,27 @@ def mark_rebuild(lined: DataFrame, drop: DataFrame) -> DataFrame:
     )
 
 
+def finalize_line_outputs(universe: DataFrame, per_doc: DataFrame) -> DataFrame:
+    """The shared line-dedup output contract, applied once: left-join
+    the doc universe to a ``mark_rebuild`` result, zero-fill the
+    counts, and fingerprint the cleaned text (md5('') for docs with no
+    token-bearing or no surviving lines).  Used by both ``line_dedup``
+    and the streaming ``run_line_stream`` so the batch and streaming
+    twins cannot drift (r10 self-review)."""
+    return (
+        universe.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
+                "n_lines"
+            ),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
+        )
+    )
+
+
 def line_dedup(
     documents: DataFrame,
     min_doc_frac: float = 0.01,
@@ -1378,16 +1399,4 @@ def line_dedup(
         .select("line_h", F.lit(True).alias("_bp"))
     )
     per_doc = mark_rebuild(lined, drop)
-    return (
-        documents.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
-                "n_lines"
-            ),
-            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
-        )
-        .orderBy("doc_id")
-    )
+    return finalize_line_outputs(documents, per_doc).orderBy("doc_id")

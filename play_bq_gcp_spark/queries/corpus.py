@@ -2993,12 +2993,9 @@ def _landed_line_batches(spark: SparkSession, sf: str, n_batches: int) -> str:
     """Land the streamed slice (doc_id % 5 = 0) of the LINED corpus as
     mtime-ordered single-file batches, batch = (doc_id div 5) % n —
     the deterministic delivery discipline of streaming_ingest_dedup."""
-    import os
-    import shutil
-    import tempfile
-
     from play_bq_gcp_spark.queries.llm import lined_fixture_corpus
     from play_bq_gcp_spark.scratch import scratch_dir
+    from play_bq_gcp_spark.streaming.ingest import land_single_file_batches
 
     key = (sf, n_batches)
     if key not in _LINES_BATCH_DIRS:
@@ -3016,15 +3013,7 @@ def _landed_line_batches(spark: SparkSession, sf: str, n_batches: int) -> str:
             .alias("text"),
             (F.expr("doc_id div 5") % n_batches).alias("b"),
         )
-        for i in range(n_batches):
-            part = streamed.filter(F.col("b") == i).drop("b")
-            tmp = tempfile.mkdtemp(prefix="line_tmp_")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(d, f"batch_{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, src), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        land_single_file_batches(streamed, n_batches, d)
         _LINES_BATCH_DIRS[key] = d
     return _LINES_BATCH_DIRS[key]
 
@@ -3038,36 +3027,10 @@ def _lines_ingest_oracle(n_batches: int, min_df: int) -> str:
     index before its drop set is computed).  Lines built from the
     shared tokens() stream are already normalized, so the raw line IS
     the dedup key (same identity argument as dedup_lines_corpus)."""
-    from play_bq_gcp_spark.queries.llm import (
-        _LINE_FTR,
-        _LINE_HDR,
-        _SQL_TOKS,
-    )
+    from play_bq_gcp_spark.queries.llm import _LINES_FIXTURE_SQL
 
     return f"""
-    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
-    seg AS (
-        SELECT doc_id,
-               CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
-                    ELSE list_transform(
-                        range(0, cast(ceil(len(tk) / 10.0) AS int)),
-                        i -> array_to_string(
-                            list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))
-               END AS body
-        FROM base
-    ),
-    built AS (
-        SELECT doc_id,
-               list_concat(
-                   list_concat(
-                       CASE WHEN doc_id % 3 = 0
-                            THEN ['{_LINE_HDR}'] ELSE []::VARCHAR[] END,
-                       body),
-                   CASE WHEN doc_id % 4 = 0
-                        THEN ['{_LINE_FTR}'] ELSE []::VARCHAR[] END
-               ) AS lines
-        FROM seg
-    ),
+    WITH {_LINES_FIXTURE_SQL},
     withban AS (
         SELECT doc_id,
                CASE WHEN doc_id % 125 = 0 AND doc_id % 5 = 0

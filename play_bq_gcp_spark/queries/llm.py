@@ -846,9 +846,12 @@ _LINE_HDR = "please accept our cookie policy terms before continuing to read"
 _LINE_FTR = "copyright example site all rights reserved subscribe to our newsletter"
 
 
-def _lines_corpus_oracle() -> str:
-    return f"""
-    WITH base AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+# The base/seg/built lined-fixture construction, shared verbatim by
+# the batch oracle here and the streaming oracle in corpus.py (the
+# Spark twin is lined_fixture_corpus below) — ONE SQL copy, so a
+# fixture edit (K, header/footer rule) cannot silently diverge the
+# two oracles from the engine (r10 self-review).
+_LINES_FIXTURE_SQL = f"""base AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
     seg AS (
         SELECT doc_id,
                CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
@@ -870,7 +873,12 @@ def _lines_corpus_oracle() -> str:
                         THEN ['{_LINE_FTR}'] ELSE []::VARCHAR[] END
                ) AS lines
         FROM seg
-    ),
+    )"""
+
+
+def _lines_corpus_oracle() -> str:
+    return f"""
+    WITH {_LINES_FIXTURE_SQL},
     lined AS (
         SELECT doc_id,
                generate_subscripts(lines, 1) AS line_no,

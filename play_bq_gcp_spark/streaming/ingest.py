@@ -30,6 +30,29 @@ from play_bq_gcp_spark.scratch import scratch_dir
 _BATCH_DIRS: dict[tuple[str, int], str] = {}
 
 
+def land_single_file_batches(
+    df: DataFrame, n_batches: int, out_dir: str, b_col: str = "b"
+) -> None:
+    """Land ``df`` as ``n_batches`` single-file parquet batches (one
+    per value of ``b_col``), mtimes forced ascending so
+    FileStreamSource + ``maxFilesPerTrigger=1`` delivers batch order
+    deterministically — the ONE copy of the delivery-order mechanism
+    every differential-streaming fixture depends on (r10 self-review:
+    the landing loop existed verbatim in two harnesses)."""
+    import shutil
+    import tempfile
+
+    for i in range(n_batches):
+        part = df.filter(F.col(b_col) == i).drop(b_col)
+        tmp = tempfile.mkdtemp(prefix="land_tmp_")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"batch_{i:02d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def _landed_batches(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
     """Land the new-doc slice (doc_id % 5 = 0) as ``n_batches``
     single-file parquet chunks, batch ``(doc_id div 5) % n_batches``,
@@ -61,15 +84,7 @@ def _landed_batches(spark: SparkSession, sf_dir: str, n_batches: int) -> str:
             F.lit(min(2, n_batches - 1)).alias("b"),
         )
         docs = base.unionByName(recrawl)
-        for i in range(n_batches):
-            part = docs.filter(F.col("b") == i).drop("b")
-            tmp = tempfile.mkdtemp(prefix="ingest_tmp_")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-            dst = os.path.join(d, f"batch_{i:02d}.parquet")
-            shutil.move(os.path.join(tmp, src), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        land_single_file_batches(docs, n_batches, d)
         _BATCH_DIRS[key] = d
     return _BATCH_DIRS[key]
 
@@ -150,10 +165,25 @@ def run_line_stream(
     """Streaming line-level dedup against a GROWING line-frequency
     index — the streaming twin of ``operators/dedup.line_dedup`` and
     the production shape of CCNet-style boilerplate removal on a live
-    crawl: a line becomes boilerplate the moment its CUMULATIVE
-    distinct-document count (seed corpus + every micro-batch so far,
-    including the current one) reaches ``min_doc_freq``, and from that
-    batch on it is stripped from incoming documents.
+    crawl: a line becomes boilerplate the moment its CUMULATIVE count
+    (seed corpus + every micro-batch so far, including the current
+    one) reaches ``min_doc_freq``, and from that batch on it is
+    stripped from incoming documents.
+
+    The cumulative count is a SUM OF PER-BATCH DISTINCT-DOC COUNTS,
+    not a global distinct-document count: the index stores compact
+    ``(line_h, c)`` partials, never doc-granular rows, so a document
+    re-delivered with the SAME doc_id in a later batch counts its
+    lines once per batch.  That is deliberate — doc-granular state
+    would grow with the corpus (the thing this design avoids), every
+    re-appearance of a line is evidence of boilerplate regardless of
+    which doc carried it, and a crawl pipeline re-ingests under NEW
+    ids anyway (the shape ``streaming_ingest_dedup``'s re-crawl
+    batches model).  For exactly-once-per-doc streams the two
+    semantics coincide; the oracle replays the per-batch-sum rule
+    exactly (r10 self-review: the first docstring claimed 'distinct
+    documents', which this implementation does not promise across
+    batches).
 
     Per micro-batch (one landed file per trigger, mtime order):
 
@@ -181,7 +211,11 @@ def run_line_stream(
     operator) and ships the resulting absolute threshold to the
     stream.
     """
-    from play_bq_gcp_spark.operators.dedup import lined_view, mark_rebuild
+    from play_bq_gcp_spark.operators.dedup import (
+        finalize_line_outputs,
+        lined_view,
+        mark_rebuild,
+    )
 
     work = scratch_dir("lines_run_")
     freq_dir = os.path.join(work, "freq")
@@ -219,23 +253,9 @@ def run_line_stream(
             "line_h", F.lit(True).alias("_bp")
         )
         per_doc = mark_rebuild(lined, drop)
-        out = (
-            batch_df.select("doc_id")
-            .join(per_doc, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias(
-                    "n_lines"
-                ),
-                F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias(
-                    "n_kept"
-                ),
-                F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias(
-                    "cleaned_fp"
-                ),
-            )
-        )
-        out.write.mode("append").parquet(out_dir)
+        finalize_line_outputs(batch_df, per_doc).write.mode(
+            "append"
+        ).parquet(out_dir)
 
     q = (
         stream.writeStream.foreachBatch(handle)
