@@ -3095,7 +3095,10 @@ def streaming_lines_ingest(spark: SparkSession, sf: str) -> DataFrame:
     count (seed + batches so far, own batch included) reaches
     min_doc_freq=3.  Seed boilerplate (header/footer) is dropped from
     batch 0; the stream-only banner line crosses the bar mid-stream,
-    and the oracle unrolls the exact rule — transition batch included."""
+    and the oracle unrolls the exact rule — transition batch included.
+    compact_every=2 makes the index fold seed+b0+b1 into one summed
+    compaction before batch 2 runs, so this differential check spans a
+    compaction boundary (r11: value-neutrality attested, not assumed)."""
     from play_bq_gcp_spark.queries.llm import lined_fixture_corpus
     from play_bq_gcp_spark.streaming.ingest import run_line_stream
 
@@ -3105,5 +3108,5 @@ def streaming_lines_ingest(spark: SparkSession, sf: str) -> DataFrame:
     seed = lined.filter(F.col("doc_id") % 5 != 0)
     batches = _landed_line_batches(spark, sf, _LINES_N_BATCHES)
     return run_line_stream(
-        spark, batches, seed, min_doc_freq=_LINES_MIN_DF
+        spark, batches, seed, min_doc_freq=_LINES_MIN_DF, compact_every=2
     ).orderBy("doc_id")

@@ -46,7 +46,22 @@ def land_single_file_batches(
         part = df.filter(F.col(b_col) == i).drop(b_col)
         tmp = tempfile.mkdtemp(prefix="land_tmp_")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        src = next(
+            (f for f in os.listdir(tmp) if f.endswith(".parquet")), None
+        )
+        if src is None:
+            # Spark 4.1 lands a schema-only part file for a zero-row
+            # coalesce(1) write (pinned in test_streaming), so this
+            # only fires on an engine that emits NO file — name the
+            # batch instead of leaking a bare StopIteration (r10
+            # ADVICE)
+            raise ValueError(
+                f"land_single_file_batches: batch {i} of {n_batches} "
+                f"({b_col}=={i}) produced no parquet part file; this "
+                "Spark build emits no schema-only file for empty "
+                "partitions, so the batch cannot be landed "
+                "deterministically"
+            )
         dst = os.path.join(out_dir, f"batch_{i:02d}.parquet")
         shutil.move(os.path.join(tmp, src), dst)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -156,11 +171,72 @@ def streaming_incremental_dedup(
     return run_ingest_stream(spark, batches, corpus, threshold=threshold)
 
 
+_FREQ_SCHEMA = "line_h string, c long"
+
+
+def _freq_watermark(freq_dir: str) -> int:
+    """Highest compaction watermark present: ``compact_{w}`` holds the
+    summed counts of the seed plus batches ``0..w-1``."""
+    compacts = sorted(
+        n for n in os.listdir(freq_dir) if n.startswith("compact_")
+    )
+    return int(compacts[-1].rsplit("_", 1)[1])
+
+
+def _freq_view(spark: SparkSession, freq_dir: str) -> DataFrame:
+    """Current line-frequency partials: the newest compacted sum plus
+    every batch partial NOT yet absorbed by it.  The watermark in the
+    compact dir's name — not deletion of stale dirs — is what keeps
+    the view correct, so GC can lag (or a retried batch can rewrite an
+    already-absorbed partial) without double counting.
+
+    The listing is a driver-side ``os.listdir`` because the harness
+    targets a local filesystem; on an object store the same watermark
+    protocol runs off a prefix LIST (the names are the metadata)."""
+    w = _freq_watermark(freq_dir)
+    paths = [os.path.join(freq_dir, f"compact_{w:05d}")]
+    paths += [
+        os.path.join(freq_dir, n)
+        for n in os.listdir(freq_dir)
+        if n.startswith("batch_") and int(n.rsplit("_", 1)[1]) >= w
+    ]
+    return spark.read.schema(_FREQ_SCHEMA).parquet(*paths)
+
+
+def _compact_freq(spark: SparkSession, freq_dir: str, through: int) -> None:
+    """Fold the seed/previous compaction and batches ``<= through``
+    into one summed ``compact_{through+1}`` dir, then GC the absorbed
+    inputs.  Idempotent: a completed target (``_SUCCESS`` present) is
+    skipped on retry; a torn one (no ``_SUCCESS``) is rebuilt from the
+    still-live inputs.  Readers switch atomically — the new watermark
+    only exists once its data does, and until the GC runs they simply
+    keep reading the old compact + partials (same values)."""
+    import shutil
+
+    target = os.path.join(freq_dir, f"compact_{through + 1:05d}")
+    if os.path.exists(target):
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return
+        shutil.rmtree(target)
+    (
+        _freq_view(spark, freq_dir)
+        .groupBy("line_h")
+        .agg(F.sum("c").alias("c"))
+        .write.parquet(target)
+    )
+    for n in os.listdir(freq_dir):
+        if n.startswith("compact_") and n < os.path.basename(target):
+            shutil.rmtree(os.path.join(freq_dir, n), ignore_errors=True)
+        elif n.startswith("batch_") and int(n.rsplit("_", 1)[1]) <= through:
+            shutil.rmtree(os.path.join(freq_dir, n), ignore_errors=True)
+
+
 def run_line_stream(
     spark: SparkSession,
     batches_dir: str,
     seed: DataFrame,
     min_doc_freq: int = 3,
+    compact_every: int | None = 8,
 ) -> DataFrame:
     """Streaming line-level dedup against a GROWING line-frequency
     index — the streaming twin of ``operators/dedup.line_dedup`` and
@@ -187,12 +263,24 @@ def run_line_stream(
 
     Per micro-batch (one landed file per trigger, mtime order):
 
-      1. the batch's line view (shared ``lined_view``) appends its
-         per-line distinct-doc counts to the frequency index — plain
-         parquet appends of ``(line_h, c)`` rows, summed on read, so
-         state lives in the index table and never in executor memory
-         (the ``streaming_ingest_dedup`` discipline; a production
-         deployment would compact the index periodically);
+      1. the batch's line view (shared ``lined_view``) lands its
+         per-line distinct-doc counts as a ``batch_{id}`` partial dir
+         of ``(line_h, c)`` rows, summed on read, so state lives in
+         the index table and never in executor memory (the
+         ``streaming_ingest_dedup`` discipline).  Writing each batch's
+         partial to ITS OWN dir (overwrite, keyed by Spark's batch_id)
+         makes an at-least-once retry idempotent: a replayed batch
+         rewrites the same dir instead of appending a second copy
+         (r10 ADVICE).  Every ``compact_every`` batches the partials
+         fold into one summed ``compact_{w}`` dir whose NAME carries
+         the watermark (batches ``< w`` absorbed); the reader takes
+         the newest compaction plus only the partials past its
+         watermark, so per-batch read cost is O(vocabulary +
+         compact_every partials), bounded for an unbounded stream,
+         instead of O(total appends) (r10 verdict ask #2).  Compaction
+         is value-neutral by construction — sum of sums — and the
+         driver fixture crosses a boundary (compact_every=2 over 3
+         batches), so the differential oracle value-checks it;
       2. lines whose cumulative count clears the bar form the batch's
          drop set (tiny — the boilerplate vocabulary), and the shared
          ``mark_rebuild`` pass emits per-doc verdicts
@@ -220,11 +308,14 @@ def run_line_stream(
     work = scratch_dir("lines_run_")
     freq_dir = os.path.join(work, "freq")
     out_dir = os.path.join(work, "out")
+    os.makedirs(out_dir)
+    # the seed corpus's counts ARE the first compaction (watermark 0:
+    # zero stream batches absorbed yet)
     (
         lined_view(seed.select("doc_id", "text"))
         .groupBy("line_h")
         .agg(F.countDistinct("doc_id").alias("c"))
-        .write.parquet(freq_dir)
+        .write.parquet(os.path.join(freq_dir, "compact_00000"))
     )
 
     stream = (
@@ -235,27 +326,34 @@ def run_line_stream(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        # reused by the freq append AND the mark pass — checkpoint so
+        # reused by the freq partial AND the mark pass — checkpoint so
         # the batch tokenizes once
         lined = lined_view(batch_df).localCheckpoint(eager=True)
-        (
-            lined.groupBy("line_h")
-            .agg(F.countDistinct("doc_id").alias("c"))
-            .write.mode("append")
-            .parquet(freq_dir)
-        )
-        freq = (
-            s.read.parquet(freq_dir)
-            .groupBy("line_h")
-            .agg(F.sum("c").alias("df"))
-        )
-        drop = freq.filter(F.col("df") >= int(min_doc_freq)).select(
-            "line_h", F.lit(True).alias("_bp")
-        )
-        per_doc = mark_rebuild(lined, drop)
-        finalize_line_outputs(batch_df, per_doc).write.mode(
-            "append"
-        ).parquet(out_dir)
+        try:
+            (
+                lined.groupBy("line_h")
+                .agg(F.countDistinct("doc_id").alias("c"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(freq_dir, f"batch_{batch_id:05d}"))
+            )
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                _compact_freq(s, freq_dir, through=batch_id)
+            freq = (
+                _freq_view(s, freq_dir)
+                .groupBy("line_h")
+                .agg(F.sum("c").alias("df"))
+            )
+            drop = freq.filter(F.col("df") >= int(min_doc_freq)).select(
+                "line_h", F.lit(True).alias("_bp")
+            )
+            per_doc = mark_rebuild(lined, drop)
+            finalize_line_outputs(batch_df, per_doc).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch_{batch_id:05d}"))
+        finally:
+            # checkpoint blocks otherwise pin executor storage memory
+            # for the stream's lifetime (r10 ADVICE)
+            lined.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -264,4 +362,4 @@ def run_line_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, "batch_*"))

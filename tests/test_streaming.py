@@ -805,3 +805,153 @@ def test_line_stream_drops_line_only_after_bar_trips(spark, tmp_path):
     # batch 2: still dropped
     assert (out[30].n_lines, out[30].n_kept) == (2, 1)
     assert out[30].cleaned_fp == fp("eta theta")
+
+
+def _land_line_batches(spark, tmp_path, batches):
+    """Land hand-built (doc_id, text) batches as mtime-ordered
+    single-file parquet chunks (the existing test's landing idiom)."""
+    import os
+
+    d = str(tmp_path / "batches")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"b{i:02d}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f + ".dir")
+        part = next(
+            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
+        )
+        os.rename(os.path.join(f + ".dir", part), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def test_line_stream_compaction_is_value_neutral(spark, tmp_path):
+    """run_line_stream emits IDENTICAL verdicts whether the frequency
+    index never compacts, compacts every batch, or compacts mid-stream
+    — sum-of-sums neutrality attested across the transition batch
+    (the bar trips in batch 1, right at the compact_every=2 boundary)."""
+    banner = "accept all cookies now"
+    seed = spark.createDataFrame(
+        [(1, banner + "\nseed body line")], "doc_id long, text string"
+    )
+    batches = [
+        [(10, banner + "\nalpha beta"), (11, "gamma delta")],
+        [(20, banner + "\nepsilon zeta")],
+        [(30, banner + "\neta theta")],
+        [(40, banner + "\niota kappa"), (41, "alpha beta\ngamma delta")],
+    ]
+    d = _land_line_batches(spark, tmp_path, batches)
+
+    from play_bq_gcp_spark.streaming.ingest import run_line_stream
+
+    runs = {
+        ce: sorted(
+            map(
+                tuple,
+                run_line_stream(
+                    spark, d, seed, min_doc_freq=3, compact_every=ce
+                ).collect(),
+            )
+        )
+        for ce in (None, 1, 2)
+    }
+    assert runs[None] == runs[1] == runs[2]
+    # and the semantics are the intended ones, not three-way-equal junk:
+    by_id = {r[0]: r for r in runs[None]}
+    assert by_id[10][1:3] == (2, 2)  # batch 0: df=2 < 3, banner kept
+    assert by_id[20][1:3] == (2, 1)  # batch 1: bar trips, banner dropped
+    assert by_id[40][1:3] == (2, 1)  # still dropped after compaction
+
+
+def test_freq_index_watermark_protocol(spark, tmp_path):
+    """The compaction watermark protocol directly: absorbed partials
+    are excluded by NAME (so a retried batch rewriting a stale partial
+    cannot double count), a retried compaction is a no-op, and a torn
+    compaction target (no _SUCCESS) is rebuilt from the still-live
+    inputs."""
+    import os
+    import shutil
+
+    from play_bq_gcp_spark.streaming.ingest import (
+        _compact_freq,
+        _freq_view,
+        _freq_watermark,
+    )
+
+    freq = str(tmp_path / "freq")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "line_h string, c long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(freq, name))
+
+    def total():
+        return {
+            r.line_h: r.total
+            for r in _freq_view(spark, freq)
+            .groupBy("line_h")
+            .agg(F.sum("c").alias("total"))
+            .collect()
+        }
+
+    write("compact_00000", [("a", 2), ("b", 1)])
+    write("batch_00000", [("a", 1), ("c", 1)])
+    write("batch_00001", [("b", 3)])
+    assert total() == {"a": 3, "b": 4, "c": 1}
+
+    _compact_freq(spark, freq, through=1)
+    assert _freq_watermark(freq) == 2
+    assert sorted(os.listdir(freq)) == ["compact_00002"]
+    assert total() == {"a": 3, "b": 4, "c": 1}
+
+    # a retried already-absorbed batch rewrites its partial; the
+    # watermark reader must ignore it
+    write("batch_00001", [("b", 3)])
+    assert total() == {"a": 3, "b": 4, "c": 1}
+    # a retried compaction is a completed-target no-op
+    _compact_freq(spark, freq, through=1)
+    assert total() == {"a": 3, "b": 4, "c": 1}
+
+    # fresh partial past the watermark counts exactly once
+    write("batch_00002", [("a", 5)])
+    assert total() == {"a": 8, "b": 4, "c": 1}
+
+    # torn target: compact_00003 exists without _SUCCESS -> rebuilt
+    os.makedirs(os.path.join(freq, "compact_00003"))
+    _compact_freq(spark, freq, through=2)
+    assert os.path.exists(os.path.join(freq, "compact_00003", "_SUCCESS"))
+    assert sorted(os.listdir(freq))[-1] == "compact_00003"
+    assert total() == {"a": 8, "b": 4, "c": 1}
+    shutil.rmtree(freq)
+
+
+def test_land_single_file_batches_empty_batch_lands_schema_only(
+    spark, tmp_path
+):
+    """A zero-row batch partition lands as a schema-only parquet file
+    (Spark 4.1's coalesce(1) writes one even for empty data), so a
+    sparse b_col fixture gets a deterministic empty micro-batch rather
+    than an opaque StopIteration (r10 ADVICE; the named-ValueError
+    guard in the helper covers engine versions that emit no file)."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import land_single_file_batches
+
+    df = spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 2)], "doc_id long, text string, b int"
+    )
+    d = str(tmp_path / "land")
+    os.makedirs(d)
+    land_single_file_batches(df, 3, d)
+    files = sorted(os.listdir(d))
+    assert files == [f"batch_{i:02d}.parquet" for i in range(3)]
+    counts = [
+        spark.read.parquet(os.path.join(d, f)).count() for f in files
+    ]
+    assert counts == [1, 0, 1]
+    assert spark.read.parquet(os.path.join(d, files[1])).columns == [
+        "doc_id",
+        "text",
+    ]
