@@ -677,3 +677,58 @@ def test_read_pruned_timestamp_column(spark, table):
         .collect()
     )
     assert got == expect == [200, 201, 202]
+
+
+def test_overwrite_partitions_on_object_store_pairing(spark, table):
+    """Partition overwrite under the full object-store pairing:
+    ConditionalPutCommit for manifests AND CopyDeleteFilesystem for
+    the partition-aligned flatten (move = server-side copy + delete,
+    no rename primitive) — the r10 verdict #4 portability claim,
+    exercised end to end instead of asserted in a docstring."""
+    tt.set_commit_strategy(table, tt.ConditionalPutCommit())
+    tt.set_table_filesystem(table, tt.CopyDeleteFilesystem())
+    try:
+        base = tt.overwrite_partitions(
+            spark,
+            _pdf(
+                spark,
+                [(d, 10 * d + i, 0) for d in (1, 2) for i in range(3)],
+            ),
+            table,
+            "day",
+        )
+        # every landed file is flat (no hive-style __pp= dirs survive)
+        # and partition-aligned (min == max in its day stats)
+        assert all(
+            base.file_stats[f]["cols"]["day"][0]
+            == base.file_stats[f]["cols"]["day"][1]
+            for f in base.files
+        )
+        data_root = os.path.join(table, "data")
+        for commit in os.listdir(data_root):
+            assert not any(
+                n.startswith("__pp=")
+                for n in os.listdir(os.path.join(data_root, commit))
+            )
+        upd = tt.overwrite_partitions(
+            spark, _pdf(spark, [(2, 77, 5)]), table, "day"
+        )
+        got = {(r.day, r.id, r.v) for r in tt.read(spark, table).collect()}
+        assert got == {(1, 10, 0), (1, 11, 0), (1, 12, 0), (2, 77, 5)}
+        # untouched day-1 files carried over by reference
+        day1 = {
+            f
+            for f in base.files
+            if base.file_stats[f]["cols"]["day"] == [1, 1]
+        }
+        assert day1 <= set(upd.files)
+        # time travel still reads the pre-replace day-2 rows
+        assert (
+            tt.read(spark, table, version=base.version)
+            .filter("day = 2")
+            .count()
+            == 3
+        )
+    finally:
+        tt.set_commit_strategy(table, None)
+        tt.set_table_filesystem(table, None)
