@@ -74,6 +74,53 @@ AUDIT = [
 ]
 
 
+def _lines_ingest_batch_plan(spark, sf_dir):
+    """The static restatement of run_line_stream's foreachBatch body
+    (one micro-batch: partial counts unioned into the index view, drop
+    set, mark+rebuild, finalize) so the streaming entry's per-batch
+    plan shows up in the audit table (r10 verdict #6).  Matches
+    streaming/ingest.handle() operator-for-operator; the real stream
+    reads the index from parquet where this unions it inline."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.dedup import (
+        finalize_line_outputs,
+        lined_view,
+        mark_rebuild,
+    )
+    from play_bq_gcp_spark.queries.llm import lined_fixture_corpus
+
+    docs = lined_fixture_corpus(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    seed = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = (
+        lined_view(seed)
+        .groupBy("line_h")
+        .agg(F.countDistinct("doc_id").alias("c"))
+    )
+    lined = lined_view(batch)
+    partial = lined.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("c")
+    )
+    freq = (
+        index.unionByName(partial)
+        .groupBy("line_h")
+        .agg(F.sum("c").alias("df"))
+    )
+    drop = freq.filter(F.col("df") >= 3).select(
+        "line_h", F.lit(True).alias("_bp")
+    )
+    return finalize_line_outputs(batch, mark_rebuild(lined, drop))
+
+
+EXTRA = {
+    "streaming_lines_ingest (batch fn)": _lines_ingest_batch_plan,
+}
+
+
 def audit_one(df) -> dict:
     df.collect()  # finalize THIS plan under AQE (count() would build a
     # separate query execution and leave this one isFinalPlan=false)
@@ -105,13 +152,18 @@ def main() -> None:
     from play_bq_gcp_spark.session import get_spark
 
     spark = get_spark(app_name="plan_audit", shuffle_partitions=8)
+    stamp = _stamp(sf_dir)
     lines = [
+        stamp,
+        "",
         "| query | Exchanges | of which Broadcast | WSCG spans | "
         "FileScans | pushed filters | Python ops |",
         "| --- | --- | --- | --- | --- | --- | --- |",
     ]
-    for name in AUDIT:
-        df = q.QUERIES[name](spark, sf_dir)
+    for name, fn in list({n: q.QUERIES[n] for n in AUDIT}.items()) + list(
+        EXTRA.items()
+    ):
+        df = fn(spark, sf_dir)
         a = audit_one(df)
         lines.append(
             f"| {name} | {a['exchanges']} | {a['broadcasts']} "
@@ -121,12 +173,15 @@ def main() -> None:
     table = "\n".join(lines)
     print(table)
     if out_md:
-        # replace only the table block if the doc already exists, so
-        # the surrounding prose ("Reading the table") survives re-runs
+        # replace only the stamp + table block if the doc already
+        # exists, so the surrounding prose ("Reading the table")
+        # survives re-runs
         if os.path.exists(out_md):
             doc = open(out_md).read()
-            start = doc.find("| query |")
-            end = doc.find("\n\n", start)
+            start = doc.find("_Generated:")
+            if start < 0:
+                start = doc.find("| query |")
+            end = doc.find("\n\n", doc.find("| query |", start))
             if start >= 0:
                 doc = doc[:start] + table + (doc[end:] if end >= 0 else "\n")
                 with open(out_md, "w") as f:
@@ -134,6 +189,39 @@ def main() -> None:
                 return
         with open(out_md, "w") as f:
             f.write(table + "\n")
+
+
+def _stamp(sf_dir: str) -> str:
+    """Round + date + git head the table was generated at — the round
+    is inferred as max(CORRECTNESS_r*)+1, i.e. the round in progress
+    (the r10 audit shipped under an 'r9 run' header because the stamp
+    was hand-maintained; r10 verdict #6)."""
+    import datetime
+    import glob
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    try:
+        sha = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.strip()
+        )
+    except Exception:  # noqa: BLE001
+        sha = "unknown"
+    return (
+        f"_Generated: round {rnd} in progress, "
+        f"{datetime.date.today().isoformat()}, git {sha}, {sf_dir}._"
+    )
 
 
 if __name__ == "__main__":
