@@ -237,6 +237,7 @@ def run_line_stream(
     seed: DataFrame,
     min_doc_freq: int = 3,
     compact_every: int | None = 8,
+    on_batch=None,
 ) -> DataFrame:
     """Streaming line-level dedup against a GROWING line-frequency
     index — the streaming twin of ``operators/dedup.line_dedup`` and
@@ -325,6 +326,9 @@ def run_line_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.monotonic()
         s = batch_df.sparkSession
         # reused by the freq partial AND the mark pass — checkpoint so
         # the batch tokenizes once
@@ -354,6 +358,11 @@ def run_line_stream(
             # checkpoint blocks otherwise pin executor storage memory
             # for the stream's lifetime (r10 ADVICE)
             lined.unpersist()
+        if on_batch is not None:
+            # probe hook: (batch_id, seconds) — lets the many-batch
+            # scale probe record per-batch wall without restating the
+            # handler's logic out-of-line
+            on_batch(batch_id, time.monotonic() - t0)
 
     q = (
         stream.writeStream.foreachBatch(handle)

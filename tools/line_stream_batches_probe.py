@@ -1,0 +1,89 @@
+"""Many-batch probe for the streaming line-frequency index (r10
+verdict #2): with per-batch partial dirs, the read-side
+``groupBy(line_h).sum(c)`` re-aggregates every append ever made unless
+the index compacts — per-batch cost O(total partials).  The watermark
+compaction bounds it at O(vocabulary + compact_every partials).
+
+This probe streams the SAME corpus through ``run_line_stream`` twice —
+``compact_every=None`` (unbounded partial accumulation) vs the shipped
+``compact_every=8`` — over a 30-batch axis at sf0.1, records per-batch
+wall via the ``on_batch`` hook, and prints mean wall per batch-index
+decile for both arms plus a value check (identical verdict outputs).
+Flat deciles under compaction while the uncompacted arm drifts upward
+is the evidence SCALING.md documents.
+
+Usage:  python tools/line_stream_batches_probe.py [sf_dir] [n_batches]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.scratch import scratch_dir
+    from play_bq_gcp_spark.session import get_spark
+    from play_bq_gcp_spark.streaming.ingest import (
+        land_single_file_batches,
+        run_line_stream,
+    )
+
+    spark = get_spark(app_name="line_stream_probe", shuffle_partitions=8)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 10 == 0)
+    streamed = docs.filter(F.col("doc_id") % 10 != 0).withColumn(
+        "b", (F.col("doc_id") % n_batches).cast("int")
+    )
+    batches = scratch_dir("line_probe_batches_")
+    land_single_file_batches(streamed, n_batches, batches)
+
+    # compacted arm runs FIRST so it pays the JVM/session warmup —
+    # bias runs AGAINST the compaction claim, making flat deciles
+    # conservative evidence
+    results = {}
+    for label, ce in (("compact_every=8", 8), ("uncompacted", None)):
+        per_batch: list[tuple[int, float]] = []
+        t0 = time.monotonic()
+        out = run_line_stream(
+            spark,
+            batches,
+            seed,
+            min_doc_freq=5,
+            compact_every=ce,
+            on_batch=lambda i, s: per_batch.append((i, s)),
+        )
+        rows = sorted(map(tuple, out.collect()))
+        wall = time.monotonic() - t0
+        results[label] = (per_batch, rows, wall)
+        print(f"{label}: total {wall:.2f}s, {len(rows)} verdict rows")
+
+    a, b = results["uncompacted"], results["compact_every=8"]
+    assert a[1] == b[1], "compaction changed verdict values!"
+    print(f"value check: {len(a[1])} verdict rows identical across arms")
+
+    dec = max(1, n_batches // 3)
+    print("\n| batch window | uncompacted mean s/batch | compacted mean s/batch |")
+    print("| --- | --- | --- |")
+    for lo in range(0, n_batches, dec):
+        hi = min(n_batches, lo + dec)
+        am = [s for i, s in a[0] if lo <= i < hi]
+        bm = [s for i, s in b[0] if lo <= i < hi]
+        print(
+            f"| {lo}-{hi - 1} | {sum(am) / len(am):.3f} "
+            f"| {sum(bm) / len(bm):.3f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
