@@ -1359,3 +1359,150 @@ def ivf_exact_topk(
             Window.orderBy(F.col("d2").asc(), F.col("vec_id"))
         ),
     )
+
+
+IVFPQ_EXACT_RERANK = 4
+
+
+def ivfpq_exact_topk(
+    embeddings: DataFrame,
+    n_lists: int = IVF_EXACT_LISTS,
+    n_probe: int = IVF_EXACT_PROBE,
+    m: int = PQ_EXACT_M,
+    n_codes: int = PQ_EXACT_N_CODES,
+    scale: int = LSH_EXACT_SCALE,
+    query_id: int = LSH_EXACT_QUERY_ID,
+    k: int = LSH_EXACT_K,
+    rerank: int = IVFPQ_EXACT_RERANK,
+) -> DataFrame:
+    """Integer-exact IVF-PQ retrieval — the COMPOSED index
+    (``ivfpq_topk``'s coarse-prune -> ADC-rank -> exact-rerank
+    mechanics) made engine-portable end to end, closing the one ANN
+    layout whose composition was covered only by recall floors (r10
+    verdict #7): ``similarity_ann_ivf_exact`` proves the coarse prune
+    and ``similarity_pq_adc_exact`` proves the ADC ranking, but the
+    HANDOFF between them (probed-list candidate set feeding the ADC
+    sort feeding the bounded exact re-rank) is exactly where a
+    composed index breaks.
+
+    Same exactness discipline as the twins it composes: quantized
+    integer vectors, seed centroids/codebooks (first-n rows, no Lloyd
+    pass), integer-L2 argmin with first-index tie-break, integer ADC
+    LUT sums, and (adc, vec_id) / (d2, vec_id) total orders so both
+    engines sort identically.  No residual encoding, matching
+    ``ivfpq_topk`` (codes are over the full vector).
+
+    Scale shape identical to the float path: centroids/books/LUT ride
+    as literals (two bounded first-n collects), assignment + encode are
+    map-only HOF passes, the probed-list filter prunes before any
+    ranking work, ADC top-(rerank*k) is TakeOrderedAndProject, and the
+    exact re-rank touches only those rerank*k survivors."""
+    from play_bq_gcp_spark.functions.vector import int_cube_lit, int_mat_lit
+
+    cents = _quantize_rows(embeddings, n_lists, scale)
+    seeds = _quantize_rows(embeddings, n_codes, scale)
+    qv = _quantized_query(embeddings, query_id, scale)
+    dim = len(qv)
+    d_sub = dim // m
+
+    def d2_py(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probed = sorted(
+        range(n_lists), key=lambda c: (d2_py(qv, cents[c]), c)
+    )[:n_probe]
+    books = [
+        [s[sub * d_sub : (sub + 1) * d_sub] for s in seeds]
+        for sub in range(m)
+    ]
+    lut = [
+        [d2_py(qv[sub * d_sub : (sub + 1) * d_sub], c) for c in books[sub]]
+        for sub in range(m)
+    ]
+
+    vq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    cents_lit = int_mat_lit(cents)
+    assign = bind(
+        vq,
+        lambda v: bind(
+            F.transform(
+                cents_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ),
+            ),
+            lambda dists: (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int"),
+        ),
+    )
+    books_lit = int_cube_lit(books)
+    codes = bind(
+        vq,
+        lambda v: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: bind(
+                F.slice(v, s * d_sub + 1, d_sub),
+                lambda sv: bind(
+                    F.element_at(books_lit, s + 1),
+                    lambda book: bind(
+                        F.transform(
+                            book,
+                            lambda c: F.aggregate(
+                                F.zip_with(
+                                    sv, c, lambda x, y: (x - y) * (x - y)
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x,
+                            ),
+                        ),
+                        lambda dists: (
+                            F.array_position(dists, F.array_min(dists)) - 1
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        ),
+    )
+    lut_lit = int_mat_lit(lut)
+    adc = bind(
+        codes,
+        lambda cs: F.aggregate(
+            F.zip_with(lut_lit, cs, lambda row, c: F.element_at(row, c + 1)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    candidates = (
+        embeddings.select(
+            "vec_id",
+            assign.alias("list_id"),
+            adc.alias("adc_dist"),
+            vq.alias("q"),
+        )
+        .filter(F.col("list_id").isin([int(c) for c in probed]))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
+        .limit(rerank * k)
+    )
+    ranked = (
+        candidates.select(
+            "vec_id",
+            "adc_dist",
+            _int_l2_to_lit(F.col("q"), qv).alias("d2"),
+        )
+        .orderBy(F.col("d2").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("d2").asc(), F.col("vec_id"))
+        ),
+    )

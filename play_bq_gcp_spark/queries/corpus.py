@@ -2969,6 +2969,122 @@ def similarity_ann_ivf_exact(spark: SparkSession, sf: str) -> DataFrame:
     return _sim.ivf_exact_topk(_t(spark, sf, "embeddings"))
 
 
+@register(
+    "similarity_ivfpq_adc_exact",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_sim.LSH_EXACT_SCALE})
+                                 AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT CAST(len(q) // {_sim.PQ_EXACT_M} AS BIGINT) AS d_sub
+      FROM base LIMIT 1
+    ),
+    el AS (
+      SELECT vec_id, ord - 1 AS pos, x
+      FROM (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS ord
+            FROM base)
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS cq
+      FROM base ORDER BY vec_id LIMIT {_sim.IVF_EXACT_LISTS}
+    ),
+    cel AS (
+      SELECT cid, ord - 1 AS pos, x
+      FROM (SELECT cid, unnest(cq) AS x, generate_subscripts(cq, 1) AS ord
+            FROM cents)
+    ),
+    cdists AS (
+      SELECT e.vec_id, c.cid,
+             CAST(sum((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS d2
+      FROM el e JOIN cel c ON e.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM cdists
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) = 1
+    ),
+    probed AS (
+      SELECT cid FROM cdists WHERE vec_id = {_sim.LSH_EXACT_QUERY_ID}
+      QUALIFY row_number() OVER (ORDER BY d2, cid)
+              <= {_sim.IVF_EXACT_PROBE}
+    ),
+    bucket AS (
+      SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probed)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, q AS sq
+      FROM base ORDER BY vec_id LIMIT {_sim.PQ_EXACT_N_CODES}
+    ),
+    elems AS (
+      SELECT vec_id, CAST((ord - 1) // d_sub AS INT) AS sub,
+             ord - 1 AS pos, x
+      FROM (SELECT vec_id, unnest(q) AS x,
+                   generate_subscripts(q, 1) AS ord FROM base), dims
+    ),
+    selems AS (
+      SELECT code, CAST((ord - 1) // d_sub AS INT) AS sub,
+             ord - 1 AS pos, x
+      FROM (SELECT code, unnest(sq) AS x,
+                   generate_subscripts(sq, 1) AS ord FROM seeds), dims
+    ),
+    pdists AS (
+      SELECT e.vec_id, e.sub, s.code,
+             CAST(sum((e.x - s.x) * (e.x - s.x)) AS BIGINT) AS d2
+      FROM elems e JOIN selems s ON e.pos = s.pos
+      GROUP BY 1, 2, 3
+    ),
+    passign AS (
+      SELECT vec_id, sub, code
+      FROM pdists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY d2, code) = 1
+    ),
+    lut AS (SELECT sub, code, d2 AS qd FROM pdists
+            WHERE vec_id = {_sim.LSH_EXACT_QUERY_ID}),
+    adc AS (
+      SELECT a.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc_dist
+      FROM passign a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT b.vec_id, adc.adc_dist
+      FROM bucket b JOIN adc USING (vec_id)
+      QUALIFY row_number() OVER (ORDER BY adc.adc_dist, b.vec_id)
+              <= {_sim.IVFPQ_EXACT_RERANK * _sim.LSH_EXACT_K}
+    ),
+    qel AS (SELECT pos, x FROM el WHERE vec_id = {_sim.LSH_EXACT_QUERY_ID}),
+    dist AS (
+      SELECT e.vec_id,
+             CAST(sum((e.x - qe.x) * (e.x - qe.x)) AS BIGINT) AS d2
+      FROM el e JOIN qel qe ON e.pos = qe.pos
+      WHERE e.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, c.adc_dist, d.d2,
+           CAST(row_number() OVER (ORDER BY d.d2, c.vec_id) AS INT) AS rank
+    FROM cand c JOIN dist d USING (vec_id)
+    QUALIFY rank <= {_sim.LSH_EXACT_K}
+    ORDER BY rank
+    """,
+)
+def similarity_ivfpq_adc_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed retrieval, oracle-replayed end to end
+    (operators/similarity.py:ivfpq_exact_topk): seed centroids prune to
+    the n_probe nearest lists, seed-codebook integer ADC ranks the
+    probed candidates, and only the adc-top rerank*k survivors get the
+    exact integer-L2 re-rank — the coarse-prune -> ADC -> re-rank
+    HANDOFF (the composition similarity_ann_ivf_exact and
+    similarity_pq_adc_exact each prove only half of) checked
+    bit-for-bit.  Completes the exact-twin family for all four ANN
+    layouts (r10 verdict #7)."""
+    return _sim.ivfpq_exact_topk(_t(spark, sf, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming line-level dedup against a growing line-frequency index
 # ---------------------------------------------------------------------------

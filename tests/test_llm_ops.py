@@ -2043,3 +2043,88 @@ def test_short_doc_whole_shingle_pairs(spark):
     nj = {(r.doc_a, r.doc_b) for r in
           dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()}
     assert (1, 2) in nj and (3, 4) in nj
+
+
+def test_ivfpq_exact_topk_full_python_model(spark):
+    """Integer-exact IVF-PQ composed retrieval vs a complete pure-
+    Python model of the pipeline (coarse argmin -> probed lists -> ADC
+    LUT sum -> top rerank*k -> exact integer-L2 re-rank): every output
+    column (vec_id, adc_dist, d2, rank) must match, proving the
+    coarse/ADC/re-rank HANDOFF, not just membership invariants."""
+    import math
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.similarity import (
+        IVF_EXACT_LISTS,
+        IVF_EXACT_PROBE,
+        IVFPQ_EXACT_RERANK,
+        LSH_EXACT_K,
+        LSH_EXACT_SCALE,
+        PQ_EXACT_M,
+        PQ_EXACT_N_CODES,
+        ivfpq_exact_topk,
+    )
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = [
+        (r.vec_id, r.adc_dist, r.d2, r.rank)
+        for r in ivfpq_exact_topk(emb).collect()
+    ]
+
+    vecs = {
+        int(r.vec_id): [
+            math.floor(float(x) * LSH_EXACT_SCALE) for x in r.embedding
+        ]
+        for r in emb.collect()
+    }
+    order = sorted(vecs)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    cents = [vecs[v] for v in order[:IVF_EXACT_LISTS]]
+    seeds = [vecs[v] for v in order[:PQ_EXACT_N_CODES]]
+    qv = vecs[0]
+    dim = len(qv)
+    d_sub = dim // PQ_EXACT_M
+    probed = set(
+        sorted(
+            range(IVF_EXACT_LISTS), key=lambda c: (d2(qv, cents[c]), c)
+        )[:IVF_EXACT_PROBE]
+    )
+    books = [
+        [s[sub * d_sub : (sub + 1) * d_sub] for s in seeds]
+        for sub in range(PQ_EXACT_M)
+    ]
+    lut = [
+        [d2(qv[sub * d_sub : (sub + 1) * d_sub], c) for c in books[sub]]
+        for sub in range(PQ_EXACT_M)
+    ]
+
+    def adc(v):
+        total = 0
+        for sub in range(PQ_EXACT_M):
+            sv = v[sub * d_sub : (sub + 1) * d_sub]
+            code = min(
+                range(PQ_EXACT_N_CODES),
+                key=lambda c: (d2(sv, books[sub][c]), c),
+            )
+            total += lut[sub][code]
+        return total
+
+    cand = sorted(
+        (
+            (adc(vecs[v]), v)
+            for v in order
+            if min(
+                range(IVF_EXACT_LISTS),
+                key=lambda c: (d2(vecs[v], cents[c]), c),
+            )
+            in probed
+        )
+    )[: IVFPQ_EXACT_RERANK * LSH_EXACT_K]
+    final = sorted((d2(vecs[v], qv), v, a) for a, v in cand)[:LSH_EXACT_K]
+    want = [
+        (v, a, dd, i + 1) for i, (dd, v, a) in enumerate(final)
+    ]
+    assert got == want
