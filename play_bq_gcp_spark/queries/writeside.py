@@ -580,3 +580,83 @@ def curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.curation import epoch_shuffle
 
     return epoch_shuffle(_t(spark, sf, "documents"))
+
+
+_EPOCH_STREAM_BATCHES = 3
+_EPOCH_STREAM_EPOCHS = 2
+_EPOCH_STREAM_SHARDS = 4
+_EPOCH_BATCH_DIRS: dict = {}
+
+
+def _epoch_stream_oracle() -> str:
+    """DuckDB twin of run_epoch_stream: same md5 key and 6-hex shard
+    fold as the batch oracle, with the streaming append rule unrolled —
+    cross-batch order is arrival (b = doc_id % n_batches, the fixture's
+    landing rule), within-batch order is (h, doc_id)."""
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    hexval = dig(1)
+    for p in range(2, 7):
+        hexval = f"({hexval} * 16 + {dig(p)})"
+    return f"""
+    WITH e AS (SELECT unnest(range(0, {_EPOCH_STREAM_EPOCHS})) AS epoch),
+    x AS (
+        SELECT e.epoch, d.doc_id,
+               CAST(d.doc_id % {_EPOCH_STREAM_BATCHES} AS INT) AS b,
+               md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                   CAST(d.doc_id AS VARCHAR)) AS h
+        FROM documents d, e
+    ),
+    s AS (
+        SELECT epoch, doc_id, b, h,
+               CAST({hexval} % {_EPOCH_STREAM_SHARDS} AS INTEGER) AS shard
+        FROM x
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch,
+           shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY b, h, doc_id
+           ) AS INTEGER) AS pos,
+           doc_id
+    FROM s
+    ORDER BY epoch, shard, pos
+    """
+
+
+@register("streaming_epoch_shuffle", _epoch_stream_oracle())
+def streaming_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch training orders built WHILE the corpus streams in
+    (streaming/ingest.run_epoch_stream): three deterministic
+    micro-batches (b = doc_id % 3) append to every epoch's shard
+    order — arrival order across batches, md5(epoch:id) within a
+    batch — with the per-(epoch, shard) offset state kept under the
+    same idempotent partial-dirs + watermark-compaction protocol as
+    the line-frequency index (compact_every=2, so the differential
+    crosses a compaction boundary).  The oracle unrolls the append
+    rule exactly; emitted positions are append-only facts, never
+    re-leveled (contrast curation_epoch_shuffle, which ranks at
+    rest)."""
+    from play_bq_gcp_spark.streaming.ingest import (
+        land_single_file_batches,
+        run_epoch_stream,
+    )
+
+    key = sf
+    if key not in _EPOCH_BATCH_DIRS:
+        d = scratch_dir("epoch_batches_")
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % _EPOCH_STREAM_BATCHES).alias("b"),
+        )
+        land_single_file_batches(docs, _EPOCH_STREAM_BATCHES, d)
+        _EPOCH_BATCH_DIRS[key] = d
+    return run_epoch_stream(
+        spark,
+        _EPOCH_BATCH_DIRS[key],
+        n_epochs=_EPOCH_STREAM_EPOCHS,
+        n_shards=_EPOCH_STREAM_SHARDS,
+        compact_every=2,
+    ).orderBy("epoch", "shard", "pos")

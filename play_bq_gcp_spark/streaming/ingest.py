@@ -183,12 +183,21 @@ def _freq_watermark(freq_dir: str) -> int:
     return int(compacts[-1].rsplit("_", 1)[1])
 
 
-def _freq_view(spark: SparkSession, freq_dir: str) -> DataFrame:
-    """Current line-frequency partials: the newest compacted sum plus
+def _freq_view(
+    spark: SparkSession,
+    freq_dir: str,
+    schema: str = _FREQ_SCHEMA,
+    keys: tuple = ("line_h",),
+    max_batch: int | None = None,
+) -> DataFrame:
+    """Current count-index partials: the newest compacted sum plus
     every batch partial NOT yet absorbed by it.  The watermark in the
     compact dir's name — not deletion of stale dirs — is what keeps
     the view correct, so GC can lag (or a retried batch can rewrite an
-    already-absorbed partial) without double counting.
+    already-absorbed partial) without double counting.  ``max_batch``
+    (exclusive) further restricts the partials — the epoch stream's
+    offset read needs "counts BEFORE this batch", which must resolve
+    identically on an at-least-once retry.
 
     The listing is a driver-side ``os.listdir`` because the harness
     targets a local filesystem; on an object store the same watermark
@@ -198,12 +207,20 @@ def _freq_view(spark: SparkSession, freq_dir: str) -> DataFrame:
     paths += [
         os.path.join(freq_dir, n)
         for n in os.listdir(freq_dir)
-        if n.startswith("batch_") and int(n.rsplit("_", 1)[1]) >= w
+        if n.startswith("batch_")
+        and int(n.rsplit("_", 1)[1]) >= w
+        and (max_batch is None or int(n.rsplit("_", 1)[1]) < max_batch)
     ]
-    return spark.read.schema(_FREQ_SCHEMA).parquet(*paths)
+    return spark.read.schema(schema).parquet(*paths)
 
 
-def _compact_freq(spark: SparkSession, freq_dir: str, through: int) -> None:
+def _compact_freq(
+    spark: SparkSession,
+    freq_dir: str,
+    through: int,
+    schema: str = _FREQ_SCHEMA,
+    keys: tuple = ("line_h",),
+) -> None:
     """Fold the seed/previous compaction and batches ``<= through``
     into one summed ``compact_{through+1}`` dir, then GC the absorbed
     inputs.  Idempotent: a completed target (``_SUCCESS`` present) is
@@ -219,8 +236,8 @@ def _compact_freq(spark: SparkSession, freq_dir: str, through: int) -> None:
             return
         shutil.rmtree(target)
     (
-        _freq_view(spark, freq_dir)
-        .groupBy("line_h")
+        _freq_view(spark, freq_dir, schema, keys)
+        .groupBy(*keys)
         .agg(F.sum("c").alias("c"))
         .write.parquet(target)
     )
@@ -363,6 +380,142 @@ def run_line_stream(
             # scale probe record per-batch wall without restating the
             # handler's logic out-of-line
             on_batch(batch_id, time.monotonic() - t0)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "batch_*"))
+
+
+_EPOCH_COUNTS_SCHEMA = "epoch int, shard int, c long"
+
+
+def run_epoch_stream(
+    spark: SparkSession,
+    batches_dir: str,
+    n_epochs: int = 2,
+    n_shards: int = 4,
+    compact_every: int | None = 8,
+) -> DataFrame:
+    """Streaming twin of ``operators/curation.epoch_shuffle``: the
+    corpus arrives in micro-batches WHILE the per-epoch training
+    orders are being built — the shape of starting epoch scheduling
+    before a crawl finishes.  Each batch's docs append to every
+    epoch's shard order: cross-batch order is arrival (batch id),
+    within-batch order is the same ``md5(epoch:id)`` key and 6-hex
+    shard fold as the batch operator, so every emitted
+    ``(epoch, shard, pos)`` is an append-only fact a training loader
+    can consume mid-crawl (positions never re-level; contrast the
+    batch operator, which ranks the corpus at rest).
+
+    State is the per-(epoch, shard) emitted-count table — bounded at
+    ``n_epochs * n_shards`` rows regardless of corpus size — kept with
+    the same idempotent partial-dirs + watermark-compaction protocol
+    as ``run_line_stream``'s line index: batch partials land in their
+    own ``batch_{id}`` dir (a retry rewrites, never appends), and the
+    OFFSET read takes strictly-prior batches only (``max_batch``), so
+    a replayed batch computes identical positions.  Compaction runs at
+    batch START over strictly-prior partials — compacting the current
+    batch's own partial would fold it into the watermark and
+    double-count offsets on a retry.
+
+    Per batch: one shard-local window rank (the only wide stage —
+    same plan as the batch operator) plus a broadcast-sized offset
+    join; no global sort, no driver-side state.
+    """
+    from play_bq_gcp_spark.operators.curation import _md5_fold
+
+    work = scratch_dir("epoch_run_")
+    counts_dir = os.path.join(work, "counts")
+    out_dir = os.path.join(work, "out")
+    os.makedirs(out_dir)
+    spark.createDataFrame(
+        [], _EPOCH_COUNTS_SCHEMA
+    ).write.parquet(os.path.join(counts_dir, "compact_00000"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        s = batch_df.sparkSession
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            _compact_freq(
+                s,
+                counts_dir,
+                through=batch_id - 1,
+                schema=_EPOCH_COUNTS_SCHEMA,
+                keys=("epoch", "shard"),
+            )
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        keyed = (
+            batch_df.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+                ).alias("epoch"),
+            )
+            .select(
+                F.col("epoch").cast("int").alias("epoch"),
+                "doc_id",
+                h.alias("h"),
+                _md5_fold(h, n_shards).alias("shard"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            offsets = (
+                _freq_view(
+                    s,
+                    counts_dir,
+                    schema=_EPOCH_COUNTS_SCHEMA,
+                    keys=("epoch", "shard"),
+                    max_batch=batch_id,
+                )
+                .groupBy("epoch", "shard")
+                .agg(F.sum("c").alias("off"))
+            )
+            (
+                keyed.groupBy("epoch", "shard")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(counts_dir, f"batch_{batch_id:05d}"))
+            )
+            w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+            (
+                keyed.withColumn("r", F.row_number().over(w))
+                .join(F.broadcast(offsets), ["epoch", "shard"], "left")
+                .select(
+                    "epoch",
+                    "shard",
+                    (F.coalesce(F.col("off"), F.lit(0)) + F.col("r"))
+                    .cast("int")
+                    .alias("pos"),
+                    "doc_id",
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"batch_{batch_id:05d}"))
+            )
+        finally:
+            keyed.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -955,3 +955,58 @@ def test_land_single_file_batches_empty_batch_lands_schema_only(
         "doc_id",
         "text",
     ]
+
+
+def test_epoch_stream_append_only_positions(spark, tmp_path):
+    """run_epoch_stream semantics on a hand-built corpus: positions
+    are contiguous 1..n per (epoch, shard), batch-0 docs always rank
+    before batch-1 docs in the same shard (append-only arrival order),
+    within a batch the order is the md5 key, and the output is
+    identical whether the offset index never compacts, compacts every
+    batch, or compacts mid-stream."""
+    import hashlib
+
+    from play_bq_gcp_spark.streaming.ingest import run_epoch_stream
+
+    batches = [
+        [(i, f"doc {i}") for i in range(0, 8)],
+        [(i, f"doc {i}") for i in range(100, 108)],
+        [(i, f"doc {i}") for i in range(200, 208)],
+    ]
+    d = _land_line_batches(spark, tmp_path, batches)
+
+    runs = {
+        ce: sorted(
+            map(
+                tuple,
+                run_epoch_stream(
+                    spark, d, n_epochs=2, n_shards=4, compact_every=ce
+                ).collect(),
+            )
+        )
+        for ce in (None, 1, 2)
+    }
+    assert runs[None] == runs[1] == runs[2]
+
+    rows = runs[None]
+    by_es = {}
+    for epoch, shard, pos, doc_id in rows:
+        by_es.setdefault((epoch, shard), []).append((pos, doc_id))
+    assert {e for e, _s in by_es} == {0, 1}
+    for (epoch, shard), lst in by_es.items():
+        lst.sort()
+        # contiguous ranks from 1
+        assert [p for p, _ in lst] == list(range(1, len(lst) + 1))
+        # arrival order: batch index (doc_id // 100) never decreases
+        batches_seq = [doc_id // 100 for _, doc_id in lst]
+        assert batches_seq == sorted(batches_seq), (epoch, shard, lst)
+        # within a batch: md5(epoch:id) order
+        for b in set(batches_seq):
+            ids = [doc for _, doc in lst if doc // 100 == b]
+            keys = [
+                hashlib.md5(f"{epoch}:{doc}".encode()).hexdigest()
+                for doc in ids
+            ]
+            assert keys == sorted(keys), (epoch, shard, b, ids)
+    # every doc appears once per epoch
+    assert len(rows) == 2 * sum(len(b) for b in batches)
