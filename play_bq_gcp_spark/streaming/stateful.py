@@ -226,6 +226,7 @@ def _run_tws_stream(
     state_partitions: int,
     output_mode: str,
     skip_no_data: bool = False,
+    ckpt_dir: str | None = None,
 ) -> DataFrame:
     """Memory-sink availableNow harness shared by every
     transformWithState exemplar: pin shuffle partitions and the
@@ -243,6 +244,11 @@ def _run_tws_stream(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
+    _CHANGELOG_KEY = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev_changelog = spark.conf.get(_CHANGELOG_KEY, None)
     prev_ndb = (
         spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
         if skip_no_data
@@ -258,13 +264,23 @@ def _run_tws_stream(
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # RocksDB is mandatory for tws typed state, so the r10 recovery
+    # probe's decision rule applies: ship changelog checkpointing —
+    # per-commit upload becomes a changelog append instead of
+    # zip+upload of changed SSTs (-58% commit cost measured,
+    # SCALING.md r10 recovery probe), with recovery bounded by
+    # snapshot cadence.  Pinned in
+    # tests/test_streaming.py::test_tws_changelog_checkpointing_*
+    spark.conf.set(_CHANGELOG_KEY, "true")
     try:
-        with tempfile.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory() as tmp:
+            # ckpt_dir injection exists so tests can inspect the kept
+            # checkpoint (changelog files) after the run
             q = (
                 stream_df.writeStream.format("memory")
                 .queryName(name)
                 .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
+                .option("checkpointLocation", ckpt_dir or tmp)
                 .trigger(availableNow=True)
                 .start()
             )
@@ -277,6 +293,10 @@ def _run_tws_stream(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+        if prev_changelog is None:
+            spark.conf.unset(_CHANGELOG_KEY)
+        else:
+            spark.conf.set(_CHANGELOG_KEY, prev_changelog)
         if skip_no_data:
             spark.conf.set(
                 "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
@@ -290,6 +310,7 @@ def running_user_stats_tws(
     sf_dir: str,
     n_chunks: int = 4,
     state_partitions: int = 8,
+    ckpt_dir: str | None = None,
 ) -> DataFrame:
     """The same running per-user aggregate on the NEWER arbitrary-state
     API (Spark 4 ``transformWithStateInPandas``): typed ValueState via a
@@ -372,7 +393,12 @@ def running_user_stats_tws(
     )
 
     updates = _run_tws_stream(
-        spark, running, state_partitions, "update", skip_no_data=True
+        spark,
+        running,
+        state_partitions,
+        "update",
+        skip_no_data=True,
+        ckpt_dir=ckpt_dir,
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

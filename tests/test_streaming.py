@@ -1010,3 +1010,48 @@ def test_epoch_stream_append_only_positions(spark, tmp_path):
             assert keys == sorted(keys), (epoch, shard, b, ids)
     # every doc appears once per epoch
     assert len(rows) == 2 * sum(len(b) for b in batches)
+
+
+def test_tws_changelog_checkpointing_adopted(spark, sf_dir, tmp_path):
+    """The tws harness ships RocksDB changelog checkpointing (the
+    SCALING.md r10 recovery-probe decision rule: where RocksDB is
+    mandatory, changelog checkpointing removes the ~2.2x per-commit
+    SST zip+upload tax).  Pin that (a) the run actually produces
+    .changelog files in the state checkpoint — the per-commit upload
+    IS a changelog append — (b) results still match the batch GROUP BY
+    truth, and (c) the session confs are restored afterwards."""
+    import glob
+    import os
+
+    import pytest
+
+    from play_bq_gcp_spark.streaming import stateful
+
+    if not stateful.tws_available():
+        pytest.skip("google.protobuf unusable in this container")
+
+    key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    sentinel = spark.conf.get(key, None)
+    ckpt = str(tmp_path / "tws_ckpt")
+    out = stateful.running_user_stats_tws(spark, sf_dir, ckpt_dir=ckpt)
+    got = {(r.user_id, r.n_events, r.total_value) for r in out.collect()}
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+    changelogs = glob.glob(
+        os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+    )
+    assert changelogs, "no .changelog files: changelog checkpointing off"
+    # restored: the harness must not leak the conf into the session
+    assert spark.conf.get(key, None) == sentinel
