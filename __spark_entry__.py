@@ -30,107 +30,96 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order.  Rotation policy: FRESHNESS —
 # each round the window re-attests (a) every entry whose CODE or
 # ORACLE changed this round, then (b) the entries whose last driver
-# green is oldest.  Round 10 carries:
+# green is oldest.  Round 11 carries:
 #
-# (a) CHANGED/NEW — q9_profit_by_nation_year (decimal accumulation in
-# r9, locally tri-SF + fuzz-94 verified then but deliberately not
-# window-slotted; the r9 verdict's #1 ask is attesting it now);
-# dedup_containment_governed (NEW: the candidate-volume governor
-# engaged on an x8 boilerplate-replicated corpus, its fitted-cap
-# sizing formula replayed in the oracle — closing the r9 'governed
-# run stays differential-checkable' ask); streaming_funnel_fsm_tws
-# (NEW: the procedural transformWithState exemplar — per-event state
-# machine, timers, recursive-CTE oracle); and
-# similarity_ann_recall_floors (IVF/IVFPQ gained the
-# centroid-separation escalation — fuzz seeds 8/40/60/84/98 now
-# replay green; code changed, so it re-attests even though driver
-# fixtures never escalate).
+# (a) CHANGED/NEW — streaming_lines_ingest (the line-frequency index
+# gained idempotent per-batch partial dirs + watermark-named
+# compaction, and the fixture now runs compact_every=2 so the
+# differential crosses a compaction boundary — r10 verdict ask #2);
+# q1_pricing_summary (half_up_micro_avg gained the NULL-safe
+# count>0-guarded denominator — output-neutral for q1's non-NULL
+# columns, verified by a targeted 7-entry sf0.01 differential of
+# every half_up_* caller (q1/q3/q5/q6/q7/q15/q19) plus the fraction-
+# reference property suite, but the direct caller re-attests; the
+# other six are r9/r10-fresh and rotate normally per the r10
+# precedent);
+# similarity_ivfpq_adc_exact (NEW: the integer-exact IVF-PQ composed
+# retrieval twin — coarse prune -> ADC rank -> exact re-rank handoff,
+# closing the r10 verdict #7 symmetry gap); and
+# streaming_epoch_shuffle (NEW: epoch training orders built while the
+# corpus streams in — append-only positions, offsets from the same
+# watermark-compacted count index, compact_every=2 here too).
 #
-# half_up_cents became self-guarding this round (Spark's decimal div
-# wraps silently past 2^63 even under ANSI — measured; the builder now
-# asserts the output-domain bound per output row).  That touches
-# q1/q3/q5/q6/q7/q15/q19, but it is OUTPUT-NEUTRAL by construction
-# (identical values inside the bound; the bound is provably unreachable
-# on every fixture corpus) — verified by a targeted 7-entry sf0.01
-# differential plus the full tri-SF sweep at round-10 HEAD, so per the
-# r9 coalesce precedent those entries re-attest on their normal
-# rotation schedule (q1/q3/q5/q6/q7 are r9-fresh anyway).
-#
-# (b) ROTATION — the 18 r6-vintage deferrals ledgered last round (the
-# whole scalar/scan/similarity/streaming/sampling block below), then
-# 25 of the 43 r7-vintage entries (3 rounds old).  18 r7 entries defer
-# to round 11, chosen for the strongest independent coverage:
-# dedup_ngram_jaccard + text_doc_profile are bench-run every round;
-# distinct_sort_limit, set_ops_suite, anti_join_customers,
-# pivot_unpivot_roundtrip, sql_surface_orders, sampling_suite,
-# agg_correlation, text_edit_distance, split_train_val_test,
-# text_top_tokens, events_outlier_zscore, domain_mix_sample,
-# embedding_quantize_int8, curation_token_budget_select,
-# sequence_pack_bins, streaming_foreach_batch_merge are simple
-# deterministic shapes with direct pytest twins (the foreachBatch
-# merge additionally has the engine-driven exactly-once replay suite
-# in test_txn_sink) — all green in this round's local tri-SF sweeps.
-# Three of those slots go to the entries NEW this round (first
-# attestations outrank a 4th re-attestation of a pytest-pinned
-# deterministic shape): dedup_lines_corpus (CCNet line-level dedup),
-# curation_epoch_shuffle (seeded per-epoch training order), and
-# streaming_lines_ingest (growing line-frequency index — the
-# streaming twin of line dedup, transition batch value-checked).
+# (b) ROTATION — all 18 r7-vintage entries (4 rounds old at r11; the
+# whole block the r10 verdict ask #1 names), then 28 of the 46
+# r8-vintage entries, including the three exact-ANN twins the verdict
+# names (similarity_ann_lsh_exact / _ivf_exact / similarity_pq_adc_
+# exact).  18 r8 entries defer to round 12, chosen for the strongest
+# independent coverage THIS round: asof_join_purchase_click,
+# dedup_minhash_lsh, merge_full_upsert, pipeline_corpus_clean,
+# skew_salted_suite, streaming_window_dedup_counts,
+# window_events_suite, agg_group_analytics, multimodal_suite are
+# bench-run every round (executed at sf0.1 per round under the forced-
+# materialization action); attribution_first_last and
+# text_fingerprint_rolling are hypothesis-pinned against pandas/pure-
+# python references; proj_filter_orders, quality_expectations_orders,
+# feature_binning_quantile, customer_rfm_segments,
+# events_transition_matrix, mv_incremental_refresh,
+# graph_pagerank_bipartite are plan-audited at r11 HEAD (executed at
+# sf0.01 by tools/plan_audit.py this round) with direct pytest twins —
+# all green in this round's local tri-SF sweeps.  After r11 the
+# oldest oracle-backed attestation is r8 (those 18), due first at r12.
 _WINDOW = [
-    # -- changed r9, never driver-attested since (verdict ask #1) --------
-    "q9_profit_by_nation_year",
-    # -- new/changed this round ------------------------------------------
-    "dedup_containment_governed",
-    "streaming_funnel_fsm_tws",
-    "similarity_ann_recall_floors",
-    "dedup_lines_corpus",
-    "curation_epoch_shuffle",
     "streaming_lines_ingest",
-    # -- r6 vintage: the 18 documented deferrals, due first ---------------
-    "sampling_weighted_systematic",
-    "scalar_suite_orders",
-    "scan_federated_union",
-    "scan_provenance_files",
-    "semi_join_customers",
-    "sessionize_events",
-    "similarity_centroid_separation",
-    "similarity_knn_join",
-    "similarity_mmr_exact",
-    "similarity_topk_bruteforce",
-    "snapshot_delta_events",
-    "streaming_countmin_merge",
-    "streaming_left_semi_interval_join",
-    "streaming_right_outer_interval_join",
-    "streaming_session_windows",
-    "streaming_stateful_user_stats",
-    "udaf_geomean_price",
-    "window_rank_topk",
-    # -- r7 vintage (25 of 43; weakest independent coverage first) --------
-    "semistructured_suite",
-    "agg_stats_percentiles",
-    "join_bucketed_dim",
-    "window_range_frame",
-    "streaming_stateful_tws",
-    "streaming_interval_join",
-    "text_quality_classifier",
-    "udtf_chunk_documents",
-    "dedup_simhash_pairs",
-    "rest_source_snapshot",
-    "streaming_timeout_sessions",
-    "streaming_session_timers_tws",
-    "q13_order_distribution",
-    "q2_min_cost_supplier",
-    "q4_priority_late_orders",
-    "merge_cdc_apply",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "decontaminate_eval_overlap",
-    "pii_redaction_profile",
-    "pipeline_pretrain_corpus",
-    "streaming_ingest_dedup",
-    "temporal_join_versions",
-    "streaming_static_enrich",
-    "multimodal_audio_fp_exact",
+    "q1_pricing_summary",
+    "similarity_ivfpq_adc_exact",
+    "streaming_epoch_shuffle",
+    "agg_correlation",
+    "anti_join_customers",
+    "curation_token_budget_select",
+    "dedup_ngram_jaccard",
+    "distinct_sort_limit",
+    "domain_mix_sample",
+    "embedding_quantize_int8",
+    "events_outlier_zscore",
+    "pivot_unpivot_roundtrip",
+    "sampling_suite",
+    "sequence_pack_bins",
+    "set_ops_suite",
+    "split_train_val_test",
+    "sql_surface_orders",
+    "streaming_foreach_batch_merge",
+    "text_doc_profile",
+    "text_edit_distance",
+    "text_top_tokens",
+    "agg_approx_sketches",
+    "basket_part_pairs_lift",
+    "corpus_divergence_kl",
+    "corpus_overview_report",
+    "dedup_canonical_survivors",
+    "events_activity_streaks",
+    "multimodal_arrow_profile",
+    "mv_cdc_refresh",
+    "profile_documents",
+    "profile_value_histogram",
+    "resample_daily_locf",
+    "rest_stream_ingest",
+    "scan_csv_json_roundtrip",
+    "scan_orc_roundtrip",
+    "scan_partition_pruned",
+    "semistructured_variant",
+    "similarity_ann_ivf_exact",
+    "similarity_ann_lsh_exact",
+    "similarity_pq_adc_exact",
+    "skew_key_report",
+    "sql_recursive_spine",
+    "streaming_full_outer_interval_join",
+    "streaming_left_outer_interval_join",
+    "streaming_tws_liststate",
+    "streaming_tws_mapstate",
+    "text_keywords_tfidf",
+    "text_lm_fluency",
+    "text_repetition_profile",
 ]
 
 
