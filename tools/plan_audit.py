@@ -116,8 +116,64 @@ def _lines_ingest_batch_plan(spark, sf_dir):
     return finalize_line_outputs(batch, mark_rebuild(lined, drop))
 
 
+def _epoch_stream_batch_plan(spark, sf_dir):
+    """Static restatement of run_epoch_stream's foreachBatch body (one
+    micro-batch: epoch fan-out, md5 key + shard fold, shard-local
+    window rank, broadcast offset join) so the streaming entry's
+    per-batch plan is a table row.  Matches streaming/ingest.handle()
+    operator-for-operator; the real stream reads offsets from the
+    counts index where this builds them inline."""
+    from pyspark.sql import Window, functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.curation import _md5_fold
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    prior = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    def keyed(df):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        return df.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        ).select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "doc_id",
+            h.alias("h"),
+            _md5_fold(h, 4).alias("shard"),
+        )
+
+    offsets = (
+        keyed(prior)
+        .groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("off"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return (
+        keyed(batch)
+        .withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(offsets), ["epoch", "shard"], "left")
+        .select(
+            "epoch",
+            "shard",
+            (F.coalesce(F.col("off"), F.lit(0)) + F.col("r"))
+            .cast("int")
+            .alias("pos"),
+            "doc_id",
+        )
+    )
+
+
 EXTRA = {
     "streaming_lines_ingest (batch fn)": _lines_ingest_batch_plan,
+    "streaming_epoch_shuffle (batch fn)": _epoch_stream_batch_plan,
 }
 
 
