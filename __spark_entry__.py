@@ -34,46 +34,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # (a) CHANGED/NEW — streaming_lines_ingest (the line-frequency index
 # gained idempotent per-batch partial dirs + watermark-named
-# compaction, and the fixture now runs compact_every=2 so the
-# differential crosses a compaction boundary — r10 verdict ask #2);
+# compaction; the fixture runs compact_every=2 so the differential
+# crosses a compaction boundary — r10 verdict ask #2);
 # q1_pricing_summary (half_up_micro_avg gained the NULL-safe
 # count>0-guarded denominator — output-neutral for q1's non-NULL
 # columns, verified by a targeted 7-entry sf0.01 differential of
 # every half_up_* caller (q1/q3/q5/q6/q7/q15/q19) plus the fraction-
-# reference property suite, but the direct caller re-attests; the
-# other six are r9/r10-fresh and rotate normally per the r10
-# precedent);
-# similarity_ivfpq_adc_exact (NEW: the integer-exact IVF-PQ composed
-# retrieval twin — coarse prune -> ADC rank -> exact re-rank handoff,
-# closing the r10 verdict #7 symmetry gap); and
+# reference property suite; the direct caller re-attests, the other
+# six are r9/r10-fresh and rotate normally per the r10 precedent);
+# similarity_ivfpq_adc_exact (NEW: integer-exact IVF-PQ composed
+# retrieval — the coarse-prune -> ADC -> exact-rerank handoff,
+# closing the r10 verdict #7 symmetry gap);
 # streaming_epoch_shuffle (NEW: epoch training orders built while the
 # corpus streams in — append-only positions, offsets from the same
-# watermark-compacted count index, compact_every=2 here too).
+# watermark-compacted count index, compact_every=2 here too); and the
+# SESSION-BOUNDARY family — sessionize_events,
+# streaming_session_windows, streaming_timeout_sessions,
+# streaming_session_timers_tws — whose boundary rule changed from
+# >= gap to strict > gap after fuzz seed 107 planted an exact-1800 s
+# gap and split streaming_session_windows from its oracle:
+# F.session_window MERGES two events exactly one gap apart (measured
+# on 4.1.2; the old docstrings claimed the opposite from the
+# "exclusive end" phrasing), so every lag/cumsum twin and procedural
+# session processor now uses the strict rule and all four re-attest.
+# The tws harness also adopted RocksDB changelog checkpointing this
+# round (r10 recovery-probe decision rule) — output-neutral by
+# construction (state STORAGE, not semantics) and verified by a
+# targeted all-five-tws sf0.01 differential, so per the r10 precedent
+# the r10-fresh tws entries rotate normally; the r8-vintage liststate/
+# mapstate pair is window-slotted below anyway.
 #
 # (b) ROTATION — all 18 r7-vintage entries (4 rounds old at r11; the
-# whole block the r10 verdict ask #1 names), then 28 of the 46
+# whole block the r10 verdict ask #1 names), then 24 of the 46
 # r8-vintage entries, including the three exact-ANN twins the verdict
 # names (similarity_ann_lsh_exact / _ivf_exact / similarity_pq_adc_
-# exact).  18 r8 entries defer to round 12, chosen for the strongest
-# independent coverage THIS round: asof_join_purchase_click,
-# dedup_minhash_lsh, merge_full_upsert, pipeline_corpus_clean,
-# skew_salted_suite, streaming_window_dedup_counts,
-# window_events_suite, agg_group_analytics, multimodal_suite are
-# bench-run every round (executed at sf0.1 per round under the forced-
-# materialization action); attribution_first_last and
-# text_fingerprint_rolling are hypothesis-pinned against pandas/pure-
-# python references; proj_filter_orders, quality_expectations_orders,
+# exact).  22 r8 entries defer to round 12, each with independent
+# evidence THIS round: asof_join_purchase_click, dedup_minhash_lsh,
+# merge_full_upsert, pipeline_corpus_clean, skew_salted_suite,
+# streaming_window_dedup_counts, window_events_suite,
+# agg_group_analytics, multimodal_suite are bench-run every round
+# (sf0.1 under the forced-materialization action);
+# attribution_first_last and text_fingerprint_rolling are
+# hypothesis-pinned against pandas/pure-python references;
+# proj_filter_orders, quality_expectations_orders,
 # feature_binning_quantile, customer_rfm_segments,
 # events_transition_matrix, mv_incremental_refresh,
-# graph_pagerank_bipartite are plan-audited at r11 HEAD (executed at
-# sf0.01 by tools/plan_audit.py this round) with direct pytest twins —
-# all green in this round's local tri-SF sweeps.  After r11 the
-# oldest oracle-backed attestation is r8 (those 18), due first at r12.
+# graph_pagerank_bipartite are plan-audited at r11 HEAD with direct
+# pytest twins; semistructured_variant and events_activity_streaks
+# have pytest twins; streaming_full_outer_interval_join and
+# streaming_left_outer_interval_join have r10-fresh family twins
+# (left_semi / right_outer).  ALL 46 r8 entries — deferred included —
+# were locally differential-checked at sf0.01 this round (the window
+# pre-flight sweep ran the full head-50 plus the session family and
+# fuzz-107 registry).  After r11 the oldest oracle-backed attestation
+# is r8 (the 22 deferrals), due first at r12.
 _WINDOW = [
     "streaming_lines_ingest",
     "q1_pricing_summary",
     "similarity_ivfpq_adc_exact",
     "streaming_epoch_shuffle",
+    "sessionize_events",
+    "streaming_session_windows",
+    "streaming_timeout_sessions",
+    "streaming_session_timers_tws",
     "agg_correlation",
     "anti_join_customers",
     "curation_token_budget_select",
@@ -97,7 +120,6 @@ _WINDOW = [
     "corpus_divergence_kl",
     "corpus_overview_report",
     "dedup_canonical_survivors",
-    "events_activity_streaks",
     "multimodal_arrow_profile",
     "mv_cdc_refresh",
     "profile_documents",
@@ -107,14 +129,11 @@ _WINDOW = [
     "scan_csv_json_roundtrip",
     "scan_orc_roundtrip",
     "scan_partition_pruned",
-    "semistructured_variant",
     "similarity_ann_ivf_exact",
     "similarity_ann_lsh_exact",
     "similarity_pq_adc_exact",
     "skew_key_report",
     "sql_recursive_spine",
-    "streaming_full_outer_interval_join",
-    "streaming_left_outer_interval_join",
     "streaming_tws_liststate",
     "streaming_tws_mapstate",
     "text_keywords_tfidf",

@@ -1101,41 +1101,8 @@ def pq_adc_exact(
     books_lit = int_cube_lit(books)
     lut_lit = int_mat_lit(lut)
     # per-subspace argmin of exact integer squared distance
-    codes = bind(
-        vq,
-        lambda v: F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: bind(
-                F.slice(v, s * d_sub + 1, d_sub),
-                lambda sv: bind(
-                    F.element_at(books_lit, s + 1),
-                    lambda book: bind(
-                        F.transform(
-                            book,
-                            lambda c: F.aggregate(
-                                F.zip_with(
-                                    sv, c, lambda x, y: (x - y) * (x - y)
-                                ),
-                                F.lit(0).cast("long"),
-                                lambda a, x: a + x,
-                            ),
-                        ),
-                        lambda dists: (
-                            F.array_position(dists, F.array_min(dists)) - 1
-                        ).cast("int"),
-                    ),
-                ),
-            ),
-        ),
-    )
-    adc = bind(
-        codes,
-        lambda cs: F.aggregate(
-            F.zip_with(lut_lit, cs, lambda row, c: F.element_at(row, c + 1)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
-    )
+    codes = _pq_int_codes(vq, books_lit, m, d_sub)
+    adc = _int_adc_sum(codes, lut_lit)
     ranked = (
         embeddings.select("vec_id", adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
@@ -1187,6 +1154,78 @@ def _int_l2_to_lit(v, q: list) -> F.Column:
         F.zip_with(v, q_lit, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
+    )
+
+
+def _int_argmin_assign(vq, cents_lit) -> F.Column:
+    """Integer-L2 argmin of an integer vector column against a literal
+    centroid matrix, first-index tie-break — the coarse-assignment
+    expression shared by ``ivf_exact_topk`` and ``ivfpq_exact_topk``
+    (ONE definition: a tie-break or cast tweak must move every exact
+    twin in lockstep or the composed twin's oracle silently drifts —
+    r11 review finding #2, the ``_run_tws_stream`` dedup precedent)."""
+    return bind(
+        vq,
+        lambda v: bind(
+            F.transform(
+                cents_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                ),
+            ),
+            lambda dists: (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int"),
+        ),
+    )
+
+
+def _pq_int_codes(vq, books_lit, m: int, d_sub: int) -> F.Column:
+    """Per-subspace integer-L2 argmin PQ codes for an integer vector
+    column against a literal codebook cube — shared by
+    ``pq_adc_exact`` and ``ivfpq_exact_topk`` (same lockstep argument
+    as ``_int_argmin_assign``)."""
+    return bind(
+        vq,
+        lambda v: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: bind(
+                F.slice(v, s * d_sub + 1, d_sub),
+                lambda sv: bind(
+                    F.element_at(books_lit, s + 1),
+                    lambda book: bind(
+                        F.transform(
+                            book,
+                            lambda c: F.aggregate(
+                                F.zip_with(
+                                    sv, c, lambda x, y: (x - y) * (x - y)
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda a, x: a + x,
+                            ),
+                        ),
+                        lambda dists: (
+                            F.array_position(dists, F.array_min(dists)) - 1
+                        ).cast("int"),
+                    ),
+                ),
+            ),
+        ),
+    )
+
+
+def _int_adc_sum(codes, lut_lit) -> F.Column:
+    """Integer ADC lookup-table sum over a codes column — shared by
+    ``pq_adc_exact`` and ``ivfpq_exact_topk``."""
+    return bind(
+        codes,
+        lambda cs: F.aggregate(
+            F.zip_with(lut_lit, cs, lambda row, c: F.element_at(row, c + 1)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
     )
 
 
@@ -1326,22 +1365,7 @@ def ivf_exact_topk(
         F.col("embedding").cast("array<double>"),
         lambda x: F.floor(x * scale).cast("long"),
     )
-    assign = bind(
-        vq,
-        lambda v: bind(
-            F.transform(
-                cents_lit,
-                lambda c: F.aggregate(
-                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
-                ),
-            ),
-            lambda dists: (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int"),
-        ),
-    )
+    assign = _int_argmin_assign(vq, cents_lit)
     tagged = embeddings.select("vec_id", assign.alias("list_id"), vq.alias("q"))
     bucket = tagged.filter(F.col("list_id").isin([int(c) for c in probed]))
     ranked = (
@@ -1425,59 +1449,11 @@ def ivfpq_exact_topk(
         lambda x: F.floor(x * scale).cast("long"),
     )
     cents_lit = int_mat_lit(cents)
-    assign = bind(
-        vq,
-        lambda v: bind(
-            F.transform(
-                cents_lit,
-                lambda c: F.aggregate(
-                    F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
-                ),
-            ),
-            lambda dists: (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int"),
-        ),
-    )
+    assign = _int_argmin_assign(vq, cents_lit)
     books_lit = int_cube_lit(books)
-    codes = bind(
-        vq,
-        lambda v: F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda s: bind(
-                F.slice(v, s * d_sub + 1, d_sub),
-                lambda sv: bind(
-                    F.element_at(books_lit, s + 1),
-                    lambda book: bind(
-                        F.transform(
-                            book,
-                            lambda c: F.aggregate(
-                                F.zip_with(
-                                    sv, c, lambda x, y: (x - y) * (x - y)
-                                ),
-                                F.lit(0).cast("long"),
-                                lambda a, x: a + x,
-                            ),
-                        ),
-                        lambda dists: (
-                            F.array_position(dists, F.array_min(dists)) - 1
-                        ).cast("int"),
-                    ),
-                ),
-            ),
-        ),
-    )
+    codes = _pq_int_codes(vq, books_lit, m, d_sub)
     lut_lit = int_mat_lit(lut)
-    adc = bind(
-        codes,
-        lambda cs: F.aggregate(
-            F.zip_with(lut_lit, cs, lambda row, c: F.element_at(row, c + 1)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ),
-    )
+    adc = _int_adc_sum(codes, lut_lit)
     candidates = (
         embeddings.select(
             "vec_id",

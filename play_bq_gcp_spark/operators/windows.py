@@ -86,17 +86,21 @@ def sessionize(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Batch sessionization: a new session starts when the gap from the
-    previous event reaches ``gap_minutes`` (lag + cumulative sum of
-    boundaries).  The boundary is ``gap >= gap_minutes`` — a gap of
-    exactly the threshold opens a NEW session, matching
-    ``F.session_window`` (whose window end is exclusive) so the batch
-    and streaming twins agree at the boundary."""
+    previous event EXCEEDS ``gap_minutes`` (lag + cumulative sum of
+    boundaries).  The boundary is strict ``gap > gap_minutes``: Spark's
+    ``F.session_window`` MERGES two events exactly one gap apart
+    (measured on 4.1.2 — 1800.000000 s -> 1 session, 1800.000001 s ->
+    2; the merge step treats touching sessions as one, despite the
+    window end printing as exclusive), so the batch twin must use the
+    strict inequality or the two surfaces split on an exact-threshold
+    gap — found by fuzz seed 107, round 11, after five clean seeds
+    never produced one."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     # epoch-double (not unix_timestamp) keeps sub-second precision so the
     # gap comparison agrees with engines that compare at µs precision
     ep = F.col(ts_col).cast("double")
-    boundary = (ep - F.lag(ep).over(w) >= gap_s).cast("int")
+    boundary = (ep - F.lag(ep).over(w) > gap_s).cast("int")
     return (
         df.withColumn("__new_session", F.coalesce(boundary, F.lit(1)))
         .withColumn(

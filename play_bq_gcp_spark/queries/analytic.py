@@ -593,7 +593,7 @@ def text_lm_fluency(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1451,7 +1451,7 @@ def streaming_funnel_fsm_tws(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)

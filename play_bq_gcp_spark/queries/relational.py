@@ -675,7 +675,7 @@ def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events
@@ -692,9 +692,10 @@ def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch sessionization (30-min gap; a gap of exactly the threshold
-    opens a new session, matching F.session_window's exclusive end) —
-    streaming twin uses F.session_window."""
+    """Batch sessionization (30-min gap; strict boundary — a gap of
+    exactly the threshold MERGES, matching F.session_window's measured
+    merge-at-touching behavior on 4.1.2; fuzz seed 107 split the old
+    >= oracle) — streaming twin uses F.session_window."""
     from play_bq_gcp_spark.operators.windows import sessionize
 
     return (

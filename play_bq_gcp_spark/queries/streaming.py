@@ -44,7 +44,7 @@ def streaming_window_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH b AS (
         SELECT user_id, ts,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS boundary
         FROM events
@@ -57,9 +57,11 @@ def streaming_window_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
 )
 def streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     """F.session_window streaming sessions == the batch lag/cumsum
-    sessionization (same 30-min gap semantics; a gap of exactly the
-    threshold opens a new session — session_window's end is
-    exclusive — and the oracle boundary matches with >=)."""
+    sessionization (same 30-min gap semantics; a gap of EXACTLY the
+    threshold merges — session_window's merge step treats touching
+    sessions as one, measured on 4.1.2 — so the oracle boundary is
+    strict >; fuzz seed 107 planted the exact-1800 s gap that split
+    the old >= rule)."""
     from play_bq_gcp_spark.streaming.daily import session_window_counts
 
     return session_window_counts(spark, sf)

@@ -795,7 +795,7 @@ def _write_partition_aligned(
     only see files a committed manifest names), so a torn move leaks
     an unreferenced orphan at worst — vacuum fodder, never a
     correctness issue.  Pinned with the full commit+flatten object-
-    store pairing in tests/test_commit_strategy.py (r10 verdict #4).
+    store pairing in tests/test_txn_table.py (r10 verdict #4).
 
     Timestamp partition columns: Spark's default parquet encoding for
     TimestampType is INT96, whose (deprecated) stats pyarrow ignores —

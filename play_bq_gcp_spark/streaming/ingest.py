@@ -187,7 +187,6 @@ def _freq_view(
     spark: SparkSession,
     freq_dir: str,
     schema: str = _FREQ_SCHEMA,
-    keys: tuple = ("line_h",),
     max_batch: int | None = None,
 ) -> DataFrame:
     """Current count-index partials: the newest compacted sum plus
@@ -236,7 +235,13 @@ def _compact_freq(
             return
         shutil.rmtree(target)
     (
-        _freq_view(spark, freq_dir, schema, keys)
+        # max_batch bounds the fold to batches <= through — without it
+        # a LAGGING compaction (through < newest live partial) would
+        # absorb newer partials that then survive the watermark filter
+        # and double count (r11 review finding #1; current callers
+        # never lag, but the invariant belongs here, not in caller
+        # ordering)
+        _freq_view(spark, freq_dir, schema, max_batch=through + 1)
         .groupBy(*keys)
         .agg(F.sum("c").alias("c"))
         .write.parquet(target)
@@ -487,7 +492,6 @@ def run_epoch_stream(
                     s,
                     counts_dir,
                     schema=_EPOCH_COUNTS_SCHEMA,
-                    keys=("epoch", "shard"),
                     max_batch=batch_id,
                 )
                 .groupBy("epoch", "shard")

@@ -525,7 +525,7 @@ def session_close_on_timeout(
         for t in ts_us:
             if cur is None:
                 cur = (1, t, t)
-            elif t - cur[2] >= gap_us:
+            elif t - cur[2] > gap_us:
                 sessions.append(cur)
                 cur = (1, t, t)
             else:
@@ -681,7 +681,7 @@ def session_close_on_timer_tws(
             for t in ts_us:
                 if cur is None:
                     cur = (1, t, t)
-                elif t - cur[2] >= gap_us:
+                elif t - cur[2] > gap_us:
                     closed.append(cur)
                     cur = (1, t, t)
                 else:

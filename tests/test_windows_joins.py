@@ -375,3 +375,36 @@ def test_activity_streaks_hand_computed(spark):
     out = {r.user_id: r for r in QUERIES["events_activity_streaks"](spark, d).collect()}
     assert (out[1].n_streaks, out[1].longest_streak, out[1].active_days) == (2, 3, 5)
     assert (out[2].n_streaks, out[2].longest_streak, out[2].active_days) == (1, 1, 1)
+
+
+def test_sessionize_exact_gap_merges_like_session_window(spark):
+    """The repo-wide session boundary rule is STRICT (gap must exceed
+    the threshold): Spark's F.session_window merges two events exactly
+    one gap apart (measured on 4.1.2: 1800.000000 s -> 1 session,
+    1800.000001 s -> 2), so the lag/cumsum batch twin must merge there
+    too — fuzz seed 107 planted the exact-1800 s gap that split the
+    old >= rule."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def n_sessions_batch(gap_us):
+        df = spark.createDataFrame(
+            [("u", t0), ("u", t0 + dt.timedelta(microseconds=gap_us))],
+            "user string, ts timestamp",
+        )
+        out = windows.sessionize(df, "user", "ts", gap_minutes=30)
+        return out.agg(F.max("session_id")).first()[0]
+
+    def n_sessions_stream_style(gap_us):
+        df = spark.createDataFrame(
+            [(t0,), (t0 + dt.timedelta(microseconds=gap_us),)],
+            "ts timestamp",
+        )
+        return df.groupBy(F.session_window("ts", "30 minutes")).count().count()
+
+    for gap_us, want in (
+        (1_800_000_000, 1),   # exactly the gap: MERGES
+        (1_799_999_999, 1),
+        (1_800_000_001, 2),   # strictly past the gap: splits
+    ):
+        assert n_sessions_batch(gap_us) == want, ("batch", gap_us)
+        assert n_sessions_stream_style(gap_us) == want, ("stream", gap_us)
