@@ -63,12 +63,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # targeted all-five-tws sf0.01 differential, so per the r10 precedent
 # the r10-fresh tws entries rotate normally; the r8-vintage liststate/
 # mapstate pair is window-slotted below anyway.
+# streaming_ingest_dedup also re-attests: its per-batch writes moved
+# to batch-keyed overwrite subdirs with a strictly-prior index read
+# (retry idempotence, the run_line_stream discipline extended) —
+# output-neutral and tri-SF-verified locally, but the read path
+# restructure is a real code change, so it takes a slot.
 #
 # (b) ROTATION — all 18 r7-vintage entries (4 rounds old at r11; the
-# whole block the r10 verdict ask #1 names), then 24 of the 46
+# whole block the r10 verdict ask #1 names), then 23 of the 46
 # r8-vintage entries, including the three exact-ANN twins the verdict
 # names (similarity_ann_lsh_exact / _ivf_exact / similarity_pq_adc_
-# exact).  22 r8 entries defer to round 12, each with independent
+# exact).  23 r8 entries defer to round 12, each with independent
 # evidence THIS round: asof_join_purchase_click, dedup_minhash_lsh,
 # merge_full_upsert, pipeline_corpus_clean, skew_salted_suite,
 # streaming_window_dedup_counts, window_events_suite,
@@ -83,7 +88,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest twins; semistructured_variant and events_activity_streaks
 # have pytest twins; streaming_full_outer_interval_join and
 # streaming_left_outer_interval_join have r10-fresh family twins
-# (left_semi / right_outer).  ALL 46 r8 entries — deferred included —
+# (left_semi / right_outer); text_lm_fluency has four r9-fresh
+# text-family siblings (char_entropy, boilerplate_spans, encoding
+# audit, lang confusion) and the full local sweeps.  ALL 46 r8 entries — deferred included —
 # were locally differential-checked at sf0.01 this round (the window
 # pre-flight sweep ran the full head-50 plus the session family and
 # fuzz-107 registry).  After r11 the oldest oracle-backed attestation
@@ -97,6 +104,7 @@ _WINDOW = [
     "streaming_session_windows",
     "streaming_timeout_sessions",
     "streaming_session_timers_tws",
+    "streaming_ingest_dedup",
     "agg_correlation",
     "anti_join_customers",
     "curation_token_budget_select",
@@ -137,7 +145,6 @@ _WINDOW = [
     "streaming_tws_liststate",
     "streaming_tws_mapstate",
     "text_keywords_tfidf",
-    "text_lm_fluency",
     "text_repetition_profile",
 ]
 

@@ -115,19 +115,31 @@ def run_ingest_stream(
     Each micro-batch (one file of ``batches_dir`` per trigger, mtime
     order) runs the two-layer incremental dedup (exact digests, then
     the asymmetric banded-MinHash probe with exact Jaccard verify)
-    against the CURRENT index, records its verdicts, and appends only
+    against the CURRENT index, records its verdicts, and adds only
     the ``new`` survivors to the index — so later batches are screened
     against earlier batches' accepted docs, not just the seed corpus.
     State lives in the index table, not in executor memory: the
     pattern scales to any corpus because a batch only ever joins
     against digests/band-keys of the index.
+
+    Both per-batch writes land in batch-keyed subdirs with OVERWRITE
+    (``run_line_stream``'s retry discipline, extended here r11): an
+    at-least-once replay rewrites its own verdicts and accepted-docs
+    dirs instead of appending second copies, so retries cannot
+    double-screen or double-emit.  Accepted docs are data rows, not
+    counts, so no compaction tier is needed — the index grows with
+    the corpus by design, and each batch reads it whole (digests +
+    band keys), exactly as a production index table would be scanned.
     """
     from play_bq_gcp_spark.operators.dedup import incremental_dedup
 
     work = scratch_dir("ingest_run_")
     index_dir = os.path.join(work, "index")
     verd_dir = os.path.join(work, "verdicts")
-    corpus.select("doc_id", "text").write.parquet(index_dir)
+    os.makedirs(verd_dir)
+    corpus.select("doc_id", "text").write.parquet(
+        os.path.join(index_dir, "seed")
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -137,13 +149,27 @@ def run_ingest_stream(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        index = s.read.parquet(index_dir)
+        # seed + STRICTLY-PRIOR batches' accepted docs: a retried batch
+        # must not screen against its own half-committed accepted dir
+        # (it would flag its every doc as a duplicate of itself) — the
+        # same strictly-prior read the epoch stream's offsets use
+        paths = [os.path.join(index_dir, "seed")] + [
+            os.path.join(index_dir, n)
+            for n in os.listdir(index_dir)
+            if n.startswith("batch_")
+            and int(n.rsplit("_", 1)[1]) < batch_id
+        ]
+        index = s.read.schema("doc_id long, text string").parquet(*paths)
         verdicts = incremental_dedup(batch_df, index, threshold=threshold)
-        verdicts.write.mode("append").parquet(verd_dir)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verd_dir, f"batch_{batch_id:05d}")
+        )
         accepted = batch_df.join(
             verdicts.filter(F.col("verdict") == "new"), "doc_id", "left_semi"
         ).select("doc_id", "text")
-        accepted.write.mode("append").parquet(index_dir)
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_{batch_id:05d}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -152,7 +178,7 @@ def run_ingest_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(verd_dir)
+    return spark.read.parquet(os.path.join(verd_dir, "batch_*"))
 
 
 def streaming_incremental_dedup(
