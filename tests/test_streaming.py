@@ -1055,3 +1055,35 @@ def test_tws_changelog_checkpointing_adopted(spark, sf_dir, tmp_path):
     assert changelogs, "no .changelog files: changelog checkpointing off"
     # restored: the harness must not leak the conf into the session
     assert spark.conf.get(key, None) == sentinel
+
+
+def test_land_single_file_batches_no_part_file_raises_named_error(
+    spark, tmp_path, monkeypatch
+):
+    """The defensive branch for engines that emit NO part file for an
+    empty partition: the error must name the batch, not leak a bare
+    StopIteration (r10 ADVICE).  Spark 4.1 always writes a schema-only
+    file, so the branch is forced by hiding parquet files from the
+    landing scan."""
+    import os
+
+    import pytest
+
+    from play_bq_gcp_spark.streaming import ingest
+
+    real_listdir = os.listdir
+
+    def hide_parquet(path):
+        names = real_listdir(path)
+        if os.path.basename(path).startswith("land_tmp_"):
+            return [n for n in names if not n.endswith(".parquet")]
+        return names
+
+    monkeypatch.setattr(ingest.os, "listdir", hide_parquet)
+    df = spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, b int"
+    )
+    d = str(tmp_path / "land")
+    os.makedirs(d)
+    with pytest.raises(ValueError, match="batch 0 of 1"):
+        ingest.land_single_file_batches(df, 1, d)
