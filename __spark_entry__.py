@@ -68,12 +68,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (retry idempotence, the run_line_stream discipline extended) —
 # output-neutral and tri-SF-verified locally, but the read path
 # restructure is a real code change, so it takes a slot.
+# join_bucketed_dim re-attests: fuzz seed 110 landed a group average
+# on a half-cent boundary and round(avg(double), 2) split the engines
+# by one cent — the entry (plus corpus_overview_report and
+# sql_surface_orders, both already window-slotted) now computes the
+# average in exact integer arithmetic; all three re-verified on the
+# failing seed, a clean seed, and tri-SF.
 #
 # (b) ROTATION — all 18 r7-vintage entries (4 rounds old at r11; the
-# whole block the r10 verdict ask #1 names), then 23 of the 46
+# whole block the r10 verdict ask #1 names), then 22 of the 46
 # r8-vintage entries, including the three exact-ANN twins the verdict
 # names (similarity_ann_lsh_exact / _ivf_exact / similarity_pq_adc_
-# exact).  23 r8 entries defer to round 12, each with independent
+# exact).  24 r8 entries defer to round 12, each with independent
 # evidence THIS round: asof_join_purchase_click, dedup_minhash_lsh,
 # merge_full_upsert, pipeline_corpus_clean, skew_salted_suite,
 # streaming_window_dedup_counts, window_events_suite,
@@ -90,7 +96,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming_left_outer_interval_join have r10-fresh family twins
 # (left_semi / right_outer); text_lm_fluency has four r9-fresh
 # text-family siblings (char_entropy, boilerplate_spans, encoding
-# audit, lang confusion) and the full local sweeps.  ALL 46 r8 entries — deferred included —
+# audit, lang confusion) and the full local sweeps;
+# rest_stream_ingest has the r10-fresh family twin
+# rest_source_snapshot plus the transport-seam pytest suites
+# (test_datasource, test_http_client).  ALL 46 r8 entries — deferred included —
 # were locally differential-checked at sf0.01 this round (the window
 # pre-flight sweep ran the full head-50 plus the session family and
 # fuzz-107 registry).  After r11 the oldest oracle-backed attestation
@@ -105,6 +114,7 @@ _WINDOW = [
     "streaming_timeout_sessions",
     "streaming_session_timers_tws",
     "streaming_ingest_dedup",
+    "join_bucketed_dim",
     "agg_correlation",
     "anti_join_customers",
     "curation_token_budget_select",
@@ -133,7 +143,6 @@ _WINDOW = [
     "profile_documents",
     "profile_value_histogram",
     "resample_daily_locf",
-    "rest_stream_ingest",
     "scan_csv_json_roundtrip",
     "scan_orc_roundtrip",
     "scan_partition_pruned",

@@ -656,8 +656,14 @@ def streaming_ingest_dedup(spark: SparkSession, sf: str) -> DataFrame:
 _SQL_SURFACE = """
     SELECT o_orderpriority,
            count(*)                                            AS n_orders,
-           round(sum(o_totalprice), 2)                         AS total_price,
-           round(avg(o_totalprice), 4)                         AS avg_price,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS DOUBLE) / 100.0                             AS total_price,
+           ((20000 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) + count(*))
+            - ((20000 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) + count(*))
+               % (2 * count(*))))
+           / (2 * count(*)) / 10000.0                          AS avg_price,
            count(DISTINCT o_custkey)                           AS n_customers
     FROM orders
     WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0
@@ -999,7 +1005,8 @@ def multimodal_waveform(spark: SparkSession, sf: str) -> DataFrame:
            count(DISTINCT lang)                       AS n_langs,
            count(DISTINCT source)                     AS n_sources,
            CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
-           round(avg(n_tokens), 4)                    AS avg_tokens,
+           ((20000 * CAST(sum(n_tokens) AS BIGINT) + count(*))
+            // (2 * count(*))) / 10000.0               AS avg_tokens,
            min(n_tokens)                              AS min_tokens,
            max(n_tokens)                              AS max_tokens,
            CAST(round(quantile_cont(n_tokens, 0.5), 4) * 10000 AS BIGINT)
@@ -1024,7 +1031,15 @@ def corpus_overview_report(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        # exact half-up 4-dp integer average (the fuzz-110 avg-tie
+        # class: round(avg(exact-valued),k) can split engines on a
+        # half-boundary; integer arithmetic cannot)
+        (
+            F.expr(
+                "(20000 * sum(n_tokens) + count(1)) div (2 * count(1))"
+            )
+            / 10000.0
+        ).alias("avg_tokens"),
         F.min("n_tokens").cast("long").alias("min_tokens"),
         F.max("n_tokens").cast("long").alias("max_tokens"),
         (F.round(F.expr("percentile(n_tokens, 0.5)"), 4) * 10000)

@@ -1282,7 +1282,9 @@ def udaf_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(DISTINCT o_custkey) AS n_customers,
-           round(avg(o_totalprice), 2) AS avg_price
+           ((2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) + count(*))
+            // (2 * count(*))) / 100.0 AS avg_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -1293,7 +1295,13 @@ def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
     the key ONCE per sf by ``_prepare_bucketed_layout``, so the join
     itself needs no Exchange (asserted in tests/test_plans.py); result
     equals the plain join.  The query function only reads — repeated
-    invocation in one session does zero writes."""
+    invocation in one session does zero writes.
+
+    avg_price is exact integer-cents arithmetic (sum cents as long,
+    half-up cent average), not ``round(avg(double), 2)``: fuzz seed
+    110 landed a group's true average on a half-cent boundary and the
+    two engines' double sums rounded it apart by one cent — the same
+    tie class the q1 tick pipeline exists for."""
     t_orders, t_cust = _prepare_bucketed_layout(spark, sf)
     return (
         spark.table(t_orders)
@@ -1301,7 +1309,17 @@ def join_bucketed_dim(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("custkey").alias("n_customers"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            (F.expr("(2 * __s + __n) div (2 * __n)") / 100.0).alias(
+                "avg_price"
+            ),
         )
         .orderBy("c_mktsegment")
     )
