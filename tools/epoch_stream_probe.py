@@ -1,0 +1,62 @@
+"""Corpus-scale probe for run_epoch_stream (r11): replicate the sf0.1
+documents 1x/3x/10x (replica i offsets doc_id by i * 10^9, preserving
+the per-batch arrival rule) and time the whole availableNow stream —
+the foreachBatch sink materializes everything, so no force wrapper is
+needed.  Linear wall + output rows = the evidence that the per-batch
+shard-local rank and the bounded (n_epochs x n_shards) offset table
+hold as the corpus grows.
+
+Usage:  python tools/epoch_stream_probe.py [sf_dir] [n_batches]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.scratch import scratch_dir
+    from play_bq_gcp_spark.session import get_spark
+    from play_bq_gcp_spark.streaming.ingest import (
+        land_single_file_batches,
+        run_epoch_stream,
+    )
+
+    spark = get_spark(app_name="epoch_stream_probe", shuffle_partitions=16)
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    print("| scale | wall (s) | rows |")
+    print("| --- | --- | --- |")
+    for n in (1, 3, 10):
+        docs = base
+        for i in range(1, n):
+            docs = docs.unionByName(
+                base.select(
+                    (F.col("doc_id") + i * 1_000_000_000).alias("doc_id"),
+                    "text",
+                )
+            )
+        docs = docs.withColumn(
+            "b", (F.col("doc_id") % n_batches).cast("int")
+        )
+        d = scratch_dir(f"epoch_probe_{n}x_")
+        land_single_file_batches(docs, n_batches, d)
+        t0 = time.monotonic()
+        out = run_epoch_stream(spark, d, n_epochs=2, n_shards=8)
+        rows = out.count()
+        wall = time.monotonic() - t0
+        print(f"| {n}x | {wall:.2f} | {rows} |")
+
+
+if __name__ == "__main__":
+    main()
