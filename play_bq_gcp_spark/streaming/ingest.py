@@ -206,6 +206,14 @@ def _freq_watermark(freq_dir: str) -> int:
     compacts = sorted(
         n for n in os.listdir(freq_dir) if n.startswith("compact_")
     )
+    if not compacts:
+        # every index starts life as a compact_00000 seed write; a bare
+        # IndexError here would be opaque (the land_single_file_batches
+        # precedent: name the contract, not the symptom)
+        raise FileNotFoundError(
+            f"count index at {freq_dir} has no compact_* dir — it was "
+            "not initialized with a seed compaction (compact_00000)"
+        )
     return int(compacts[-1].rsplit("_", 1)[1])
 
 
