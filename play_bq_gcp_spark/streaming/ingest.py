@@ -294,6 +294,7 @@ def run_line_stream(
     min_doc_freq: int = 3,
     compact_every: int | None = 8,
     on_batch=None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Streaming line-level dedup against a GROWING line-frequency
     index — the streaming twin of ``operators/dedup.line_dedup`` and
@@ -362,18 +363,26 @@ def run_line_stream(
         mark_rebuild,
     )
 
-    work = scratch_dir("lines_run_")
+    # an explicit work_dir makes the stream RESUMABLE: re-invoking with
+    # the same work_dir after new files land in batches_dir restarts
+    # from the Spark checkpoint (already-processed files are skipped,
+    # batch ids continue) against the SAME index — the production
+    # restart path, pinned in
+    # tests/test_streaming.py::test_line_stream_resumes_from_checkpoint
+    work = work_dir or scratch_dir("lines_run_")
     freq_dir = os.path.join(work, "freq")
     out_dir = os.path.join(work, "out")
-    os.makedirs(out_dir)
-    # the seed corpus's counts ARE the first compaction (watermark 0:
-    # zero stream batches absorbed yet)
-    (
-        lined_view(seed.select("doc_id", "text"))
-        .groupBy("line_h")
-        .agg(F.countDistinct("doc_id").alias("c"))
-        .write.parquet(os.path.join(freq_dir, "compact_00000"))
-    )
+    resuming = os.path.isdir(out_dir)
+    if not resuming:
+        os.makedirs(out_dir)
+        # the seed corpus's counts ARE the first compaction (watermark
+        # 0: zero stream batches absorbed yet)
+        (
+            lined_view(seed.select("doc_id", "text"))
+            .groupBy("line_h")
+            .agg(F.countDistinct("doc_id").alias("c"))
+            .write.parquet(os.path.join(freq_dir, "compact_00000"))
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -816,6 +816,8 @@ def _land_line_batches(spark, tmp_path, batches):
     os.makedirs(d, exist_ok=True)
     for i, rows in enumerate(batches):
         f = os.path.join(d, f"b{i:02d}.parquet")
+        if os.path.exists(f):
+            continue  # already landed (the resume test re-lands a superset)
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(
             1
         ).write.parquet(f + ".dir")
@@ -1087,3 +1089,68 @@ def test_land_single_file_batches_no_part_file_raises_named_error(
     os.makedirs(d)
     with pytest.raises(ValueError, match="batch 0 of 1"):
         ingest.land_single_file_batches(df, 1, d)
+
+
+def test_line_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The production restart path: run the line stream over two
+    batches, then land a third file and RE-INVOKE with the same
+    work_dir — the Spark checkpoint skips the processed files, batch
+    ids continue, and the new batch is screened against the index the
+    first run built (the banner's cumulative count carried across the
+    restart, so batch 2 drops it)."""
+    import hashlib
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_line_stream
+
+    banner = "accept all cookies now"
+    seed = spark.createDataFrame(
+        [(1, banner + "\nseed body line")], "doc_id long, text string"
+    )
+    batches = [
+        [(10, banner + "\nalpha beta")],          # df(banner) -> 2, kept
+        [(20, banner + "\nepsilon zeta")],        # df -> 3, dropped
+    ]
+    d = _land_line_batches(spark, tmp_path, batches)
+    work = str(tmp_path / "work")
+
+    first = sorted(
+        map(
+            tuple,
+            run_line_stream(
+                spark, d, seed, min_doc_freq=3, work_dir=work
+            ).collect(),
+        )
+    )
+    assert [r[0] for r in first] == [10, 20]
+
+    # land batch 2 AFTER the first run completed, then resume
+    _land_line_batches(
+        spark, tmp_path, batches + [[(30, banner + "\neta theta")]]
+    )
+    resumed = sorted(
+        map(
+            tuple,
+            run_line_stream(
+                spark, d, seed, min_doc_freq=3, work_dir=work
+            ).collect(),
+        )
+    )
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    by_id = {r[0]: r for r in resumed}
+    # earlier batches' emitted rows are unchanged facts
+    assert sorted(by_id) == [10, 20, 30]
+    assert by_id[10][1:] == (2, 2, fp(banner + "\nalpha beta"))
+    assert by_id[20][1:] == (2, 1, fp("epsilon zeta"))
+    # the post-restart batch sees the PRE-restart cumulative count
+    # (3 >= bar), so the banner stays dropped — state survived
+    assert by_id[30][1:] == (2, 1, fp("eta theta"))
+    # and only one output dir per batch exists (no double emission)
+    assert sorted(os.listdir(os.path.join(work, "out"))) == [
+        "batch_00000",
+        "batch_00001",
+        "batch_00002",
+    ]
