@@ -658,10 +658,10 @@ _SQL_SURFACE = """
            count(*)                                            AS n_orders,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                 AS DOUBLE) / 100.0                             AS total_price,
-           ((20000 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                          AS BIGINT) + count(*))
-            - ((20000 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                             AS BIGINT) + count(*))
+           ((200 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) + count(*))
+            - ((200 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) + count(*))
                % (2 * count(*))))
            / (2 * count(*)) / 10000.0                          AS avg_price,
            count(DISTINCT o_custkey)                           AS n_customers

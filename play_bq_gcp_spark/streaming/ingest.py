@@ -200,21 +200,47 @@ def streaming_incremental_dedup(
 _FREQ_SCHEMA = "line_h string, c long"
 
 
-def _freq_watermark(freq_dir: str) -> int:
-    """Highest compaction watermark present: ``compact_{w}`` holds the
-    summed counts of the seed plus batches ``0..w-1``."""
-    compacts = sorted(
-        n for n in os.listdir(freq_dir) if n.startswith("compact_")
+def _index_initialized(freq_dir: str) -> bool:
+    """True once the count index holds at least one COMPLETED
+    compaction (``_SUCCESS`` present).  This — not the existence of
+    the work dir — is the resume signal: a crash between work-dir
+    creation and the seed compaction write leaves a dir that must NOT
+    flip a re-invocation onto the resume path (r11 ADVICE)."""
+    if not os.path.isdir(freq_dir):
+        return False
+    return any(
+        n.startswith("compact_")
+        and os.path.exists(os.path.join(freq_dir, n, "_SUCCESS"))
+        for n in os.listdir(freq_dir)
     )
+
+
+def _freq_watermark(freq_dir: str) -> int:
+    """Highest COMPLETED compaction watermark: ``compact_{w}`` holds
+    the summed counts of the seed plus batches ``0..w-1``.  The suffix
+    is compared numerically, not lexicographically — once batch ids
+    outgrow the :05d pad, 'compact_100000' sorts BELOW
+    'compact_99999' as a string and a string max would hand readers a
+    stale watermark (r11 ADVICE).  Torn compactions (no ``_SUCCESS``)
+    are skipped: their inputs are still live (GC only runs after a
+    completed write), so the previous watermark + partials reads the
+    same values."""
+    compacts = [
+        int(n.rsplit("_", 1)[1])
+        for n in os.listdir(freq_dir)
+        if n.startswith("compact_")
+        and os.path.exists(os.path.join(freq_dir, n, "_SUCCESS"))
+    ]
     if not compacts:
         # every index starts life as a compact_00000 seed write; a bare
         # IndexError here would be opaque (the land_single_file_batches
         # precedent: name the contract, not the symptom)
         raise FileNotFoundError(
-            f"count index at {freq_dir} has no compact_* dir — it was "
-            "not initialized with a seed compaction (compact_00000)"
+            f"count index at {freq_dir} has no completed compact_* dir "
+            "— it was not initialized with a seed compaction "
+            "(compact_00000)"
         )
-    return int(compacts[-1].rsplit("_", 1)[1])
+    return max(compacts)
 
 
 def _freq_view(
@@ -280,8 +306,15 @@ def _compact_freq(
         .agg(F.sum("c").alias("c"))
         .write.parquet(target)
     )
+    # staleness is a NUMERIC comparison on the suffix — a string
+    # compare inverts once ids outgrow the :05d pad ('compact_100000'
+    # < 'compact_99999' lexicographically) and would GC the newest
+    # compaction (r11 ADVICE)
     for n in os.listdir(freq_dir):
-        if n.startswith("compact_") and n < os.path.basename(target):
+        if (
+            n.startswith("compact_")
+            and int(n.rsplit("_", 1)[1]) < through + 1
+        ):
             shutil.rmtree(os.path.join(freq_dir, n), ignore_errors=True)
         elif n.startswith("batch_") and int(n.rsplit("_", 1)[1]) <= through:
             shutil.rmtree(os.path.join(freq_dir, n), ignore_errors=True)
@@ -372,16 +405,22 @@ def run_line_stream(
     work = work_dir or scratch_dir("lines_run_")
     freq_dir = os.path.join(work, "freq")
     out_dir = os.path.join(work, "out")
-    resuming = os.path.isdir(out_dir)
-    if not resuming:
-        os.makedirs(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    # resume is keyed on a COMPLETED compaction, not on the work dir
+    # existing: a crash in the window between dir creation and the
+    # seed write would otherwise send every re-invocation down the
+    # resume path into a _freq_watermark FileNotFoundError the seed
+    # can never heal (r11 ADVICE).  overwrite mode makes a torn seed
+    # dir (no _SUCCESS) rewritable.
+    if not _index_initialized(freq_dir):
         # the seed corpus's counts ARE the first compaction (watermark
         # 0: zero stream batches absorbed yet)
         (
             lined_view(seed.select("doc_id", "text"))
             .groupBy("line_h")
             .agg(F.countDistinct("doc_id").alias("c"))
-            .write.parquet(os.path.join(freq_dir, "compact_00000"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(freq_dir, "compact_00000"))
         )
 
     stream = (
@@ -448,6 +487,7 @@ def run_epoch_stream(
     n_epochs: int = 2,
     n_shards: int = 4,
     compact_every: int | None = 8,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/curation.epoch_shuffle``: the
     corpus arrives in micro-batches WHILE the per-epoch training
@@ -477,13 +517,22 @@ def run_epoch_stream(
     """
     from play_bq_gcp_spark.operators.curation import _md5_fold
 
-    work = scratch_dir("epoch_run_")
+    # an explicit work_dir makes the stream RESUMABLE, exactly like
+    # run_line_stream: re-invoking with the same work_dir after new
+    # files land restarts from the Spark checkpoint (processed files
+    # skipped, batch ids continue) against the SAME counts index, so
+    # emitted (epoch, shard, pos) facts never re-level across the
+    # restart.  Resume keys on a COMPLETED compaction, not dir
+    # existence (the torn-seed window), and the seed write is
+    # overwrite-mode so a torn seed dir is rewritable.
+    work = work_dir or scratch_dir("epoch_run_")
     counts_dir = os.path.join(work, "counts")
     out_dir = os.path.join(work, "out")
-    os.makedirs(out_dir)
-    spark.createDataFrame(
-        [], _EPOCH_COUNTS_SCHEMA
-    ).write.parquet(os.path.join(counts_dir, "compact_00000"))
+    os.makedirs(out_dir, exist_ok=True)
+    if not _index_initialized(counts_dir):
+        spark.createDataFrame([], _EPOCH_COUNTS_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(counts_dir, "compact_00000"))
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

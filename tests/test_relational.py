@@ -175,3 +175,38 @@ def test_apply_changes_delete_of_absent_key_is_noop(spark):
     )
     out = apply_changes(snap, feed, "k", "v", "op", ["bal"]).collect()
     assert [(r.k, r.bal) for r in out] == [(1, 10.0)]
+
+
+def test_sql_surface_avg_price_is_in_dollars(spark, sf_dir):
+    """Unit pin for the sql_surface_orders average: the identical SQL
+    text runs on BOTH engines, so the differential oracle can never
+    catch a unit slip (both sides would scale together).  Pin the unit
+    here instead: a per-group average must lie within the group's
+    [min, max] o_totalprice band — an average in cents (the r11
+    regression: multiplier 20000 instead of 200) lands ~100x above max
+    and fails loudly."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import register_views
+    from play_bq_gcp_spark.queries.corpus import sql_surface_orders
+
+    register_views(spark, sf_dir)
+    bands = {
+        r.o_orderpriority: (r.lo, r.hi)
+        for r in spark.sql(
+            "SELECT o_orderpriority, min(o_totalprice) AS lo,"
+            " max(o_totalprice) AS hi FROM orders"
+            " WHERE o_orderstatus <> 'F' AND o_totalprice > 1000.0"
+            " GROUP BY o_orderpriority"
+        ).collect()
+    }
+    rows = sql_surface_orders(spark, sf_dir).collect()
+    assert rows, "fixture produced no groups"
+    for r in rows:
+        lo, hi = bands[r.o_orderpriority]
+        assert lo <= r.avg_price <= hi, (
+            f"avg_price {r.avg_price} outside [{lo}, {hi}] for"
+            f" {r.o_orderpriority} — unit regression?"
+        )
+        # and it must also sit inside the group's own total/count band
+        assert abs(r.avg_price - r.total_price / r.n_orders) < 0.01

@@ -1154,3 +1154,124 @@ def test_line_stream_resumes_from_checkpoint(spark, tmp_path):
         "batch_00001",
         "batch_00002",
     ]
+
+
+def test_epoch_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Epoch-stream parity with run_line_stream's restart path (r11
+    verdict #2): run two batches, land a third, RE-INVOKE with the
+    same work_dir — the checkpoint skips processed files, the counts
+    index carries the per-(epoch, shard) offsets across the restart,
+    and the resumed output is row-identical to a straight-through run
+    over all three batches (positions never re-level)."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_epoch_stream
+
+    batches = [
+        [(i, f"doc {i}")] for i in (1, 2)
+    ]
+    d = _land_line_batches(spark, tmp_path, batches)
+    work = str(tmp_path / "epoch_work")
+
+    first = sorted(
+        map(
+            tuple,
+            run_epoch_stream(
+                spark, d, n_epochs=2, n_shards=2, work_dir=work
+            ).collect(),
+        )
+    )
+    assert {r[3] for r in first} == {1, 2}
+
+    all_batches = batches + [[(3, "doc 3"), (4, "doc 4")]]
+    _land_line_batches(spark, tmp_path, all_batches)
+    resumed = sorted(
+        map(
+            tuple,
+            run_epoch_stream(
+                spark, d, n_epochs=2, n_shards=2, work_dir=work
+            ).collect(),
+        )
+    )
+    # pre-restart rows are unchanged facts
+    assert [r for r in resumed if r[3] in (1, 2)] == first
+    # straight-through run over the same three batches agrees exactly
+    d2 = _land_line_batches(spark, tmp_path / "fresh", all_batches)
+    straight = sorted(
+        map(
+            tuple,
+            run_epoch_stream(
+                spark,
+                d2,
+                n_epochs=2,
+                n_shards=2,
+                work_dir=str(tmp_path / "epoch_work2"),
+            ).collect(),
+        )
+    )
+    assert resumed == straight
+    # one output dir per batch — no double emission across the restart
+    assert sorted(os.listdir(os.path.join(work, "out"))) == [
+        "batch_00000",
+        "batch_00001",
+        "batch_00002",
+    ]
+
+
+def test_line_stream_heals_torn_seed_window(spark, tmp_path):
+    """A crash between work-dir creation and the seed compaction
+    write must not wedge the stream: resume detection keys on a
+    COMPLETED compaction (_SUCCESS), not on the out dir existing, so
+    a re-invocation against the torn work dir writes the seed and
+    proceeds (r11 ADVICE — the old isdir(out_dir) key made this state
+    permanently fatal)."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_line_stream
+
+    seed = spark.createDataFrame(
+        [(1, "banner line\nseed body")], "doc_id long, text string"
+    )
+    d = _land_line_batches(spark, tmp_path, [[(10, "banner line\nalpha")]])
+    work = str(tmp_path / "work")
+    # simulate the torn window: out dir exists, freq dir has a torn
+    # (no _SUCCESS) seed compaction
+    os.makedirs(os.path.join(work, "out"))
+    os.makedirs(os.path.join(work, "freq", "compact_00000"))
+    out = run_line_stream(
+        spark, d, seed, min_doc_freq=2, work_dir=work
+    ).collect()
+    assert [(r.doc_id, r.n_lines, r.n_kept) for r in out] == [(10, 2, 1)]
+
+
+def test_freq_watermark_is_numeric_and_skips_torn(tmp_path):
+    """Watermark selection parses the numeric suffix — lexicographic
+    order inverts once ids outgrow the :05d pad ('compact_100000' <
+    'compact_99999' as strings) — and ignores compactions without a
+    _SUCCESS marker (their inputs are still live)."""
+    import os
+
+    import pytest
+
+    from play_bq_gcp_spark.streaming.ingest import (
+        _freq_watermark,
+        _index_initialized,
+    )
+
+    freq = str(tmp_path / "freq")
+    for name, done in [
+        ("compact_99999", True),
+        ("compact_100000", True),
+        ("compact_100008", False),  # torn: no _SUCCESS
+    ]:
+        os.makedirs(os.path.join(freq, name))
+        if done:
+            open(os.path.join(freq, name, "_SUCCESS"), "w").close()
+    assert _freq_watermark(freq) == 100000
+    assert _index_initialized(freq)
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(os.path.join(empty, "compact_00000"))  # torn seed
+    assert not _index_initialized(empty)
+    with pytest.raises(FileNotFoundError):
+        _freq_watermark(empty)
