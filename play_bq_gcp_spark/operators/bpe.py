@@ -183,8 +183,16 @@ def bpe_encode_stats(
                     "doc_id": pdf[id_col],
                     "n_tokens_bpe": counted.map(lambda t: t[0]),
                     "n_symbols_char": counted.map(lambda t: t[1]),
+                    # exact half-up 4-dp in integer space — Python's
+                    # round() is half-even on binary doubles, which can
+                    # split from any SQL oracle on a 4-dp tie (the
+                    # fuzz-110 class); (20000c + t) // 2t is the same
+                    # expression the DuckDB twin runs
                     "compression": counted.map(
-                        lambda t: round(t[1] / t[0], 4) if t[0] else 0.0
+                        lambda t: ((20000 * t[1] + t[0]) // (2 * t[0]))
+                        / 10000.0
+                        if t[0]
+                        else 0.0
                     ),
                 }
             )

@@ -2359,17 +2359,140 @@ def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return char_entropy(_t(spark, sf, "documents"))
 
 
-@register("text_bpe_token_stats")
+def _bpe_fold(a: str, b: str, syms: str = "syms") -> str:
+    """DuckDB left-greedy adjacent merge of pair (a, b) over a symbol
+    list: ``list_reduce`` folds into a chr(31)-delimited accumulator
+    string ("last symbol is exactly a" = the accumulator IS a, or ends
+    with separator+a), then splits back to a list.  Mirrors the Spark
+    trainer's ``aggregate`` fold (operators/bpe.py:_merge_fold) and the
+    encoder's left-greedy pass.  Sound while no corpus symbol contains
+    chr(31) — the fixture corpora are printable ASCII (verified
+    tri-SF), and a violation surfaces as a loud value mismatch, never
+    a silent agreement."""
+    sep = "chr(31)"
+    return (
+        f"string_split(list_reduce({syms}, (acc, x) -> CASE "
+        f"WHEN (acc = {a} OR ends_with(acc, {sep} || {a})) AND x = {b} "
+        f"THEN acc || {b} ELSE acc || {sep} || x END), {sep})"
+    )
+
+
+def _bpe_oracle_sql(n_merges: int = 30, n_passes: int = 16) -> str:
+    """Full BPE train + encode replay in DuckDB SQL (closing the r11
+    verdict #5 rows-only gap): the ``sql_recursive_spine`` unrolling
+    trick, generated programmatically like ``_ingest_oracle_sql``.
+
+    Training unrolls ``n_merges`` iterations over the distinct-word
+    frequency table: pair counts from adjacent symbol positions
+    (overlapping, like the engine's zip_with), argmax with the
+    (count DESC, a, b) tie-break, then the conditional left-greedy
+    fold — an empty ``b{{i}}`` (best pair below min_pair_count=2) is a
+    no-op via LEFT JOIN ON TRUE, which is exactly the engine's early
+    stop (an unchanged table re-derives the same sub-threshold argmax
+    forever).  Encoding unrolls ``n_passes`` lowest-rank-first passes
+    per distinct word; ``chk`` makes an undersized ``n_passes`` fail
+    loudly (1//0) instead of under-merging silently — max word length
+    is 8 tri-SF, so 16 passes is ample.  Every chained CTE is
+    MATERIALIZED: the default inlining re-expands ``w{{i}}`` twice per
+    iteration (once for the pair count, once for the rewrite), which
+    is exponential in ``n_merges``."""
+    parts = [
+        """
+    WITH words AS MATERIALIZED (
+        SELECT doc_id, w AS word
+        FROM documents, unnest(regexp_split_to_array(text, '\\s+')) AS t(w)
+        WHERE w <> ''
+    ),
+    w0 AS MATERIALIZED (
+        SELECT list_append(string_split(word, ''), '▁') AS syms,
+               count(*) AS freq
+        FROM words GROUP BY word
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+        SELECT syms[t.i] AS a, syms[t.i + 1] AS b,
+               CAST(sum(freq) AS BIGINT) AS n
+        FROM w{i}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT a, b FROM p{i} WHERE n >= 2
+        ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{i + 1} AS MATERIALIZED (
+        SELECT CASE WHEN mb.a IS NULL THEN syms
+                    ELSE {_bpe_fold('mb.a', 'mb.b')} END AS syms, freq
+        FROM w{i} LEFT JOIN b{i} mb ON TRUE
+    )""")
+    rank_legs = "\n        UNION ALL ".join(
+        f"SELECT {i} AS rk, a, b FROM b{i}" for i in range(n_merges)
+    )
+    parts.append(f""",
+    merges AS MATERIALIZED (
+        {rank_legs}
+    ),
+    s0 AS MATERIALIZED (
+        SELECT DISTINCT word,
+               list_append(string_split(word, ''), '▁') AS syms
+        FROM words
+    )""")
+    for j in range(n_passes):
+        parts.append(f""",
+    r{j} AS MATERIALIZED (
+        SELECT s.word, min(m.rk) AS rk
+        FROM s{j} s, unnest(range(1, len(s.syms))) AS t(i)
+        JOIN merges m ON m.a = s.syms[t.i] AND m.b = s.syms[t.i + 1]
+        GROUP BY s.word
+    ),
+    s{j + 1} AS MATERIALIZED (
+        SELECT s.word,
+               CASE WHEN r.rk IS NULL THEN s.syms
+                    ELSE {_bpe_fold('m.a', 'm.b', 's.syms')} END AS syms
+        FROM s{j} s LEFT JOIN r{j} r USING (word)
+        LEFT JOIN merges m ON m.rk = r.rk
+    )""")
+    last = f"s{n_passes}"
+    parts.append(f""",
+    chk AS MATERIALIZED (
+        SELECT count(*) AS leftover
+        FROM {last} s, unnest(range(1, len(s.syms))) AS t(i)
+        JOIN merges m ON m.a = s.syms[t.i] AND m.b = s.syms[t.i + 1]
+    ),
+    wtok AS MATERIALIZED (SELECT word, len(syms) AS n_tok FROM {last}),
+    stats AS MATERIALIZED (
+        SELECT w.doc_id,
+               CAST(sum(wt.n_tok) AS BIGINT)           AS n_tokens_bpe,
+               CAST(sum(length(w.word) + 1) AS BIGINT) AS n_symbols_char
+        FROM words w JOIN wtok wt USING (word)
+        GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens_bpe, 0)   AS n_tokens_bpe,
+           coalesce(s.n_symbols_char, 0) AS n_symbols_char,
+           CASE WHEN coalesce(s.n_tokens_bpe, 0) = 0 THEN 0.0
+                ELSE ((20000 * s.n_symbols_char + s.n_tokens_bpe)
+                      // (2 * s.n_tokens_bpe)) / 10000.0 END AS compression
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    WHERE 1 = CASE WHEN (SELECT leftover FROM chk) = 0 THEN 1 ELSE 1 // 0 END
+    ORDER BY d.doc_id""")
+    return "".join(parts)
+
+
+@register("text_bpe_token_stats", _bpe_oracle_sql())
 def text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-tokenizer token accounting (operators/bpe.py): train a
     30-merge BPE on the corpus's distinct-word frequency table (one
     argmax row to the driver per iteration, JVM-side HOF merges), then
     encode every document and report BPE token count, char-symbol
     count, and compression — the budget numbers a 100 TB pipeline
-    plans with.  Rows-only BY DESIGN: the trainer is iterative (the
-    PageRank precedent) and the merge list is pinned against a
-    pure-Python BPE reference under hypothesis instead
-    (tests/test_properties.py)."""
+    plans with.  Oracle-backed since r12: the DuckDB twin replays the
+    ENTIRE train + encode loop unrolled (``_bpe_oracle_sql``), on top
+    of the hypothesis pin against the pure-Python reference
+    (tests/test_properties.py).  Compression is an exact half-up 4-dp
+    integer division on both engines (Python round() is half-even on
+    doubles — the fuzz-110 tie class)."""
     from play_bq_gcp_spark.operators.bpe import bpe_encode_stats, bpe_train
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")

@@ -488,6 +488,7 @@ def run_epoch_stream(
     n_shards: int = 4,
     compact_every: int | None = 8,
     work_dir: str | None = None,
+    on_batch=None,
 ) -> DataFrame:
     """Streaming twin of ``operators/curation.epoch_shuffle``: the
     corpus arrives in micro-batches WHILE the per-epoch training
@@ -541,8 +542,11 @@ def run_epoch_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
         from pyspark.sql import Window
 
+        t0 = time.monotonic()
         s = batch_df.sparkSession
         if (
             compact_every
@@ -612,6 +616,12 @@ def run_epoch_stream(
             )
         finally:
             keyed.unpersist()
+        if on_batch is not None:
+            # probe hook, same contract as run_line_stream's:
+            # (batch_id, seconds) after the batch's writes complete but
+            # BEFORE the checkpoint commit — the fuzz harness raises
+            # here to simulate a crash in that window
+            on_batch(batch_id, time.monotonic() - t0)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -1,0 +1,305 @@
+"""Randomized kill-and-retry fuzz harness for the streaming index
+protocols (r11 verdict ask #4).
+
+The deterministic tests pin ONE crash point per protocol; this harness
+randomizes the whole failure surface per seed and asserts the end
+state is indistinguishable from a straight-through run:
+
+  - random corpus (shared "boilerplate" line pool + unique lines) and
+    random batch boundaries (the SAME boundaries for reference and
+    perturbed runs — both protocols' outputs are batch-granular facts
+    by design, so boundaries vary across seeds, not within a pair);
+  - random ``compact_every`` in {1, 2, 3, 8, None} for the perturbed
+    run vs NEVER-compacting reference — every seed is also a
+    compaction value-neutrality check;
+  - one injected crash at a random point: inside the micro-batch
+    before/after the index write (a raising ``_freq_view`` wrapper —
+    the call sits after the line stream's partial write and before
+    the epoch stream's), after ALL the batch's writes but before the
+    checkpoint commit (a raising ``on_batch``), or right after a
+    compaction completes but before the batch proceeds;
+  - a planted TORN compaction (junk parquet with absurd counts, no
+    ``_SUCCESS``) that the reader must skip and the compactor must
+    rebuild, never trust;
+  - a random restart point: only the first K batches are landed for
+    the first invocation(s); the rest land afterwards and the run
+    resumes against the same work_dir.
+
+"Identical end state" = sorted output rows equal AND the summed final
+count index equal (file bytes legitimately differ by partition
+layout; the sums are the values every reader consumes).
+
+Usage: python tools/fuzz_stream.py [seed ...]   (default seeds 200-206)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from play_bq_gcp_spark.streaming import ingest as ing  # noqa: E402
+
+
+def _land(spark, d: str, batches: list[list[tuple]]) -> str:
+    """Land batches as mtime-ordered single-file parquet chunks;
+    re-landing a superset skips files already present (the resume
+    idiom from tests/test_streaming.py)."""
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"b{i:02d}.parquet")
+        if os.path.exists(f):
+            continue
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f + ".dir")
+        part = next(
+            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
+        )
+        os.rename(os.path.join(f + ".dir", part), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def _gen_line_corpus(rng: random.Random):
+    pool = [f"boiler line {i}" for i in range(rng.randint(2, 5))]
+    seed_rows = []
+    for i in range(rng.randint(2, 5)):
+        lines = [
+            rng.choice(pool) if rng.random() < 0.6 else f"seed uniq {i} {j}"
+            for j in range(rng.randint(1, 4))
+        ]
+        seed_rows.append((1000 + i, "\n".join(lines)))
+    stream_rows = []
+    for i in range(rng.randint(8, 18)):
+        lines = [
+            rng.choice(pool) if rng.random() < 0.5 else f"uniq {i} {j}"
+            for j in range(rng.randint(1, 5))
+        ]
+        stream_rows.append((i, "\n".join(lines)))
+    n_batches = rng.randint(3, 6)
+    cuts = sorted(
+        rng.sample(range(1, len(stream_rows)), n_batches - 1)
+    )
+    batches, prev = [], 0
+    for c in [*cuts, len(stream_rows)]:
+        batches.append(stream_rows[prev:c])
+        prev = c
+    return seed_rows, batches
+
+
+def _plant_torn_compact(freq_dir: str, w: int, schema_cols) -> None:
+    """A torn (no _SUCCESS) compaction full of ABSURD counts: if any
+    reader ever trusts it, outputs diverge loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(freq_dir, f"compact_{w:05d}")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(schema_cols), os.path.join(d, "part-junk.parquet")
+    )
+
+
+class _CrashPlan:
+    """One armed crash; disarms after firing so the retry completes."""
+
+    def __init__(self, rng: random.Random, n_batches: int):
+        self.mode = rng.choice(["freq_view", "on_batch", "post_compact"])
+        self.at_call = rng.randint(1, max(1, n_batches - 1))
+        self.fired = False
+        self.calls = 0
+
+    def maybe_fire(self, mode: str) -> None:
+        if self.fired or mode != self.mode:
+            return
+        self.calls += 1
+        if self.calls >= self.at_call:
+            self.fired = True
+            raise RuntimeError(f"fuzz-injected crash: {self.mode}")
+
+
+def _run_perturbed(spark, run_fn, batches_dir_full, all_batches, work,
+                   plan, rng, torn_schema, index_subdir, **kw):
+    """Land a random prefix, run (crash + retry), land the rest,
+    resume; returns the final DataFrame."""
+    land_dir = batches_dir_full
+    k = rng.randint(1, len(all_batches) - 1)
+    _land(spark, land_dir, all_batches[:k])
+
+    orig_fv, orig_cf = ing._freq_view, ing._compact_freq
+
+    def fv(*a, **k2):
+        plan.maybe_fire("freq_view")
+        return orig_fv(*a, **k2)
+
+    def cf(*a, **k2):
+        out = orig_cf(*a, **k2)
+        plan.maybe_fire("post_compact")
+        return out
+
+    def ob(batch_id, secs):
+        plan.maybe_fire("on_batch")
+
+    ing._freq_view, ing._compact_freq = fv, cf
+    try:
+        attempts = 0
+        while True:
+            attempts += 1
+            if attempts > 8:
+                raise AssertionError("retry loop did not converge")
+            fired_before = plan.fired
+            try:
+                run_fn(spark, land_dir, work_dir=work, on_batch=ob, **kw)
+                break
+            except Exception:  # noqa: BLE001
+                # Spark wraps foreachBatch errors in
+                # StreamingQueryException and may not carry the message
+                # through — identify the injection by the plan's state
+                # transition, not by string matching
+                if plan.fired and not fired_before:
+                    continue
+                raise
+    finally:
+        ing._freq_view, ing._compact_freq = orig_fv, orig_cf
+
+    # plant a torn compaction before the resume: skipped by readers,
+    # rebuilt (never trusted) if the compactor later targets its name
+    if rng.random() < 0.7:
+        _plant_torn_compact(
+            os.path.join(work, index_subdir),
+            rng.randint(1, len(all_batches)),
+            torn_schema,
+        )
+
+    _land(spark, land_dir, all_batches)
+    return run_fn(spark, land_dir, work_dir=work, **kw)
+
+
+def _index_sums(spark, freq_dir: str, schema: str, keys) -> dict:
+    df = (
+        ing._freq_view(spark, freq_dir, schema=schema)
+        .groupBy(*keys)
+        .agg(F.sum("c").alias("c"))
+    )
+    return {tuple(r[k] for k in keys): r.c for r in df.collect()}
+
+
+def fuzz_line_stream(spark, seed: int) -> str | None:
+    rng = random.Random(seed)
+    seed_rows, batches = _gen_line_corpus(rng)
+    min_df = rng.randint(2, 4)
+    compact_every = rng.choice([1, 2, 3, 8, None])
+    root = tempfile.mkdtemp(prefix=f"fuzzline_{seed}_")
+    try:
+        seed_df = spark.createDataFrame(
+            seed_rows, "doc_id long, text string"
+        )
+        ref = ing.run_line_stream(
+            spark,
+            _land(spark, os.path.join(root, "ref_b"), batches),
+            seed_df,
+            min_doc_freq=min_df,
+            compact_every=None,
+            work_dir=os.path.join(root, "ref_w"),
+        )
+        ref_rows = sorted(map(tuple, ref.collect()))
+        ref_idx = _index_sums(
+            spark, os.path.join(root, "ref_w", "freq"),
+            ing._FREQ_SCHEMA, ("line_h",),
+        )
+
+        plan = _CrashPlan(rng, len(batches))
+        out = _run_perturbed(
+            spark, ing.run_line_stream, os.path.join(root, "p_b"),
+            batches, os.path.join(root, "p_w"), plan, rng,
+            {"line_h": ["junk"], "c": [10**9]}, "freq",
+            seed=seed_df, min_doc_freq=min_df, compact_every=compact_every,
+        )
+        rows = sorted(map(tuple, out.collect()))
+        idx = _index_sums(
+            spark, os.path.join(root, "p_w", "freq"),
+            ing._FREQ_SCHEMA, ("line_h",),
+        )
+        if rows != ref_rows:
+            return f"line output diverged (crash={plan.mode}, ce={compact_every})"
+        if idx != ref_idx:
+            return f"line index diverged (crash={plan.mode}, ce={compact_every})"
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def fuzz_epoch_stream(spark, seed: int) -> str | None:
+    rng = random.Random(seed)
+    _, batches = _gen_line_corpus(rng)
+    n_epochs = rng.randint(1, 3)
+    n_shards = rng.randint(2, 4)
+    compact_every = rng.choice([1, 2, 3, 8, None])
+    root = tempfile.mkdtemp(prefix=f"fuzzepoch_{seed}_")
+    try:
+        ref = ing.run_epoch_stream(
+            spark,
+            _land(spark, os.path.join(root, "ref_b"), batches),
+            n_epochs=n_epochs,
+            n_shards=n_shards,
+            compact_every=None,
+            work_dir=os.path.join(root, "ref_w"),
+        )
+        ref_rows = sorted(map(tuple, ref.collect()))
+        ref_idx = _index_sums(
+            spark, os.path.join(root, "ref_w", "counts"),
+            ing._EPOCH_COUNTS_SCHEMA, ("epoch", "shard"),
+        )
+
+        plan = _CrashPlan(rng, len(batches))
+        out = _run_perturbed(
+            spark, ing.run_epoch_stream, os.path.join(root, "p_b"),
+            batches, os.path.join(root, "p_w"), plan, rng,
+            {"epoch": [0], "shard": [0], "c": [10**9]}, "counts",
+            n_epochs=n_epochs, n_shards=n_shards,
+            compact_every=compact_every,
+        )
+        rows = sorted(map(tuple, out.collect()))
+        idx = _index_sums(
+            spark, os.path.join(root, "p_w", "counts"),
+            ing._EPOCH_COUNTS_SCHEMA, ("epoch", "shard"),
+        )
+        if rows != ref_rows:
+            return f"epoch output diverged (crash={plan.mode}, ce={compact_every})"
+        if idx != ref_idx:
+            return f"epoch index diverged (crash={plan.mode}, ce={compact_every})"
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    from play_bq_gcp_spark.session import get_spark
+
+    seeds = [int(s) for s in sys.argv[1:]] or list(range(200, 207))
+    spark = get_spark(app_name="fuzz_stream", shuffle_partitions=4)
+    failures = 0
+    for seed in seeds:
+        for name, fn in (
+            ("line", fuzz_line_stream),
+            ("epoch", fuzz_epoch_stream),
+        ):
+            err = fn(spark, seed)
+            if err:
+                failures += 1
+                print(f"FAIL seed={seed} {name}: {err}")
+            else:
+                print(f"ok   seed={seed} {name}")
+    print(f"{failures} failures over {len(seeds)} seeds x 2 protocols")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
