@@ -69,6 +69,10 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # r11 verdict #3: one LLM-pipeline heavyweight in the headline set
+    # so regressions in the engine's most differentiated operators are
+    # visible round-over-round; band recorded in BASELINE.md r12 notes
+    "dedup_lines_corpus",
     "similarity_topk_bruteforce",
     # ANN timed per method (r3 review: regressions must be assignable
     # to LSH vs IVF); the combined suite remains the correctness entry

@@ -21,6 +21,7 @@ equi-join on bucket + residual filter (``range_join_bucketed``).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 import pandas as pd
 
@@ -216,3 +217,74 @@ def temporal_join(
         )
     )
     return f.join(v, cond).drop(F.col(f"v.{key}"))
+
+
+@contextmanager
+def runtime_bloom_filter(
+    spark,
+    application_side_min_scan: str = "1KB",
+    creation_side_max: str = "100MB",
+):
+    """Scope Spark's runtime Bloom-filter join pushdown
+    (``InjectRuntimeFilter``) to one materialization.
+
+    The optimizer injects a ``might_contain(bloom_agg(dim_key))``
+    predicate into the FACT side's scan when the dim side carries a
+    selective filter — the fact shuffle then drops non-matching rows
+    at the source instead of shuffling them.  The feature is ON by
+    default in Spark 3.5/4.x but gated by size thresholds tuned for
+    clusters (application side >= 10 GiB scan); at fixture scale the
+    gate never opens, so this context lowers it for the duration of
+    one eager materialization and RESTORES every touched conf after
+    (injection happens at optimization time, i.e. inside the action —
+    a set-then-restore around mere plan construction would be a
+    no-op, and leaking a 1KB threshold session-wide would silently
+    re-plan every other entry's joins).
+
+    ``autoBroadcastJoinThreshold`` is disabled inside the scope to
+    model the 100 TB shape the feature exists for: a dim slice too
+    big to broadcast (a date range of orders is GBs at scale) joining
+    a fact side in the TBs — broadcast joins get DPP instead, and a
+    broadcast fixture plan would pin the wrong physical strategy.
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": application_side_min_scan,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            creation_side_max,
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim_filtered: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Equi-join declared so the optimizer can runtime-Bloom-filter
+    the fact scan from the dim side's selective filter.  Pure
+    declarative composition — the pushdown itself is Catalyst's
+    ``InjectRuntimeFilter`` rule, pinned A/B (with vs without the
+    feature, identical results, ``might_contain`` only in the enabled
+    plan) in tests/test_plans.py.  Call under
+    ``runtime_bloom_filter`` and materialize inside the scope."""
+    return fact.join(
+        dim_filtered, fact[fact_key] == dim_filtered[dim_key], "inner"
+    )

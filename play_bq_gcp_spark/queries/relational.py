@@ -1278,6 +1278,61 @@ def udaf_geomean_price(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "join_bloom_pruned",
+    """
+    SELECT l_linestatus,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime Bloom-filter join pushdown (Catalyst
+    ``InjectRuntimeFilter``, the r11 verdict #7 exemplar): a selective
+    dim filter (urgent + high-value orders) makes the optimizer inject
+    ``might_contain(bloom_agg(o_orderkey))`` into the LINEITEM scan,
+    so fact rows for non-qualifying orders drop before the shuffle —
+    the 100 TB shape where the dim slice is too big to broadcast but
+    tiny relative to the fact side.  The join runs eagerly inside the
+    ``runtime_bloom_filter`` conf scope (injection happens at action
+    time; the scope lowers the cluster-tuned size gates, disables
+    broadcast to pin the shuffle-join strategy, and restores every
+    conf after).  A/B plan + equality pin: tests/test_plans.py.
+    Revenue in exact integer cents (the fuzz-110 discipline)."""
+    from play_bq_gcp_spark.operators.joins_advanced import (
+        bloom_pruned_join,
+        runtime_bloom_filter,
+    )
+
+    fact = _t(spark, sf, "lineitem")
+    dim = _t(spark, sf, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    out = (
+        bloom_pruned_join(fact, dim, "l_orderkey", "o_orderkey")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("l_linestatus")
+    )
+    with runtime_bloom_filter(spark):
+        # eager materialization INSIDE the scope — the Bloom filter is
+        # injected when the action runs, and the tiny aggregated
+        # result is what gets checkpointed
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+@register(
     "join_bucketed_dim",
     """
     SELECT c_mktsegment,

@@ -524,3 +524,63 @@ def test_salted_join_splits_zipf_hot_key(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_bloom_filter_join_ab_pin(spark, sf_dir):
+    """A/B pin for the runtime Bloom-filter join pushdown
+    (operators/joins_advanced.runtime_bloom_filter): with the scope's
+    thresholds the executed plan carries might_contain/bloom on the
+    FACT side; with the feature off it doesn't; results are identical
+    both ways, and every touched conf is restored after the scope."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.joins_advanced import (
+        bloom_pruned_join,
+        runtime_bloom_filter,
+    )
+
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    dim = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+
+    def agg():
+        return (
+            bloom_pruned_join(fact, dim, "l_orderkey", "o_orderkey")
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    with runtime_bloom_filter(spark):
+        df_on = agg()
+        rows_on = sorted(map(tuple, df_on.collect()))
+        plan_on = df_on._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan_on.lower(), plan_on[:2000]
+    # scope restored every conf it touched
+    for k, v in before.items():
+        assert spark.conf.get(k) == v
+
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+    )
+    try:
+        df_off = agg()
+        rows_off = sorted(map(tuple, df_off.collect()))
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        )
+    assert "might_contain" not in plan_off.lower()
+    assert rows_on == rows_off and rows_on

@@ -96,12 +96,18 @@ def _gen_line_corpus(rng: random.Random):
 
 def _plant_torn_compact(freq_dir: str, w: int, schema_cols) -> None:
     """A torn (no _SUCCESS) compaction full of ABSURD counts: if any
-    reader ever trusts it, outputs diverge loudly."""
+    reader ever trusts it, outputs diverge loudly.  Only plants a NEW
+    dir — writing junk INTO an existing completed compaction would
+    corrupt real state no protocol could defend against (the seed-201
+    harness bug: with compact_every=1 the random name collided with
+    the live watermark)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = os.path.join(freq_dir, f"compact_{w:05d}")
-    os.makedirs(d, exist_ok=True)
+    if os.path.exists(d):
+        return
+    os.makedirs(d)
     pq.write_table(
         pa.table(schema_cols), os.path.join(d, "part-junk.parquet")
     )
