@@ -30,131 +30,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order.  Rotation policy: FRESHNESS —
 # each round the window re-attests (a) every entry whose CODE or
 # ORACLE changed this round, then (b) the entries whose last driver
-# green is oldest.  Round 11 carries:
+# green is oldest.  Round 12 carries:
 #
-# (a) CHANGED/NEW — streaming_lines_ingest (the line-frequency index
-# gained idempotent per-batch partial dirs + watermark-named
-# compaction; the fixture runs compact_every=2 so the differential
-# crosses a compaction boundary — r10 verdict ask #2);
-# q1_pricing_summary (half_up_micro_avg gained the NULL-safe
-# count>0-guarded denominator — output-neutral for q1's non-NULL
-# columns, verified by a targeted 7-entry sf0.01 differential of
-# every half_up_* caller (q1/q3/q5/q6/q7/q15/q19) plus the fraction-
-# reference property suite; the direct caller re-attests, the other
-# six are r9/r10-fresh and rotate normally per the r10 precedent);
-# similarity_ivfpq_adc_exact (NEW: integer-exact IVF-PQ composed
-# retrieval — the coarse-prune -> ADC -> exact-rerank handoff,
-# closing the r10 verdict #7 symmetry gap);
-# streaming_epoch_shuffle (NEW: epoch training orders built while the
-# corpus streams in — append-only positions, offsets from the same
-# watermark-compacted count index, compact_every=2 here too); and the
-# SESSION-BOUNDARY family — sessionize_events,
-# streaming_session_windows, streaming_timeout_sessions,
-# streaming_session_timers_tws — whose boundary rule changed from
-# >= gap to strict > gap after fuzz seed 107 planted an exact-1800 s
-# gap and split streaming_session_windows from its oracle:
-# F.session_window MERGES two events exactly one gap apart (measured
-# on 4.1.2; the old docstrings claimed the opposite from the
-# "exclusive end" phrasing), so every lag/cumsum twin and procedural
-# session processor now uses the strict rule and all four re-attest.
-# The tws harness also adopted RocksDB changelog checkpointing this
-# round (r10 recovery-probe decision rule) — output-neutral by
-# construction (state STORAGE, not semantics) and verified by a
-# targeted all-five-tws sf0.01 differential, so per the r10 precedent
-# the r10-fresh tws entries rotate normally; the r8-vintage liststate/
-# mapstate pair is window-slotted below anyway.
-# streaming_ingest_dedup also re-attests: its per-batch writes moved
-# to batch-keyed overwrite subdirs with a strictly-prior index read
-# (retry idempotence, the run_line_stream discipline extended) —
-# output-neutral and tri-SF-verified locally, but the read path
-# restructure is a real code change, so it takes a slot.
-# join_bucketed_dim re-attests: fuzz seed 110 landed a group average
-# on a half-cent boundary and round(avg(double), 2) split the engines
-# by one cent — the entry (plus corpus_overview_report and
-# sql_surface_orders, both already window-slotted) now computes the
-# average in exact integer arithmetic; all three re-verified on the
-# failing seed, a clean seed, and tri-SF.
+# (a) CHANGED/NEW — sql_surface_orders (the r11 ADVICE high: avg_price
+# multiplier 20000 -> 200, cents -> dollars — a REAL output change the
+# shared-SQL-text differential can't see, so it's unit-pinned in
+# tests/test_relational.py and re-attested here);
+# streaming_lines_ingest (resume detection now keys on a completed
+# seed compaction, watermark/GC comparisons numeric — r11 ADVICE lows);
+# streaming_epoch_shuffle (run_epoch_stream gained work_dir resume,
+# r11 verdict #2, restart test + 11-seed kill-and-retry fuzz);
+# text_bpe_token_stats (NEW ORACLE — the full train+encode loop
+# unrolled in DuckDB SQL, r11 verdict #5; compression moved to exact
+# half-up integer division, an output change on tie values);
+# join_bloom_pruned (NEW ENTRY — runtime Bloom-filter join pushdown
+# exemplar, r11 verdict #7, A/B plan-pinned in tests/test_plans.py);
+# streaming_ingest_dedup (r11-fresh, but run_ingest_stream gained
+# work_dir resume + the torn-seed-keyed init this round — the trio
+# completion — so it re-attests as a changed entry).
 #
-# (b) ROTATION — all 18 r7-vintage entries (4 rounds old at r11; the
-# whole block the r10 verdict ask #1 names), then 22 of the 46
-# r8-vintage entries, including the three exact-ANN twins the verdict
-# names (similarity_ann_lsh_exact / _ivf_exact / similarity_pq_adc_
-# exact).  24 r8 entries defer to round 12, each with independent
-# evidence THIS round: asof_join_purchase_click, dedup_minhash_lsh,
-# merge_full_upsert, pipeline_corpus_clean, skew_salted_suite,
-# streaming_window_dedup_counts, window_events_suite,
-# agg_group_analytics, multimodal_suite are bench-run every round
-# (sf0.1 under the forced-materialization action);
-# attribution_first_last and text_fingerprint_rolling are
-# hypothesis-pinned against pandas/pure-python references;
-# proj_filter_orders, quality_expectations_orders,
-# feature_binning_quantile, customer_rfm_segments,
-# events_transition_matrix, mv_incremental_refresh,
-# graph_pagerank_bipartite are plan-audited at r11 HEAD with direct
-# pytest twins; semistructured_variant and events_activity_streaks
-# have pytest twins; streaming_full_outer_interval_join and
-# streaming_left_outer_interval_join have r10-fresh family twins
-# (left_semi / right_outer); text_lm_fluency has four r9-fresh
-# text-family siblings (char_entropy, boilerplate_spans, encoding
-# audit, lang confusion) and the full local sweeps;
-# rest_stream_ingest has the r10-fresh family twin
-# rest_source_snapshot plus the transport-seam pytest suites
-# (test_datasource, test_http_client).  ALL 46 r8 entries — deferred included —
-# were locally differential-checked at sf0.01 this round (the window
-# pre-flight sweep ran the full head-50 plus the session family and
-# fuzz-107 registry).  After r11 the oldest oracle-backed attestation
-# is r8 (the 22 deferrals), due first at r12.
+# (b) ROTATION — all 24 r8-vintage deferrals the r11 verdict names
+# (3 rounds stale, due at r12), then the oldest 20 of the 49
+# r9-vintage entries (alphabetical within the cohort).  The 29 r9
+# entries deferring to r13: multimodal_video_frames,
+# multimodal_waveform, pandas_udf_token_count
+# and range_join_price_bands (both bench-run at sf0.1 every round),
+# the 17 TPC-H q-entries (q3/q5 bench-run; all hand-derived
+# integer-tick oracles unchanged since the r9 ticks campaign),
+# quality_length_outliers_mad, quality_referential_integrity,
+# text_boilerplate_spans, text_char_entropy, text_encoding_audit,
+# text_lang_confusion_matrix, trend_daily_revenue,
+# window_rank_family_full.  ALL 50 window entries were locally
+# differential-checked at sf0.01 before this rotation landed (the
+# probe-before-claim pre-flight), and the full registry tri-SF sweep
+# runs at close-out.  After r12 the oldest oracle-backed attestation
+# will be r9 (the 28 deferrals), due first at r13.
 _WINDOW = [
-    "streaming_lines_ingest",
-    "q1_pricing_summary",
-    "similarity_ivfpq_adc_exact",
-    "streaming_epoch_shuffle",
-    "sessionize_events",
-    "streaming_session_windows",
-    "streaming_timeout_sessions",
-    "streaming_session_timers_tws",
-    "streaming_ingest_dedup",
-    "join_bucketed_dim",
-    "agg_correlation",
-    "anti_join_customers",
-    "curation_token_budget_select",
-    "dedup_ngram_jaccard",
-    "distinct_sort_limit",
-    "domain_mix_sample",
-    "embedding_quantize_int8",
-    "events_outlier_zscore",
-    "pivot_unpivot_roundtrip",
-    "sampling_suite",
-    "sequence_pack_bins",
-    "set_ops_suite",
-    "split_train_val_test",
+    # (a) changed/new this round
     "sql_surface_orders",
-    "streaming_foreach_batch_merge",
-    "text_doc_profile",
-    "text_edit_distance",
-    "text_top_tokens",
-    "agg_approx_sketches",
-    "basket_part_pairs_lift",
-    "corpus_divergence_kl",
-    "corpus_overview_report",
-    "dedup_canonical_survivors",
-    "multimodal_arrow_profile",
-    "mv_cdc_refresh",
-    "profile_documents",
-    "profile_value_histogram",
-    "resample_daily_locf",
-    "scan_csv_json_roundtrip",
-    "scan_orc_roundtrip",
-    "scan_partition_pruned",
-    "similarity_ann_ivf_exact",
-    "similarity_ann_lsh_exact",
-    "similarity_pq_adc_exact",
-    "skew_key_report",
-    "sql_recursive_spine",
-    "streaming_tws_liststate",
-    "streaming_tws_mapstate",
-    "text_keywords_tfidf",
-    "text_repetition_profile",
+    "streaming_lines_ingest",
+    "streaming_epoch_shuffle",
+    "text_bpe_token_stats",
+    "join_bloom_pruned",
+    "streaming_ingest_dedup",
+    # (b) the 24 r8-vintage deferrals, due at r12
+    "agg_group_analytics",
+    "proj_filter_orders",
+    "merge_full_upsert",
+    "window_events_suite",
+    "asof_join_purchase_click",
+    "skew_salted_suite",
+    "streaming_window_dedup_counts",
+    "dedup_minhash_lsh",
+    "pipeline_corpus_clean",
+    "multimodal_suite",
+    "rest_stream_ingest",
+    "text_lm_fluency",
+    "streaming_left_outer_interval_join",
+    "streaming_full_outer_interval_join",
+    "semistructured_variant",
+    "text_fingerprint_rolling",
+    "quality_expectations_orders",
+    "mv_incremental_refresh",
+    "attribution_first_last",
+    "feature_binning_quantile",
+    "graph_pagerank_bipartite",
+    "events_activity_streaks",
+    "customer_rfm_segments",
+    "events_transition_matrix",
+    # (b) oldest 20 of the r9 cohort (alphabetical)
+    "agg_countmin_sketch",
+    "agg_distinct_collect",
+    "agg_heavy_hitters_mg",
+    "asof_join_pandas",
+    "curation_shard_manifest",
+    "dedup_casefold_exact",
+    "dedup_connected_groups",
+    "dedup_containment_pairs",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_semantic_semdedup",
+    "embedding_label_centroids",
+    "events_ewma_daily",
+    "events_psi_feature_drift",
+    "join_outer_cross_suite",
+    "knn_join_lsh",
+    "merge_scd2",
+    "multimodal_frame_dedup",
+    "multimodal_image_near_dup",
 ]
 
 

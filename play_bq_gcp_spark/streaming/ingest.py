@@ -109,6 +109,8 @@ def run_ingest_stream(
     batches_dir: str,
     corpus: DataFrame,
     threshold: float = 0.7,
+    work_dir: str | None = None,
+    on_batch=None,
 ) -> DataFrame:
     """Run an ingest stream to completion and return per-doc verdicts.
 
@@ -133,13 +135,21 @@ def run_ingest_stream(
     """
     from play_bq_gcp_spark.operators.dedup import incremental_dedup
 
-    work = scratch_dir("ingest_run_")
+    # explicit work_dir = RESUMABLE, completing the trio with
+    # run_line_stream / run_epoch_stream (r12): re-invocation restarts
+    # from the Spark checkpoint against the same grown index.  Resume
+    # keys on a COMPLETED seed write (_SUCCESS), never on dir
+    # existence (the torn-seed window), and the seed write is
+    # overwrite-mode so a torn seed dir is rewritable.
+    work = work_dir or scratch_dir("ingest_run_")
     index_dir = os.path.join(work, "index")
     verd_dir = os.path.join(work, "verdicts")
-    os.makedirs(verd_dir)
-    corpus.select("doc_id", "text").write.parquet(
-        os.path.join(index_dir, "seed")
-    )
+    os.makedirs(verd_dir, exist_ok=True)
+    seed_dir = os.path.join(index_dir, "seed")
+    if not os.path.exists(os.path.join(seed_dir, "_SUCCESS")):
+        corpus.select("doc_id", "text").write.mode("overwrite").parquet(
+            seed_dir
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -148,6 +158,9 @@ def run_ingest_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        t0 = time.monotonic()
         s = batch_df.sparkSession
         # seed + STRICTLY-PRIOR batches' accepted docs: a retried batch
         # must not screen against its own half-committed accepted dir
@@ -170,6 +183,10 @@ def run_ingest_stream(
         accepted.write.mode("overwrite").parquet(
             os.path.join(index_dir, f"batch_{batch_id:05d}")
         )
+        if on_batch is not None:
+            # probe hook (run_line_stream contract): fires after the
+            # batch's writes, before the checkpoint commit
+            on_batch(batch_id, time.monotonic() - t0)
 
     q = (
         stream.writeStream.foreachBatch(handle)

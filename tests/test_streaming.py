@@ -1275,3 +1275,85 @@ def test_freq_watermark_is_numeric_and_skips_torn(tmp_path):
     assert not _index_initialized(empty)
     with pytest.raises(FileNotFoundError):
         _freq_watermark(empty)
+
+
+def test_ingest_stream_resumes_from_checkpoint(spark, tmp_path):
+    """run_ingest_stream restart parity (the r12 trio completion): two
+    batches screened and accepted, then a third lands and the stream
+    RE-INVOKES with the same work_dir — the checkpoint skips processed
+    files and the new batch is screened against the index the first
+    run GREW, so a re-crawl of a run-1-accepted doc comes back
+    exact_dup across the restart."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_ingest_stream
+
+    seed = spark.createDataFrame(
+        [(100, "seed document about alpha topics")],
+        "doc_id long, text string",
+    )
+    batches = [
+        [(1, "fresh document one entirely new words")],
+        [(2, "fresh document two different content here")],
+    ]
+    d = _land_line_batches(spark, tmp_path, batches)
+    work = str(tmp_path / "ingest_work")
+
+    first = {
+        r.doc_id: r.verdict
+        for r in run_ingest_stream(spark, d, seed, work_dir=work).collect()
+    }
+    assert first == {1: "new", 2: "new"}
+
+    # batch 2 re-crawls batch 0's doc under a NEW id: only the grown
+    # index (not the seed) can flag it
+    _land_line_batches(
+        spark, tmp_path,
+        batches + [[(3, "fresh document one entirely new words")]],
+    )
+    resumed = {
+        r.doc_id: r.verdict
+        for r in run_ingest_stream(spark, d, seed, work_dir=work).collect()
+    }
+    assert resumed == {1: "new", 2: "new", 3: "exact_dup"}
+    assert sorted(os.listdir(os.path.join(work, "verdicts"))) == [
+        "batch_00000",
+        "batch_00001",
+        "batch_00002",
+    ]
+    # the duplicate was NOT added to the index
+    assert sorted(
+        n for n in os.listdir(os.path.join(work, "index"))
+        if n.startswith("batch_")
+    ) == ["batch_00000", "batch_00001", "batch_00002"]
+    idx2 = spark.read.parquet(
+        os.path.join(work, "index", "batch_00002")
+    ).count()
+    assert idx2 == 0
+
+
+def test_ingest_stream_heals_torn_seed_window(spark, tmp_path):
+    """A crash between work-dir creation and the seed index write must
+    not wedge the ingest stream: resume keys on seed/_SUCCESS, and the
+    overwrite-mode seed write rewrites a torn dir."""
+    import os
+
+    from play_bq_gcp_spark.streaming.ingest import run_ingest_stream
+
+    seed = spark.createDataFrame(
+        [(100, "seed document about alpha topics")],
+        "doc_id long, text string",
+    )
+    d = _land_line_batches(
+        spark, tmp_path,
+        [[(1, "seed document about alpha topics")]],  # exact re-crawl
+    )
+    work = str(tmp_path / "work")
+    os.makedirs(os.path.join(work, "verdicts"))
+    os.makedirs(os.path.join(work, "index", "seed"))  # torn: no _SUCCESS
+    out = {
+        r.doc_id: r.verdict
+        for r in run_ingest_stream(spark, d, seed, work_dir=work).collect()
+    }
+    # the healed seed is what screens the re-crawl
+    assert out == {1: "exact_dup"}

@@ -1,5 +1,6 @@
 """Randomized kill-and-retry fuzz harness for the streaming index
-protocols (r11 verdict ask #4).
+protocols (r11 verdict ask #4): run_line_stream, run_epoch_stream,
+and (r12) run_ingest_stream.
 
 The deterministic tests pin ONE crash point per protocol; this harness
 randomizes the whole failure surface per seed and asserts the end
@@ -286,6 +287,126 @@ def fuzz_epoch_stream(spark, seed: int) -> str | None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _gen_ingest_corpus(rng: random.Random):
+    """Seed corpus + stream batches with deliberate re-crawls (exact
+    text under new ids) and near-duplicates so every verdict class
+    appears."""
+    base = [
+        f"document {i} body with shared vocabulary token{i} "
+        f"alpha beta gamma delta epsilon zeta"
+        for i in range(rng.randint(6, 12))
+    ]
+    seed_rows = [(1000 + i, t) for i, t in enumerate(base[:3])]
+    stream_rows, nid = [], 0
+    for i in range(rng.randint(8, 16)):
+        r = rng.random()
+        if r < 0.3 and stream_rows:
+            text = rng.choice(stream_rows)[1]  # re-crawl
+        elif r < 0.5:
+            text = rng.choice(base)  # seed duplicate
+        else:
+            text = f"unique doc {nid} " + " ".join(
+                f"w{rng.randint(0, 50)}" for _ in range(rng.randint(6, 14))
+            )
+            nid += 1
+        stream_rows.append((i, text))
+    n_batches = rng.randint(3, 5)
+    cuts = sorted(rng.sample(range(1, len(stream_rows)), n_batches - 1))
+    batches, prev = [], 0
+    for c in [*cuts, len(stream_rows)]:
+        batches.append(stream_rows[prev:c])
+        prev = c
+    return seed_rows, batches
+
+
+def fuzz_ingest_stream(spark, seed: int) -> str | None:
+    """Kill-and-retry fuzz for run_ingest_stream: crash either inside
+    incremental_dedup (before any of the batch's writes) or after all
+    writes but before the checkpoint commit; random restart point;
+    verdicts AND the grown accepted index must match the
+    straight-through run."""
+    from play_bq_gcp_spark.operators import dedup as dedup_mod
+
+    rng = random.Random(seed)
+    seed_rows, batches = _gen_ingest_corpus(rng)
+    root = tempfile.mkdtemp(prefix=f"fuzzingest_{seed}_")
+    try:
+        seed_df = spark.createDataFrame(
+            seed_rows, "doc_id long, text string"
+        )
+        ref = ing.run_ingest_stream(
+            spark,
+            _land(spark, os.path.join(root, "ref_b"), batches),
+            seed_df,
+            work_dir=os.path.join(root, "ref_w"),
+        )
+        ref_rows = sorted(map(tuple, ref.collect()))
+        ref_idx = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    os.path.join(root, "ref_w", "index", "batch_*")
+                ).collect(),
+            )
+        )
+
+        plan = _CrashPlan(rng, len(batches))
+        plan.mode = rng.choice(["dedup_call", "on_batch"])
+        land_dir = os.path.join(root, "p_b")
+        work = os.path.join(root, "p_w")
+        k = rng.randint(1, len(batches) - 1)
+        _land(spark, land_dir, batches[:k])
+
+        orig_dedup = dedup_mod.incremental_dedup
+
+        def patched(*a, **kw):
+            plan.maybe_fire("dedup_call")
+            return orig_dedup(*a, **kw)
+
+        def ob(batch_id, secs):
+            plan.maybe_fire("on_batch")
+
+        dedup_mod.incremental_dedup = patched
+        try:
+            attempts = 0
+            while True:
+                attempts += 1
+                if attempts > 8:
+                    raise AssertionError("retry loop did not converge")
+                fired_before = plan.fired
+                try:
+                    ing.run_ingest_stream(
+                        spark, land_dir, seed_df, work_dir=work,
+                        on_batch=ob,
+                    )
+                    break
+                except Exception:  # noqa: BLE001
+                    if plan.fired and not fired_before:
+                        continue
+                    raise
+        finally:
+            dedup_mod.incremental_dedup = orig_dedup
+
+        _land(spark, land_dir, batches)
+        out = ing.run_ingest_stream(spark, land_dir, seed_df, work_dir=work)
+        rows = sorted(map(tuple, out.collect()))
+        idx = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    os.path.join(work, "index", "batch_*")
+                ).collect(),
+            )
+        )
+        if rows != ref_rows:
+            return f"ingest verdicts diverged (crash={plan.mode})"
+        if idx != ref_idx:
+            return f"ingest index diverged (crash={plan.mode})"
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     from play_bq_gcp_spark.session import get_spark
 
@@ -296,6 +417,7 @@ def main() -> int:
         for name, fn in (
             ("line", fuzz_line_stream),
             ("epoch", fuzz_epoch_stream),
+            ("ingest", fuzz_ingest_stream),
         ):
             err = fn(spark, seed)
             if err:
@@ -303,7 +425,7 @@ def main() -> int:
                 print(f"FAIL seed={seed} {name}: {err}")
             else:
                 print(f"ok   seed={seed} {name}")
-    print(f"{failures} failures over {len(seeds)} seeds x 2 protocols")
+    print(f"{failures} failures over {len(seeds)} seeds x 3 protocols")
     return 1 if failures else 0
 
 

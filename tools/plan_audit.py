@@ -71,6 +71,8 @@ AUDIT = [
     # round 10: the new LLM-pipeline entries
     "dedup_lines_corpus",
     "curation_epoch_shuffle",
+    # round 11: the composed IVF-PQ exact retrieval
+    "similarity_ivfpq_adc_exact",
 ]
 
 
@@ -171,9 +173,47 @@ def _epoch_stream_batch_plan(spark, sf_dir):
     )
 
 
+def _bloom_join_plan(spark, sf_dir):
+    """The join_bloom_pruned plan with the runtime-Bloom-filter scope
+    active at OPTIMIZATION time (the registry entry returns an eager
+    checkpoint, whose plan is just an RDD scan): forcing
+    ``executedPlan()`` inside the scope caches the injected
+    ``might_contain`` plan on the QueryExecution, so audit_one's later
+    collect reuses it.  Audited r12 (new entry)."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.joins_advanced import (
+        bloom_pruned_join,
+        runtime_bloom_filter,
+    )
+
+    fact = read_table(spark, sf_dir, "lineitem")
+    dim = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
+    with runtime_bloom_filter(spark):
+        df = (
+            bloom_pruned_join(fact, dim, "l_orderkey", "o_orderkey")
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                        "long"
+                    )
+                ).alias("revenue_cents"),
+            )
+        )
+        df._jdf.queryExecution().executedPlan()
+    return df
+
+
 EXTRA = {
     "streaming_lines_ingest (batch fn)": _lines_ingest_batch_plan,
     "streaming_epoch_shuffle (batch fn)": _epoch_stream_batch_plan,
+    "join_bloom_pruned (conf scope)": _bloom_join_plan,
 }
 
 
