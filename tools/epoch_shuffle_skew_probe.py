@@ -1,0 +1,97 @@
+"""Adversarial-id skew probe for the epoch shuffle (r11 verdict #7,
+second option): does shard balance survive hostile doc_id
+distributions?
+
+The epoch shuffle's only wide stage is the window rank partitioned by
+(epoch, shard), so the failure mode to defend is a HOT SHARD — one
+reduce task owning a disproportionate slice.  Shards are assigned by
+``_md5_fold(md5(epoch:doc_id), n_shards)``, which should make the
+fold input-independent: sequential ids, ids sharing a long common
+prefix (one crawl host), and stride-2^k ids (sharded upstream id
+allocators) must all land uniformly.  This probe builds each regime
+at equal row count, runs the BATCH epoch_shuffle, and reports the
+max/mean shard-size ratio (1.00 = perfectly balanced; a hash-crippled
+fold shows >> 1) plus wall time.  Contrast row: shard by the naive
+``doc_id % n_shards`` — the fold a lazy implementation would use —
+under the stride regime, which collapses onto a subset of shards.
+
+Usage:  python tools/epoch_shuffle_skew_probe.py [n_docs] [n_shards]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from play_bq_gcp_spark.operators.curation import _md5_fold, epoch_shuffle
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="epoch_skew_probe", shuffle_partitions=16)
+
+    regimes = {
+        # upstream assigns ids 0..N-1 in crawl order
+        "sequential": F.col("id"),
+        # one hot host: every id shares a 12-digit prefix, entropy only
+        # in the low digits
+        "hot_prefix": F.lit(777_000_000_000_000) + F.col("id"),
+        # sharded allocator hands out ids in strides of 2^k — the
+        # classic modulo-killer
+        "stride_2k": F.col("id") * 1024,
+    }
+
+    print(f"| regime | fold | max/mean shard ratio | wall (s) |")
+    print("| --- | --- | --- | --- |")
+    for name, expr in regimes.items():
+        docs = (
+            spark.range(n_docs)
+            .select(expr.alias("doc_id"))
+            .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+        )
+        t0 = time.perf_counter()
+        out = epoch_shuffle(docs, n_epochs=2, n_shards=n_shards)
+        sizes = [
+            r.n
+            for r in out.groupBy("epoch", "shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        wall = time.perf_counter() - t0
+        ratio = max(sizes) / (sum(sizes) / len(sizes))
+        n_parts = len(sizes)
+        print(
+            f"| {name} | md5_fold | {ratio:.3f} "
+            f"({n_parts}/{2 * n_shards} shard cells) | {wall:.2f} |"
+        )
+    # contrast: the naive modulo fold under the stride regime
+    docs = (
+        spark.range(n_docs)
+        .select((F.col("id") * 1024).alias("doc_id"))
+        .withColumn("text", F.concat(F.lit("doc "), F.col("doc_id")))
+    )
+    naive = docs.select(
+        (F.col("doc_id") % n_shards).cast("int").alias("shard")
+    )
+    sizes = {
+        r.shard: r.n
+        for r in naive.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    occupied = len(sizes)
+    ratio = max(sizes.values()) / (sum(sizes.values()) / n_shards)
+    print(
+        f"| stride_2k | doc_id % {n_shards} | {ratio:.3f} "
+        f"({occupied}/{n_shards} shards occupied) | - |"
+    )
+
+
+if __name__ == "__main__":
+    main()
