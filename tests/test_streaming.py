@@ -1357,3 +1357,16 @@ def test_ingest_stream_heals_torn_seed_window(spark, tmp_path):
     }
     # the healed seed is what screens the re-crawl
     assert out == {1: "exact_dup"}
+
+
+def test_fuzz_stream_harness_smoke(spark):
+    """One-seed smoke of the kill-and-retry fuzz harness
+    (tools/fuzz_stream.py) so the campaign tool can't bit-rot: the
+    line protocol under seed 200 (a seed whose plan injects a crash)
+    must come back clean."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.fuzz_stream import fuzz_line_stream
+
+    assert fuzz_line_stream(spark, 200) is None
