@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
 # runs at close-out.  After r12 the oldest oracle-backed attestation
-# will be r9 (the 28 deferrals), due first at r13.
+# will be r9 (the 29 deferrals), due first at r13.
 _WINDOW = [
     # (a) changed/new this round
     "sql_surface_orders",

@@ -2391,8 +2391,9 @@ def _bpe_oracle_sql(n_merges: int = 30, n_passes: int = 16) -> str:
     stop (an unchanged table re-derives the same sub-threshold argmax
     forever).  Encoding unrolls ``n_passes`` lowest-rank-first passes
     per distinct word; ``chk`` makes an undersized ``n_passes`` fail
-    loudly (1//0) instead of under-merging silently — max word length
-    is 8 tri-SF, so 16 passes is ample.  Every chained CTE is
+    loudly (DuckDB ``error()`` — ``1 // 0`` would return NULL and
+    silently empty the result) instead of under-merging — max word
+    length is 8 tri-SF, so 16 passes is ample.  Every chained CTE is
     MATERIALIZED: the default inlining re-expands ``w{{i}}`` twice per
     iteration (once for the pair count, once for the rewrite), which
     is exponential in ``n_merges``."""
@@ -2475,7 +2476,13 @@ def _bpe_oracle_sql(n_merges: int = 30, n_passes: int = 16) -> str:
                 ELSE ((20000 * s.n_symbols_char + s.n_tokens_bpe)
                       // (2 * s.n_tokens_bpe)) / 10000.0 END AS compression
     FROM documents d LEFT JOIN stats s USING (doc_id)
-    WHERE 1 = CASE WHEN (SELECT leftover FROM chk) = 0 THEN 1 ELSE 1 // 0 END
+    -- loud convergence guard: error() raises in DuckDB (1 // 0 would
+    -- return NULL and silently EMPTY the result instead — r12 review)
+    WHERE 1 = CASE WHEN (SELECT leftover FROM chk) = 0 THEN 1
+                   ELSE CAST(error('bpe oracle: n_passes too small — '
+                                   || (SELECT leftover FROM chk)
+                                   || ' mergeable pairs left')
+                        AS INT) END
     ORDER BY d.doc_id""")
     return "".join(parts)
 

@@ -809,24 +809,13 @@ def test_line_stream_drops_line_only_after_bar_trips(spark, tmp_path):
 
 def _land_line_batches(spark, tmp_path, batches):
     """Land hand-built (doc_id, text) batches as mtime-ordered
-    single-file parquet chunks (the existing test's landing idiom)."""
-    import os
+    single-file parquet chunks.  Delegates to the ONE copy of the
+    rows-list landing idiom in tools/fuzz_stream (r12 review: a third
+    re-implementation here and in the fuzz harness could drift).
+    conftest puts the repo root on sys.path."""
+    from tools.fuzz_stream import _land
 
-    d = str(tmp_path / "batches")
-    os.makedirs(d, exist_ok=True)
-    for i, rows in enumerate(batches):
-        f = os.path.join(d, f"b{i:02d}.parquet")
-        if os.path.exists(f):
-            continue  # already landed (the resume test re-lands a superset)
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-            1
-        ).write.parquet(f + ".dir")
-        part = next(
-            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
-        )
-        os.rename(os.path.join(f + ".dir", part), f)
-        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-    return d
+    return _land(spark, str(tmp_path / "batches"), batches)
 
 
 def test_line_stream_compaction_is_value_neutral(spark, tmp_path):
@@ -1364,9 +1353,6 @@ def test_fuzz_stream_harness_smoke(spark):
     (tools/fuzz_stream.py) so the campaign tool can't bit-rot: the
     line protocol under seed 200 (a seed whose plan injects a crash)
     must come back clean."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.fuzz_stream import fuzz_line_stream
 
     assert fuzz_line_stream(spark, 200) is None

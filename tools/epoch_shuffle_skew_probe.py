@@ -66,11 +66,15 @@ def main() -> None:
             .collect()
         ]
         wall = time.perf_counter() - t0
-        ratio = max(sizes) / (sum(sizes) / len(sizes))
-        n_parts = len(sizes)
+        # mean over the FULL cell count (n_epochs x n_shards), not over
+        # occupied cells: a fold that empties half the cells is exactly
+        # the failure this probe exists to catch, and a mean-over-
+        # occupied denominator would understate it (r12 review)
+        n_cells = 2 * n_shards
+        ratio = max(sizes) / (sum(sizes) / n_cells)
         print(
             f"| {name} | md5_fold | {ratio:.3f} "
-            f"({n_parts}/{2 * n_shards} shard cells) | {wall:.2f} |"
+            f"({len(sizes)}/{n_cells} shard cells) | {wall:.2f} |"
         )
     # contrast: the naive modulo fold under the stride regime
     docs = (

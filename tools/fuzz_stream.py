@@ -41,7 +41,7 @@ import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -115,11 +115,26 @@ def _plant_torn_compact(freq_dir: str, w: int, schema_cols) -> None:
 
 
 class _CrashPlan:
-    """One armed crash; disarms after firing so the retry completes."""
+    """One armed crash; disarms after firing so the retry completes.
+    The (mode, at_call) pair is chosen so the crash is GUARANTEED to
+    fire within the first invocation's k batches — a plan that never
+    fires silently degrades the seed to a plain resume test while the
+    campaign claims crash coverage (r12 review)."""
 
-    def __init__(self, rng: random.Random, n_batches: int):
-        self.mode = rng.choice(["freq_view", "on_batch", "post_compact"])
-        self.at_call = rng.randint(1, max(1, n_batches - 1))
+    def __init__(self, rng: random.Random, k: int,
+                 compact_every: int | None, first_compact_at: int):
+        modes = {"freq_view": k, "on_batch": k}
+        if compact_every:
+            # number of compactions the first invocation performs
+            n_comp = sum(
+                1 for b in range(k)
+                if b >= first_compact_at
+                and (b - first_compact_at) % compact_every == 0
+            )
+            if n_comp:
+                modes["post_compact"] = n_comp
+        self.mode = rng.choice(sorted(modes))
+        self.at_call = rng.randint(1, modes[self.mode])
         self.fired = False
         self.calls = 0
 
@@ -133,11 +148,15 @@ class _CrashPlan:
 
 
 def _run_perturbed(spark, run_fn, batches_dir_full, all_batches, work,
-                   plan, rng, torn_schema, index_subdir, **kw):
-    """Land a random prefix, run (crash + retry), land the rest,
-    resume; returns the final DataFrame."""
+                   rng, torn_schema, index_subdir, first_compact_at,
+                   **kw):
+    """Land a random prefix, run (guaranteed crash + retry), land the
+    rest, resume; returns (final DataFrame, fired crash mode)."""
     land_dir = batches_dir_full
     k = rng.randint(1, len(all_batches) - 1)
+    plan = _CrashPlan(
+        rng, k, kw.get("compact_every"), first_compact_at
+    )
     _land(spark, land_dir, all_batches[:k])
 
     orig_fv, orig_cf = ing._freq_view, ing._compact_freq
@@ -173,6 +192,10 @@ def _run_perturbed(spark, run_fn, batches_dir_full, all_batches, work,
                 if plan.fired and not fired_before:
                     continue
                 raise
+        assert plan.fired, (
+            f"crash plan ({plan.mode}, at_call={plan.at_call}, k={k}) "
+            "never fired — the seed covered nothing"
+        )
     finally:
         ing._freq_view, ing._compact_freq = orig_fv, orig_cf
 
@@ -186,7 +209,7 @@ def _run_perturbed(spark, run_fn, batches_dir_full, all_batches, work,
         )
 
     _land(spark, land_dir, all_batches)
-    return run_fn(spark, land_dir, work_dir=work, **kw)
+    return run_fn(spark, land_dir, work_dir=work, **kw), plan.mode
 
 
 def _index_sums(spark, freq_dir: str, schema: str, keys) -> dict:
@@ -222,11 +245,12 @@ def fuzz_line_stream(spark, seed: int) -> str | None:
             ing._FREQ_SCHEMA, ("line_h",),
         )
 
-        plan = _CrashPlan(rng, len(batches))
-        out = _run_perturbed(
+        out, mode = _run_perturbed(
             spark, ing.run_line_stream, os.path.join(root, "p_b"),
-            batches, os.path.join(root, "p_w"), plan, rng,
+            batches, os.path.join(root, "p_w"), rng,
             {"line_h": ["junk"], "c": [10**9]}, "freq",
+            # run_line_stream compacts when (b+1) % ce == 0: first at ce-1
+            first_compact_at=(compact_every or 1) - 1,
             seed=seed_df, min_doc_freq=min_df, compact_every=compact_every,
         )
         rows = sorted(map(tuple, out.collect()))
@@ -235,9 +259,9 @@ def fuzz_line_stream(spark, seed: int) -> str | None:
             ing._FREQ_SCHEMA, ("line_h",),
         )
         if rows != ref_rows:
-            return f"line output diverged (crash={plan.mode}, ce={compact_every})"
+            return f"line output diverged (crash={mode}, ce={compact_every})"
         if idx != ref_idx:
-            return f"line index diverged (crash={plan.mode}, ce={compact_every})"
+            return f"line index diverged (crash={mode}, ce={compact_every})"
         return None
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -265,11 +289,13 @@ def fuzz_epoch_stream(spark, seed: int) -> str | None:
             ing._EPOCH_COUNTS_SCHEMA, ("epoch", "shard"),
         )
 
-        plan = _CrashPlan(rng, len(batches))
-        out = _run_perturbed(
+        out, mode = _run_perturbed(
             spark, ing.run_epoch_stream, os.path.join(root, "p_b"),
-            batches, os.path.join(root, "p_w"), plan, rng,
+            batches, os.path.join(root, "p_w"), rng,
             {"epoch": [0], "shard": [0], "c": [10**9]}, "counts",
+            # run_epoch_stream compacts when b > 0 and b % ce == 0:
+            # first at ce
+            first_compact_at=compact_every or 1,
             n_epochs=n_epochs, n_shards=n_shards,
             compact_every=compact_every,
         )
@@ -279,9 +305,9 @@ def fuzz_epoch_stream(spark, seed: int) -> str | None:
             ing._EPOCH_COUNTS_SCHEMA, ("epoch", "shard"),
         )
         if rows != ref_rows:
-            return f"epoch output diverged (crash={plan.mode}, ce={compact_every})"
+            return f"epoch output diverged (crash={mode}, ce={compact_every})"
         if idx != ref_idx:
-            return f"epoch index diverged (crash={plan.mode}, ce={compact_every})"
+            return f"epoch index diverged (crash={mode}, ce={compact_every})"
         return None
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -350,11 +376,13 @@ def fuzz_ingest_stream(spark, seed: int) -> str | None:
             )
         )
 
-        plan = _CrashPlan(rng, len(batches))
-        plan.mode = rng.choice(["dedup_call", "on_batch"])
         land_dir = os.path.join(root, "p_b")
         work = os.path.join(root, "p_w")
         k = rng.randint(1, len(batches) - 1)
+        # both ingest modes fire once per batch, so at_call <= k
+        # guarantees the crash lands inside the first invocation
+        plan = _CrashPlan(rng, k, None, 0)
+        plan.mode = rng.choice(["dedup_call", "on_batch"])
         _land(spark, land_dir, batches[:k])
 
         orig_dedup = dedup_mod.incremental_dedup
@@ -384,6 +412,10 @@ def fuzz_ingest_stream(spark, seed: int) -> str | None:
                     if plan.fired and not fired_before:
                         continue
                     raise
+            assert plan.fired, (
+                f"crash plan ({plan.mode}, at_call={plan.at_call}, "
+                f"k={k}) never fired"
+            )
         finally:
             dedup_mod.incremental_dedup = orig_dedup
 
