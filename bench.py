@@ -110,6 +110,7 @@ def main() -> None:
     for warm_q in (
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
+        "dedup_lines_corpus",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
         # first createDataFrame (Python local-relation path) and first
