@@ -1,0 +1,140 @@
+"""Measured evidence for the runtime Bloom-filter join exemplar: the
+A/B plan pin proves ``might_contain`` is INJECTED; this probe proves
+it PRUNES — comparing the fact side's rows-into-the-shuffle (the
+numOutputRows of the Filter above the lineitem scan, which carries
+might_contain when injected) and the wall with the feature on vs off
+at sf0.1.  AQE is disabled inside the probe so the metric walk sees
+the real executed tree (the injection itself is an optimizer rule,
+independent of AQE).
+
+Expected shape: the SHUFFLED fraction collapses (~14% at sf0.1) while
+the fixture-scale wall is slightly WORSE — the bloom build (scan the
+dim, aggregate a filter) is a fixed cost that dominates at 600k fact
+rows and amortizes at the TB scale the feature targets.  Report both
+honestly.
+
+Usage:  python tools/bloom_prune_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _walk(node):
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _walk(kids.apply(i))
+
+
+def _metric(node, name: str) -> int | None:
+    it = node.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() == name:
+            return kv._2().value()
+    return None
+
+
+def _fact_side_rows(df) -> int:
+    """Rows the fact side feeds into its shuffle: the numOutputRows of
+    the deepest Filter ABOVE the lineitem scan (with the Bloom filter
+    injected that Filter carries might_contain; without it, it's the
+    IsNotNull key filter) — i.e. what survives scan-side filtering and
+    gets exchanged.  The SCAN's own numOutputRows stays at 100% either
+    way: might_contain is a post-scan, pre-shuffle filter, which is
+    the point — it cuts the SHUFFLE, not the IO."""
+    plan = df._jdf.queryExecution().executedPlan()
+    best = None
+    for node in _walk(plan):
+        if node.nodeName() == "Filter" and "l_orderkey" in node.toString().split("\n")[0]:
+            v = _metric(node, "numOutputRows")
+            if v is not None:
+                best = v
+    if best is None:
+        raise AssertionError("no Filter node above the lineitem scan")
+    return best
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from play_bq_gcp_spark.catalog import read_table
+    from play_bq_gcp_spark.operators.joins_advanced import (
+        bloom_pruned_join,
+        runtime_bloom_filter,
+    )
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name="bloom_prune_probe", shuffle_partitions=16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def agg():
+        fact = read_table(spark, sf_dir, "lineitem")
+        dim = read_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000.0)
+        )
+        return (
+            bloom_pruned_join(fact, dim, "l_orderkey", "o_orderkey")
+            .groupBy("l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+        )
+
+    total = read_table(spark, sf_dir, "lineitem").count()
+    agg().collect()  # warm plan/codegen so walls compare like-for-like
+
+    print("| arm | fact rows into the shuffle | of total | wall (s) |")
+    print("| --- | --- | --- | --- |")
+    for arm in ("bloom_on", "bloom_off"):
+        if arm == "bloom_off":
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+            )
+        try:
+            walls, rows = [], None
+            for _ in range(2):
+                if arm == "bloom_on":
+                    with runtime_bloom_filter(spark):
+                        df = agg()
+                        t0 = time.perf_counter()
+                        df.collect()
+                        walls.append(time.perf_counter() - t0)
+                else:
+                    # same shuffle-join shape, only the feature differs
+                    thresh = spark.conf.get(
+                        "spark.sql.autoBroadcastJoinThreshold"
+                    )
+                    spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", "-1"
+                    )
+                    try:
+                        df = agg()
+                        t0 = time.perf_counter()
+                        df.collect()
+                        walls.append(time.perf_counter() - t0)
+                    finally:
+                        spark.conf.set(
+                            "spark.sql.autoBroadcastJoinThreshold", thresh
+                        )
+                rows = _fact_side_rows(df)
+        finally:
+            if arm == "bloom_off":
+                spark.conf.unset(
+                    "spark.sql.optimizer.runtime.bloomFilter.enabled"
+                )
+        print(
+            f"| {arm} | {rows:,} | {100.0 * rows / total:.1f}% "
+            f"| {min(walls):.2f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
