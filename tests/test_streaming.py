@@ -1356,3 +1356,58 @@ def test_fuzz_stream_harness_smoke(spark):
     from tools.fuzz_stream import fuzz_line_stream
 
     assert fuzz_line_stream(spark, 200) is None
+
+
+def test_freq_index_survives_pad_boundary(spark, tmp_path):
+    """End-to-end pin for the :05d pad boundary (r11 ADVICE): with a
+    completed compact_100000 (name wider than the pad) and a live
+    batch_100000 partial, the reader must pick the NUMERIC max
+    watermark and sum compact + the past-watermark partial; a further
+    compaction through batch 100000 must fold it and GC the old
+    compaction — not delete the new one (the lexicographic-compare
+    failure: 'compact_100000' < 'compact_99999' as strings)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.streaming.ingest import (
+        _compact_freq,
+        _freq_view,
+        _freq_watermark,
+    )
+
+    freq = str(tmp_path / "freq")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, "line_h string, c long").coalesce(
+            1
+        ).write.parquet(os.path.join(freq, name))
+
+    # a stale narrow-pad compaction, the wide live one, and a partial
+    # past the wide watermark
+    write("compact_99999", [("stale", 999)])
+    write("compact_100000", [("a", 10), ("b", 1)])
+    write("batch_100000", [("a", 5), ("c", 2)])
+
+    assert _freq_watermark(freq) == 100000
+    got = {
+        r.line_h: r.c
+        for r in _freq_view(spark, freq)
+        .groupBy("line_h")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert got == {"a": 15, "b": 1, "c": 2}, got  # no 'stale' leak
+
+    _compact_freq(spark, freq, through=100000)
+    names = sorted(os.listdir(freq))
+    assert "compact_100001" in names
+    assert "compact_99999" not in names and "batch_100000" not in names
+    got2 = {
+        r.line_h: r.c
+        for r in _freq_view(spark, freq)
+        .groupBy("line_h")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert got2 == got
