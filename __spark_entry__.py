@@ -45,14 +45,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # half-up integer division, an output change on tie values);
 # join_bloom_pruned (NEW ENTRY — runtime Bloom-filter join pushdown
 # exemplar, r11 verdict #7, A/B plan-pinned in tests/test_plans.py);
+# join_dpp_partition_pruned (NEW ENTRY — dynamic partition pruning,
+# the partition-level sibling completing the runtime-filter pair;
+# A/B plan-pinned, tri-SF green, 10%-of-scan measured in SCALING.md);
 # streaming_ingest_dedup (r11-fresh, but run_ingest_stream gained
 # work_dir resume + the torn-seed-keyed init this round — the trio
 # completion — so it re-attests as a changed entry).
 #
 # (b) ROTATION — all 24 r8-vintage deferrals the r11 verdict names
-# (3 rounds stale, due at r12), then the oldest 20 of the 49
-# r9-vintage entries (alphabetical within the cohort).  The 29 r9
-# entries deferring to r13: multimodal_video_frames,
+# (3 rounds stale, due at r12), then the oldest 19 of the 49
+# r9-vintage entries (alphabetical within the cohort).  The 30 r9
+# entries deferring to r13: multimodal_image_near_dup,
+# multimodal_video_frames,
 # multimodal_waveform, pandas_udf_token_count
 # and range_join_price_bands (both bench-run at sf0.1 every round),
 # the 17 TPC-H q-entries (q3/q5 bench-run; all hand-derived
@@ -64,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
 # runs at close-out.  After r12 the oldest oracle-backed attestation
-# will be r9 (the 29 deferrals), due first at r13.
+# will be r9 (the 30 deferrals), due first at r13.
 _WINDOW = [
     # (a) changed/new this round
     "sql_surface_orders",
@@ -72,6 +76,7 @@ _WINDOW = [
     "streaming_epoch_shuffle",
     "text_bpe_token_stats",
     "join_bloom_pruned",
+    "join_dpp_partition_pruned",
     "streaming_ingest_dedup",
     # (b) the 24 r8-vintage deferrals, due at r12
     "agg_group_analytics",
@@ -98,7 +103,7 @@ _WINDOW = [
     "events_activity_streaks",
     "customer_rfm_segments",
     "events_transition_matrix",
-    # (b) oldest 20 of the r9 cohort (alphabetical)
+    # (b) oldest 19 of the r9 cohort (alphabetical)
     "agg_countmin_sketch",
     "agg_distinct_collect",
     "agg_heavy_hitters_mg",
@@ -118,7 +123,6 @@ _WINDOW = [
     "knn_join_lsh",
     "merge_scd2",
     "multimodal_frame_dedup",
-    "multimodal_image_near_dup",
 ]
 
 

@@ -972,6 +972,84 @@ def _prepare_pruned_layout(spark: SparkSession, sf: str) -> str:
     return _PRUNED_DIRS[sf]
 
 
+_CALENDAR_DIRS: dict[str, str] = {}
+
+
+def _prepare_calendar_layout(spark: SparkSession, sf: str) -> str:
+    """Fixture-prep (NOT part of the measured query): an independent
+    calendar dim — one row per distinct event date, the 3 earliest
+    tagged 'campaign' — landed as its own parquet once per sf.  DPP
+    requires the dim to be a separate relation with a real FILTER
+    predicate: a limit() or a dim derived inline from the fact scan
+    does not qualify for the optimizer's pruning-benefit test
+    (measured on 4.1.2 — no dynamicpruning expression appears)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from play_bq_gcp_spark.catalog import read_table
+
+    if sf not in _CALENDAR_DIRS:
+        d = scratch_dir("calendar_")
+        dates = (
+            read_table(spark, sf, "events")
+            .select(F.to_date("ts").alias("date"))
+            .distinct()
+        )
+        cal = (
+            dates.withColumn(
+                "rn", F.row_number().over(Window.orderBy("date"))
+            )
+            .withColumn(
+                "tag",
+                F.when(F.col("rn") <= 3, "campaign").otherwise("normal"),
+            )
+            .drop("rn")
+        )
+        cal.write.mode("overwrite").parquet(os.path.join(d, "cal"))
+        _CALENDAR_DIRS[sf] = os.path.join(d, "cal")
+    return _CALENDAR_DIRS[sf]
+
+
+@register(
+    "join_dpp_partition_pruned",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    WHERE CAST(ts AS DATE) IN (
+        SELECT DISTINCT CAST(ts AS DATE) FROM events ORDER BY 1 LIMIT 3
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning (the partition-level sibling of
+    join_bloom_pruned, completing the runtime-filter pair): the
+    date-partitioned events fact joins an independent calendar dim
+    filtered to its 'campaign' days, and Catalyst injects
+    ``dynamicpruningexpression(date IN dynamicpruning#N)`` into the
+    fact scan's PartitionFilters — only the 3 campaign-day partition
+    directories are read, the 100 TB star-join shape where the date
+    slice is decided by dim data, not a literal.  DPP is ON by
+    default; no conf scope needed.  A/B plan + equality pin:
+    tests/test_plans.py.  The calendar has exactly one row per date,
+    so the join is multiplicity-1 and the oracle's date-IN-subquery
+    restates it exactly."""
+    pruned_dir = _prepare_pruned_layout(spark, sf)
+    cal = spark.read.parquet(_prepare_calendar_layout(spark, sf))
+    fact = spark.read.parquet(pruned_dir)
+    return (
+        fact.join(cal.filter(F.col("tag") == "campaign"), "date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "pivot_unpivot_roundtrip",
     """

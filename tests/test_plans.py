@@ -584,3 +584,32 @@ def test_bloom_filter_join_ab_pin(spark, sf_dir):
         )
     assert "might_contain" not in plan_off.lower()
     assert rows_on == rows_off and rows_on
+
+
+def test_dpp_join_ab_pin(spark, sf_dir):
+    """A/B pin for dynamic partition pruning on the
+    join_dpp_partition_pruned shape: with the feature on (default) the
+    fact scan's PartitionFilters carry a dynamicpruning expression;
+    with it off they don't; results identical both ways."""
+    from play_bq_gcp_spark.queries.relational import (
+        join_dpp_partition_pruned,
+    )
+
+    df_on = join_dpp_partition_pruned(spark, sf_dir)
+    rows_on = sorted(map(tuple, df_on.collect()))
+    plan_on = df_on._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan_on.lower(), plan_on[:2000]
+
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false"
+    )
+    try:
+        df_off = join_dpp_partition_pruned(spark, sf_dir)
+        rows_off = sorted(map(tuple, df_off.collect()))
+        plan_off = df_off._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+        )
+    assert "dynamicpruning" not in plan_off.lower()
+    assert rows_on == rows_off and rows_on

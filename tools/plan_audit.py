@@ -73,6 +73,9 @@ AUDIT = [
     "curation_epoch_shuffle",
     # round 11: the composed IVF-PQ exact retrieval
     "similarity_ivfpq_adc_exact",
+    # round 12: dynamic partition pruning (plain entry; DPP is
+    # default-on, the dynamicpruning expression shows in its scan)
+    "join_dpp_partition_pruned",
 ]
 
 
