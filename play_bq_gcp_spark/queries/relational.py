@@ -926,7 +926,9 @@ _PRUNED_DIRS: dict[str, str] = {}
 @register(
     "scan_partition_pruned",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS total
     FROM events
     WHERE ts::DATE = (SELECT min(ts)::DATE FROM events)
     GROUP BY event_type
@@ -939,7 +941,12 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     one day read back through a partition filter — the scan touches
     only that day's files (PartitionFilters asserted in
     tests/test_plans.py).  The query itself only reads; repeated
-    invocation in one session does zero writes."""
+    invocation in one session does zero writes.
+
+    ``total`` sums integer 1e-4 ticks (the fuzz-110 discipline, r12
+    ADVICE): ``round(sum(double), 4)`` could split on an exact 4-dp
+    tie because the engines sum doubles in different orders; summing
+    ticks as BIGINT and dividing once is order-independent."""
     from play_bq_gcp_spark.catalog import read_table
 
     pruned_dir = _prepare_pruned_layout(spark, sf)
@@ -951,7 +958,10 @@ def scan_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / 10000.0
+            ).alias("total"),
         )
         .orderBy("event_type")
     )
@@ -1014,7 +1024,9 @@ def _prepare_calendar_layout(spark: SparkSession, sf: str) -> str:
 @register(
     "join_dpp_partition_pruned",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS total
     FROM events
     WHERE CAST(ts AS DATE) IN (
         SELECT DISTINCT CAST(ts AS DATE) FROM events ORDER BY 1 LIMIT 3
@@ -1035,7 +1047,9 @@ def join_dpp_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
     default; no conf scope needed.  A/B plan + equality pin:
     tests/test_plans.py.  The calendar has exactly one row per date,
     so the join is multiplicity-1 and the oracle's date-IN-subquery
-    restates it exactly."""
+    restates it exactly.  ``total`` sums integer 1e-4 ticks (the
+    fuzz-110 discipline, r12 ADVICE) so engine summation order can
+    never split a 4-dp rounding tie."""
     pruned_dir = _prepare_pruned_layout(spark, sf)
     cal = spark.read.parquet(_prepare_calendar_layout(spark, sf))
     fact = spark.read.parquet(pruned_dir)
@@ -1044,7 +1058,10 @@ def join_dpp_partition_pruned(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long"))
+                / 10000.0
+            ).alias("total"),
         )
         .orderBy("event_type")
     )
@@ -1404,10 +1421,12 @@ def join_bloom_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
     with runtime_bloom_filter(spark):
         # eager materialization INSIDE the scope — the Bloom filter is
-        # injected when the action runs, and the tiny aggregated
-        # result is what gets checkpointed
-        out = out.localCheckpoint(eager=True)
-    return out
+        # injected when the action runs.  The tiny grouped result is
+        # collected and rebuilt as a LOCAL relation (not a
+        # localCheckpoint, which would pin blocks in the block manager
+        # on every repeated invocation — r12 ADVICE).
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

@@ -1,0 +1,32 @@
+"""Shared fixture-landing helper for streaming tests AND the
+kill-and-retry fuzz harness (``tools/fuzz_stream.py``).
+
+One copy of the rows-list landing idiom (r12 review: a third
+re-implementation could drift; r12 ADVICE: the production test suite
+must not import a dev tool's private API — the dependency now points
+the other way: the tool imports this tests helper).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def land_single_file_batches(spark, d: str, batches: list[list[tuple]]) -> str:
+    """Land batches as mtime-ordered single-file parquet chunks;
+    re-landing a superset skips files already present (the resume
+    idiom the streaming protocols key their file ordering on)."""
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        f = os.path.join(d, f"b{i:02d}.parquet")
+        if os.path.exists(f):
+            continue
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f + ".dir")
+        part = next(
+            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
+        )
+        os.rename(os.path.join(f + ".dir", part), f)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d

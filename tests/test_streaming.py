@@ -810,12 +810,14 @@ def test_line_stream_drops_line_only_after_bar_trips(spark, tmp_path):
 def _land_line_batches(spark, tmp_path, batches):
     """Land hand-built (doc_id, text) batches as mtime-ordered
     single-file parquet chunks.  Delegates to the ONE copy of the
-    rows-list landing idiom in tools/fuzz_stream (r12 review: a third
-    re-implementation here and in the fuzz harness could drift).
-    conftest puts the repo root on sys.path."""
-    from tools.fuzz_stream import _land
+    rows-list landing idiom in tests/_landing (shared with
+    tools/fuzz_stream, which imports it from here — r12 ADVICE:
+    production tests must not depend on a dev tool's internals)."""
+    from tests._landing import land_single_file_batches
 
-    return _land(spark, str(tmp_path / "batches"), batches)
+    return land_single_file_batches(
+        spark, str(tmp_path / "batches"), batches
+    )
 
 
 def test_line_stream_compaction_is_value_neutral(spark, tmp_path):

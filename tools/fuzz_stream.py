@@ -47,25 +47,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from play_bq_gcp_spark.streaming import ingest as ing  # noqa: E402
 
-
-def _land(spark, d: str, batches: list[list[tuple]]) -> str:
-    """Land batches as mtime-ordered single-file parquet chunks;
-    re-landing a superset skips files already present (the resume
-    idiom from tests/test_streaming.py)."""
-    os.makedirs(d, exist_ok=True)
-    for i, rows in enumerate(batches):
-        f = os.path.join(d, f"b{i:02d}.parquet")
-        if os.path.exists(f):
-            continue
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
-            1
-        ).write.parquet(f + ".dir")
-        part = next(
-            x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
-        )
-        os.rename(os.path.join(f + ".dir", part), f)
-        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
-    return d
+# one copy of the rows-list landing idiom; the tool depends on the
+# tests helper, never the reverse (r12 ADVICE)
+from tests._landing import land_single_file_batches as _land  # noqa: E402
 
 
 def _gen_line_corpus(rng: random.Random):
