@@ -660,3 +660,148 @@ def streaming_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         n_shards=_EPOCH_STREAM_SHARDS,
         compact_every=2,
     ).orderBy("epoch", "shard", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Round 13: transactional time travel + schema evolution as oracle-checked
+# query entries (r12 verdict #3/#4) — the read-side proof that the manifest
+# protocol's version pinning and declared-schema reads return exactly the
+# relational results a warehouse's AS OF / evolved-table reads would.
+# ---------------------------------------------------------------------------
+
+_TXN_TT_TABLES: dict[str, tuple[str, int]] = {}
+
+
+def _prepare_time_travel_table(spark: SparkSession, sf: str) -> tuple[str, int]:
+    """Fixture-prep (NOT part of the measured query, cached per sf):
+    a txn table whose v1 is the URGENT slice of orders and whose v2
+    appends the HIGH slice — so the LATEST version differs from v1 and
+    a correct pinned read must exclude v2's files."""
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    if sf not in _TXN_TT_TABLES:
+        d = scratch_dir("txn_tt_")
+        path = d + "/orders_tt"
+        tt.init_table(path)
+        orders = _t(spark, sf, "orders")
+        s1 = tt.append(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"), path
+        )
+        tt.append(
+            orders.filter(F.col("o_orderpriority") == "2-HIGH"), path
+        )
+        _TXN_TT_TABLES[sf] = (path, s1.version)
+    return _TXN_TT_TABLES[sf]
+
+
+@register(
+    "txn_time_travel_read",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def txn_time_travel_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel read (storage/txn_table.read_at, r12 verdict #3):
+    the table's LATEST version holds urgent+high orders, but the read
+    pins v1 — snapshot isolation means the result is exactly the
+    urgent slice, which the oracle restates as a plain filter on the
+    source.  The pinned plan scans only v1's immutable files (a later
+    commit can never change it — cross-process pin in
+    tests/test_txn_race.py / test_txn_table.py).  Revenue in exact
+    integer cents (fuzz-110 discipline)."""
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    path, v1 = _prepare_time_travel_table(spark, sf)
+    return (
+        tt.read_at(spark, path, version=v1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_TXN_EVO_TABLES: dict[str, str] = {}
+
+
+def _prepare_evolved_table(spark: SparkSession, sf: str) -> str:
+    """Fixture-prep (NOT part of the measured query, cached per sf): a
+    txn table whose v1 files carry (okey INT, o_orderstatus) for even
+    order keys and whose v2 EVOLVES the schema — okey widened to LONG,
+    o_orderpriority added — for odd keys.  The latest declared schema
+    must read both file generations: widened ints, NULL-backfilled
+    priority."""
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    if sf not in _TXN_EVO_TABLES:
+        d = scratch_dir("txn_evo_")
+        path = d + "/orders_evo"
+        tt.init_table(path)
+        orders = _t(spark, sf, "orders")
+        tt.append(
+            orders.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").cast("int").alias("okey"),
+                "o_orderstatus",
+            ),
+            path,
+        )
+        tt.append(
+            orders.filter(F.col("o_orderkey") % 2 != 0).select(
+                F.col("o_orderkey").alias("okey"),
+                "o_orderstatus",
+                "o_orderpriority",
+            ),
+            path,
+            evolve=True,
+        )
+        _TXN_EVO_TABLES[sf] = path
+    return _TXN_EVO_TABLES[sf]
+
+
+@register(
+    "txn_schema_evolution_read",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(CASE WHEN o_orderkey % 2 <> 0
+                      THEN o_orderpriority END) AS n_tagged,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def txn_schema_evolution_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution read (r12 verdict #4): v1 files are physically
+    (okey int32, status); v2 declared (okey long, status, priority).
+    One declared-schema scan reads BOTH generations — old ints widen
+    to long, missing priority NULL-backfills — and the aggregate over
+    the union equals the oracle's direct computation on the source
+    (count(col) skips the backfilled NULLs, so n_tagged counts exactly
+    the post-evolution rows).  Zero extra shuffles vs a plain scan:
+    the declared schema is applied AT the parquet reader
+    (SPARK-40876), not by a cast-and-union plan."""
+    from play_bq_gcp_spark.storage import txn_table as tt
+
+    path = _prepare_evolved_table(spark, sf)
+    return (
+        tt.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderpriority").alias("n_tagged"),
+            F.sum("okey").alias("sum_okey"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -64,6 +64,13 @@ class Snapshot:
     # per-file parquet footer stats: {rel_path: {"rows": n,
     # "cols": {col: [min, max]}}} — powers manifest-level file skipping
     file_stats: dict = field(default_factory=dict)
+    # the DECLARED table schema at this version (StructType.jsonValue()
+    # dict), or None for legacy manifests written before r13.  Data
+    # files may physically lag the declared schema (missing columns →
+    # NULL backfill, narrower ints/floats → widened on read): the
+    # manifest, not the files, is the schema of record — the same
+    # contract Delta/Iceberg keep in their table metadata.
+    schema: dict | None = None
 
 
 def _versions_dir(path: str) -> str:
@@ -116,6 +123,7 @@ def snapshot(path: str, version: int | None = None) -> Snapshot:
         doc["committed_at"],
         doc.get("meta", {}),
         doc.get("stats", {}),
+        doc.get("schema"),
     )
 
 
@@ -336,6 +344,8 @@ def _publish(path: str, version: int, snap: Snapshot) -> None:
         "meta": snap.meta,
         "stats": snap.file_stats,
     }
+    if snap.schema is not None:
+        doc["schema"] = snap.schema
     payload = json.dumps(doc).encode()
     if not _strategy_for(path).create_exclusive(
         _manifest_path(path, version), payload
@@ -542,6 +552,98 @@ def _write_data_files(
     return files, rows, stats
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema would change (or cannot merge into) the
+    table's declared schema and the caller didn't opt into evolution."""
+
+
+# widenings the parquet scan can apply losslessly when handed the
+# declared (wider) schema — verified on Spark 4.1's vectorized reader:
+# int32 files read as bigint, float files as double, absent columns
+# backfill NULL (SPARK-40876 read-side type widening)
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _widens(old_dt, new_dt) -> bool:
+    return (old_dt.typeName(), new_dt.typeName()) in _WIDENINGS
+
+
+def _nullable_json_schema(df: DataFrame) -> dict:
+    """``df``'s schema as a manifest-storable jsonValue dict, every
+    field forced nullable: later commits may legally backfill NULLs
+    into any column (add-column evolution), so the declared schema
+    never promises non-null."""
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).jsonValue()
+
+
+def _merge_schemas(declared, incoming):
+    """Widen-merge two StructTypes: declared columns keep their
+    position; incoming-only columns append (nullable); a column typed
+    differently on the two sides resolves to the wider type when the
+    pair is in ``_WIDENINGS`` and raises otherwise."""
+    from pyspark.sql.types import StructField, StructType
+
+    out = {f.name: StructField(f.name, f.dataType, True)
+           for f in declared.fields}
+    order = [f.name for f in declared.fields]
+    for f in incoming.fields:
+        cur = out.get(f.name)
+        if cur is None:
+            out[f.name] = StructField(f.name, f.dataType, True)
+            order.append(f.name)
+        elif cur.dataType == f.dataType or _widens(f.dataType, cur.dataType):
+            continue  # identical, or incoming is the narrower side
+        elif _widens(cur.dataType, f.dataType):
+            out[f.name] = StructField(f.name, f.dataType, True)
+        else:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: cannot evolve "
+                f"{cur.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} (supported: add nullable "
+                "column; widen byte/short/int -> long, float -> double)"
+            )
+    return StructType([out[n] for n in order])
+
+
+def _resolve_declared(
+    base_schema: dict | None, incoming: dict | None, evolve: bool
+) -> dict | None:
+    """Declared schema for the next version.  No incoming schema →
+    carry the base's forward; no base → adopt the incoming; otherwise
+    widen-merge, and if the merge actually CHANGES the declared schema
+    require ``evolve=True`` (a narrower/subset append is not a
+    change)."""
+    from pyspark.sql.types import StructType
+
+    if incoming is None:
+        return base_schema
+    if base_schema is None:
+        return incoming
+    if base_schema == incoming:
+        return base_schema
+    merged = _merge_schemas(
+        StructType.fromJson(base_schema), StructType.fromJson(incoming)
+    ).jsonValue()
+    if merged == base_schema:
+        return base_schema
+    if not evolve:
+        raise SchemaEvolutionError(
+            "append schema differs from the table's declared schema; "
+            "pass evolve=True to widen-merge it (add nullable column, "
+            "byte/short/int -> long, float -> double)"
+        )
+    return merged
+
+
 def append(
     df: DataFrame,
     path: str,
@@ -549,16 +651,28 @@ def append(
     meta: dict | None = None,
     cluster_by=None,
     target_files: int | None = None,
+    evolve: bool = False,
 ) -> Snapshot:
     """Transactional append.  Data files land first (expensive,
     conflict-free); the commit loop then retries only the cheap
     manifest create — appends never logically conflict, so losing a
-    race just means re-publishing on top of the new latest version."""
+    race just means re-publishing on top of the new latest version.
+
+    Schema: the committed manifest records the table's DECLARED schema
+    (the merge of every append's schema).  An append whose schema is a
+    subset / narrower view of the declared one commits as-is (its
+    files NULL-backfill / widen on read); one that would CHANGE the
+    declared schema (new column, int→long or float→double widening)
+    requires ``evolve=True`` and raises ``SchemaEvolutionError``
+    otherwise — evolution is an explicit, auditable act, never a typo
+    side-effect.  Incompatible changes (string→int, dropped-and-
+    retyped columns) always raise."""
     files, rows, stats = _write_data_files(
         _cluster(df, cluster_by, target_files), path
     )
     return commit_append(
-        path, files, rows, stats=stats, meta=meta, max_retries=max_retries
+        path, files, rows, stats=stats, meta=meta, max_retries=max_retries,
+        schema=_nullable_json_schema(df), evolve=evolve,
     )
 
 
@@ -569,6 +683,8 @@ def commit_append(
     stats: dict | None = None,
     meta: dict | None = None,
     max_retries: int = 5,
+    schema: dict | None = None,
+    evolve: bool = False,
 ) -> Snapshot:
     """The append COMMIT loop alone, data files already landed:
     read latest → publish next version → on ``CommitConflict`` rebase
@@ -577,7 +693,14 @@ def commit_append(
     REAL production retry loop from plain processes without a Spark
     session per process — the BigQuery-transactionality parity check
     vs /root/reference/main.py:268-287 (multi-writer contention is the
-    one guarantee the warehouse gave the reference for free)."""
+    one guarantee the warehouse gave the reference for free).
+
+    ``schema`` is the incoming data's schema (``StructType.jsonValue``
+    dict) or None for schema-less commit paths (e.g. sink replays of
+    pre-landed files — they carry the declared schema forward).  The
+    declared-schema resolution runs INSIDE the retry loop: a rebase
+    re-merges against the race winner's declared schema, so two
+    writers evolving concurrently compose instead of clobbering."""
     stats = stats or {}
     for _ in range(max_retries):
         base = snapshot(path)
@@ -589,6 +712,7 @@ def commit_append(
             time.time(),
             dict(meta or {}),
             {**base.file_stats, **stats},
+            _resolve_declared(base.schema, schema, evolve),
         )
         try:
             _publish(path, base.version + 1, snap)
@@ -622,6 +746,7 @@ def overwrite(
     snap = Snapshot(
         base_version + 1, tuple(files), rows, "overwrite", time.time(),
         dict(meta or {}), stats,
+        _nullable_json_schema(df),  # replace semantics: schema resets too
     )
     _publish(path, base_version + 1, snap)
     return snap
@@ -634,17 +759,32 @@ def read(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read: scan exactly the manifest's files.  ``version``
-    pins time travel; default is the latest commit at call time.  An
-    empty table returns an empty DataFrame only if Spark can infer a
-    schema — callers that need one should read a specific version
-    known to have files or keep their own schema.
+    pins time travel; default is the latest commit at call time.
 
-    ``merge_schema=True`` enables additive schema evolution: a commit
-    may append files carrying NEW columns, and the read unions all
-    file schemas with NULL backfill for files written before the
-    column existed (parquet mergeSchema — pays one footer read per
-    file at planning, so leave it off for fixed-schema tables)."""
+    When the manifest carries a DECLARED schema (every table written
+    since r13), the scan is handed that schema explicitly: ONE
+    distributed parquet scan, zero planning I/O, with files that
+    physically lag the declaration read through it — absent columns
+    NULL-backfill and narrower ints/floats widen (measured on the 4.1
+    vectorized reader; pinned in tests/test_txn_table.py).  That makes
+    every read — including time travel across an evolution boundary —
+    schema-stable, and an empty version returns a true empty DataFrame
+    instead of failing inference.
+
+    ``merge_schema=True`` is the legacy fallback for pre-r13 manifests
+    with mixed file schemas (parquet mergeSchema — pays one footer
+    read per file at planning); it is ignored when a declared schema
+    exists, which subsumes it."""
+    from pyspark.sql.types import StructType
+
     snap = snapshot(path, version)
+    if snap.schema is not None:
+        declared = StructType.fromJson(snap.schema)
+        if not snap.files:
+            return spark.createDataFrame([], declared)
+        return spark.read.schema(declared).parquet(
+            *[os.path.join(path, f) for f in snap.files]
+        )
     if not snap.files:
         raise ValueError(
             f"version {snap.version} of {path} is empty — no schema to infer"
@@ -653,6 +793,66 @@ def read(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[os.path.join(path, f) for f in snap.files])
+
+
+def _read_files(spark: SparkSession, path: str, files, snap: Snapshot):
+    """Scan a SUBSET of a snapshot's files THROUGH its declared schema
+    when one exists.  Every internal rewrite (delete / merge /
+    straddler re-land) must read this way: a raw ``spark.read.parquet``
+    over mixed-generation files resolves to an arbitrary file's
+    physical schema and silently DROPS evolved columns from the
+    rewritten rows (caught by
+    test_declared_schema_survives_row_level_ops)."""
+    from pyspark.sql.types import StructType
+
+    paths = [os.path.join(path, f) for f in files]
+    if snap.schema is not None:
+        return spark.read.schema(
+            StructType.fromJson(snap.schema)
+        ).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
+def version_at(path: str, timestamp) -> int:
+    """Resolve a commit TIMESTAMP to a version: the latest version
+    whose ``committed_at`` is <= ``timestamp`` (unix-seconds float, or
+    a datetime — naive datetimes are driver-local, the same convention
+    ``time.time`` records).  O(versions-on-disk) tiny manifest reads;
+    raises if the table didn't exist yet at that time."""
+    if hasattr(timestamp, "timestamp"):
+        ts = timestamp.timestamp()
+    else:
+        ts = float(timestamp)
+    best = None
+    for v in versions(path):
+        if snapshot(path, v).committed_at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {path} committed at or before {timestamp}"
+        )
+    return best
+
+
+def read_at(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> DataFrame:
+    """Time-travel read — exactly one of ``version`` / ``timestamp``.
+    Snapshot isolation by construction: the returned plan scans
+    exactly the files version N's manifest names, all immutable, so a
+    writer committing N+1 (or a vacuum keeping N) can never change
+    what this reader sees — pinned by a cross-process test in
+    tests/test_txn_race.py and a reader-vs-writer test in
+    tests/test_txn_table.py.  The read goes through the version's OWN
+    declared schema, so travelling back across a schema-evolution
+    boundary returns the columns/types as they were declared THEN."""
+    if (version is None) == (timestamp is None):
+        raise ValueError("read_at: pass exactly one of version / timestamp")
+    v = version if version is not None else version_at(path, timestamp)
+    return read(spark, path, version=v)
 
 
 def read_pruned(
@@ -680,7 +880,7 @@ def read_pruned(
         # all files skipped: empty result with the table's real schema
         base = read(spark, path, version=snap.version)
         return base.filter(F.lit(False))
-    df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    df = _read_files(spark, path, keep, snap)
     pred = F.lit(True)
     if lo is not None:
         pred = pred & (F.col(col) >= F.lit(lo))
@@ -750,9 +950,9 @@ def delete_where(
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
     if targets:
-        kept_rows = spark.read.parquet(
-            *[os.path.join(path, f) for f in targets]
-        ).filter(~F.expr(condition))
+        kept_rows = _read_files(spark, path, targets, snap).filter(
+            ~F.expr(condition)
+        )
         new_files, _, new_stats = _write_data_files(kept_rows, path)
     untouched_stats = {f: snap.file_stats[f] for f in untouched
                        if f in snap.file_stats}
@@ -767,6 +967,7 @@ def delete_where(
         time.time(),
         {"condition": condition},
         {**untouched_stats, **new_stats},
+        snap.schema,  # row-level ops never change the declared schema
     )
     _publish(path, base_version + 1, out)
     return out
@@ -965,6 +1166,7 @@ def commit_overwrite_partitions(
                 **(meta or {}),
             },
             {**kept_stats, **new_stats},
+            base.schema,
         )
         try:
             _publish(path, base.version + 1, snap)
@@ -1027,9 +1229,7 @@ def overwrite_partitions(
             # NULL-preserving residual: isin(NULL) is NULL (falsy), so
             # a bare negation would DELETE legacy NULL-partition rows —
             # keep a row when it is NULL or provably not replaced
-            live = spark.read.parquet(
-                *[os.path.join(path, f) for f in straddle]
-            ).filter(
+            live = _read_files(spark, path, straddle, base).filter(
                 F.col(part_col).isNull() | ~F.col(part_col).isin(values)
             )
             extra_files, _, extra_stats = _write_partition_aligned(
@@ -1091,6 +1291,7 @@ def _commit_partition_replace(
             **(meta or {}),
         },
         {**kept_stats, **new_stats},
+        base.schema,
     )
     _publish(path, base.version + 1, snap)
     return snap
@@ -1148,9 +1349,7 @@ def merge_into(
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
     if targets:
-        touched = spark.read.parquet(
-            *[os.path.join(path, f) for f in targets]
-        )
+        touched = _read_files(spark, path, targets, snap)
         merged = (
             merge_insert_and_upsert(touched, source, key, update_cols)
             if insert
@@ -1172,6 +1371,7 @@ def merge_into(
         time.time(),
         {"keys": [key] if isinstance(key, str) else list(key)},
         {**untouched_stats, **new_stats},
+        snap.schema,
     )
     _publish(path, base_version + 1, out)
     return out
@@ -1202,13 +1402,17 @@ def changes(
     )
     if added:
         out = out.unionByName(
-            spark.read.parquet(*[os.path.join(path, f) for f in added])
+            _read_files(spark, path, added, b)
             .withColumn("_change_type", F.lit("insert"))
         )
     if removed:
+        # removed files belong to the FROM snapshot's generation; its
+        # declared schema may be narrower than v_to's — align by name
+        # with NULL fill so the feed unions across an evolution
         out = out.unionByName(
-            spark.read.parquet(*[os.path.join(path, f) for f in removed])
-            .withColumn("_change_type", F.lit("delete"))
+            _read_files(spark, path, removed, a)
+            .withColumn("_change_type", F.lit("delete")),
+            allowMissingColumns=True,
         )
     return out
 
@@ -1247,7 +1451,8 @@ def compact(
     )
     files, rows, stats = _write_data_files(df, path)
     out = Snapshot(
-        base_version + 1, tuple(files), rows, "compact", time.time(), {}, stats
+        base_version + 1, tuple(files), rows, "compact", time.time(), {},
+        stats, snapshot(path, base_version).schema,
     )
     _publish(path, base_version + 1, out)
     return out

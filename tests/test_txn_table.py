@@ -224,21 +224,25 @@ def test_compact_merges_files_data_unchanged(spark, table):
 
 
 def test_schema_evolution_merge_on_read(spark, table):
-    """An appended commit may add columns; merge_schema reads union the
-    file schemas with NULL backfill for pre-evolution files, while
-    default reads of old versions are unaffected."""
+    """An appended commit may add columns when the caller opts in with
+    evolve=True; reads then go through the DECLARED schema with NULL
+    backfill for pre-evolution files, while time travel to an old
+    version returns the columns as declared THEN."""
     tt.append(_df(spark, 0, 5), table)
     evolved = spark.range(5, 8).selectExpr(
         "id", "id * 2 AS v", "'en' AS lang"
     )
-    tt.append(evolved, table)
+    # evolution is explicit: without the flag the append must refuse
+    with pytest.raises(tt.SchemaEvolutionError):
+        tt.append(evolved, table)
+    tt.append(evolved, table, evolve=True)
 
-    df = tt.read(spark, table, merge_schema=True)
+    df = tt.read(spark, table)
     assert set(df.columns) == {"id", "v", "lang"}
     by_id = {r.id: r.lang for r in df.collect()}
     assert by_id[0] is None and by_id[5] == "en"
     assert len(by_id) == 8
-    # time travel to the pre-evolution version needs no merge flag
+    # time travel to the pre-evolution version sees the old declaration
     assert tt.read(spark, table, version=1).columns == ["id", "v"]
 
 
@@ -732,3 +736,134 @@ def test_overwrite_partitions_on_object_store_pairing(spark, table):
     finally:
         tt.set_commit_strategy(table, None)
         tt.set_table_filesystem(table, None)
+
+
+def test_read_at_version_and_timestamp(spark, table):
+    """read_at resolves both pin kinds: an explicit version, and a
+    timestamp that maps to the latest commit at-or-before it; exactly
+    one pin is required and a pre-table timestamp raises."""
+    s1 = tt.append(_df(spark, 0, 5), table)
+    s2 = tt.append(_df(spark, 5, 8), table)
+
+    assert tt.read_at(spark, table, version=s1.version).count() == 5
+    assert tt.read_at(spark, table, version=s2.version).count() == 8
+    # timestamp between the two commits resolves to the first
+    mid = (s1.committed_at + s2.committed_at) / 2
+    assert tt.version_at(table, mid) == s1.version
+    assert tt.read_at(spark, table, timestamp=mid).count() == 5
+    # at-or-after the second commit resolves to it
+    assert tt.read_at(
+        spark, table, timestamp=s2.committed_at
+    ).count() == 8
+    with pytest.raises(ValueError, match="exactly one"):
+        tt.read_at(spark, table)
+    with pytest.raises(ValueError, match="exactly one"):
+        tt.read_at(spark, table, version=1, timestamp=mid)
+    with pytest.raises(ValueError, match="at or before"):
+        tt.version_at(table, 0.0)
+
+
+def _pin_commit_child(path, out_q):
+    """Child process: land a REAL parquet file and commit it as the
+    next version through the production commit loop (no Spark — the
+    protocol is plain files + manifests)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        commit_id = "childcommit0"
+        d = os.path.join(path, "data", commit_id)
+        os.makedirs(d, exist_ok=True)
+        f = os.path.join(d, "part-0.parquet")
+        pq.write_table(
+            pa.table({"id": [100, 101], "v": [200, 202]}), f
+        )
+        rel = os.path.join("data", commit_id, "part-0.parquet")
+        snap = tt.commit_append(path, [rel], rows=2)
+        out_q.put(("ok", snap.version))
+    except BaseException as e:
+        out_q.put(("err", repr(e)))
+
+
+def test_time_travel_reader_pinned_across_process_commit(spark, table):
+    """Snapshot isolation across PROCESSES: a reader pinned at version
+    N collects the same rows before and after a separate OS process
+    commits version N+1 — the writer can change the latest, never the
+    pinned past (r12 verdict #3)."""
+    import multiprocessing as mp
+
+    s1 = tt.append(_df(spark, 0, 6).coalesce(1), table)
+    before = sorted(map(tuple, tt.read_at(spark, table, version=s1.version).collect()))
+
+    ctx = mp.get_context("spawn")
+    out_q = ctx.Queue()
+    p = ctx.Process(target=_pin_commit_child, args=(table, out_q))
+    p.start()
+    status, payload = out_q.get(timeout=120)
+    p.join(timeout=60)
+    assert status == "ok", payload
+    assert payload == s1.version + 1 and p.exitcode == 0
+
+    after = sorted(map(tuple, tt.read_at(spark, table, version=s1.version).collect()))
+    assert after == before  # pinned read is stable across the commit
+    latest = tt.read(spark, table)
+    assert latest.count() == 8
+    assert {r.id for r in latest.collect()} >= {100, 101}
+
+
+def test_int_to_long_widen_mixed_version_files(spark, table):
+    """int→long widening: v1 files physically int32, v2 evolves the
+    column to long; the latest read returns ONE long-typed column over
+    BOTH file generations, and time travel to v1 still sees int."""
+    from pyspark.sql import functions as F
+
+    narrow = spark.range(3).select(
+        F.col("id").cast("int").alias("k"), F.lit(1).alias("n")
+    )
+    tt.append(narrow, table)
+    wide = spark.createDataFrame(
+        [(2**40, 2)], "k long, n int"
+    )
+    with pytest.raises(tt.SchemaEvolutionError):
+        tt.append(wide, table)
+    tt.append(wide, table, evolve=True)
+
+    df = tt.read(spark, table)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 2**40]
+    old = tt.read(spark, table, version=1)
+    assert dict(old.dtypes)["k"] == "int"
+
+    # a later NARROW append (int again) needs no evolve flag: the
+    # declared schema already covers it, files widen on read
+    tt.append(narrow.filter("k = 0"), table)
+    assert tt.read(spark, table).filter("k = 0").count() == 2
+
+
+def test_schema_evolution_rejects_incompatible_types(spark, table):
+    """Non-widening type changes refuse loudly even with evolve=True —
+    silent string→int coercion is how lakehouse tables rot."""
+    tt.append(_df(spark, 0, 3), table)
+    bad = spark.createDataFrame([("x", 1)], "id string, v long")
+    with pytest.raises(tt.SchemaEvolutionError, match="cannot evolve"):
+        tt.append(bad, table, evolve=True)
+
+
+def test_declared_schema_survives_row_level_ops(spark, table):
+    """delete_where / compact / merge carry the declared schema
+    forward, so evolution survives maintenance: after an evolve, a
+    delete, and a compact, reads still see the merged declaration
+    with NULL backfill intact."""
+    tt.append(_df(spark, 0, 5), table)
+    tt.append(
+        spark.range(5, 7).selectExpr("id", "id * 2 AS v", "'en' AS lang"),
+        table,
+        evolve=True,
+    )
+    tt.delete_where(spark, table, "id = 6")
+    s = tt.compact(spark, table, target_files=1)
+    assert s.schema is not None
+    df = tt.read(spark, table)
+    assert df.columns == ["id", "v", "lang"]
+    rows = {r.id: r.lang for r in df.collect()}
+    assert rows[5] == "en" and rows[0] is None and 6 not in rows
