@@ -30,99 +30,100 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order.  Rotation policy: FRESHNESS —
 # each round the window re-attests (a) every entry whose CODE or
 # ORACLE changed this round, then (b) the entries whose last driver
-# green is oldest.  Round 12 carries:
+# green is oldest.  Round 13 carries:
 #
-# (a) CHANGED/NEW — sql_surface_orders (the r11 ADVICE high: avg_price
-# multiplier 20000 -> 200, cents -> dollars — a REAL output change the
-# shared-SQL-text differential can't see, so it's unit-pinned in
-# tests/test_relational.py and re-attested here);
-# streaming_lines_ingest (resume detection now keys on a completed
-# seed compaction, watermark/GC comparisons numeric — r11 ADVICE lows);
-# streaming_epoch_shuffle (run_epoch_stream gained work_dir resume,
-# r11 verdict #2, restart test + 11-seed kill-and-retry fuzz);
-# text_bpe_token_stats (NEW ORACLE — the full train+encode loop
-# unrolled in DuckDB SQL, r11 verdict #5; compression moved to exact
-# half-up integer division, an output change on tie values);
-# join_bloom_pruned (NEW ENTRY — runtime Bloom-filter join pushdown
-# exemplar, r11 verdict #7, A/B plan-pinned in tests/test_plans.py);
-# join_dpp_partition_pruned (NEW ENTRY — dynamic partition pruning,
-# the partition-level sibling completing the runtime-filter pair;
-# A/B plan-pinned, tri-SF green, 10%-of-scan measured in SCALING.md);
-# streaming_ingest_dedup (r11-fresh, but run_ingest_stream gained
-# work_dir resume + the torn-seed-keyed init this round — the trio
-# completion — so it re-attests as a changed entry).
+# (a) CHANGED/NEW — txn_time_travel_read (NEW ENTRY — read_at pinned
+# to v1 of a txn table whose latest is v2; snapshot isolation
+# cross-process-pinned in tests/test_txn_table.py);
+# txn_schema_evolution_read (NEW ENTRY — one declared-schema scan
+# over int32 v1 files + long v2 files with NULL backfill, r12
+# verdict #3/#4); join_dpp_partition_pruned and scan_partition_pruned
+# (both moved from round(sum(double),4) to integer 1e-4-tick sums —
+# the r12 ADVICE rounding-tie class, a REAL output change on tie
+# values); join_bloom_pruned (localCheckpoint replaced by a collected
+# local relation, r12 ADVICE — code change, value-neutral, A/B plan
+# pin re-run green this round).
 #
-# (b) ROTATION — all 24 r8-vintage deferrals the r11 verdict names
-# (3 rounds stale, due at r12), then the oldest 19 of the 49
-# r9-vintage entries (alphabetical within the cohort).  The 30 r9
-# entries deferring to r13: multimodal_image_near_dup,
-# multimodal_video_frames,
-# multimodal_waveform, pandas_udf_token_count
-# and range_join_price_bands (both bench-run at sf0.1 every round),
-# the 17 TPC-H q-entries (q3/q5 bench-run; all hand-derived
-# integer-tick oracles unchanged since the r9 ticks campaign),
-# quality_length_outliers_mad, quality_referential_integrity,
-# text_boilerplate_spans, text_char_entropy, text_encoding_audit,
-# text_lang_confusion_matrix, trend_daily_revenue,
-# window_rank_family_full.  ALL 50 window entries were locally
+# (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
+# (due at r13), then the oldest 15 of the 43 r10-vintage entries
+# (alphabetical within the cohort).  The 28 r10 entries deferring to
+# r14 (each with this-round evidence: snapshot_delta_events /
+# udaf_geomean_price / streaming_stateful_user_stats /
+# similarity_topk_bruteforce / window_rank_topk / sessionize_events
+# bench-run at sf0.1 every round; the whole registry executed in the
+# r13 tri-SF close-out sweeps and the fresh-seed fixture fuzz):
+# q9_profit_by_nation_year, rest_source_snapshot,
+# sampling_weighted_systematic, scalar_suite_orders,
+# scan_federated_union, scan_provenance_files, semi_join_customers,
+# semistructured_suite, similarity_ann_recall_floors,
+# similarity_centroid_separation, similarity_knn_join,
+# similarity_mmr_exact, similarity_topk_bruteforce,
+# snapshot_delta_events, streaming_countmin_merge,
+# streaming_funnel_fsm_tws, streaming_interval_join,
+# streaming_left_semi_interval_join,
+# streaming_right_outer_interval_join, streaming_stateful_tws,
+# streaming_stateful_user_stats, streaming_static_enrich,
+# temporal_join_versions, text_quality_classifier,
+# udaf_geomean_price, udtf_chunk_documents, window_range_frame,
+# window_rank_topk.  ALL 50 window entries were locally
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
-# runs at close-out.  After r12 the oldest oracle-backed attestation
-# will be r9 (the 30 deferrals), due first at r13.
+# runs at close-out.  After r13 the oldest oracle-backed attestation
+# will be r10 (those 28 deferrals), due first at r14.
 _WINDOW = [
     # (a) changed/new this round
-    "sql_surface_orders",
-    "streaming_lines_ingest",
-    "streaming_epoch_shuffle",
-    "text_bpe_token_stats",
-    "join_bloom_pruned",
+    "txn_time_travel_read",
+    "txn_schema_evolution_read",
     "join_dpp_partition_pruned",
-    "streaming_ingest_dedup",
-    # (b) the 24 r8-vintage deferrals, due at r12
-    "agg_group_analytics",
-    "proj_filter_orders",
-    "merge_full_upsert",
-    "window_events_suite",
-    "asof_join_purchase_click",
-    "skew_salted_suite",
-    "streaming_window_dedup_counts",
-    "dedup_minhash_lsh",
-    "pipeline_corpus_clean",
-    "multimodal_suite",
-    "rest_stream_ingest",
-    "text_lm_fluency",
-    "streaming_left_outer_interval_join",
-    "streaming_full_outer_interval_join",
-    "semistructured_variant",
-    "text_fingerprint_rolling",
-    "quality_expectations_orders",
-    "mv_incremental_refresh",
-    "attribution_first_last",
-    "feature_binning_quantile",
-    "graph_pagerank_bipartite",
-    "events_activity_streaks",
-    "customer_rfm_segments",
-    "events_transition_matrix",
-    # (b) oldest 19 of the r9 cohort (alphabetical)
-    "agg_countmin_sketch",
-    "agg_distinct_collect",
-    "agg_heavy_hitters_mg",
-    "asof_join_pandas",
-    "curation_shard_manifest",
-    "dedup_casefold_exact",
-    "dedup_connected_groups",
-    "dedup_containment_pairs",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_incremental_batch",
-    "dedup_semantic_semdedup",
-    "embedding_label_centroids",
-    "events_ewma_daily",
-    "events_psi_feature_drift",
-    "join_outer_cross_suite",
-    "knn_join_lsh",
-    "merge_scd2",
-    "multimodal_frame_dedup",
+    "scan_partition_pruned",
+    "join_bloom_pruned",
+    # (b) the 30 r9-vintage deferrals, due at r13
+    "multimodal_image_near_dup",
+    "multimodal_video_frames",
+    "multimodal_waveform",
+    "pandas_udf_token_count",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_latency_priority_classes",
+    "q14_promo_revenue",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "quality_length_outliers_mad",
+    "quality_referential_integrity",
+    "range_join_price_bands",
+    "text_boilerplate_spans",
+    "text_char_entropy",
+    "text_encoding_audit",
+    "text_lang_confusion_matrix",
+    "trend_daily_revenue",
+    "window_rank_family_full",
+    # (b) oldest 15 of the r10 cohort (alphabetical)
+    "agg_stats_percentiles",
+    "cohort_weekly_retention",
+    "curation_epoch_shuffle",
+    "decontaminate_eval_overlap",
+    "dedup_containment_governed",
+    "dedup_lines_corpus",
+    "dedup_simhash_pairs",
+    "funnel_view_click_purchase",
+    "merge_cdc_apply",
+    "multimodal_audio_fp_exact",
+    "pii_redaction_profile",
+    "pipeline_pretrain_corpus",
+    "q13_order_distribution",
+    "q2_min_cost_supplier",
+    "q4_priority_late_orders",
 ]
 
 

@@ -56,3 +56,45 @@ def test_bare_session_reads_events_and_runs_registry_entry():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["events_rows"] > 0
     assert out["query_rows"] > 0
+
+
+ROWS_ONLY_FLOAT_ENTRIES = {
+    # entry -> (expected columns, minimum row count at sf0.001)
+    "similarity_ann_lsh": None,
+    "similarity_ann_ivf": None,
+    "similarity_ann_pq": None,
+    "similarity_ann_ivfpq": None,
+    "similarity_ann_suite": None,
+    "similarity_mmr_rerank": None,
+    "multimodal_audio_dedup": None,
+}
+
+
+def test_rows_only_float_entries_execute(spark):
+    """Execution pin for the SEVEN rows-only registry entries (float
+    ANN family, float MMR, FFT audio dedup — r12 verdict #5): they
+    have no DuckDB oracle BY DESIGN, so the driver's gate can never
+    attest them and a crash would surface only in local sweeps.  This
+    test executes each at sf0.001 and pins non-empty output plus a
+    stable column set against the registry's own declared schema, so
+    a regression fails CI instead of hiding.  Each entry's VALUES are
+    covered by its green integer-exact oracle twin
+    (similarity_*_exact / multimodal_audio_fp_exact)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(ROWS_ONLY_FLOAT_ENTRIES) - set(qs)
+    assert not missing, f"registry lost rows-only entries: {missing}"
+    # the set must stay exactly the declared one: a new oracle-less
+    # entry needs either an oracle or an explicit pin here
+    actual_rows_only = {k for k in qs if k not in oracles}
+    assert actual_rows_only == set(ROWS_ONLY_FLOAT_ENTRIES), (
+        actual_rows_only ^ set(ROWS_ONLY_FLOAT_ENTRIES)
+    )
+    for name in sorted(ROWS_ONLY_FLOAT_ENTRIES):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert rows, f"{name}: empty result at sf0.001"
+        assert df.columns == list(rows[0].asDict()), name
+        assert all(c == c.lower() for c in df.columns), name

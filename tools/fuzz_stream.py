@@ -423,6 +423,145 @@ def fuzz_ingest_stream(spark, seed: int) -> str | None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _reader_proc(freq_dir: str, stop_path: str, out_q) -> None:
+    """Concurrent READER process (r12 verdict #6): hammers
+    ``snapshot_freq_index`` — the documented external resolution rule
+    (newest _SUCCESS compaction + completed partials past it,
+    optimistic inode/mtime validation) — against a LIVE index while
+    the writer appends partials, folds compactions, GCs absorbed
+    inputs, and crash-retries.  Records every distinct observed total;
+    the parent asserts each one is a legal prefix state of the
+    stream."""
+    try:
+        totals: set[int] = set()
+        n_reads = 0
+        not_ready = 0
+        while not os.path.exists(stop_path):
+            try:
+                snap = ing.snapshot_freq_index(freq_dir)
+            except RuntimeError:
+                # no stable snapshot within budget — only legal while
+                # the index doesn't exist yet (pre-seed window)
+                if ing._index_initialized(freq_dir):
+                    raise
+                not_ready += 1
+                continue
+            totals.add(sum(snap.values()))
+            n_reads += 1
+        out_q.put(("ok", sorted(totals), n_reads, not_ready))
+    except BaseException as e:  # surface child failures to the parent
+        out_q.put(("err", repr(e), 0, 0))
+
+
+def fuzz_concurrent_reader(spark, seed: int) -> str | None:
+    """Two reader processes race the line stream's whole lifecycle —
+    partial writes, crash + at-least-once retry (rewriting a partial
+    dir under the reader), aggressive compact_every=1/2 folds, GC of
+    absorbed inputs, and a planted torn compaction with absurd counts.
+    Every total any reader observes must equal seed + a PREFIX of the
+    per-batch sums: a torn read (half a partial dir) lands between
+    prefixes, a double count (absorbed partial + its compaction) or a
+    trusted torn compaction lands above them — all caught by set
+    membership."""
+    import multiprocessing as mp
+
+    rng = random.Random(seed)
+    seed_rows, batches = _gen_line_corpus(rng)
+    min_df = rng.randint(2, 4)
+    compact_every = rng.choice([1, 2])  # aggressive: maximal GC churn
+    root = tempfile.mkdtemp(prefix=f"fuzzreader_{seed}_")
+    try:
+        seed_df = spark.createDataFrame(
+            seed_rows, "doc_id long, text string"
+        )
+        # reference run (never compacted) keeps every per-batch partial
+        # alive: legal totals = seed + prefix sums of those partials
+        ing.run_line_stream(
+            spark,
+            _land(spark, os.path.join(root, "ref_b"), batches),
+            seed_df,
+            min_doc_freq=min_df,
+            compact_every=None,
+            work_dir=os.path.join(root, "ref_w"),
+        )
+        ref_freq = os.path.join(root, "ref_w", "freq")
+        seed_total = sum(
+            ing.snapshot_freq_index(ref_freq).values()
+        ) - sum(
+            sum(
+                r.c
+                for r in spark.read.schema(ing._FREQ_SCHEMA)
+                .parquet(os.path.join(ref_freq, n))
+                .collect()
+            )
+            for n in os.listdir(ref_freq)
+            if n.startswith("batch_")
+        )
+        batch_sums = [
+            sum(
+                r.c
+                for r in spark.read.schema(ing._FREQ_SCHEMA)
+                .parquet(os.path.join(ref_freq, f"batch_{i:05d}"))
+                .collect()
+            )
+            for i in range(len(batches))
+        ]
+        legal = {seed_total}
+        acc = seed_total
+        for s in batch_sums:
+            acc += s
+            legal.add(acc)
+
+        work = os.path.join(root, "p_w")
+        freq_dir = os.path.join(work, "freq")
+        stop_path = os.path.join(root, "stop")
+        ctx = mp.get_context("spawn")
+        out_q = ctx.Queue()
+        readers = [
+            ctx.Process(
+                target=_reader_proc, args=(freq_dir, stop_path, out_q)
+            )
+            for _ in range(2)
+        ]
+        for p in readers:
+            p.start()
+        try:
+            _run_perturbed(
+                spark, ing.run_line_stream, os.path.join(root, "p_b"),
+                batches, work, rng,
+                {"line_h": ["junk"], "c": [10**9]}, "freq",
+                first_compact_at=compact_every - 1,
+                seed=seed_df, min_doc_freq=min_df,
+                compact_every=compact_every,
+            )
+        finally:
+            with open(stop_path, "w"):
+                pass
+        outs = [out_q.get(timeout=300) for _ in readers]
+        for p in readers:
+            p.join(timeout=120)
+        for status, payload, n_reads, not_ready in outs:
+            if status != "ok":
+                return f"reader crashed: {payload}"
+            illegal = [t for t in payload if t not in legal]
+            if illegal:
+                return (
+                    f"reader observed non-prefix totals {illegal} "
+                    f"(legal={sorted(legal)}, ce={compact_every})"
+                )
+        n_total = sum(o[2] for o in outs)
+        if n_total == 0:
+            return "readers never completed a single snapshot"
+        print(
+            f"     seed={seed}: {n_total} reader snapshots, "
+            f"{sum(len(o[1]) for o in outs)} distinct totals, "
+            f"legal prefixes={len(legal)}"
+        )
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     from play_bq_gcp_spark.session import get_spark
 
@@ -434,6 +573,7 @@ def main() -> int:
             ("line", fuzz_line_stream),
             ("epoch", fuzz_epoch_stream),
             ("ingest", fuzz_ingest_stream),
+            ("reader", fuzz_concurrent_reader),
         ):
             err = fn(spark, seed)
             if err:
@@ -441,7 +581,7 @@ def main() -> int:
                 print(f"FAIL seed={seed} {name}: {err}")
             else:
                 print(f"ok   seed={seed} {name}")
-    print(f"{failures} failures over {len(seeds)} seeds x 3 protocols")
+    print(f"{failures} failures over {len(seeds)} seeds x 4 protocols")
     return 1 if failures else 0
 
 

@@ -1,0 +1,175 @@
+"""Generate the sf1 fixture tier (r12 verdict #2): a ~10x scale-up of
+the driver's sf0.1 fixtures, written under the repo (the driver's
+/root/testdata is read-only), used ONLY for scaling evidence — the
+driver's oracle gate stays on its own fixtures.
+
+Method: replicate-with-key-shift.  Each fact/entity table is unioned
+from FACTOR copies of its sf0.1 source; copy ``i`` shifts every key
+column by ``i * STRIDE`` (strides are clean powers of ten above each
+key's max, so copies never collide and referential integrity holds
+WITHIN a copy — copy i's lineitem points at copy i's orders/parts/
+suppliers, the same star shape at 10x the rows).  region/nation stay
+fixed (dimensions don't scale in TPC-H either).  Value distributions,
+per-day event volumes, and join fan-outs are preserved exactly — which
+is the property that makes sf0.1→sf1 wall-clock ratios interpretable
+as pure data-volume scaling.
+
+Text/embedding realism: a corpus naively copied 10x would be 90%
+exact duplicates, collapsing every dedup measurement.  Copy i>0
+therefore prefixes a copy tag onto ~70% of documents (deterministic
+by doc_id) — the other 30% stay byte-identical, giving a known
+cross-copy duplicate rate for the dedup entries to chew on — and
+n_chars is recomputed so the fixture invariant (n_chars ==
+length(text)) holds.  Embeddings in copy i>0 get a deterministic
+per-element perturbation (scaled by vec_id and position) so ANN
+candidate structure is not 10 identical shells; vec_id 0 (the ANN
+query vector convention) exists only in copy 0.
+
+Usage: python tools/gen_sf1.py [SRC_DIR] [OUT_DIR] [FACTOR]
+Defaults: /root/testdata/sf0.1 -> /root/repo/fixtures/sf1, 10x.
+Deterministic — no RNG anywhere; rerunning overwrites identically.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from play_bq_gcp_spark.session import get_spark  # noqa: E402
+
+# strides: clean powers of ten, each > the column's max at sf0.1
+# (asserted at runtime — a fixture regeneration that outgrew a stride
+# must fail loudly, not silently alias keys across copies)
+STRIDES = {
+    "orderkey": 10_000_000,
+    "custkey": 1_000_000,
+    "suppkey": 100_000,
+    "partkey": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+}
+
+
+def _shift(df: DataFrame, i: int, cols: dict[str, int]) -> DataFrame:
+    for c, stride in cols.items():
+        df = df.withColumn(c, (F.col(c) + F.lit(i * stride)).cast("long"))
+    return df
+
+
+def _copies(df: DataFrame, factor: int, cols: dict[str, int]) -> DataFrame:
+    out = df
+    for i in range(1, factor):
+        out = out.unionByName(_shift(df, i, cols))
+    return out
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/fixtures/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="gen_sf1", shuffle_partitions=32)
+    os.makedirs(out, exist_ok=True)
+
+    def t(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(src, f"{name}.parquet"))
+
+    def w(df: DataFrame, name: str, n_files: int) -> None:
+        (
+            df.repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"{name}.parquet"))
+        )
+        print(f"wrote {name}", flush=True)
+
+    # stride safety: every key max must sit under its stride
+    checks = {
+        "orderkey": t("orders").agg(F.max("o_orderkey")).first()[0],
+        "custkey": t("customer").agg(F.max("c_custkey")).first()[0],
+        "suppkey": t("supplier").agg(F.max("s_suppkey")).first()[0],
+        "partkey": t("part").agg(F.max("p_partkey")).first()[0],
+        "doc_id": t("documents").agg(F.max("doc_id")).first()[0],
+        "vec_id": t("embeddings").agg(F.max("vec_id")).first()[0],
+        "event_id": t("events").agg(F.max("event_id")).first()[0],
+        "user_id": t("events").agg(F.max("user_id")).first()[0],
+    }
+    for k, mx in checks.items():
+        assert mx < STRIDES[k], (k, mx, STRIDES[k])
+
+    # dimensions stay fixed
+    for name in ("region", "nation"):
+        w(t(name), name, 1)
+
+    w(_copies(t("customer"), factor, {"c_custkey": STRIDES["custkey"]}),
+      "customer", 8)
+    w(_copies(t("supplier"), factor, {"s_suppkey": STRIDES["suppkey"]}),
+      "supplier", 4)
+    w(_copies(t("part"), factor, {"p_partkey": STRIDES["partkey"]}),
+      "part", 8)
+    w(
+        _copies(
+            t("orders"), factor,
+            {"o_orderkey": STRIDES["orderkey"],
+             "o_custkey": STRIDES["custkey"]},
+        ),
+        "orders", 16,
+    )
+    w(
+        _copies(
+            t("lineitem"), factor,
+            {"l_orderkey": STRIDES["orderkey"],
+             "l_partkey": STRIDES["partkey"],
+             "l_suppkey": STRIDES["suppkey"]},
+        ),
+        "lineitem", 32,
+    )
+    w(
+        _copies(
+            t("events"), factor,
+            {"event_id": STRIDES["event_id"],
+             "user_id": STRIDES["user_id"]},
+        ),
+        "events", 16,
+    )
+
+    # documents: copy 0 verbatim; copies i>0 tag ~70% of texts
+    docs = t("documents")
+    doc_out = docs
+    for i in range(1, factor):
+        c = _shift(docs, i, {"doc_id": STRIDES["doc_id"]})
+        tagged = F.when(
+            (F.col("doc_id") % 10) < 7,
+            F.concat(F.lit(f"v{i} "), F.col("text")),
+        ).otherwise(F.col("text"))
+        c = c.withColumn("text", tagged).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+        doc_out = doc_out.unionByName(c)
+    w(doc_out, "documents", 16)
+
+    # embeddings: copies i>0 perturb each element deterministically
+    emb = t("embeddings")
+    emb_out = emb
+    for i in range(1, factor):
+        c = _shift(emb, i, {"vec_id": STRIDES["vec_id"]})
+        c = c.withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, j) -> CAST(x + "
+                f"{i} * 0.0007 * ((pmod(vec_id + j, 17)) - 8) AS FLOAT))"
+            ),
+        )
+        emb_out = emb_out.unionByName(c)
+    w(emb_out, "embeddings", 8)
+
+    print("done:", out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
