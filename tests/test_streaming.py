@@ -1413,3 +1413,50 @@ def test_freq_index_survives_pad_boundary(spark, tmp_path):
         .collect()
     }
     assert got2 == got
+
+
+def test_snapshot_freq_index_resolution_rules(spark, tmp_path):
+    """Deterministic pin for the external-reader snapshot protocol
+    (streaming/ingest.snapshot_freq_index, r12 verdict #6 — the
+    randomized concurrent campaign lives in tools/fuzz_stream.py):
+    newest COMPLETED compaction wins; torn compactions (no _SUCCESS)
+    with absurd counts are never trusted; partials below the
+    watermark are excluded (no double count with the compaction that
+    absorbed them); partials without _SUCCESS (mid-write) are
+    invisible; and the result equals the writer-side _freq_view sum."""
+    import os
+    import shutil
+
+    from play_bq_gcp_spark.streaming import ingest as ing
+
+    freq = str(tmp_path / "freq")
+
+    def land(name, rows):
+        spark.createDataFrame(rows, ing._FREQ_SCHEMA).coalesce(
+            1
+        ).write.parquet(os.path.join(freq, name))
+
+    land("compact_00000", [("a", 5), ("b", 1)])       # seed
+    land("batch_00000", [("a", 2), ("c", 1)])          # absorbed below
+    land("compact_00001", [("a", 7), ("b", 1), ("c", 1)])  # newest
+    land("batch_00001", [("b", 3)])                    # live partial
+    land("batch_00002", [("c", 9)])                    # mid-write
+    os.remove(os.path.join(freq, "batch_00002", "_SUCCESS"))
+    land("compact_00009", [("a", 10**9)])              # torn + absurd
+    os.remove(os.path.join(freq, "compact_00009", "_SUCCESS"))
+
+    snap = ing.snapshot_freq_index(freq)
+    assert snap == {("a",): 7, ("b",): 4, ("c",): 1}
+
+    # writer-side view agrees on the completed state (it reads the
+    # same compaction + live partials; it may also see batch_00002's
+    # files mid-write, which is why it is writer-only)
+    shutil.rmtree(os.path.join(freq, "batch_00002"))
+    view = {
+        (r.line_h,): r.c
+        for r in ing._freq_view(spark, freq)
+        .groupBy("line_h")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert view == snap
