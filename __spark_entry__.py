@@ -42,7 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r12 ADVICE rounding-tie class, a REAL output change on tie
 # values); join_bloom_pruned (localCheckpoint replaced by a collected
 # local relation, r12 ADVICE — code change, value-neutral, A/B plan
-# pin re-run green this round).
+# pin re-run green this round).  q5_region_supplier_volume (already
+# windowed in the r9 cohort below) is ALSO changed this round: the
+# sf1 ratio run exposed its customer-x-supplier-on-nationkey fan-out
+# (15.8x wall at 10x data — quadratic in SF) and the join was
+# rewritten fact-anchored with the local-supplier constraint as a
+# post-join filter (1.16x at 10x after; values identical, sf0.01
+# differential re-run green).
 #
 # (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
 # (due at r13), then the oldest 15 of the 43 r10-vintage entries

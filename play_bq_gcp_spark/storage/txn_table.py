@@ -1458,6 +1458,38 @@ def compact(
     return out
 
 
+def restore(path: str, version: int, max_retries: int = 5) -> Snapshot:
+    """Roll the table BACK to an old version as a NEW commit (the
+    Delta/Iceberg RESTORE shape): the latest manifest becomes a copy
+    of version N's file list, row count, stats, and DECLARED SCHEMA —
+    manifest-only, zero data movement, and history is preserved (the
+    rolled-past versions stay readable until vacuum).  Restoring
+    across a schema-evolution boundary restores the old declaration
+    too: the table reads as it did THEN.  Append-style retry
+    semantics — a racing append just moves the version the restore
+    lands on; the restored CONTENT is pinned to ``version``
+    regardless."""
+    src = snapshot(path, version)  # raises if vacuumed away
+    for _ in range(max_retries):
+        base = snapshot(path)
+        snap = Snapshot(
+            base.version + 1,
+            src.files,
+            src.rows,
+            "restore",
+            time.time(),
+            {"restored_from": version},
+            src.file_stats,
+            src.schema,
+        )
+        try:
+            _publish(path, base.version + 1, snap)
+            return snap
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"restore lost {max_retries} races at {path}")
+
+
 def versions(path: str) -> list[int]:
     """All committed version numbers still on disk, ascending (older
     manifests may have been dropped by vacuum)."""

@@ -867,3 +867,34 @@ def test_declared_schema_survives_row_level_ops(spark, table):
     assert df.columns == ["id", "v", "lang"]
     rows = {r.id: r.lang for r in df.collect()}
     assert rows[5] == "en" and rows[0] is None and 6 not in rows
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    """restore(v) republishes version v's files/rows/schema as the
+    NEW latest — manifest-only, zero data movement, history intact:
+    the rolled-past versions stay time-travel-readable, and restoring
+    across a schema-evolution boundary restores the old declaration."""
+    s1 = tt.append(_df(spark, 0, 5), table)
+    tt.append(_df(spark, 5, 9), table)
+    tt.append(
+        spark.range(9, 10).selectExpr("id", "id * 2 AS v", "'en' AS lang"),
+        table,
+        evolve=True,
+    )
+
+    s = tt.restore(table, s1.version)
+    assert s.action == "restore" and s.meta == {"restored_from": 1}
+    latest = tt.read(spark, table)
+    assert latest.columns == ["id", "v"]  # pre-evolution declaration
+    assert sorted(r.id for r in latest.collect()) == list(range(5))
+    # the rolled-past evolved version is still readable by pin
+    evolved = tt.read(spark, table, version=3)
+    assert evolved.columns == ["id", "v", "lang"]
+    assert evolved.count() == 10
+    # restored files are the SAME files, by reference
+    assert set(s.files) == set(s1.files)
+    # vacuum keeping only the latest preserves the restored content
+    tt.vacuum(table, keep_versions=1)
+    assert sorted(r.id for r in tt.read(spark, table).collect()) == list(
+        range(5)
+    )
