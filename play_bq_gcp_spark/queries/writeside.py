@@ -749,6 +749,14 @@ def _prepare_evolved_table(spark: SparkSession, sf: str) -> str:
         path = d + "/orders_evo"
         tt.init_table(path)
         orders = _t(spark, sf, "orders")
+        # the v1 generation narrows okey to int32 — guard the cast
+        # (non-ANSI cast would silently WRAP past 2^31 on a huge tier
+        # and corrupt the widen demonstration instead of failing)
+        mx = orders.agg(F.max("o_orderkey")).first()[0]
+        assert mx < 2**31, (
+            f"fixture o_orderkey max {mx} exceeds int32 — "
+            "txn_schema_evolution_read's v1 narrowing needs a new plan"
+        )
         tt.append(
             orders.filter(F.col("o_orderkey") % 2 == 0).select(
                 F.col("o_orderkey").cast("int").alias("okey"),

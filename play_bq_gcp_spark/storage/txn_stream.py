@@ -50,12 +50,17 @@ class _FilePartition(InputPartition):
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, schema=None) -> None:
         path = options.get("path")
         if not path:
             raise ValueError("txn_table_stream requires .option('path', dir)")
         self.path = path
         self.on_replace = options.get("on_replace", "error")
+        # declared column order for name-aligned reads (None = legacy
+        # positional behavior on schema-less tables)
+        self.col_names = (
+            [f.name for f in schema.fields] if schema is not None else None
+        )
 
     def initialOffset(self) -> dict:
         """Start of stream = version 0 (the empty create): the first
@@ -97,14 +102,30 @@ class TxnTableStreamReader(DataSourceStreamReader):
         return [_FilePartition(os.path.join(self.path, f)) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator[tuple]:
-        """Executor-side: stream one immutable data file's rows."""
+        """Executor-side: stream one immutable data file's rows,
+        aligned BY NAME to the source's declared schema — a file
+        written before a schema evolution lacks the added columns
+        (yield None there) and may carry narrower ints (Spark casts by
+        the declared field type); positional zipping would mis-bind or
+        crash the micro-batch the moment file generations mix (r13
+        review)."""
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.abs_path)
         for batch in table.to_batches():
-            cols = [
-                batch.column(i).to_pylist() for i in range(batch.num_columns)
-            ]
+            if self.col_names is None:
+                cols = [
+                    batch.column(i).to_pylist()
+                    for i in range(batch.num_columns)
+                ]
+            else:
+                present = set(batch.schema.names)
+                cols = [
+                    batch.column(n).to_pylist()
+                    if n in present
+                    else [None] * batch.num_rows
+                    for n in self.col_names
+                ]
             yield from zip(*cols)
 
     def commit(self, end: dict) -> None:
@@ -117,15 +138,21 @@ class TxnTableStreamSource(DataSource):
         return "txn_table_stream"
 
     def schema(self) -> str:
-        """Schema = the table's current snapshot schema, read from one
-        data-file footer (metadata-only)."""
-        import pyarrow.parquet as pq
+        """Schema = the manifest's DECLARED schema when present (the
+        schema of record — stable across evolution boundaries, r13),
+        else inferred from one data-file footer (legacy pre-r13
+        tables, metadata-only read)."""
+        from pyspark.sql.types import StructType
 
         snap = tt.snapshot(self.options["path"])
+        if snap.schema is not None:
+            return StructType.fromJson(snap.schema)
+        import pyarrow.parquet as pq
+
         if not snap.files:
             raise ValueError(
-                "txn_table_stream needs at least one committed data file "
-                "to infer the schema"
+                "txn_table_stream needs a declared schema or at least "
+                "one committed data file to infer one"
             )
         schema = pq.read_schema(
             os.path.join(self.options["path"], snap.files[0])
@@ -135,4 +162,4 @@ class TxnTableStreamSource(DataSource):
         return from_arrow_schema(schema)
 
     def streamReader(self, schema) -> TxnTableStreamReader:
-        return TxnTableStreamReader(self.options)
+        return TxnTableStreamReader(self.options, schema=schema)

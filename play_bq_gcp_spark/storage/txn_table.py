@@ -615,19 +615,29 @@ def _merge_schemas(declared, incoming):
 
 
 def _resolve_declared(
-    base_schema: dict | None, incoming: dict | None, evolve: bool
+    base_schema: dict | None,
+    incoming: dict | None,
+    evolve: bool,
+    base_has_files: bool = False,
 ) -> dict | None:
     """Declared schema for the next version.  No incoming schema →
-    carry the base's forward; no base → adopt the incoming; otherwise
-    widen-merge, and if the merge actually CHANGES the declared schema
-    require ``evolve=True`` (a narrower/subset append is not a
-    change)."""
+    carry the base's forward.  No base declaration: adopt the incoming
+    one ONLY when the table holds no files yet — a LEGACY table
+    (pre-r13 manifests, data on disk) stays schema-less rather than
+    letting the first post-upgrade append's schema silently become the
+    declaration every legacy file is then read through (r13 review: a
+    subset-schema append would make the missing columns unreachable);
+    legacy tables upgrade explicitly via ``overwrite`` (which resets
+    the declaration) and keep the ``merge_schema`` read path
+    meanwhile.  Otherwise widen-merge, and if the merge actually
+    CHANGES the declared schema require ``evolve=True`` (a
+    narrower/subset write is not a change)."""
     from pyspark.sql.types import StructType
 
     if incoming is None:
         return base_schema
     if base_schema is None:
-        return incoming
+        return None if base_has_files else incoming
     if base_schema == incoming:
         return base_schema
     merged = _merge_schemas(
@@ -637,7 +647,7 @@ def _resolve_declared(
         return base_schema
     if not evolve:
         raise SchemaEvolutionError(
-            "append schema differs from the table's declared schema; "
+            "incoming schema differs from the table's declared schema; "
             "pass evolve=True to widen-merge it (add nullable column, "
             "byte/short/int -> long, float -> double)"
         )
@@ -712,7 +722,9 @@ def commit_append(
             time.time(),
             dict(meta or {}),
             {**base.file_stats, **stats},
-            _resolve_declared(base.schema, schema, evolve),
+            _resolve_declared(
+                base.schema, schema, evolve, bool(base.files)
+            ),
         )
         try:
             _publish(path, base.version + 1, snap)
@@ -771,14 +783,18 @@ def read(
     schema-stable, and an empty version returns a true empty DataFrame
     instead of failing inference.
 
-    ``merge_schema=True`` is the legacy fallback for pre-r13 manifests
-    with mixed file schemas (parquet mergeSchema — pays one footer
-    read per file at planning); it is ignored when a declared schema
-    exists, which subsumes it."""
+    ``merge_schema=True`` is an explicit OVERRIDE of the declared
+    path: union the physical file schemas instead (parquet
+    mergeSchema — pays one footer read per file at planning).  Use it
+    on pre-r13 manifests with mixed file schemas, or to surface
+    columns landed by a schema-less ``commit_append`` beyond the
+    declaration (the declared scan cannot see them by design; note
+    mergeSchema FAILS on int/long-mixed files, which only the
+    declared path can widen)."""
     from pyspark.sql.types import StructType
 
     snap = snapshot(path, version)
-    if snap.schema is not None:
+    if snap.schema is not None and not merge_schema:
         declared = StructType.fromJson(snap.schema)
         if not snap.files:
             return spark.createDataFrame([], declared)
@@ -1185,6 +1201,7 @@ def overwrite_partitions(
     part_col: str,
     max_retries: int = 5,
     meta: dict | None = None,
+    evolve: bool = False,
 ) -> Snapshot:
     """Transactional dynamic partition overwrite (replace-where): the
     partitions PRESENT in ``df`` are replaced by ``df``'s rows; every
@@ -1201,7 +1218,13 @@ def overwrite_partitions(
     rest by reference, and rebases on conflict.  Legacy base files that
     straddle the replaced set (written before this layout) are
     rewritten once here — filtered to their live rows and re-landed
-    aligned — after which they never straddle again."""
+    aligned — after which they never straddle again.
+
+    Schema: ``df`` is validated against the declared schema BEFORE
+    landing (same gate as ``append``/``merge_into`` — an ungated
+    replace would commit divergent files the declared scan silently
+    truncates or cannot read, r13 review); widening/adding columns
+    requires ``evolve=True`` and re-resolves on every rebase."""
     from pyspark.sql import functions as F
 
     values = [
@@ -1217,6 +1240,13 @@ def overwrite_partitions(
         )
     if not values:
         return snapshot(path)
+    incoming = _nullable_json_schema(df)
+    # fail-fast validation against the CURRENT declaration before the
+    # (expensive) aligned landing; re-resolved per commit attempt below
+    _resolve_declared(
+        snapshot(path).schema, incoming, evolve,
+        bool(snapshot(path).files),
+    )
     new_files, _, new_stats = _write_partition_aligned(df, path, part_col)
     for _ in range(max_retries):
         base = snapshot(path)
@@ -1249,6 +1279,9 @@ def overwrite_partitions(
                 list(new_files) + extra_files,
                 {**new_stats, **extra_stats},
                 meta,
+                declared=_resolve_declared(
+                    base.schema, incoming, evolve, bool(base.files)
+                ),
             )
         except CommitConflict:
             continue
@@ -1266,6 +1299,7 @@ def _commit_partition_replace(
     new_files,
     new_stats: dict,
     meta: dict | None,
+    declared: dict | None = None,
 ) -> Snapshot:
     """Single manifest-create attempt for ``overwrite_partitions``.
     Classification, the straddler rewrite, and this commit are all
@@ -1273,7 +1307,10 @@ def _commit_partition_replace(
     ``base.version + 1`` rejects the attempt if ANY commit interleaved,
     so a stale rewrite can never resurrect rows a racing writer
     replaced — the caller's loop re-reads, re-classifies, and re-lands
-    from scratch (orphaned data files are immutable and vacuumable)."""
+    from scratch (orphaned data files are immutable and vacuumable).
+    ``declared`` is the caller-resolved declared schema for the new
+    version (None = carry the base's forward — the schema-less
+    pre-landed-files path, same contract as ``commit_append``)."""
     keep, _drop, _straddle = _classify_partition_files(
         base, part_col, replaced
     )
@@ -1291,7 +1328,7 @@ def _commit_partition_replace(
             **(meta or {}),
         },
         {**kept_stats, **new_stats},
-        base.schema,
+        declared if declared is not None else base.schema,
     )
     _publish(path, base.version + 1, snap)
     return snap
@@ -1306,6 +1343,7 @@ def merge_into(
     insert: bool = True,
     prune_col: str | None = None,
     expected_version: int | None = None,
+    evolve: bool = False,
 ) -> Snapshot:
     """Transactional MERGE INTO (the Delta/Iceberg copy-on-write MERGE
     shape): update ``update_cols`` of rows whose ``key`` matches a
@@ -1321,7 +1359,15 @@ def merge_into(
     match detection over the touched files alone is exact.  At 100 TB
     a merge touching one day's keys rewrites that day's files, not the
     table.  Overwrite-style conflict semantics (raises on a racing
-    commit rather than clobbering it)."""
+    commit rather than clobbering it).
+
+    Schema: the OUTPUT schema is validated against the declared one
+    BEFORE any file lands — a source whose update column is wider
+    (e.g. long into a declared int) would otherwise commit files the
+    declared scan can no longer read, with no error until read time
+    (r13 review).  A widening merge requires ``evolve=True`` (same
+    lattice and same explicitness as ``append``) and then records the
+    widened declaration."""
     from pyspark.sql import functions as F
 
     base_version = (
@@ -1346,19 +1392,29 @@ def merge_into(
         merge_upsert,
     )
 
-    new_files: list[str] = []
-    new_stats: dict[str, dict] = {}
+    landed: DataFrame | None = None
     if targets:
         touched = _read_files(spark, path, targets, snap)
-        merged = (
+        landed = (
             merge_insert_and_upsert(touched, source, key, update_cols)
             if insert
             else merge_upsert(touched, source, key, update_cols)
         )
-        new_files, _, new_stats = _write_data_files(merged, path)
     elif insert:
         # no base file can match any source key: pure insert commit
-        new_files, _, new_stats = _write_data_files(source, path)
+        landed = source
+    # validate the OUTPUT schema before any data lands (fail fast,
+    # zero orphan files on refusal)
+    declared = snap.schema
+    if landed is not None:
+        declared = _resolve_declared(
+            snap.schema, _nullable_json_schema(landed), evolve,
+            bool(snap.files),
+        )
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    if landed is not None:
+        new_files, _, new_stats = _write_data_files(landed, path)
     untouched_stats = {
         f: snap.file_stats[f] for f in untouched if f in snap.file_stats
     }
@@ -1371,7 +1427,7 @@ def merge_into(
         time.time(),
         {"keys": [key] if isinstance(key, str) else list(key)},
         {**untouched_stats, **new_stats},
-        snap.schema,
+        declared,
     )
     _publish(path, base_version + 1, out)
     return out
@@ -1443,7 +1499,17 @@ def compact(
     base_version = (
         current_version(path) if expected_version is None else expected_version
     )
-    df = read(spark, path, version=base_version)
+    snap0 = snapshot(path, base_version)  # one manifest read for both
+    if snap0.files:
+        df = _read_files(spark, path, snap0.files, snap0)
+    elif snap0.schema is not None:
+        from pyspark.sql.types import StructType
+
+        df = spark.createDataFrame([], StructType.fromJson(snap0.schema))
+    else:
+        raise ValueError(
+            f"version {base_version} of {path} is empty — nothing to compact"
+        )
     df = (
         _cluster(df, cluster_by, target_files)
         if cluster_by
@@ -1452,7 +1518,7 @@ def compact(
     files, rows, stats = _write_data_files(df, path)
     out = Snapshot(
         base_version + 1, tuple(files), rows, "compact", time.time(), {},
-        stats, snapshot(path, base_version).schema,
+        stats, snap0.schema,
     )
     _publish(path, base_version + 1, out)
     return out

@@ -4,18 +4,23 @@ kill-and-retry fuzz harness (``tools/fuzz_stream.py``).
 One copy of the rows-list landing idiom (r12 review: a third
 re-implementation could drift; r12 ADVICE: the production test suite
 must not import a dev tool's private API — the dependency now points
-the other way: the tool imports this tests helper).
+the other way: the tool imports this tests helper).  Named
+``land_rows_batches`` — NOT ``land_single_file_batches`` — because the
+production package already has a DataFrame-based helper of that name
+(``streaming/ingest.py``) with a different signature (r13 review).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 
-def land_single_file_batches(spark, d: str, batches: list[list[tuple]]) -> str:
-    """Land batches as mtime-ordered single-file parquet chunks;
-    re-landing a superset skips files already present (the resume
-    idiom the streaming protocols key their file ordering on)."""
+def land_rows_batches(spark, d: str, batches: list[list[tuple]]) -> str:
+    """Land (doc_id, text) row-list batches as mtime-ordered
+    single-file parquet chunks; re-landing a superset skips files
+    already present (the resume idiom the streaming protocols key
+    their file ordering on)."""
     os.makedirs(d, exist_ok=True)
     for i, rows in enumerate(batches):
         f = os.path.join(d, f"b{i:02d}.parquet")
@@ -28,5 +33,6 @@ def land_single_file_batches(spark, d: str, batches: list[list[tuple]]) -> str:
             x for x in os.listdir(f + ".dir") if x.endswith(".parquet")
         )
         os.rename(os.path.join(f + ".dir", part), f)
+        shutil.rmtree(f + ".dir")  # _SUCCESS/.crc leftovers (r13 review)
         os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
     return d

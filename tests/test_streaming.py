@@ -813,11 +813,9 @@ def _land_line_batches(spark, tmp_path, batches):
     rows-list landing idiom in tests/_landing (shared with
     tools/fuzz_stream, which imports it from here — r12 ADVICE:
     production tests must not depend on a dev tool's internals)."""
-    from tests._landing import land_single_file_batches
+    from tests._landing import land_rows_batches
 
-    return land_single_file_batches(
-        spark, str(tmp_path / "batches"), batches
-    )
+    return land_rows_batches(spark, str(tmp_path / "batches"), batches)
 
 
 def test_line_stream_compaction_is_value_neutral(spark, tmp_path):

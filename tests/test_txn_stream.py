@@ -74,3 +74,25 @@ def test_replace_skip_policy_streams_appends_only(spark, table):
     # sense that removals are not retracted
     assert set(range(100, 103)) <= set(ids)
     assert end["version"] == tt.current_version(table)
+
+
+def test_stream_across_schema_evolution_boundary(spark, table, tmp_path):
+    """r13 review #4: streaming a table whose commits straddle a
+    schema evolution must deliver every row through the DECLARED
+    schema — pre-evolution files' missing column arrives as NULL and
+    their narrower ints widen, instead of the micro-batch crashing on
+    a positional tuple/schema mismatch."""
+    tt.append(
+        spark.range(10, 13).selectExpr(
+            "id", "id * 2 AS v", "'en' AS lang"
+        ),
+        table,
+        evolve=True,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, table, out, ckpt)
+    df = spark.read.parquet(out)
+    assert set(df.columns) == {"id", "v", "lang"}
+    rows = {r.id: r.lang for r in df.collect()}
+    assert len(rows) == 13
+    assert rows[0] is None and rows[10] == "en"

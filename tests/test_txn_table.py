@@ -898,3 +898,110 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     assert sorted(r.id for r in tt.read(spark, table).collect()) == list(
         range(5)
     )
+
+
+def test_merge_into_gates_widening_source(spark, table):
+    """r13 review #1: a merge whose OUTPUT would widen a declared
+    column must refuse before any file lands (ungated it would commit
+    long files under an int declaration — unreadable at scan time);
+    with evolve=True it commits and records the widened declaration."""
+    from pyspark.sql import functions as F
+
+    narrow = spark.range(4).select(
+        F.col("id").alias("k"), F.col("id").cast("int").alias("v")
+    )
+    tt.append(narrow, table)
+    v_before = tt.current_version(table)
+    src = spark.createDataFrame([(1, 2**40)], "k long, v long")
+    with pytest.raises(tt.SchemaEvolutionError):
+        tt.merge_into(spark, table, src, "k", ["v"])
+    # refusal landed nothing: no new version, table still readable
+    assert tt.current_version(table) == v_before
+    assert tt.read(spark, table).count() == 4
+
+    s = tt.merge_into(spark, table, src, "k", ["v"], evolve=True)
+    assert s.action == "merge"
+    df = tt.read(spark, table)
+    assert dict(df.dtypes)["v"] == "bigint"
+    assert {r.v for r in df.collect()} == {0, 2**40, 2, 3}
+
+
+def test_overwrite_partitions_gates_schema_change(spark, table):
+    """r13 review #2: a partition replace whose df carries an extra
+    column (or wider type) must refuse without evolve=True — ungated,
+    the new files' extra column would be silently unreadable through
+    the declared scan; with evolve=True the declaration widens."""
+    base = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0)], "day int, id int, v double"
+    )
+    tt.append(base, table)
+    replacement = spark.createDataFrame(
+        [(2, 21, 2.5, "web")], "day int, id int, v double, source string"
+    )
+    with pytest.raises(tt.SchemaEvolutionError):
+        tt.overwrite_partitions(spark, replacement, table, "day")
+    tt.overwrite_partitions(
+        spark, replacement, table, "day", evolve=True
+    )
+    df = tt.read(spark, table)
+    assert "source" in df.columns
+    got = {(r.day, r.id, r.source) for r in df.collect()}
+    assert got == {(1, 10, None), (2, 21, "web")}
+
+
+def test_legacy_table_does_not_adopt_first_append_schema(spark, table):
+    """r13 review #3: a LEGACY table (manifests without a declared
+    schema, files on disk) must NOT let the first post-upgrade
+    append's schema become the declaration — a subset append would
+    make the legacy files' other columns unreachable.  It stays
+    schema-less (merge_schema reads keep working); overwrite is the
+    explicit upgrade path."""
+    import json
+
+    tt.append(_df(spark, 0, 5), table)  # id, v
+    # surgically strip the declared schema: simulate a pre-r13 manifest
+    for v in tt.versions(table):
+        p = tt._manifest_path(table, v)
+        doc = json.load(open(p))
+        doc.pop("schema", None)
+        with open(p, "w") as f:
+            json.dump(doc, f)
+    assert tt.snapshot(table).schema is None
+
+    # subset-schema append commits (appends never logically conflict)
+    # but must NOT become the declaration
+    tt.append(spark.range(5, 7).selectExpr("id"), table)
+    assert tt.snapshot(table).schema is None
+    # the legacy merge-schema read still surfaces every column
+    df = tt.read(spark, table, merge_schema=True)
+    assert set(df.columns) == {"id", "v"}
+    assert df.count() == 7
+    # explicit upgrade: overwrite resets the declaration
+    tt.overwrite(_df(spark, 0, 3), table)
+    assert tt.snapshot(table).schema is not None
+
+
+def test_merge_schema_overrides_declared_read(spark, table):
+    """r13 review #5: files landed through schema-less commit_append
+    can carry columns beyond the declaration; read(merge_schema=True)
+    is the explicit escape hatch that surfaces them (the declared scan
+    cannot, by design)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tt.append(_df(spark, 0, 3), table)  # declared: id, v
+    d = os.path.join(table, "data", "sidecar0")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"id": [99], "v": [198], "extra": ["x"]}),
+        os.path.join(d, "part-0.parquet"),
+    )
+    tt.commit_append(
+        table, [os.path.join("data", "sidecar0", "part-0.parquet")], rows=1
+    )
+    # declared scan: stable declared columns, extra invisible
+    assert tt.read(spark, table).columns == ["id", "v"]
+    # explicit override surfaces it with NULL backfill
+    df = tt.read(spark, table, merge_schema=True)
+    assert set(df.columns) == {"id", "v", "extra"}
+    assert {r.extra for r in df.collect()} == {None, "x"}

@@ -49,7 +49,7 @@ from play_bq_gcp_spark.streaming import ingest as ing  # noqa: E402
 
 # one copy of the rows-list landing idiom; the tool depends on the
 # tests helper, never the reverse (r12 ADVICE)
-from tests._landing import land_single_file_batches as _land  # noqa: E402
+from tests._landing import land_rows_batches as _land  # noqa: E402
 
 
 def _gen_line_corpus(rng: random.Random):
