@@ -1102,6 +1102,18 @@ SEM_ITERS = 2
 SEM_SCALE = 1000
 SEM_THR_NUM = 9
 SEM_THR_DEN = 10
+# auto-k target cluster size: k = max(SEM_K, n // SEM_TARGET) bounds
+# the intra-cluster pair stage at ~SEM_TARGET² comparisons per cluster
+# regardless of corpus size (the SemDeDup paper's k ∝ n cost model; a
+# FIXED k made the pair stage quadratic in corpus — 19.9x wall at 10x
+# data on the r13 sf1 probe).  Replayed verbatim in the DuckDB oracle.
+SEM_TARGET = 256
+
+
+def sem_auto_k(n: int) -> int:
+    """Cluster count for an n-vector corpus (shared with the oracle's
+    ``greatest(SEM_K, count // SEM_TARGET)``)."""
+    return max(SEM_K, n // SEM_TARGET)
 
 
 def semantic_dedup(
@@ -1141,9 +1153,14 @@ def semantic_dedup(
     sums (the IVF precedent: model rows, never data rows) and
     re-broadcasts them as plan literals, so assignment is a map-only
     HOF pass.  The pair stage shuffles once on the cluster key and is
-    quadratic only within a cluster — at 100 TB, k grows with the
-    corpus (n/10k) to bound cluster sizes, exactly the SemDeDup paper's
-    cost model.  Empty clusters keep their previous centroid.
+    quadratic only within a cluster — so ``k`` MUST grow with the
+    corpus (the registry entry passes ``sem_auto_k(n)``, target
+    cluster size ``SEM_TARGET``; a fixed k measured 19.9x wall at 10x
+    data before the r13 fix), exactly the SemDeDup paper's cost
+    model.  The plan-literal centroid matrix bounds k at ~10⁴
+    (k×dim longs in the plan); past that, restate assignment as a
+    broadcast join over a centroid DataFrame — same math, same
+    oracle.  Empty clusters keep their previous centroid.
 
     Returns every vector with its final cluster and a ``kept`` flag
     (False = pruned as a semantic duplicate of an earlier id).

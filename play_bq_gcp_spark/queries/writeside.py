@@ -230,6 +230,7 @@ def _semdedup_oracle() -> str:
         SEM_ITERS,
         SEM_K,
         SEM_SCALE,
+        SEM_TARGET,
         SEM_THR_DEN,
         SEM_THR_NUM,
     )
@@ -256,7 +257,8 @@ def _semdedup_oracle() -> str:
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                    AS cluster,
                v AS cv
-        FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {SEM_K})
+        FROM (SELECT vec_id, v FROM q ORDER BY vec_id
+              LIMIT greatest({SEM_K}, (SELECT count(*) FROM q) // {SEM_TARGET}))
     )"""
     ]
     for i in range(1, SEM_ITERS + 2):
@@ -341,7 +343,14 @@ def dedup_semantic_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    return semantic_dedup(aug)
+    # k ∝ corpus (one bounded count action, model-side): a FIXED k let
+    # cluster sizes — and the quadratic intra-cluster pair stage —
+    # grow with the corpus (19.9x wall at 10x data, r13 sf1 probe);
+    # auto-k holds clusters at ~SEM_TARGET vectors.  The oracle
+    # computes the identical k via greatest(SEM_K, count // SEM_TARGET).
+    from play_bq_gcp_spark.operators.dedup import sem_auto_k
+
+    return semantic_dedup(aug, k=sem_auto_k(aug.count()))
 
 
 @register(
