@@ -48,11 +48,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (15.8x wall at 10x data — quadratic in SF) and the join was
 # rewritten fact-anchored with the local-supplier constraint as a
 # post-join filter (1.16x at 10x after; values identical, sf0.01
-# differential re-run green).
+# differential re-run green).  dedup_semantic_semdedup (r12-fresh but
+# CODE+ORACLE changed: the same sf1 campaign measured SemDeDup's
+# fixed k=8 at 19.9x wall on 10x data — quadratic intra-cluster
+# pairs — and the entry now auto-sizes k = max(SEM_K, n//SEM_TARGET)
+# with the oracle computing the identical greatest() expression;
+# driver-scale k unchanged, tri-SF differential re-run green).
 #
 # (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
-# (due at r13), then the oldest 15 of the 43 r10-vintage entries
-# (alphabetical within the cohort).  The 28 r10 entries deferring to
+# (due at r13), then the oldest 14 of the 43 r10-vintage entries
+# (alphabetical within the cohort; q4_priority_late_orders yields its
+# slot to the changed semdedup entry and defers to r14 with the rest,
+# tri-SF-sweep evidence).  The 29 r10 entries deferring to
 # r14 (each with this-round evidence: snapshot_delta_events /
 # udaf_geomean_price / streaming_stateful_user_stats /
 # similarity_topk_bruteforce / window_rank_topk / sessionize_events
@@ -71,7 +78,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming_stateful_user_stats, streaming_static_enrich,
 # temporal_join_versions, text_quality_classifier,
 # udaf_geomean_price, udtf_chunk_documents, window_range_frame,
-# window_rank_topk.  ALL 50 window entries were locally
+# window_rank_topk, q4_priority_late_orders.  ALL 50 window entries
+# were locally
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
 # runs at close-out.  After r13 the oldest oracle-backed attestation
@@ -83,6 +91,7 @@ _WINDOW = [
     "join_dpp_partition_pruned",
     "scan_partition_pruned",
     "join_bloom_pruned",
+    "dedup_semantic_semdedup",
     # (b) the 30 r9-vintage deferrals, due at r13
     "multimodal_image_near_dup",
     "multimodal_video_frames",
@@ -129,7 +138,6 @@ _WINDOW = [
     "pipeline_pretrain_corpus",
     "q13_order_distribution",
     "q2_min_cost_supplier",
-    "q4_priority_late_orders",
 ]
 
 
