@@ -76,6 +76,12 @@ AUDIT = [
     # round 12: dynamic partition pruning (plain entry; DPP is
     # default-on, the dynamicpruning expression shows in its scan)
     "join_dpp_partition_pruned",
+    # round 13: the txn read-side pair — time travel scans exactly the
+    # pinned manifest's files; the evolution read is ONE declared-
+    # schema scan over mixed-generation files (no mergeSchema sweep,
+    # no cast-and-union plan)
+    "txn_time_travel_read",
+    "txn_schema_evolution_read",
 ]
 
 
