@@ -2128,3 +2128,22 @@ def test_ivfpq_exact_topk_full_python_model(spark):
         (v, a, dd, i + 1) for i, (dd, v, a) in enumerate(final)
     ]
     assert got == want
+
+
+def test_semdedup_auto_k_scales_with_corpus():
+    """r13 scale fix pin: the SemDeDup entry's cluster count grows
+    with the corpus (k = max(SEM_K, n // SEM_TARGET)) so intra-cluster
+    pair work stays bounded at ~SEM_TARGET² per cluster — a fixed k
+    measured 19.9x wall at 10x data.  Floor behavior keeps driver
+    fixture scales byte-identical to the pre-fix outputs."""
+    from play_bq_gcp_spark.operators.dedup import (
+        SEM_K,
+        SEM_TARGET,
+        sem_auto_k,
+    )
+
+    assert sem_auto_k(0) == SEM_K
+    assert sem_auto_k(2080) == SEM_K          # sf0.1 fixture: unchanged
+    assert sem_auto_k(SEM_K * SEM_TARGET) == SEM_K
+    assert sem_auto_k(20_800) == 20_800 // SEM_TARGET  # sf1: 81
+    assert sem_auto_k(10**9) == 10**9 // SEM_TARGET    # k ∝ n
