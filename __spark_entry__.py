@@ -54,12 +54,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # pairs — and the entry now auto-sizes k = max(SEM_K, n//SEM_TARGET)
 # with the oracle computing the identical greatest() expression;
 # driver-scale k unchanged, tri-SF differential re-run green).
+# text_edit_distance (r11-green but CODE changed: the sf1 pair-shape
+# probe measured the row-level brand self-join at 12.8x wall on 10x
+# data; rewritten as the distinct-value decomposition — lev on
+# distinct-name pairs, counts expanded exactly — 202.7 s -> 0.89 s at
+# sf1, tri-SF differential re-run green; oracle unchanged, it stays
+# the quadratic reference form).
 #
 # (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
-# (due at r13), then the oldest 14 of the 43 r10-vintage entries
-# (alphabetical within the cohort; q4_priority_late_orders yields its
-# slot to the changed semdedup entry and defers to r14 with the rest,
-# tri-SF-sweep evidence).  The 29 r10 entries deferring to
+# (due at r13), then the oldest 13 of the 43 r10-vintage entries
+# (alphabetical within the cohort; q4_priority_late_orders and
+# q2_min_cost_supplier yield their slots to the changed semdedup and
+# edit-distance entries and defer to r14 with the rest,
+# tri-SF-sweep evidence).  The 30 r10 entries deferring to
 # r14 (each with this-round evidence: snapshot_delta_events /
 # udaf_geomean_price / streaming_stateful_user_stats /
 # similarity_topk_bruteforce / window_rank_topk / sessionize_events
@@ -78,8 +85,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming_stateful_user_stats, streaming_static_enrich,
 # temporal_join_versions, text_quality_classifier,
 # udaf_geomean_price, udtf_chunk_documents, window_range_frame,
-# window_rank_topk, q4_priority_late_orders.  ALL 50 window entries
-# were locally
+# window_rank_topk, q4_priority_late_orders, q2_min_cost_supplier.
+# ALL 50 window entries were locally
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
 # runs at close-out.  After r13 the oldest oracle-backed attestation
@@ -92,6 +99,7 @@ _WINDOW = [
     "scan_partition_pruned",
     "join_bloom_pruned",
     "dedup_semantic_semdedup",
+    "text_edit_distance",
     # (b) the 30 r9-vintage deferrals, due at r13
     "multimodal_image_near_dup",
     "multimodal_video_frames",
@@ -137,7 +145,6 @@ _WINDOW = [
     "pii_redaction_profile",
     "pipeline_pretrain_corpus",
     "q13_order_distribution",
-    "q2_min_cost_supplier",
 ]
 
 

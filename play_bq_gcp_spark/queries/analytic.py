@@ -158,25 +158,57 @@ def q5_region_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def text_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
-    """Edit-distance near-dup candidates: blocked self-join (brand is
-    the blocking key, as in any record-linkage pipeline — never the
-    full cross product) + codegen'd levenshtein.  At 100 TB the block
-    key bounds the quadratic term to within-block pairs."""
-    p = _t(spark, sf, "part").select("p_brand", "p_partkey", "p_name")
-    a = p.alias("a")
-    b = p.alias("b")
+    """Edit-distance near-dup pairs via the DISTINCT-VALUE
+    decomposition (rewritten r13 after the sf1 probe measured the
+    row-level brand self-join at 12.8x wall on 10x data — within-brand
+    pairs grow quadratically with the corpus): aggregate to one row
+    per (brand, name) with its multiplicity, run codegen'd levenshtein
+    on DISTINCT-NAME pairs only, then expand counts exactly —
+    same-name groups contribute C(cnt,2) zero-distance pairs, distinct
+    near-names cnt_a*cnt_b.  Row-identical to the quadratic reference
+    join (the oracle keeps that form), but the lev stage is bounded by
+    the name VOCABULARY per brand, not the corpus: re-measured 15.9 s
+    → 1.05 s at sf0.1, and 202.7 s → 0.89 s at sf1 — wall-FLAT at 10x
+    data.  Honest
+    limit: a vocabulary that grows with the corpus degrades this to
+    the original; the next tool is ED-Join prefix filtering, and the
+    decomposition is exactly what makes that drop-in (filter the
+    distinct-pair stage, not the row join)."""
+    names = (
+        _t(spark, sf, "part")
+        .groupBy("p_brand", "p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a, b = names.alias("a"), names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    # distinct near-name pairs (x < y lexically: each unordered name
+    # pair once — the row join's p_partkey < p_partkey counts each
+    # unordered PART pair once, so the cross multiplicity is cnt*cnt)
+    cross = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
         .where(dist <= 3)
-        .groupBy(F.col("a.p_brand").alias("brand"))
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("pairs"),
+            dist.alias("d"),
+        )
+    )
+    # same-name pairs: C(cnt, 2) at distance 0
+    same = names.where(F.col("cnt") >= 2).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("pairs"),
+        F.lit(0).alias("d"),
+    )
+    return (
+        cross.unionByName(same)
+        .groupBy("brand")
         .agg(
-            F.count("*").alias("near_pairs"),
-            F.min(dist).alias("min_dist"),
+            F.sum("pairs").alias("near_pairs"),
+            F.min("d").alias("min_dist"),
         )
         .orderBy("brand")
     )
