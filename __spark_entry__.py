@@ -59,14 +59,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # data; rewritten as the distinct-value decomposition — lev on
 # distinct-name pairs, counts expanded exactly — 202.7 s -> 0.89 s at
 # sf1, tri-SF differential re-run green; oracle unchanged, it stays
-# the quadratic reference form).
+# the quadratic reference form).  dedup_duplicate_spans (NEW ENTRY —
+# span-level exact substring dedup, the rolling-window factorization
+# of Lee et al.'s suffix-array ExactSubstr predicate; full DuckDB
+# twin, tri-SF differential green at landing).  Its slot comes from
+# dedup_lines_corpus, which yields to r14 with the strongest alternate
+# evidence in the registry: it is IN THE HEADLINE BENCH SET and
+# executes with output verification every round (band 2.71/2.73 s),
+# plus the r13 tri-SF close-out sweeps — the q4/q2 slot-yield
+# precedent.
 #
 # (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
-# (due at r13), then the oldest 13 of the 43 r10-vintage entries
-# (alphabetical within the cohort; q4_priority_late_orders and
-# q2_min_cost_supplier yield their slots to the changed semdedup and
-# edit-distance entries and defer to r14 with the rest,
-# tri-SF-sweep evidence).  The 30 r10 entries deferring to
+# (due at r13), then the oldest 12 of the 43 r10-vintage entries
+# (alphabetical within the cohort; q4_priority_late_orders,
+# q2_min_cost_supplier and dedup_lines_corpus yield their slots to
+# the changed semdedup and edit-distance entries and the new
+# duplicate-spans entry, deferring to r14 with the rest,
+# tri-SF-sweep evidence).  The 31 r10 entries deferring to
 # r14 (each with this-round evidence: snapshot_delta_events /
 # udaf_geomean_price / streaming_stateful_user_stats /
 # similarity_topk_bruteforce / window_rank_topk / sessionize_events
@@ -85,7 +94,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # streaming_stateful_user_stats, streaming_static_enrich,
 # temporal_join_versions, text_quality_classifier,
 # udaf_geomean_price, udtf_chunk_documents, window_range_frame,
-# window_rank_topk, q4_priority_late_orders, q2_min_cost_supplier.
+# window_rank_topk, q4_priority_late_orders, q2_min_cost_supplier,
+# dedup_lines_corpus (headline-benched with output verification every
+# round).
 # ALL 50 window entries were locally
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
@@ -100,6 +111,7 @@ _WINDOW = [
     "join_bloom_pruned",
     "dedup_semantic_semdedup",
     "text_edit_distance",
+    "dedup_duplicate_spans",
     # (b) the 30 r9-vintage deferrals, due at r13
     "multimodal_image_near_dup",
     "multimodal_video_frames",
@@ -131,13 +143,12 @@ _WINDOW = [
     "text_lang_confusion_matrix",
     "trend_daily_revenue",
     "window_rank_family_full",
-    # (b) oldest 15 of the r10 cohort (alphabetical)
+    # (b) oldest 12 of the r10 cohort (alphabetical)
     "agg_stats_percentiles",
     "cohort_weekly_retention",
     "curation_epoch_shuffle",
     "decontaminate_eval_overlap",
     "dedup_containment_governed",
-    "dedup_lines_corpus",
     "dedup_simhash_pairs",
     "funnel_view_click_purchase",
     "merge_cdc_apply",

@@ -972,3 +972,95 @@ def dedup_lines_corpus(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents").select("doc_id", "text")
     )
     return line_dedup(lined_corpus).orderBy("doc_id")
+
+
+_SPAN_W = 6
+_SPAN_MIN = 2
+
+
+def _duplicate_spans_oracle() -> str:
+    """DuckDB twin of ``duplicate_span_profile`` — the whole pipeline
+    (window md5 keys, global frequency, coverage, gaps-and-islands,
+    ordered rebuild) replayed expression-for-expression.  Counts cast
+    to BIGINT on the DuckDB side for schema parity with Spark longs."""
+    W, M = _SPAN_W, _SPAN_MIN
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
+        FROM documents
+    ),
+    win AS (
+        SELECT doc_id, s.start AS start,
+               md5(array_to_string(
+                   list_slice(ts, s.start + 1, s.start + {W}), ' ')) AS w_h
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(0, len(ts) - {W}))
+                      AS start) s
+        WHERE len(ts) >= {W}
+    ),
+    dup AS (
+        SELECT w_h FROM win GROUP BY w_h HAVING count(*) >= {M}
+    ),
+    occ AS (SELECT win.* FROM win JOIN dup USING (w_h)),
+    occ_doc AS (
+        SELECT doc_id, count(*) AS dup_windows FROM occ GROUP BY doc_id
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, p.pos
+        FROM occ,
+             LATERAL (SELECT unnest(generate_series(start, start + {W} - 1))
+                      AS pos) p
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov
+    ),
+    covstats AS (
+        SELECT doc_id, count(*) AS covered_tokens,
+               count(DISTINCT grp) AS span_count
+        FROM isl GROUP BY doc_id
+    ),
+    allpos AS (
+        SELECT doc_id, i.i - 1 AS pos, ts[i.i] AS tok
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
+    ),
+    kept AS (
+        SELECT a.doc_id, count(*) AS kept_tokens,
+               md5(string_agg(a.tok, ' ' ORDER BY a.pos)) AS kept_fp
+        FROM allpos a
+        LEFT JOIN cov c ON c.doc_id = a.doc_id AND c.pos = a.pos
+        WHERE c.pos IS NULL
+        GROUP BY a.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ts) AS BIGINT) AS n_tokens,
+           CAST(coalesce(o.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(coalesce(cs.covered_tokens, 0) AS BIGINT)
+               AS covered_tokens,
+           CAST(coalesce(cs.span_count, 0) AS BIGINT) AS span_count,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           coalesce(k.kept_fp, md5('')) AS kept_fp
+    FROM toks t
+    LEFT JOIN occ_doc o USING (doc_id)
+    LEFT JOIN covstats cs USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    ORDER BY t.doc_id
+    """
+
+
+@register("dedup_duplicate_spans", _duplicate_spans_oracle())
+def dedup_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact substring dedup (operators/dedup.
+    duplicate_span_profile): mark every 6-token window whose exact
+    text occurs >= 2 times anywhere in the corpus, merge overlapping
+    marks into maximal spans per doc (the Spark-first factorization of
+    Lee et al.'s suffix-array ExactSubstr predicate), and rebuild the
+    uncovered remainder.  Linear: digest-keyed frequency shuffle,
+    AQE-sized mark join, bounded x6 coverage expansion."""
+    from play_bq_gcp_spark.operators.dedup import duplicate_span_profile
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return duplicate_span_profile(docs, window=_SPAN_W, min_count=_SPAN_MIN)

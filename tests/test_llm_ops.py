@@ -2147,3 +2147,116 @@ def test_semdedup_auto_k_scales_with_corpus():
     assert sem_auto_k(SEM_K * SEM_TARGET) == SEM_K
     assert sem_auto_k(20_800) == 20_800 // SEM_TARGET  # sf1: 81
     assert sem_auto_k(10**9) == 10**9 // SEM_TARGET    # k ∝ n
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_duplicate_span_profile_marks_merges_and_rebuilds(spark):
+    """duplicate_span_profile: windows duplicated across docs are
+    marked, overlapping marks merge into one island, and the kept
+    text is the in-order uncovered remainder.  Hand-computed on
+    window=3: 'a b c' and 'b c d' each occur in d0 and d1."""
+    from play_bq_gcp_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x a b c d y"), (2, "q r s")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_profile(df, window=3).collect()
+    }
+    # d0: starts 0,1 duplicated -> pos 0..3 covered, one island, 'e' kept
+    assert (
+        out[0].n_tokens,
+        out[0].dup_windows,
+        out[0].covered_tokens,
+        out[0].span_count,
+        out[0].kept_tokens,
+    ) == (5, 2, 4, 1, 1)
+    assert out[0].kept_fp == _md5("e")
+    # d1: starts 1,2 duplicated -> pos 1..4 covered, 'x y' kept
+    assert (
+        out[1].n_tokens,
+        out[1].dup_windows,
+        out[1].covered_tokens,
+        out[1].span_count,
+        out[1].kept_tokens,
+    ) == (6, 2, 4, 1, 2)
+    assert out[1].kept_fp == _md5("x y")
+    # d2: untouched -> zero marks, full text kept
+    assert (
+        out[2].n_tokens,
+        out[2].dup_windows,
+        out[2].covered_tokens,
+        out[2].span_count,
+        out[2].kept_tokens,
+    ) == (3, 0, 0, 0, 3)
+    assert out[2].kept_fp == _md5("q r s")
+
+
+def test_duplicate_span_profile_self_repeat_and_full_coverage(spark):
+    """Self-repeats WITHIN one doc count toward the threshold (the
+    suffix-array predicate is total corpus occurrences), disjoint
+    marks stay separate islands, and a fully-covered doc keeps
+    nothing (kept_fp = md5(''))."""
+    from play_bq_gcp_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "m n z m n"), (1, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_profile(df, window=2).collect()
+    }
+    # d0: 'm n' at starts 0 and 3 -> two disjoint islands, 'z' kept
+    assert (
+        out[0].dup_windows,
+        out[0].covered_tokens,
+        out[0].span_count,
+        out[0].kept_tokens,
+    ) == (2, 4, 2, 1)
+    assert out[0].kept_fp == _md5("z")
+    # d1: every window duplicated -> all 6 positions covered, one island
+    assert (
+        out[1].dup_windows,
+        out[1].covered_tokens,
+        out[1].span_count,
+        out[1].kept_tokens,
+    ) == (5, 6, 1, 0)
+    assert out[1].kept_fp == _md5("")
+
+
+def test_duplicate_span_profile_null_and_short_docs_survive(spark):
+    """NULL text coalesces to '' (one empty token, no windows) and
+    docs shorter than the window produce no windows — neither path
+    may hit Spark's descending-sequence error, and every doc_id
+    reaches the output."""
+    from play_bq_gcp_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.duplicate_span_profile(df, window=3).collect()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0].n_tokens, out[0].dup_windows, out[0].kept_tokens) == (
+        1,
+        0,
+        1,
+    )
+    assert out[0].kept_fp == _md5("")
+    assert (out[1].n_tokens, out[1].covered_tokens, out[1].kept_tokens) == (
+        2,
+        0,
+        2,
+    )
+    assert out[1].kept_fp == _md5("a b")

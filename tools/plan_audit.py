@@ -82,6 +82,10 @@ AUDIT = [
     # no cast-and-union plan)
     "txn_time_travel_read",
     "txn_schema_evolution_read",
+    # round 13, session 2: span-level ExactSubstr dedup — one-pass
+    # mark+islands+rebuild; the wide shuffles key on md5 digests or
+    # doc_id, the mark join's window stream is exchange-reused
+    "dedup_duplicate_spans",
 ]
 
 
