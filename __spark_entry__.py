@@ -67,15 +67,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence in the registry: it is IN THE HEADLINE BENCH SET and
 # executes with output verification every round (band 2.71/2.73 s),
 # plus the r13 tri-SF close-out sweeps — the q4/q2 slot-yield
-# precedent.
+# precedent.  curation_dsir_select (NEW ENTRY — DSIR importance-
+# ranked data selection, Xie et al. 2023; hashed-unigram bucket
+# models, integer-nanos log-ratio weights, tie-free top-k; full
+# DuckDB twin, differential green at all three SFs AND both fresh
+# fuzz fixtures at landing).  Its slot comes from
+# q13_order_distribution (rotation policy: new entries are (a)-class
+# and outrank old-green rotation), which defers to r14 with its 21
+# TPC-H siblings all green THIS round plus the r13 tri-SF close-out
+# sweep evidence.
 #
 # (b) ROTATION — all 30 r9-vintage deferrals the r12 verdict names
-# (due at r13), then the oldest 12 of the 43 r10-vintage entries
+# (due at r13), then the oldest 11 of the 43 r10-vintage entries
 # (alphabetical within the cohort; q4_priority_late_orders,
-# q2_min_cost_supplier and dedup_lines_corpus yield their slots to
-# the changed semdedup and edit-distance entries and the new
-# duplicate-spans entry, deferring to r14 with the rest,
-# tri-SF-sweep evidence).  The 31 r10 entries deferring to
+# q2_min_cost_supplier, dedup_lines_corpus and q13_order_distribution
+# yield their slots to the changed semdedup and edit-distance entries
+# and the new duplicate-spans and DSIR entries, deferring to r14 with
+# the rest, tri-SF-sweep evidence).  The 32 r10 entries deferring to
 # r14 (each with this-round evidence: snapshot_delta_events /
 # udaf_geomean_price / streaming_stateful_user_stats /
 # similarity_topk_bruteforce / window_rank_topk / sessionize_events
@@ -96,7 +104,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # udaf_geomean_price, udtf_chunk_documents, window_range_frame,
 # window_rank_topk, q4_priority_late_orders, q2_min_cost_supplier,
 # dedup_lines_corpus (headline-benched with output verification every
-# round).
+# round), q13_order_distribution (its 21 TPC-H siblings all green
+# this round).
 # ALL 50 window entries were locally
 # differential-checked at sf0.01 before this rotation landed (the
 # probe-before-claim pre-flight), and the full registry tri-SF sweep
@@ -112,6 +121,7 @@ _WINDOW = [
     "dedup_semantic_semdedup",
     "text_edit_distance",
     "dedup_duplicate_spans",
+    "curation_dsir_select",
     # (b) the 30 r9-vintage deferrals, due at r13
     "multimodal_image_near_dup",
     "multimodal_video_frames",
@@ -143,7 +153,7 @@ _WINDOW = [
     "text_lang_confusion_matrix",
     "trend_daily_revenue",
     "window_rank_family_full",
-    # (b) oldest 12 of the r10 cohort (alphabetical)
+    # (b) oldest 11 of the r10 cohort (alphabetical)
     "agg_stats_percentiles",
     "cohort_weekly_retention",
     "curation_epoch_shuffle",
@@ -155,7 +165,6 @@ _WINDOW = [
     "multimodal_audio_fp_exact",
     "pii_redaction_profile",
     "pipeline_pretrain_corpus",
-    "q13_order_distribution",
 ]
 
 

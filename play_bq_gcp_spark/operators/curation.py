@@ -451,3 +451,111 @@ def epoch_shuffle(
         F.row_number().over(w).alias("pos"),
         "doc_id",
     ).orderBy("epoch", "shard", "pos")
+
+
+def dsir_select(
+    documents: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    k: int = 50,
+    smoothing: int = 1,
+) -> DataFrame:
+    """DSIR-style data selection: importance-rank a raw pool toward a
+    target distribution (Xie et al., NeurIPS 2023, "Data Selection for
+    Language Models via Importance Resampling").
+
+    DSIR scores each raw document by the log-likelihood ratio of its
+    hashed n-gram features under the target vs the raw bag-of-features
+    models and keeps the top of the ranking — the distribution-MATCHING
+    selection stage of a pretraining pipeline, complementary to the
+    absolute-quality gate (``text.quality_classifier``): that one asks
+    "is this document good?", this one asks "does this document look
+    like the domain I want more of?".
+
+    Semantics (paper's hashed unigram variant):
+      * features: normalized tokens (shared ``tokens()`` expression)
+        md5-folded into ``n_buckets`` buckets (three hex digits mod
+        ``n_buckets`` — engine-portable, the quality-classifier fold
+        widened to 4096);
+      * bucket models: add-``smoothing`` Laplace over the FIXED bucket
+        space (denominator ``total + smoothing*n_buckets`` — constant,
+        not seen-vocabulary-sized, so unseen buckets are well-defined
+        without a vocabulary count);
+      * per-bucket weight ``floor(1e9 * ln(p_target/p_raw))`` — the
+        split_divergence discipline: one floor per BUCKET (not per
+        occurrence), after which every per-doc score is an exact
+        integer sum, order-independent and engine-portable;
+      * per-doc score: sum of its token instances' bucket weights;
+        empty-token docs never enter the feature stream and are
+        unscorable (consistently absent on both engines);
+      * selection: top-``k`` by (score desc, doc_id asc) — the
+        deterministic rank surrogate for the paper's Gumbel-noise
+        resampling (noise-free so the oracle can replay it; the
+        Gumbel variant seeds a hash-derived perturbation through the
+        same ranking).
+
+    Plan shape: one corpus scan + explode feeds BOTH count aggregates
+    (one shuffle on the ~``n_buckets``-row bucket key); totals fold in
+    as a 1-row broadcast; the weight table is ≤ ``n_buckets`` rows and
+    broadcast into a map-side join; per-doc scores are one doc_id
+    shuffle; the final top-k is ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    never a global sort — and the display rank is a window over the
+    returned k rows only.  At 100 TB: two corpus-linear passes, one
+    bounded broadcast, no global sort, no driver data movement beyond
+    the k-row result.
+
+    Output: ``doc_id, n_tokens, score_nanos, rank`` ordered by rank.
+    """
+    B = int(n_buckets)
+    toks = documents.select(
+        "doc_id",
+        target.alias("is_t"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    bkt = toks.select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("tok"), 7, 3), 16, 10).cast("int") % B
+        ).alias("b"),
+    )
+    counts = bkt.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("tt"), F.sum("r_cnt").alias("rt")
+    )
+    s = int(smoothing)
+    p_t = (F.col("t_cnt") + s) / (F.col("tt") + float(s * B))
+    p_r = (F.col("r_cnt") + s) / (F.col("rt") + float(s * B))
+    wtab = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(F.lit(1e9) * F.log(p_t / p_r))
+            .cast("long")
+            .alias("w_nanos"),
+        )
+    )
+    scored = (
+        bkt.filter(~F.col("is_t"))
+        .join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_nanos").alias("score_nanos"),
+        )
+    )
+    topk = scored.orderBy(
+        F.desc("score_nanos"), F.asc("doc_id")
+    ).limit(int(k))
+    # rank over the k-row result only (never the full pool)
+    w = Window.orderBy(F.desc("score_nanos"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        "n_tokens",
+        "score_nanos",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).orderBy("rank")

@@ -311,3 +311,86 @@ def resample_daily_locf(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.operators.behavior import resample_daily_gapfill
 
     return resample_daily_gapfill(_t(spark, sf, "events"))
+
+
+_DSIR_B = 4096
+_DSIR_K = 50
+_DSIR_S = 1
+
+
+def _dsir_oracle() -> str:
+    """DuckDB twin of ``curation.dsir_select`` with target lang='en':
+    same md5 three-hex-digit bucket fold, same fixed-bucket-space
+    Laplace models, the identical ``floor(1e9*ln(ratio))`` per-bucket
+    weight (the split_divergence libm discipline), exact integer
+    per-doc sums, and the same (score desc, doc_id asc) tie-free
+    top-k."""
+    from play_bq_gcp_spark.queries.llm import _SQL_TOKS
+
+    B, K, S = _DSIR_B, _DSIR_K, _DSIR_S
+
+    def dig(pos: int) -> str:
+        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, (lang = 'en') AS is_t, unnest({_SQL_TOKS}) AS t
+        FROM documents
+    ),
+    bkt AS (
+        SELECT doc_id, is_t,
+               (({dig(7)} * 256 + {dig(8)} * 16 + {dig(9)}) % {B}) AS b
+        FROM (SELECT doc_id, is_t, md5(t) AS h FROM tok)
+    ),
+    counts AS (
+        SELECT b,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,
+               sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt
+        FROM bkt GROUP BY b
+    ),
+    tot AS (SELECT sum(t_cnt) AS tt, sum(r_cnt) AS rt FROM counts),
+    w AS (
+        SELECT b,
+               CAST(floor(1e9 * ln(
+                   ((t_cnt + {S}) / (tt + {float(S * B)}))
+                 / ((r_cnt + {S}) / (rt + {float(S * B)}))
+               )) AS BIGINT) AS w_nanos
+        FROM counts, tot
+    ),
+    scored AS (
+        SELECT k.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(w.w_nanos) AS BIGINT) AS score_nanos
+        FROM bkt k JOIN w USING (b)
+        WHERE NOT k.is_t
+        GROUP BY k.doc_id
+    ),
+    sel AS (
+        SELECT doc_id, n_tokens, score_nanos,
+               CAST(row_number() OVER (
+                   ORDER BY score_nanos DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, score_nanos, rank
+    FROM sel WHERE rank <= {K} ORDER BY rank
+    """
+
+
+@register("curation_dsir_select", _dsir_oracle())
+def curation_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance-ranked data selection (curation.dsir_select):
+    score every non-English doc by the log-likelihood ratio of its
+    hashed-unigram features under the English-target vs raw bucket
+    models, keep the deterministic top-50.  Linear: one bucket-keyed
+    count shuffle, a <=4096-row broadcast weight table, one doc_id
+    shuffle, distributed TakeOrdered top-k (no global sort)."""
+    from play_bq_gcp_spark.operators.curation import dsir_select
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    return dsir_select(
+        docs,
+        target=F.col("lang") == "en",
+        n_buckets=_DSIR_B,
+        k=_DSIR_K,
+        smoothing=_DSIR_S,
+    )

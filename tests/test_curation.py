@@ -238,3 +238,54 @@ def test_epoch_shuffle_is_a_permutation_per_epoch_and_differs_between(spark):
 
     rerun = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
     assert [tuple(r) for r in rerun] == [tuple(r) for r in out]  # stable
+
+
+def test_dsir_select_ranks_target_like_docs_first(spark):
+    """dsir_select: a pool doc built from target-distribution tokens
+    must outrank a pool doc with tokens the target never uses; target
+    docs themselves never appear in the ranking; empty-text pool docs
+    are unscorable and absent; ranks are 1..n tie-free."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.curation import dsir_select
+
+    rows = [
+        # target (is_t): heavy in 'aaa bbb'
+        (0, "en", "aaa bbb aaa bbb aaa bbb"),
+        (1, "en", "aaa bbb ccc aaa bbb"),
+        # pool: doc 10 looks like the target, doc 11 does not
+        (10, "fr", "aaa bbb aaa bbb"),
+        (11, "fr", "zzz qqq zzz qqq"),
+        (12, "fr", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dsir_select(
+        df, target=F.col("lang") == "en", n_buckets=64, k=10
+    ).collect()
+    ids = [r.doc_id for r in out]
+    assert 0 not in ids and 1 not in ids  # target never ranked
+    assert 12 not in ids                  # empty text unscorable
+    assert set(ids) == {10, 11}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[10].score_nanos > by_id[11].score_nanos
+    assert by_id[10].rank == 1 and by_id[11].rank == 2
+    assert by_id[10].n_tokens == 4
+
+
+def test_dsir_select_k_bound_and_tie_break(spark):
+    """Top-k truncates at k, and equal-score docs order by doc_id
+    ascending (the tie-free surrogate for Gumbel resampling)."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.curation import dsir_select
+
+    rows = [(0, "en", "mm nn mm nn")] + [
+        (i, "fr", "mm nn") for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = dsir_select(
+        df, target=F.col("lang") == "en", n_buckets=64, k=3
+    ).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert len({r.score_nanos for r in out}) == 1

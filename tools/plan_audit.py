@@ -86,6 +86,9 @@ AUDIT = [
     # mark+islands+rebuild; the wide shuffles key on md5 digests or
     # doc_id, the mark join's window stream is exchange-reused
     "dedup_duplicate_spans",
+    # DSIR data selection — bounded broadcast weight table, top-k via
+    # TakeOrderedAndProject (never a global sort), zero Python ops
+    "curation_dsir_select",
 ]
 
 
