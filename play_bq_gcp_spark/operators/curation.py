@@ -508,6 +508,16 @@ def dsir_select(
     Output: ``doc_id, n_tokens, score_nanos, rank`` ordered by rank.
     """
     B = int(n_buckets)
+    # Loud guards, not silent degradation: the 3-hex-digit fold spans
+    # exactly 4096 values (a larger B would leave buckets permanently
+    # empty while the Laplace denominator normalized over them), and
+    # smoothing=0 would put ln(0)=NULL weights into the sum — Spark
+    # drops NULLs from sums, so single-sided buckets would silently
+    # vanish from scores instead of erroring.
+    if not 1 <= B <= 4096:
+        raise ValueError(f"n_buckets must be in [1, 4096], got {B}")
+    if int(smoothing) < 1:
+        raise ValueError(f"smoothing must be >= 1, got {smoothing}")
     toks = documents.select(
         "doc_id",
         target.alias("is_t"),

@@ -34,3 +34,12 @@ def register(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
+
+
+def sql_hex_digit(pos: int) -> str:
+    """DuckDB expression for the value (0-15) of the md5-hex digit at
+    1-based ``pos`` of a column aliased ``h`` — the shared building
+    block of every oracle-side bucket/shard fold.  One definition so a
+    fold-discipline change (e.g. a future xxhash64 swap) cannot
+    silently miss a copy and break Spark/oracle parity."""
+    return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"

@@ -8,7 +8,7 @@ registration order are unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t, sql_hex_digit
 
 # ---------------------------------------------------------------------------
 # Curation depth batch (round 4): repetition filters, embedding
@@ -329,8 +329,7 @@ def _dsir_oracle() -> str:
 
     B, K, S = _DSIR_B, _DSIR_K, _DSIR_S
 
-    def dig(pos: int) -> str:
-        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+    dig = sql_hex_digit
 
     return f"""
     WITH tok AS (

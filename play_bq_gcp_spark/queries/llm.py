@@ -8,7 +8,7 @@ registration order are unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t, sql_hex_digit
 
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (§2.10)
@@ -32,8 +32,7 @@ def _quality_clf_oracle() -> str:
 
     wl = "[" + ", ".join(repr(v) for v in classifier_weights()) + "]"
 
-    def dig(pos: int) -> str:
-        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+    dig = sql_hex_digit
 
     return f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),

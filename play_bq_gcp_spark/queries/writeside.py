@@ -9,7 +9,7 @@ registration order are unchanged.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t
+from play_bq_gcp_spark.queries._registry import QUERIES, ORACLES, QueryFn, register, _t, sql_hex_digit
 from play_bq_gcp_spark.queries.llm import _SQL_TOKS
 from play_bq_gcp_spark.scratch import scratch_dir
 
@@ -62,8 +62,7 @@ def _shard_manifest_oracle() -> str:
     md5(doc_id) as an integer, mod n_shards — digit-composed with the
     position() idiom the classifier oracle established."""
 
-    def dig(pos: int) -> str:
-        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+    dig = sql_hex_digit
 
     hexval = dig(1)
     for p in range(2, 7):
@@ -549,8 +548,7 @@ def _epoch_shuffle_oracle() -> str:
     """DuckDB twin of epoch_shuffle: same md5 sort key, same 6-hex-digit
     shard fold (position() idiom), same within-(epoch, shard) rank."""
 
-    def dig(pos: int) -> str:
-        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+    dig = sql_hex_digit
 
     hexval = dig(1)
     for p in range(2, 7):
@@ -603,8 +601,7 @@ def _epoch_stream_oracle() -> str:
     cross-batch order is arrival (b = doc_id % n_batches, the fixture's
     landing rule), within-batch order is (h, doc_id)."""
 
-    def dig(pos: int) -> str:
-        return f"(position(substr(h, {pos}, 1) IN '0123456789abcdef') - 1)"
+    dig = sql_hex_digit
 
     hexval = dig(1)
     for p in range(2, 7):

@@ -289,3 +289,22 @@ def test_dsir_select_k_bound_and_tie_break(spark):
     assert [r.doc_id for r in out] == [1, 2, 3]
     assert [r.rank for r in out] == [1, 2, 3]
     assert len({r.score_nanos for r in out}) == 1
+
+
+def test_dsir_select_rejects_unrepresentable_params(spark):
+    """The 3-hex-digit fold spans exactly 4096 buckets and smoothing=0
+    would NULL-out single-sided bucket weights (Spark sums drop NULLs
+    silently) — both must fail loudly, not degrade."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.curation import dsir_select
+
+    df = spark.createDataFrame(
+        [(0, "en", "aaa"), (1, "fr", "bbb")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_select(df, target=F.col("lang") == "en", n_buckets=65536)
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_select(df, target=F.col("lang") == "en", smoothing=0)
