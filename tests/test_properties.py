@@ -1062,3 +1062,154 @@ def test_half_up_micro_avg_null_safe_denominator(spark, rows):
         else:
             want = half_up(Fraction(sum(vals) * 10**6, len(vals))) / 1e6
             assert out[g] == want, (g, out[g], want)
+
+
+# ---------------------------------------------------------------------------
+# r13 additions: span-level ExactSubstr dedup vs a pure-Python reference,
+# and DSIR selection's exact-integer skeleton vs a hashlib/math model.
+# ---------------------------------------------------------------------------
+
+span_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_span_profile(texts, W, min_count):
+    """Pure-Python model of duplicate_span_profile (the hypothesis
+    oracle — O(n²) clarity over speed)."""
+    import hashlib
+    from collections import Counter
+
+    toks = {d: t.split(" ") for d, t in enumerate(texts)}
+    wins = [
+        (d, i, " ".join(ts[i : i + W]))
+        for d, ts in toks.items()
+        for i in range(len(ts) - W + 1)
+    ]
+    freq = Counter(w for _, _, w in wins)
+    dup = {w for w, n in freq.items() if n >= min_count}
+    out = {}
+    for d, ts in toks.items():
+        occ = [(i) for dd, i, w in wins if dd == d and w in dup]
+        cov = sorted({p for i in occ for p in range(i, i + W)})
+        spans = sum(
+            1 for j, p in enumerate(cov) if j == 0 or p - cov[j - 1] > 1
+        )
+        kept = [t for p, t in enumerate(ts) if p not in set(cov)]
+        out[d] = (
+            len(ts),
+            len(occ),
+            len(cov),
+            spans,
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+@given(
+    texts=span_corpora,
+    w=st.integers(min_value=2, max_value=4),
+    mc=st.integers(min_value=2, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_duplicate_span_profile_matches_python_reference(spark, texts, w, mc):
+    """Every output column of duplicate_span_profile — counts, island
+    structure, and the rebuilt-text fingerprint — equals a brute-force
+    Python model on random tiny-alphabet corpora (the tiny alphabet
+    forces heavy window collisions the hand cases can't enumerate)."""
+    from play_bq_gcp_spark.operators.dedup import duplicate_span_profile
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.dup_windows,
+            r.covered_tokens,
+            r.span_count,
+            r.kept_tokens,
+            r.kept_fp,
+        )
+        for r in duplicate_span_profile(df, window=w, min_count=mc).collect()
+    }
+    assert got == _ref_span_profile(texts, w, mc)
+
+
+dsir_corpora = st.lists(
+    st.tuples(
+        st.booleans(),  # is-target
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(corpus=dsir_corpora)
+@settings(**_SETTINGS)
+def test_dsir_select_matches_python_model_within_libm_tolerance(
+    spark, corpus
+):
+    """dsir_select's selected set, n_tokens, and scores equal a
+    hashlib/math.log Python model.  Scores allow ±1 nano per token
+    (JVM vs CPython libm may differ in the last ulp before the floor;
+    every integer-exact part must match exactly)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.curation import dsir_select
+
+    B, K, S = 64, 5, 1
+    rows = [
+        (i, "en" if t else "fr", txt) for i, (t, txt) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = dsir_select(
+        df, target=F.col("lang") == "en", n_buckets=B, k=K, smoothing=S
+    ).collect()
+
+    def bkt(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[6:9], 16) % B
+
+    t_cnt, r_cnt = Counter(), Counter()
+    pool = {}
+    for i, (is_t, txt) in enumerate(corpus):
+        toks = [t for t in txt.split(" ") if t]
+        for t in toks:
+            (t_cnt if is_t else r_cnt)[bkt(t)] += 1
+        if not is_t and toks:
+            pool[i] = toks
+    tt, rt = sum(t_cnt.values()), sum(r_cnt.values())
+    w = {
+        b: math.floor(
+            1e9
+            * math.log(
+                ((t_cnt[b] + S) / (tt + S * B))
+                / ((r_cnt[b] + S) / (rt + S * B))
+            )
+        )
+        for b in set(t_cnt) | set(r_cnt)
+    }
+    scores = {
+        d: sum(w[bkt(t)] for t in toks) for d, toks in pool.items()
+    }
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:K]
+
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+    for r in got:
+        assert r.n_tokens == len(pool[r.doc_id])
+        assert abs(r.score_nanos - scores[r.doc_id]) <= r.n_tokens
