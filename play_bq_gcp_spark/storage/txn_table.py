@@ -1581,7 +1581,20 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
     cutoff = max(0, latest - keep_versions + 1)
     keep_files: set[str] = set()
     for v in range(cutoff, latest + 1):
-        keep_files.update(snapshot(path, v).files)
+        try:
+            keep_files.update(snapshot(path, v).files)
+        except FileNotFoundError:
+            # A PREVIOUS vacuum with a tighter retention already
+            # deleted this manifest; a later, looser keep_versions may
+            # legitimately reach below that horizon (found by
+            # tools/fuzz_txn.py seed 402: vacuum(keep=1) then
+            # vacuum(keep=3) crashed here).  Nothing to keep from a
+            # version that no longer exists — but the LATEST manifest
+            # is derived from the directory listing and must be
+            # present, so only interior gaps are tolerable.
+            if v == latest:
+                raise
+            continue
     removed: list[str] = []
     dd = _data_dir(path)
     for commit_id in os.listdir(dd):

@@ -1005,3 +1005,21 @@ def test_merge_schema_overrides_declared_read(spark, table):
     df = tt.read(spark, table, merge_schema=True)
     assert set(df.columns) == {"id", "v", "extra"}
     assert {r.extra for r in df.collect()} == {None, "x"}
+
+
+def test_vacuum_survives_widening_retention_after_tight_vacuum(spark, table):
+    """Found by tools/fuzz_txn.py seed 402: vacuum(keep=1) deletes old
+    manifests; a LATER vacuum with a wider keep_versions computes a
+    cutoff below that horizon and must skip the already-vacuumed
+    versions instead of crashing on the missing manifest — the
+    alternating-retention maintenance schedule any real deployment
+    runs."""
+    tt.append(_df(spark, 0, 5), table)     # v1
+    tt.append(_df(spark, 5, 8), table)     # v2
+    tt.vacuum(table, keep_versions=1)      # manifests v0, v1 deleted
+    tt.append(_df(spark, 8, 10), table)    # v3
+    removed = tt.vacuum(table, keep_versions=3)  # cutoff=1 < horizon
+    # no DATA file may go (write-marker stragglers are fair game)
+    assert not [f for f in removed if f.endswith(".parquet")]
+    assert tt.read(spark, table).count() == 10
+    assert tt.read_at(spark, table, version=2).count() == 8
