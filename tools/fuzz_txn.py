@@ -5,9 +5,12 @@ The streaming index protocols have a kill-and-retry campaign
 covering the surface round 13 extended (time travel, restore, vacuum
 horizons) under randomized crash schedules.
 
-Each randomized op (append / overwrite / delete_where / compact /
-restore / vacuum) runs with the table's ``CommitStrategy`` wrapped in a
-one-shot crash injector armed at one of two points:
+Each randomized op (append / evolving append — the r13 declared-schema
+evolution path, a new column whose absence must read back as NULL at
+the live head AND through every time-travel/restore/compaction
+combination / overwrite / delete_where / compact / restore / vacuum)
+runs with the table's ``CommitStrategy`` wrapped in a one-shot crash
+injector armed at one of two points:
 
 * ``pre``  — raise BEFORE ``create_exclusive``: data files are already
   landed, the manifest is not — the orphan-file crash.  The table must
@@ -67,7 +70,20 @@ class CrashingStrategy:
 
 
 def _rows(df):
-    return sorted((r.id, r.val) for r in df.collect())
+    """Schema-insensitive row image: (col -> value) over whatever
+    columns the read surfaced, sorted — so evolving appends compare
+    naturally (absent columns are NULL-backfilled by the engine and
+    None in the model)."""
+    cols = df.columns
+    return sorted(
+        (tuple((c, r[c]) for c in sorted(cols)) for r in df.collect()),
+        key=_none_safe_key,
+    )
+
+
+def _none_safe_key(row):
+    # NULL-backfilled values sort against ints otherwise
+    return tuple((c, v is not None, v) for c, v in row)
 
 
 def run_seed(spark, seed: int, n_ops: int = 25) -> None:
@@ -87,20 +103,49 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
                 "id int, val long",
             )
 
-        model: list[tuple[int, int]] = []
+        def batch_evolved(n):
+            # the r13 declared-schema evolution path: a NEW column; old
+            # rows must read back NULL-backfilled through the merged
+            # declared schema, at the live head AND via time travel
+            return spark.createDataFrame(
+                [
+                    (rng.randrange(100), rng.randrange(1000),
+                     rng.randrange(50))
+                    for _ in range(n)
+                ],
+                "id int, val long, extra int",
+            )
+
+        # model rows are dicts; cols is the DECLARED column set so the
+        # model can NULL-backfill exactly like the merged-schema read
+        model: list[dict] = []
+        cols: set[str] = set()
+
+        def img(rows, cs):
+            return sorted(
+                (
+                    tuple((c, r.get(c)) for c in sorted(cs))
+                    for r in rows
+                ),
+                key=_none_safe_key,
+            )
+
         # v0 is the schema-less empty genesis — read_at(0) legitimately
         # raises, so it never enters the sampled/restorable history
-        history: dict[int, list[tuple[int, int]]] = {}
+        history: dict[int, tuple[set, list]] = {}
 
         def check(tag: str) -> None:
-            assert _rows(tt.read(spark, path)) == sorted(model), (
+            assert _rows(tt.read(spark, path)) == img(model, cols), (
                 f"seed={seed} {tag}: live read != model"
             )
             if history:
                 v = rng.choice(sorted(history))
-                assert _rows(tt.read_at(spark, path, version=v)) == sorted(
-                    history[v]
-                ), f"seed={seed} {tag}: read_at({v}) != recorded state"
+                hc, hr = history[v]
+                assert _rows(
+                    tt.read_at(spark, path, version=v)
+                ) == img(hr, hc), (
+                    f"seed={seed} {tag}: read_at({v}) != recorded state"
+                )
             vd = tt._versions_dir(path)
             for m in os.listdir(vd):
                 with open(os.path.join(vd, m)) as f:
@@ -108,9 +153,9 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
 
         for i in range(n_ops):
             op = rng.choices(
-                ["append", "overwrite", "delete", "compact", "restore",
-                 "vacuum"],
-                weights=[35, 15, 15, 12, 13, 10],
+                ["append", "evolve", "overwrite", "delete", "compact",
+                 "restore", "vacuum"],
+                weights=[27, 10, 14, 14, 12, 13, 10],
             )[0]
             if tt.current_version(path) == 0:
                 # genesis has no declared schema: delete/compact/restore
@@ -120,22 +165,38 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
             mode = rng.choices([None, "pre", "post"], weights=[60, 20, 20])[0]
             v0 = tt.current_version(path)
             crashed = False
-            new_model = None
+            new_model, new_cols = None, None
             try:
                 if op == "append":
                     b = batch(rng.randint(1, 6))
-                    new_model = model + _rows(b.selectExpr("id", "val"))
+                    new_model = model + [
+                        {"id": r.id, "val": r.val} for r in b.collect()
+                    ]
+                    new_cols = cols | {"id", "val"}
                     strat.arm(mode)
-                    tt.append(b, path)
+                    tt.append(b, path, evolve=not cols)
+                elif op == "evolve":
+                    b = batch_evolved(rng.randint(1, 6))
+                    new_model = model + [
+                        {"id": r.id, "val": r.val, "extra": r.extra}
+                        for r in b.collect()
+                    ]
+                    new_cols = cols | {"id", "val", "extra"}
+                    strat.arm(mode)
+                    tt.append(b, path, evolve=True)
                 elif op == "overwrite":
                     b = batch(rng.randint(1, 6))
-                    new_model = _rows(b.selectExpr("id", "val"))
+                    new_model = [
+                        {"id": r.id, "val": r.val} for r in b.collect()
+                    ]
+                    new_cols = {"id", "val"}  # replace resets the schema
                     strat.arm(mode)
                     tt.overwrite(b, path)
                 elif op == "delete":
                     m = rng.randint(2, 5)
                     r = rng.randrange(m)
-                    new_model = [t for t in model if t[0] % m != r]
+                    new_model = [d for d in model if d["id"] % m != r]
+                    new_cols = set(cols)
                     strat.arm(mode)
                     tt.delete_where(spark, path, f"id % {m} = {r}")
                 elif op == "compact":
@@ -143,14 +204,20 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
                         path
                     ).schema is None:
                         continue
-                    new_model = list(model)
+                    # compaction rewrites through the declared schema:
+                    # NULL backfill MATERIALIZES into the new files
+                    new_model = [
+                        {c: d.get(c) for c in cols} for d in model
+                    ]
+                    new_cols = set(cols)
                     strat.arm(mode)
                     tt.compact(spark, path, target_files=rng.randint(1, 2))
                 elif op == "restore":
                     if not history:
                         continue
                     v = rng.choice(sorted(history))
-                    new_model = list(history[v])
+                    hc, hr = history[v]
+                    new_model, new_cols = list(hr), set(hc)
                     strat.arm(mode)
                     tt.restore(path, v)
                 else:  # vacuum — no commit, crash modes not applicable
@@ -162,9 +229,10 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
                         v: s for v, s in history.items() if v >= cutoff
                     }
                     for v in sorted(history):
+                        hc, hr = history[v]
                         assert _rows(
                             tt.read_at(spark, path, version=v)
-                        ) == sorted(history[v]), (
+                        ) == img(hr, hc), (
                             f"seed={seed} op{i}: post-vacuum read_at({v})"
                         )
                     check(f"op{i}:vacuum")
@@ -185,8 +253,8 @@ def run_seed(spark, seed: int, n_ops: int = 25) -> None:
                     f"seed={seed} op{i}:{op} mode={mode} v {v0}->{v1} "
                     f"crashed={crashed}"
                 )
-                model = new_model
-                history[v1] = list(model)
+                model, cols = new_model, new_cols
+                history[v1] = (set(cols), list(model))
             check(f"op{i}:{op}:{mode}")
         print(f"ok   seed={seed} txn ({n_ops} ops, "
               f"{tt.current_version(path)} versions)")
