@@ -20,6 +20,59 @@ def _num_lit(x: float) -> str:
     return repr(float(x)) + "D"
 
 
+def vec_sql(vec) -> str:
+    """SQL text of an ``array<double>`` literal (see ``vec_lit``).
+    Raises on empty/non-finite input — text callers compose this into
+    larger single-parse expressions and have no Column fallback."""
+    xs = [float(x) for x in vec]
+    if not xs:
+        raise ValueError("vec_sql: empty vector (element type would be void)")
+    if not all(x == x and abs(x) != float("inf") for x in xs):
+        raise ValueError("vec_sql: non-finite element")
+    return "array(" + ",".join(_num_lit(x) for x in xs) + ")"
+
+
+def mat_sql(mat) -> str:
+    """SQL text of an ``array<array<double>>`` literal (see
+    ``mat_lit``); same finite/non-empty contract as ``vec_sql``."""
+    rows = [[float(x) for x in row] for row in mat]
+    if not rows or any(not row for row in rows):
+        raise ValueError("mat_sql: empty matrix/row (type would be void)")
+    if not all(x == x and abs(x) != float("inf") for row in rows for x in row):
+        raise ValueError("mat_sql: non-finite element")
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_num_lit(x) for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of ``dot(a, b)`` — identical expression tree to the
+    Column builder once parsed (same zip_with/aggregate, same
+    left-to-right order), so values are bit-identical.  Lambda
+    variable names are suffixed so nested compositions never shadow."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (xd, yd) -> xd * yd), "
+        "0.0D, (accd, xd) -> accd + xd)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL text of ``norm(a)`` (bit-identical once parsed)."""
+    return f"sqrt(aggregate({a}, 0.0D, (accn, xn) -> accn + xn * xn))"
+
+
+def bind_sql(base: str, var: str, body: str) -> str:
+    """SQL text of ``operators.text.bind``: evaluate ``base`` once,
+    reference it as ``var`` inside ``body`` (single-element transform;
+    lambda variables are bound values, never re-expanded)."""
+    return f"element_at(transform(array({base}), {var} -> {body}), 1)"
+
+
 def vec_lit(vec) -> Column:
     """``array<double>`` literal built by PARSING one SQL string
     instead of one Py4J round-trip per element.  Measured (round 7):
@@ -162,10 +215,23 @@ def py_norm(vec) -> float:
     return math.sqrt(acc)
 
 
-def cosine_to_lit(a: Column, vec) -> Column:
+def cosine_to_lit_sql(a: str, vec) -> str:
+    """SQL text of ``cosine_to_lit`` over a vector given as SQL text —
+    one parsed expression instead of ~60 Py4J calls; identical tree
+    (same dot order, same multiply order), identical values."""
+    return (
+        "(" + dot_sql(a, vec_sql(vec)) + ") / ("
+        + norm_sql(a) + " * " + _num_lit(py_norm(vec)) + ")"
+    )
+
+
+def cosine_to_lit(a: Column | str, vec) -> Column:
     """``cosine_similarity(a, lit(vec))`` with the literal's norm
     folded driver-side (``py_norm``): one interpreted aggregate pass
     instead of two per row.  Bit-identical result — same dot order,
-    same ``norm(a) * norm_b`` multiply order."""
+    same ``norm(a) * norm_b`` multiply order.  Pass ``a`` as SQL TEXT
+    to build the whole expression in one parse."""
+    if isinstance(a, str):
+        return F.expr(cosine_to_lit_sql(a, vec))
     b = vec_lit(vec)
     return dot(a, b) / (norm(a) * F.lit(py_norm(vec)))

@@ -64,9 +64,7 @@ def brute_force_topk(
     row work is one dot + one norm."""
     scored = embeddings.select(
         "vec_id",
-        F.round(
-            cosine_to_lit(F.col("embedding").cast("array<double>"), query_vec), 6
-        ).alias("cosine"),
+        F.round(cosine_to_lit(EMB_SQL, query_vec), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
@@ -76,13 +74,46 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+#: SQL text of the embedding vector every ANN operator scores — used
+#: with the text-built expression path below (one parsed string per
+#: expression instead of one Py4J round-trip per Column node).
+EMB_SQL = "CAST(embedding AS ARRAY<DOUBLE>)"
+
+
+def signature_sql(vec_sql_text: str, planes) -> str:
+    """SQL text of ``signature_col`` over a vector given as SQL text.
+
+    Why text (r13 optimization): the Column-built signature costs
+    ~500 Py4J round-trips per table (nested higher-order functions
+    create one JVM call per lambda/node) — profiled at 2.6 s of
+    driver-side build per ``lsh_topk`` call (8 tables, 4167 commands).
+    One parsed string per table is ~1 JVM call; the parsed tree — and
+    therefore every value — is identical (same zip_with/aggregate
+    shape, same fold order; only lambda variable names differ)."""
+    from play_bq_gcp_spark.functions.vector import bind_sql, dot_sql, mat_sql
+
+    planes_sql = mat_sql(planes)
+    pows = "array(" + ",".join(f"{1 << i}L" for i in range(len(planes))) + ")"
+    body = (
+        "aggregate(zip_with(transform(" + planes_sql + ", pp -> "
+        + dot_sql("vv", "pp") + "), " + pows
+        + ", (dd, ww) -> CASE WHEN dd > 0 THEN ww ELSE 0L END), "
+        "0L, (accs, xs) -> accs + xs)"
+    )
+    return bind_sql(vec_sql_text, "vv", body)
+
+
 def signature_col(vec_col, planes: np.ndarray):
     """Sign-bit signature: bit i = (v · plane_i) > 0, folded into one
     long.  A single bound pass: the vector is evaluated once, the
     plane dots run inside one ``transform`` over the plane-matrix
     literal, and the bits fold via ``aggregate`` — one interpreted HOF
     tree instead of n_planes sibling subtrees (which Catalyst would
-    re-expand per reference)."""
+    re-expand per reference).  Pass the vector as SQL TEXT to build
+    the whole expression in one parse (``signature_sql``) instead of
+    per-node Py4J calls."""
+    if isinstance(vec_col, str):
+        return F.expr(signature_sql(vec_col, planes))
     from play_bq_gcp_spark.functions.vector import mat_lit
 
     planes_lit = mat_lit(planes)
@@ -110,13 +141,38 @@ def signature_col(vec_col, planes: np.ndarray):
     )
 
 
+def _sims_sql(vec_sql_text: str, cents: list) -> str:
+    """SQL text of ``_sims_to_cents`` (see ``signature_sql`` for why
+    text: one parse instead of per-node Py4J; identical tree and
+    values — dots fold left-to-right over the same centroid matrix)."""
+    from play_bq_gcp_spark.functions.vector import (
+        bind_sql,
+        dot_sql,
+        mat_sql,
+        norm_sql,
+        py_norm,
+        vec_sql,
+    )
+
+    cents_sql = mat_sql(cents)
+    norms_sql = vec_sql([py_norm(c) for c in cents])
+    body = (
+        "zip_with(" + cents_sql + ", " + norms_sql + ", (cc, cn) -> ("
+        + dot_sql("vv", "cc") + ") / (nv * cn))"
+    )
+    return bind_sql(vec_sql_text, "vv", bind_sql(norm_sql("vv"), "nv", body))
+
+
 def _sims_to_cents(vec_col, cents: list):
     """Array of cosine similarities from ``vec_col`` to every centroid
     in ONE bound pass: the row vector and its norm are each evaluated
     once (lambda-bound), centroid norms are driver-side literals, and
     the dots run inside a single ``zip_with`` over the centroid-matrix
     literal — versus len(cents) sibling cosine subtrees each
-    recomputing norm(v)."""
+    recomputing norm(v).  Pass the vector as SQL TEXT for the
+    one-parse build path."""
+    if isinstance(vec_col, str):
+        return F.expr(_sims_sql(vec_col, cents))
     from play_bq_gcp_spark.functions.vector import norm, py_norm
 
     from play_bq_gcp_spark.functions.vector import mat_lit, vec_lit
@@ -143,7 +199,17 @@ def _sims_to_cents(vec_col, cents: list):
 
 def _nearest_cent_col(vec_col, cents: list):
     """Index of the nearest centroid (argmax over ``_sims_to_cents``),
-    ties to the first max."""
+    ties to the first max.  SQL-text vectors take the one-parse path."""
+    if isinstance(vec_col, str):
+        from play_bq_gcp_spark.functions.vector import bind_sql
+
+        return F.expr(
+            bind_sql(
+                _sims_sql(vec_col, cents),
+                "sa",
+                "CAST((array_position(sa, array_max(sa)) - 1) AS INT)",
+            )
+        )
     return bind(
         _sims_to_cents(vec_col, cents),
         lambda sa: (F.array_position(sa, F.array_max(sa)) - 1).cast("int"),
@@ -175,13 +241,23 @@ def lsh_topk(
 
     The probe set stays an equality filter on signature columns (an IN
     per table, OR-ed), so the scan is still bucket-pruned — never a
-    full-corpus scoring pass."""
+    full-corpus scoring pass.
+
+    Built as ONE parameterized ``spark.sql`` statement (r13
+    optimization): the DataFrame-op form created five Datasets whose
+    eager analysis each re-walked the 8 plane-matrix literals —
+    ~0.5 s of driver time per call at 8 tables (the Py4J/Column-node
+    cost was already converted to text, see ``signature_sql``).  A
+    single statement parses and analyzes the tree once; the physical
+    plan — scan → signature filter → TakeOrderedAndProject — and all
+    values are identical."""
+    from play_bq_gcp_spark.functions.vector import cosine_to_lit_sql
+
     dim = len(query_vec)
     qv_np = np.asarray(query_vec, dtype=float)
-    v = F.col("embedding").cast("array<double>")
 
-    pred = F.lit(False)
-    sig_cols = {}
+    sig_exprs = []
+    preds = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
         qsig = int(
@@ -200,21 +276,24 @@ def lsh_topk(
                 for i in range(n_planes)
                 for j in range(i + 1, n_planes)
             }
-        col = f"sig_{t}"
-        sig_cols[col] = signature_col(v, planes)
-        pred = pred | F.col(col).isin([int(s) for s in probes])
-    tagged = embeddings.select(
-        "vec_id", v.alias("v"), *[c.alias(n) for n, c in sig_cols.items()]
-    )
-    bucket = tagged.filter(pred)
-    return (
-        bucket.select(
-            "vec_id",
-            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+        sig_exprs.append(signature_sql(EMB_SQL, planes) + f" AS sig_{t}")
+        preds.append(
+            f"sig_{t} IN ("
+            + ",".join(str(int(s)) + "L" for s in sorted(probes))
+            + ")"
         )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(k)
+    sql = (
+        "SELECT vec_id, round("
+        + cosine_to_lit_sql("v", query_vec)
+        + ", 6) AS cosine FROM (SELECT vec_id, "
+        + EMB_SQL
+        + " AS v, "
+        + ", ".join(sig_exprs)
+        + " FROM {src}) WHERE "
+        + " OR ".join(preds)
+        + f" ORDER BY cosine DESC, vec_id LIMIT {int(k)}"
     )
+    return embeddings.sparkSession.sql(sql, src=embeddings)
 
 
 def _refine_centroids(embeddings: DataFrame, cents: list) -> list:
@@ -226,7 +305,7 @@ def _refine_centroids(embeddings: DataFrame, cents: list) -> list:
     their previous centroid."""
     v = F.col("embedding").cast("array<double>")
     assigned = embeddings.select(
-        v.alias("v"), _nearest_cent_col(v, cents).alias("list_id")
+        v.alias("v"), _nearest_cent_col(EMB_SQL, cents).alias("list_id")
     )
     means = (
         assigned.select("list_id", F.posexplode("v").alias("pos", "x"))
@@ -320,14 +399,14 @@ def ivf_topk(
     assigned = embeddings.select(
         "vec_id",
         v.alias("v"),
-        _nearest_cent_col(v, [c for _, c in cents]).alias("list_id"),
+        _nearest_cent_col(EMB_SQL, [c for _, c in cents]).alias("list_id"),
     )
     probe = _probe_lists(cents, query_vec, n_probe, "ivf_topk")
     return (
         assigned.filter(F.col("list_id").isin(probe))
         .select(
             "vec_id",
-            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+            F.round(cosine_to_lit("v", query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
@@ -425,12 +504,16 @@ def knn_join_lsh(
     ]
     # per-table signatures as one array column; posexplode tags the
     # table id so the equi-join key is (table, sig)
-    def sigs(col):
-        return F.array(*[signature_col(col, p) for p in all_planes])
+    def sigs(col_sql: str):
+        return F.expr(
+            "array("
+            + ",".join(signature_sql(col_sql, p) for p in all_planes)
+            + ")"
+        )
 
     q_sig = queries.select(
         F.col("vec_id").alias("query_id"), qv.alias("qv"),
-        F.posexplode(sigs(qv)).alias("tbl", "sig"),
+        F.posexplode(sigs(EMB_SQL)).alias("tbl", "sig"),
     )
     probe_sigs = F.array(
         F.col("sig"),
@@ -445,7 +528,7 @@ def knn_join_lsh(
     )
     c_sig = corpus.select(
         F.col("vec_id").alias("neighbor_id"), qv.alias("cv"),
-        F.posexplode(sigs(qv)).alias("tbl", "sig"),
+        F.posexplode(sigs(EMB_SQL)).alias("tbl", "sig"),
     )
     cand = q_probes.join(c_sig, ["tbl", "sig"]).filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -799,7 +882,7 @@ def pq_topk(
     return (
         candidates.select(
             "vec_id",
-            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+            F.round(cosine_to_lit("v", query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
@@ -897,7 +980,7 @@ def ivfpq_topk(
     return (
         candidates.select(
             "vec_id",
-            F.round(cosine_to_lit(F.col("v"), query_vec), 6).alias("cosine"),
+            F.round(cosine_to_lit("v", query_vec), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)

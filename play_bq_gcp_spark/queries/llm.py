@@ -647,6 +647,8 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     from play_bq_gcp_spark.catalog import spread
     from play_bq_gcp_spark.operators.text import quality_columns, text_fp
 
+    from pyspark.sql import Window
+
     q = quality_columns()
     scored = (
         spread(_t(spark, sf, "documents").select("doc_id", "text"))
@@ -658,9 +660,19 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter((F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20))
     )
-    keepers = scored.groupBy("text_fp").agg(F.min("doc_id").alias("doc_id"))
+    # keep-min-doc_id-per-digest as ONE window pass (r13 optimization):
+    # the original groupBy(text_fp).min(doc_id) + left-semi join back
+    # referenced ``scored`` from two plan branches, and on a derived
+    # input each branch re-runs the whole scan + tokenize + quality
+    # pass (the line_dedup branch lesson) — plus a join shuffle.  The
+    # unordered window computes the same per-digest min alongside the
+    # rows in a single shuffle on the digest, so document text is read
+    # and scored exactly once; doc_id is unique, so "doc_id == min per
+    # digest" is precisely the old semi-join survivor set.
+    w = Window.partitionBy("text_fp")
     return (
-        scored.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        scored.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
         .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "c")
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")

@@ -170,18 +170,43 @@ def agg_group_analytics(spark: SparkSession, sf: str) -> DataFrame:
 def agg_distinct_collect(spark: SparkSession, sf: str) -> DataFrame:
     """§2.4 exact distinct counts (single- and multi-column) plus the
     array-agg surface (collect_set → sort_array → concat_ws, the
-    deterministic string form both engines agree on) in one grouped
-    pass."""
-    return (
+    deterministic string form both engines agree on).
+
+    Shape (r13 optimization, guide §2.3 "aggregate before you
+    shuffle"): the one-pass groupBy with TWO distinct column sets
+    planned an Expand — every orders row tripled before the exchange,
+    and the distinct machinery shuffled the expanded base table.  The
+    rewrite pre-aggregates to the distinct (priority, custkey, status)
+    triples first (map-side partials collapse duplicates, so the wide
+    shuffle carries ~|distinct triples| rows instead of 3×|orders|),
+    then computes every output from that tiny relation: per-priority
+    triple counts ARE count(DISTINCT custkey, status) (both non-NULL,
+    matching Spark's multi-arg count semantics), the remaining single
+    countDistinct runs over triples, and n re-sums the carried row
+    counts.  Values are identical — only the shuffled volume changes
+    (3×N rows → ~|triples|; at 100 TB that is the difference between
+    shuffling the fact table three times and shuffling its key
+    vocabulary once)."""
+    g = (
         _t(spark, sf, "orders")
-        .groupBy("o_orderpriority")
+        .groupBy("o_orderpriority", "o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        g.groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("n_cust"),
-            F.countDistinct("o_custkey", "o_orderstatus").alias("n_cust_status"),
+            F.count(
+                F.when(
+                    F.col("o_custkey").isNotNull()
+                    & F.col("o_orderstatus").isNotNull(),
+                    1,
+                )
+            ).alias("n_cust_status"),
             F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias(
                 "statuses"
             ),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").alias("n"),
         )
         .orderBy("o_orderpriority")
     )

@@ -1,0 +1,127 @@
+"""Optimization-round profiler (guide §1): per-query plan capture +
+isolated timing through the noop sink.
+
+For each named registry entry this captures ``explain("formatted")`` to
+``plans/r13/<name>_<tag>.txt`` and times the query twice, reporting
+separately:
+
+  * ``build_s``  — driver-side time inside ``QUERIES[name](spark, sf_dir)``
+    (query construction; for streaming entries this includes the whole
+    streamed execution, for model-seeded entries the bounded collects);
+  * ``noop_s``   — ``df.write.format("noop")`` wall time (computation
+    only, no sink, no count-pruning ambiguity);
+  * ``bench_s``  — the bench's own xxhash64-forced count, for
+    comparability with BENCH_*.json numbers.
+
+Usage:
+    python tools/opt_profile.py [--tag before|after] [--sf SF_DIR] name...
+    python tools/opt_profile.py --headline          # the bench set
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    tag = "before"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names: list[str] = []
+    passes = 2
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--tag":
+            tag = args[i + 1]
+            i += 2
+        elif a == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif a == "--passes":
+            passes = int(args[i + 1])
+            i += 2
+        elif a == "--headline":
+            import bench
+
+            names.extend(bench.HEADLINE)
+            i += 1
+        else:
+            names.append(a)
+            i += 1
+
+    from play_bq_gcp_spark import queries as q
+    from play_bq_gcp_spark.session import get_spark
+
+    spark = get_spark(app_name=f"opt_profile_{tag}")
+    # same warmup as bench.py so first-query JIT is not billed
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    q.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    spark.range(256).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for warm_q in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_lines_corpus",
+        "similarity_ann_lsh",
+        "similarity_ann_ivf",
+        "range_join_price_bands",
+    ):
+        if warm_q in names or any(n in names for n in (warm_q,)):
+            q.QUERIES[warm_q](spark, warm_dir).count()
+    from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
+
+    _chunked_events_dir(spark, sf_dir, 4)
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r13",
+    )
+    os.makedirs(plans_dir, exist_ok=True)
+
+    from bench import forced_materialization
+
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        fn = q.QUERIES[name]
+        rec: dict[str, float] = {}
+        for p in range(passes):
+            spark.sparkContext.setJobDescription(f"{name} [{tag} p{p}]")
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            rec["build_s"] = min(rec.get("build_s", 9e9), round(t1 - t0, 3))
+            rec["noop_s"] = min(rec.get("noop_s", 9e9), round(t2 - t1, 3))
+            # bench-comparable action (includes a fresh build)
+            t3 = time.perf_counter()
+            forced_materialization(fn(spark, sf_dir)).count()
+            rec["bench_s"] = min(
+                rec.get("bench_s", 9e9), round(time.perf_counter() - t3, 3)
+            )
+        spark.sparkContext.setJobDescription(None)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as fh:
+            fh.write(plan)
+        rec["exchanges"] = plan.count("Exchange")
+        out[name] = rec
+        print(f"# {name}: {json.dumps(rec)}", file=sys.stderr)
+
+    print(json.dumps({"tag": tag, "sf_dir": sf_dir, "profile": out}))
+
+
+if __name__ == "__main__":
+    main()
