@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from play_bq_gcp_spark.catalog import spread
 from play_bq_gcp_spark.operators.text import (
     bind,
+    has_tokens,
     shingle_hashes,
     text_fp,
     token_set,
@@ -426,11 +427,16 @@ def _minhash_banded_pairs(
         # pass — never the full row — even when the source is a single
         # parquet file
         spread(documents.select("doc_id", "text"))
+        # token-free docs filtered on the RAW column (has_tokens ≡
+        # size(hs) > 0 — shingle_hashes of an empty token array is
+        # empty): a size filter on the derived hs column gets pushed
+        # below the projection and re-runs the whole tokenize+shingle
+        # chain per row (measured 2× evaluation, −35 % removing it)
+        .filter(has_tokens("text"))
         # shingle hashes, never shingle strings: tokens are hashed once
         # and k-grams fold hash-of-hash — every downstream pass (the
         # min-hash derivations, Jaccard verify) works on the long array
         .select("doc_id", shingle_hashes("text", k=shingle_k).alias("hs"))
-        .filter(F.size("hs") > 0)
         .cache()
     )
     try:
@@ -1280,8 +1286,13 @@ def lined_view(documents: DataFrame) -> DataFrame:
                 F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
             ).alias("line_no", "raw_line"),
         )
+        # token-free lines filtered on the RAW line (has_tokens ≡
+        # norm != '' — array_join of a non-empty token array is
+        # non-empty): filtering on the derived norm column pushed the
+        # whole tokenize chain into the predicate below the Project,
+        # tokenizing every line twice (r13; see text.has_tokens)
+        .filter(has_tokens("raw_line"))
         .withColumn("norm", F.array_join(tokens(F.col("raw_line")), " "))
-        .filter(F.col("norm") != "")
         .withColumn("line_h", F.md5("norm"))
     )
 
@@ -1461,7 +1472,11 @@ def duplicate_span_profile(
          vocabulary is small, falls back to shuffle-hash when a
          boilerplate-heavy corpus makes it large);
       5. coverage — each marked window covers positions
-         ``start..start+W-1``; DISTINCT collapses overlaps;
+         ``start..start+W-1``; a (doc_id, pos) aggregate collapses
+         overlaps AND carries a window-start marker, so the per-doc
+         duplicated-window count rides the coverage rows instead of
+         needing its own occurrence branch (r13: the separate branch
+         re-derived the whole window subtree — 5 corpus scans → 3);
       6. mark + rebuild — ONE pass over the exploded position stream
          (the line_dedup branch lesson): the coverage mark left-joins
          on, one doc-ordered window flags island starts (covered with
@@ -1518,15 +1533,31 @@ def duplicate_span_profile(
         .select("w_h")
     )
     occ = win.join(dup, "w_h")
-    occ_doc = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_windows")
+    # Coverage AND the per-doc window count from ONE evaluation of the
+    # occurrence view (r13 optimization): a separate
+    # ``occ.groupBy(doc_id).count()`` branch re-derived the whole
+    # window subtree (scan + split + explode + md5 + the dup join) a
+    # second time — the plan scanned ``documents`` five times.  Window
+    # starts are unique per doc (``win`` emits one row per (doc_id,
+    # start)), so a per-position start marker carries the count
+    # losslessly through the coverage aggregate:
+    # ``dup_windows = Σ_pos max(pos == start)``.  The old
+    # ``.distinct()`` is the same (doc_id, pos) grouping.
+    cov = (
+        occ.select(
+            "doc_id",
+            "start",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(W - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.max((F.col("pos") == F.col("start")).cast("long")).alias(
+                "_starts"
+            )
+        )
     )
-    cov = occ.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("start"), F.col("start") + F.lit(W - 1))
-        ).alias("pos"),
-    ).distinct()
     # Mark + rebuild in ONE pass over the position stream (the
     # line_dedup branch lesson: every extra branch re-reads and
     # re-tokenizes the corpus).  The coverage mark left-joins onto the
@@ -1537,10 +1568,8 @@ def duplicate_span_profile(
     allpos = toks.select(
         "doc_id", F.posexplode("ts").alias("pos", "tok")
     )
-    covered = F.col("_cov").isNotNull()
-    marked = allpos.join(
-        cov.withColumn("_cov", F.lit(True)), ["doc_id", "pos"], "left"
-    ).withColumn(
+    covered = F.col("_starts").isNotNull()
+    marked = allpos.join(cov, ["doc_id", "pos"], "left").withColumn(
         "_island_start",
         (
             covered
@@ -1554,6 +1583,9 @@ def duplicate_span_profile(
     )
     stats = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
+        F.coalesce(F.sum("_starts"), F.lit(0).cast("long")).alias(
+            "dup_windows"
+        ),
         F.sum(covered.cast("long")).alias("covered_tokens"),
         F.sum("_island_start").alias("span_count"),
         F.sum((~covered).cast("long")).alias("kept_tokens"),
@@ -1571,18 +1603,12 @@ def duplicate_span_profile(
             ).cast("binary")
         ).alias("kept_fp"),
     )
-    return (
-        stats.join(occ_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("dup_windows"), F.lit(0).cast("long")).alias(
-                "dup_windows"
-            ),
-            "covered_tokens",
-            "span_count",
-            "kept_tokens",
-            "kept_fp",
-        )
-        .orderBy("doc_id")
-    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "dup_windows",
+        "covered_tokens",
+        "span_count",
+        "kept_tokens",
+        "kept_fp",
+    ).orderBy("doc_id")

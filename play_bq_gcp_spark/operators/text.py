@@ -50,6 +50,28 @@ def token_set(col: Column | str) -> Column:
     return F.array_distinct(tokens(col))
 
 
+def has_tokens(col: Column | str) -> Column:
+    """``size(tokens(col)) > 0`` as a cheap RAW-COLUMN predicate.
+
+    Equivalence: ``tokens`` lowercases, maps every char outside
+    ``[a-z0-9 ]`` to space, splits on space runs and drops empties —
+    so the token array is non-empty iff the text contains at least one
+    ASCII alphanumeric (lowercasing maps A-Z into a-z and nothing else
+    into the kept class; NULL text coalesces to ``''`` on both forms).
+    Why it exists (r13 optimization, guide §4.4's duplication applied
+    to native expressions): a ``filter`` on a column DERIVED in the
+    same query gets pushed below the Project by substituting the whole
+    defining expression into the predicate, and Filter and Project are
+    separate codegen operators — no common-subexpression elimination
+    spans them — so ``.select(shingle_hashes(...)).filter(size > 0)``
+    tokenized and hashed every row TWICE (measured plans carried the
+    tokenize chain 2-3×; the rlike form is 1×, −35 % on the signature
+    pass).  Filtering on the raw column instead is pushdown-FRIENDLY:
+    the predicate lands directly above (or in) the scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit("")).rlike("[a-zA-Z0-9]")
+
+
 def text_fp(col: Column | str) -> Column:
     """md5 fingerprint of the normalized token stream.  NULL text maps
     to the empty-string digest (coalesce), matching the DuckDB oracle's
@@ -546,7 +568,10 @@ def quality_classifier(
         ),
     )
     return (
-        documents.filter(F.size(tokens("text")) > 0)
+        # has_tokens ≡ size(tokens(text)) > 0 on the raw column — keeps
+        # the tokenize chain out of the pushed-down predicate (see
+        # has_tokens) so inference tokenizes each row once, not twice
+        documents.filter(has_tokens("text"))
         .select("doc_id", F.explode(F.array(row)).alias("o"))
         .select("doc_id", "o.n_tokens", "o.logit", "o.label")
     )
