@@ -53,11 +53,16 @@ def token_set(col: Column | str) -> Column:
 def has_tokens(col: Column | str) -> Column:
     """``size(tokens(col)) > 0`` as a cheap RAW-COLUMN predicate.
 
-    Equivalence: ``tokens`` lowercases, maps every char outside
-    ``[a-z0-9 ]`` to space, splits on space runs and drops empties —
-    so the token array is non-empty iff the text contains at least one
-    ASCII alphanumeric (lowercasing maps A-Z into a-z and nothing else
-    into the kept class; NULL text coalesces to ``''`` on both forms).
+    Equivalence BY CONSTRUCTION: ``tokens`` is (lower → map every char
+    outside ``[a-z0-9 ]`` to space → split on space runs → drop
+    empties), so its array is non-empty iff ``lower(text)`` contains
+    at least one ``[a-z0-9]`` character — which is literally this
+    predicate (NULL coalesces to ``''`` on both forms).  The lower()
+    must stay INSIDE the predicate: a raw-column ``[a-zA-Z0-9]`` class
+    is NOT equivalent, because Unicode lowercasing maps a few
+    non-ASCII characters into ``a-z`` (U+212A KELVIN SIGN → ``k``,
+    U+0130 ``İ`` → ``i``+U+0307) — a doc whose only token-producing
+    character is one of those must be KEPT (r13 session review).
     Why it exists (r13 optimization, guide §4.4's duplication applied
     to native expressions): a ``filter`` on a column DERIVED in the
     same query gets pushed below the Project by substituting the whole
@@ -65,11 +70,12 @@ def has_tokens(col: Column | str) -> Column:
     separate codegen operators — no common-subexpression elimination
     spans them — so ``.select(shingle_hashes(...)).filter(size > 0)``
     tokenized and hashed every row TWICE (measured plans carried the
-    tokenize chain 2-3×; the rlike form is 1×, −35 % on the signature
-    pass).  Filtering on the raw column instead is pushdown-FRIENDLY:
-    the predicate lands directly above (or in) the scan."""
+    tokenize chain 2-3×; the lower+rlike form is 1× and skips the
+    regexp_replace/split/array machinery, −35 % on the signature
+    pass).  Filtering on the source column instead of the derived one
+    keeps the predicate directly above the scan."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c, F.lit("")).rlike("[a-zA-Z0-9]")
+    return F.lower(F.coalesce(c, F.lit(""))).rlike("[a-z0-9]")
 
 
 def text_fp(col: Column | str) -> Column:

@@ -981,6 +981,46 @@ def test_embedding_auto_bits_cuts_candidates_keeps_planted_pairs(spark):
     assert set(planted) <= got  # recall intact under auto sizing
 
 
+def test_has_tokens_equals_nonempty_token_array(spark):
+    """r13 optimization pin: ``has_tokens`` (the raw-column predicate
+    that keeps the tokenize chain out of pushed-down filters) must
+    agree with ``size(tokens(text)) > 0`` on every text — INCLUDING
+    the Unicode lowercase traps the session review caught: U+212A
+    (KELVIN SIGN, lower → 'k') and U+0130 ('İ', lower → 'i'+U+0307)
+    produce tokens despite containing no ASCII alphanumeric, so a
+    raw-column [a-zA-Z0-9] class would silently drop them; the
+    lower()-inside form must keep them."""
+    from pyspark.sql import functions as F
+
+    from play_bq_gcp_spark.operators.text import has_tokens, tokens
+
+    texts = [
+        "plain words",
+        "",
+        None,
+        "K",          # KELVIN SIGN — lowers to ASCII 'k'
+        "İİ",    # 'İ' — lowers to 'i' + combining dot
+        "…!!¡¿—",          # punctuation only: no tokens either way
+        "ß",               # lowers to itself, outside [a-z0-9]
+        "漢字",            # CJK: mapped to spaces by the token regex
+        "7",
+        "  \n\t ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = df.select(
+        "i",
+        has_tokens("text").alias("fast"),
+        (F.size(tokens("text")) > 0).alias("slow"),
+    ).collect()
+    mismatches = [(r.i, texts[r.i], r.fast, r.slow) for r in rows if r.fast != r.slow]
+    assert mismatches == []
+    # and the traps are specifically KEPT, not just consistent
+    kept = {r.i for r in rows if r.fast}
+    assert {0, 3, 4, 8} <= kept
+
+
 def test_quality_classifier_exact_and_deterministic(spark):
     """Inference is exactly reproducible: dyadic weights make the sum
     order-independent, and a hand-computed doc scores identically."""
