@@ -133,8 +133,12 @@ def main() -> None:
     # exculpatory evidence: wait (bounded, <=5 min) for 1-min load < 2
     # before pass 1, and record loadavg at the gate and before every
     # pass so any future outlier is attributable from the file alone.
-    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2"))
-    gate_wait_max = 300.0
+    # r14 protocol hardening (r13 verdict #2): the r13 driver bench ran
+    # at 1-min load 6.4-9.3 and manufactured 21 phantom regressions the
+    # judge had to refute by hand.  Tightened gate (2.0 -> 1.0, wait
+    # 300 s -> 600 s) so a loaded host WAITS rather than records noise.
+    gate_threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1"))
+    gate_wait_max = 600.0
     gate_t0 = time.monotonic()
     waited = 0.0
     # sample load ONCE per iteration so the logged value, the loop
@@ -190,16 +194,24 @@ def main() -> None:
             )
         passes.append(t)
 
-    for p in range(2):
+    # r14 protocol hardening (r13 verdict #2, additions-only): ALWAYS
+    # three passes (the old 2-passes-unless-spread rule could stop at
+    # two warm-in samples), then keep sampling while the most recent
+    # pass is still the fastest — a descending total means steady state
+    # wasn't reached (a freshly booted host read 89/53/45 s across the
+    # first three passes of one session) — capped at 5 passes.
+    for p in range(3):
         run_pass(p)
-    totals = [sum(t.values()) for t in passes]
-    if abs(totals[0] - totals[1]) / min(totals) > 0.25:
+    while len(passes) < 5:
+        totals = [sum(t.values()) for t in passes]
+        if totals[-1] >= min(totals[:-1]):
+            break
         print(
-            f"# pass spread {totals[0]:.1f}s vs {totals[1]:.1f}s > 25% "
-            "— load spike suspected, running a third pass",
+            f"# pass totals {['%.1f' % t for t in totals]} still "
+            "descending — steady state not reached, running another pass",
             file=sys.stderr,
         )
-        run_pass(2)
+        run_pass(len(passes))
     timings = {
         name: min(t[name] for t in passes) for name in HEADLINE
     }

@@ -53,8 +53,13 @@ def mat_sql(mat) -> str:
 def dot_sql(a: str, b: str) -> str:
     """SQL text of ``dot(a, b)`` — identical expression tree to the
     Column builder once parsed (same zip_with/aggregate, same
-    left-to-right order), so values are bit-identical.  Lambda
-    variable names are suffixed so nested compositions never shadow."""
+    left-to-right order), so values are bit-identical.  The lambda
+    variables are fixed (``xd``/``yd``/``accd``), so ``a``/``b`` must
+    not themselves contain ``dot_sql`` text: nesting one dot inside
+    another would reuse the names and trip Spark's nested-lambda
+    name-conflict analysis (r13 ADVICE).  Current call sites only pass
+    bound variable names or array literals; compose via ``bind_sql``
+    if a dot-of-dot is ever needed."""
     return (
         f"aggregate(zip_with({a}, {b}, (xd, yd) -> xd * yd), "
         "0.0D, (accd, xd) -> accd + xd)"

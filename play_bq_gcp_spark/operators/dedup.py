@@ -226,6 +226,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
     num_bands: int = 25,
     rows_per_band: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram (2-token shingle) Jaccard ≥ ``threshold`` pairs.
 
@@ -244,6 +245,7 @@ def ngram_jaccard_pairs(
         rows_per_band=rows_per_band,
         shingle_k=2,
         out_col="jaccard",
+        checkpoint=checkpoint,
     )
 
 
@@ -352,6 +354,7 @@ def minhash_lsh_pairs(
     jaccard_distance: float = 0.6,
     num_bands: int = 25,
     rows_per_band: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Banded MinHash near-dup pairs, entirely in native expressions.
 
@@ -384,6 +387,7 @@ def minhash_lsh_pairs(
         rows_per_band=rows_per_band,
         shingle_k=3,
         out_col="jaccard_approx",
+        checkpoint=checkpoint,
     )
 
 
@@ -419,9 +423,18 @@ def _minhash_banded_pairs(
     rows_per_band: int,
     shingle_k: int,
     out_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Shared banded-MinHash engine for the fuzzy text dedup family
-    (see ``minhash_lsh_pairs`` for the full plan narrative)."""
+    (see ``minhash_lsh_pairs`` for the full plan narrative).
+
+    ``checkpoint=False`` skips the cache + eager localCheckpoint and
+    returns the fully LAZY plan — slower to execute (the signature pass
+    would run once per downstream branch) but inspectable end-to-end:
+    the eager checkpoint otherwise truncates ``explain`` to the
+    post-checkpoint tail, hiding the single-tokenize-chain shape from
+    any plan dump (r13 verdict #4).  Execution-path callers always use
+    the default."""
     docs = (
         # spread ONLY (doc_id, text) across all cores for the signature
         # pass — never the full row — even when the source is a single
@@ -437,8 +450,9 @@ def _minhash_banded_pairs(
         # and k-grams fold hash-of-hash — every downstream pass (the
         # min-hash derivations, Jaccard verify) works on the long array
         .select("doc_id", shingle_hashes("text", k=shingle_k).alias("hs"))
-        .cache()
     )
+    if checkpoint:
+        docs = docs.cache()
     try:
         band_keys = _band_keys_expr(num_bands, rows_per_band)
         buckets = docs.select(
@@ -451,6 +465,7 @@ def _minhash_banded_pairs(
             out_a="doc_a",
             out_b="doc_b",
             max_bucket_size=MAX_BUCKET_SIZE,
+            checkpoint=checkpoint,
         )
         ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
         tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
@@ -465,9 +480,11 @@ def _minhash_banded_pairs(
             .filter(F.col(out_col) >= sim_threshold)
         )
         # materialize while docs is cached; surviving pairs are few
-        out = out.localCheckpoint(eager=True)
+        if checkpoint:
+            out = out.localCheckpoint(eager=True)
     finally:
-        docs.unpersist()
+        if checkpoint:
+            docs.unpersist()
     return out
 
 

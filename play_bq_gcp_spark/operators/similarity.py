@@ -70,6 +70,16 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    # signatures fold bit i as the literal 1<<i into one signed BIGINT
+    # (signature_sql/signature_col), so 64+ planes would emit 2^63 —
+    # an overflowing literal that fails to parse with no hint at the
+    # cause (r13 ADVICE); fail here with the knob's name instead
+    if n_planes > 63:
+        raise ValueError(
+            f"n_planes={n_planes} exceeds 63: sign-bit signatures fold "
+            "1<<i into one signed 64-bit long — use <= 63 planes (or "
+            "more tables via n_tables for extra amplification)"
+        )
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
 
@@ -92,6 +102,11 @@ def signature_sql(vec_sql_text: str, planes) -> str:
     shape, same fold order; only lambda variable names differ)."""
     from play_bq_gcp_spark.functions.vector import bind_sql, dot_sql, mat_sql
 
+    if len(planes) > 63:
+        raise ValueError(
+            f"signature_sql: {len(planes)} planes exceed the 63-bit "
+            "signature domain (bit weights are 1<<i in one signed long)"
+        )
     planes_sql = mat_sql(planes)
     pows = "array(" + ",".join(f"{1 << i}L" for i in range(len(planes))) + ")"
     body = (
@@ -537,13 +552,30 @@ def knn_join_lsh(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
+    # top-k and duplicate collapse in ONE window pass (r14, guide §2.4):
+    # the old dropDuplicates([query_id, neighbor_id]) + row_number
+    # shuffled the FULL candidate set twice — once hash-partitioned on
+    # (query, neighbor) for the dedup aggregate, then again on query for
+    # the ranking window.  A (query, neighbor) pair's duplicate rows
+    # (same pair colliding in several (table, signature) buckets) are
+    # bit-identical after scoring — cosine is a deterministic expression
+    # of the pair's two vectors — so they carry identical window
+    # ordering keys (cosine DESC, neighbor_id), and within one query
+    # partition equal ordering keys occur ONLY for duplicates (equal
+    # neighbor_id ⇒ same pair).  dense_rank over the duplicated rows is
+    # therefore exactly row_number over the deduped rows, and
+    # WindowGroupLimit (rank-like pushdown) prunes to rank <= k per map
+    # partition BEFORE the one remaining candidate exchange.  The
+    # explicit dedup then runs on <= k rows (+ collided copies) per
+    # query instead of the whole candidate set.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.dense_rank().over(w))
         .filter(F.col("__rn") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", "cosine", F.col("__rn").alias("rank"))
     )
 

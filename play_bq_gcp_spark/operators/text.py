@@ -170,15 +170,21 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_columns() -> dict[str, Column]:
+def quality_columns(toks: Column | None = None) -> dict[str, Column]:
     """The quality-signal expressions as reusable named Columns (over a
     ``text`` column): doc length, punctuation ratio, stopword ratio,
     composite score.  Shared by ``quality_score`` and inline pipeline
     stages (pipeline_corpus_clean computes these in the SAME select as
-    the dedup digest so document bodies are scanned exactly once)."""
+    the dedup digest so document bodies are scanned exactly once).
+
+    Pass ``toks`` (e.g. a ``bind`` lambda variable over
+    ``tokens("text")``) to build every signal from ONE bound token
+    array instead of re-expanding the tokenize chain per column —
+    identical expressions, single evaluation (r14)."""
     text = F.col("text")
     n_chars = F.length(text).cast("double")
-    toks = tokens("text")
+    if toks is None:
+        toks = tokens("text")
     n_toks = F.size(toks).cast("double")
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     punct = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
@@ -400,8 +406,13 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
     from play_bq_gcp_spark.catalog import spread
 
     toks = spread(
-        documents.select("doc_id", tokens("text").alias("tk")).filter(
-            F.size("tk") > 0
+        # has_tokens ≡ size(tokens(text)) > 0 on the RAW column: a size
+        # filter on the derived tk column is pushed below the Project
+        # by substituting the whole tokenize chain into the predicate,
+        # tokenizing every row twice (the r13 has_tokens class, found
+        # here in the r14 registry sweep)
+        documents.filter(has_tokens("text")).select(
+            "doc_id", tokens("text").alias("tk")
         )
     )
 

@@ -645,19 +645,41 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     rounds, and partitionings — the property a training-subset draw
     needs that rand()-based sampling lacks."""
     from play_bq_gcp_spark.catalog import spread
-    from play_bq_gcp_spark.operators.text import quality_columns, text_fp
+    from play_bq_gcp_spark.operators.text import (
+        bind,
+        quality_columns,
+        tokens,
+    )
 
     from pyspark.sql import Window
 
-    q = quality_columns()
-    scored = (
-        spread(_t(spark, sf, "documents").select("doc_id", "text"))
-        .select(
-            "doc_id",
+    # ONE tokenize pass per row (r14, guide §4.4's duplication applied
+    # to native expressions): filtering on quality/n_tokens — columns
+    # DERIVED in the same select — let Catalyst push the predicate
+    # below the Project (and below spread()'s round-robin exchange!) by
+    # substituting the whole tokenize+quality chain into it, so every
+    # surviving row ran the chain twice and the expensive pass ran
+    # BEFORE the parallelizing repartition.  The quality_classifier
+    # pattern fixes both: all signals build from one BOUND token array
+    # inside an explode(array(struct)) Generate — a barrier predicates
+    # cannot cross (they reference the generated struct), so the chain
+    # is evaluated exactly once per row, after spread.  Values are
+    # identical: same expressions, same floor/round forms (oracle
+    # unchanged).
+    def _row(tk):
+        q = quality_columns(tk)
+        return F.struct(
             q["n_tokens"].alias("n_tokens"),
             q["quality"].alias("quality"),
-            text_fp("text").alias("text_fp"),
+            F.md5(
+                F.coalesce(F.array_join(tk, " "), F.lit(""))
+            ).alias("text_fp"),
         )
+
+    scored = (
+        spread(_t(spark, sf, "documents").select("doc_id", "text"))
+        .select("doc_id", F.explode(F.array(bind(tokens("text"), _row))).alias("o"))
+        .select("doc_id", "o.n_tokens", "o.quality", "o.text_fp")
         .filter((F.col("quality") >= 0.25) & (F.col("n_tokens") >= 20))
     )
     # keep-min-doc_id-per-digest as ONE window pass (r13 optimization):

@@ -2,8 +2,8 @@
 isolated timing through the noop sink.
 
 For each named registry entry this captures ``explain("formatted")`` to
-``plans/r13/<name>_<tag>.txt`` and times the query twice, reporting
-separately:
+``plans/<round>/<name>_<tag>.txt`` (``--round``, default r14) and
+times the query ``--passes`` times (min kept), reporting separately:
 
   * ``build_s``  — driver-side time inside ``QUERIES[name](spark, sf_dir)``
     (query construction; for streaming entries this includes the whole
@@ -36,6 +36,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names: list[str] = []
     passes = 2
+    rnd = "r14"
     i = 0
     while i < len(args):
         a = args[i]
@@ -47,6 +48,11 @@ def main() -> None:
             i += 2
         elif a == "--passes":
             passes = int(args[i + 1])
+            if passes < 1:
+                sys.exit("opt_profile: --passes must be >= 1")
+            i += 2
+        elif a == "--round":
+            rnd = args[i + 1]
             i += 2
         elif a == "--headline":
             import bench
@@ -76,7 +82,7 @@ def main() -> None:
         "similarity_ann_ivf",
         "range_join_price_bands",
     ):
-        if warm_q in names or any(n in names for n in (warm_q,)):
+        if warm_q in names:
             q.QUERIES[warm_q](spark, warm_dir).count()
     from play_bq_gcp_spark.streaming.stateful import _chunked_events_dir
 
@@ -85,7 +91,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        rnd,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

@@ -1,0 +1,135 @@
+"""Per-micro-batch cost breakdown for the streaming headline entries
+(r13 verdict #6): where does the wall time of
+``streaming_window_dedup_counts`` actually go?
+
+Replays the exact query shape of
+``streaming/daily.windowed_deduped_counts`` (doubled stream →
+dropDuplicatesWithinWatermark → 1 h windows, complete mode, AvailableNow,
+noDataMicroBatches off, 8 state partitions) but drives the stream
+directly so the ``StreamingQueryProgress`` records can be captured:
+``durationMs`` splits each micro-batch into latestOffset / getBatch /
+queryPlanning / addBatch / walCommit / commitOffsets, and
+``stateOperators`` reports per-operator state commit time and rows.
+Everything outside the batches (query start/stop, checkpoint dir setup)
+shows up as ``wall - sum(batch durations)``.
+
+Usage: python tools/stream_cost_probe.py [--sf SF_DIR] [--rounds N]
+Prints one JSON line with per-round batch breakdowns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rounds = 3
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--rounds":
+            rounds = int(args[i + 1])
+            i += 2
+        else:
+            sys.exit(f"unknown arg {args[i]}")
+
+    from play_bq_gcp_spark.session import get_spark
+    from play_bq_gcp_spark.streaming.daily import read_events_stream
+
+    spark = get_spark(app_name="stream_cost_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    out: list[dict] = []
+    for r in range(rounds):
+        a = read_events_stream(spark, sf_dir)
+        b = read_events_stream(spark, sf_dir)
+        doubled = a.unionByName(b)
+        deduped = doubled.withWatermark(
+            "ts", "1 hour"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        agg = deduped.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        name = f"probe_{uuid.uuid4().hex[:8]}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_ndb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled"
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        )
+        t0 = time.perf_counter()
+        try:
+            with tempfile.TemporaryDirectory() as ckpt:
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                wall = time.perf_counter() - t0
+                progress = [json.loads(p.json) for p in q.recentProgress]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
+        batches = []
+        for p in progress:
+            batches.append(
+                {
+                    "batchId": p.get("batchId"),
+                    "numInputRows": p.get("numInputRows"),
+                    "durationMs": p.get("durationMs"),
+                    "stateOperators": [
+                        {
+                            "operatorName": s.get("operatorName"),
+                            "numRowsTotal": s.get("numRowsTotal"),
+                            "allUpdatesTimeMs": s.get("allUpdatesTimeMs"),
+                            "allRemovalsTimeMs": s.get("allRemovalsTimeMs"),
+                            "commitTimeMs": s.get("commitTimeMs"),
+                        }
+                        for s in p.get("stateOperators", [])
+                    ],
+                }
+            )
+        total_batch_ms = sum(
+            sum((b["durationMs"] or {}).values()) for b in batches
+        )
+        out.append(
+            {
+                "round": r,
+                "wall_s": round(wall, 3),
+                "n_batches": len(batches),
+                "sum_batch_durationMs": total_batch_ms,
+                "outside_batches_s": round(wall - total_batch_ms / 1000.0, 3),
+                "batches": batches,
+            }
+        )
+        print(f"# round {r}: wall {wall:.3f}s", file=sys.stderr)
+
+    print(json.dumps({"sf_dir": sf_dir, "rounds": out}))
+
+
+if __name__ == "__main__":
+    main()
