@@ -70,16 +70,10 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    # signatures fold bit i as the literal 1<<i into one signed BIGINT
-    # (signature_sql/signature_col), so 64+ planes would emit 2^63 —
-    # an overflowing literal that fails to parse with no hint at the
-    # cause (r13 ADVICE); fail here with the knob's name instead
-    if n_planes > 63:
-        raise ValueError(
-            f"n_planes={n_planes} exceeds 63: sign-bit signatures fold "
-            "1<<i into one signed 64-bit long — use <= 63 planes (or "
-            "more tables via n_tables for extra amplification)"
-        )
+    # no bit-width cap here: dedup._sign_bucket_keys legitimately draws
+    # n_tables×bits planes from one call and folds each table's bits
+    # separately — the 63-plane limit applies only where bits fold into
+    # ONE signed long (signature_sql / signature_col, guarded there)
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
 
@@ -131,6 +125,13 @@ def signature_col(vec_col, planes: np.ndarray):
         return F.expr(signature_sql(vec_col, planes))
     from play_bq_gcp_spark.functions.vector import mat_lit
 
+    if len(planes) > 63:
+        # bit weights are 1<<i in ONE signed long: 64+ planes would
+        # overflow the literal with no hint at the cause (r13 ADVICE)
+        raise ValueError(
+            f"signature_col: {len(planes)} planes exceed the 63-bit "
+            "signature domain (bit weights are 1<<i in one signed long)"
+        )
     planes_lit = mat_lit(planes)
     pows = F.array(
         *[F.lit(1 << i).cast("long") for i in range(len(planes))]
