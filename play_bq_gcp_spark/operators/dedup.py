@@ -213,12 +213,24 @@ def casefold_dedup_groups(
 
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Keep one row per distinct normalized text (the min doc_id) —
-    dropDuplicates with an explicit deterministic keeper."""
-    key = text_fp("text").alias("text_fp")
-    w_min = documents.select("doc_id", key).groupBy("text_fp").agg(
-        F.min("doc_id").alias("doc_id")
+    dropDuplicates with an explicit deterministic keeper.
+
+    One window pass instead of groupBy + semi-join (r14, the
+    pipeline_corpus_clean r13 rewrite applied to the shared operator):
+    the two-branch form evaluated ``documents`` — and whatever chain
+    derives it — twice; the unordered per-digest min computes the same
+    keeper alongside the rows in ONE shuffle on the digest, and doc_id
+    is unique so ``doc_id == min per digest`` is exactly the old
+    semi-join survivor set."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    return (
+        documents.withColumn("__fp", text_fp("text"))
+        .withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__fp", "__min_id")
     )
-    return documents.join(w_min, "doc_id", "left_semi")
 
 
 def ngram_jaccard_pairs(
@@ -894,6 +906,7 @@ def containment_pairs(
     n_docs: int | None = None,
     observation=None,
     candidate_budget: int | str = "auto",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Asymmetric CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|)
     over trigram-shingle sets (bigrams are too common to index on this
@@ -964,9 +977,25 @@ def containment_pairs(
     if auto_mode:
         n = documents.count() if n_docs is None else n_docs
         max_df = max(16, n // 200)
-    sh = documents.select(
-        F.col("doc_id"), F.explode(shingle_hashes("text", shingle_k)).alias("g")
+    # Tokenize + shingle ONCE (r14, the minhash-engine pattern applied
+    # here after the registry-wide duplicated-branch sweep): the
+    # downstream graph references the shingle stream from SEVEN plan
+    # branches (df index, rare×2 candidate sides, rare counts, verify
+    # sides×2, sizes), and each lazy reference re-derived the whole
+    # scan → tokenize → shingle chain — the r14 plan dump carried 14
+    # tokenize chains.  Caching the per-doc hash ARRAYS (not the
+    # exploded stream: ~8× fewer cached rows) makes every branch an
+    # explode over cached arrays, and the eager checkpoint of the
+    # small pair output materializes everything while the cache is
+    # live (``checkpoint=False`` keeps the fully lazy plan for
+    # inspection, as in ``_minhash_banded_pairs``).
+    docs_hs = (
+        spread(documents.select("doc_id", "text"))
+        .select("doc_id", shingle_hashes("text", k=shingle_k).alias("hs"))
     )
+    if checkpoint:
+        docs_hs = docs_hs.cache()
+    sh = docs_hs.select("doc_id", F.explode("hs").alias("g"))
     dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     if auto_mode and max_df > 16:
         # Candidate-VOLUME governor (round 8).  The n/200 recall cap
@@ -1063,9 +1092,14 @@ def containment_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i_rare"))
     )
-    # per-doc totals from sh, per-doc rare counts from the already-
-    # built rare stream; both shuffles move (doc_id, long) only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-doc totals straight off the cached hash arrays — size(hs) ==
+    # the old explode+groupBy count (explode emits one row per element
+    # and hs is never NULL), minus one whole shuffle of the shingle
+    # stream.  A zero-shingle doc now carries an n=0 row the old
+    # aggregate lacked; harmless, since every consumer joins ``bound``
+    # INNER on a doc id that holds >= 1 shingle (it came from a
+    # candidate pair).  Rare counts still need the post-join aggregate.
+    sizes = docs_hs.select("doc_id", F.size("hs").cast("long").alias("n"))
     n_rare = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("r"))
     bound = sizes.join(n_rare, "doc_id", "left").select(
         "doc_id", "n", F.coalesce(F.col("r"), F.lit(0)).alias("r")
@@ -1099,7 +1133,7 @@ def containment_pairs(
     )
     na = bound.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = bound.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    return (
+    out = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -1111,6 +1145,14 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    if checkpoint:
+        try:
+            # materialize the few surviving pairs while docs_hs is
+            # cached (observation metrics ride this same action)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            docs_hs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

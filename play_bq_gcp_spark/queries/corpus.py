@@ -520,24 +520,41 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("lang") == "en")
         & F.size(tokens("text")).between(15, 1000)
     )
-    ex = exact_dedup(pool)
-    near_drops = (
-        ngram_jaccard_pairs(ex, threshold=0.7)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    nd = ex.join(near_drops, "doc_id", "left_anti")
-    keep = decontaminate(nd, docs.filter(is_eval), n=8).filter(
-        ~F.col("contaminated")
-    )
-    clean = nd.join(keep.select("doc_id"), "doc_id", "left_semi")
-    out = sequence_pack(clean, budget=256)
-    return out.select(
-        "doc_id",
-        "source",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "bin_id",
-    ).orderBy("doc_id")
+    # Cache the exact-dedup survivors for the pipeline's lifetime
+    # (r14, the minhash-engine pattern): the survivor relation is
+    # referenced from FOUR plan branches (near-dup signature build,
+    # decontaminate's gram explode, decontaminate's id spine, the
+    # final semi-join), and each lazy reference re-ran the whole
+    # scan → tokenize-gate → dedup-window chain over the corpus.  The
+    # cache holds only (doc_id, source, text) of survivors; the eager
+    # checkpoint of the small packed output materializes everything
+    # while it is live, then releases it.
+    ex = exact_dedup(pool).select("doc_id", "source", "text").cache()
+    try:
+        near_drops = (
+            ngram_jaccard_pairs(ex, threshold=0.7)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        nd = ex.join(near_drops, "doc_id", "left_anti")
+        keep = decontaminate(nd, docs.filter(is_eval), n=8).filter(
+            ~F.col("contaminated")
+        )
+        clean = nd.join(keep.select("doc_id"), "doc_id", "left_semi")
+        out = sequence_pack(clean, budget=256)
+        out = (
+            out.select(
+                "doc_id",
+                "source",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                "bin_id",
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ex.unpersist()
+    return out
 
 
 def _ingest_oracle_sql(n_batches: int = 4) -> str:
