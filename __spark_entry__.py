@@ -30,7 +30,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``queries()`` in insertion order.  Rotation policy: FRESHNESS —
 # each round the window re-attests (a) every entry whose CODE or
 # ORACLE changed this round, then (b) the entries whose last driver
-# green is oldest.  Round 13 carries:
+# green is oldest.
+#
+# ROUND 14 (optimization round 2; the r13 verdict's Next-round #1
+# prescribes this window):
+#
+# (a) CHANGED — first, the 8 entries the r13 optimization commits
+# touched AFTER that round's window rotation (the attestation hole the
+# r13 verdict flagged): pipeline_corpus_clean (ALSO rewritten r14:
+# quality columns behind a Generate barrier, one tokenize pass),
+# agg_distinct_collect, dedup_minhash_lsh / dedup_ngram_jaccard
+# (r14: checkpoint=False plan-view plumbing only on the execution
+# path's signature), dedup_lines_corpus, text_quality_classifier,
+# similarity_ann_lsh_exact / similarity_ann_ivf_exact (r14: the
+# signature_col 63-plane guard sits on their build path).  Then the
+# r14-changed entries: knn_join_lsh (dense_rank top-k — one candidate
+# exchange), text_bpe_token_stats (SQL-text train loop, V-derived
+# single-partition iterations), dedup_containment_pairs /
+# dedup_containment_governed (shared cached shingle arrays, size(hs)
+# totals), pipeline_pretrain_corpus (cached dedup survivors +
+# window-form exact_dedup), text_lm_fluency (cached token arrays),
+# text_boilerplate_spans (full_only shingles — no derived-size
+# filter), text_repetition_profile (raw-column has_tokens),
+# dedup_embedding_cosine (plane-guard placement fix caught by this
+# round's sf0.01 sweep — the blanket guard briefly broke its
+# 128-plane multi-table draw).
+#
+# (b) ROTATION — the 30 r10-vintage deferrals the r13 entry named as
+# due at r14 (q2/q4/q13 and the 27 others), then the 3 oldest (r11)
+# attestations among headline entries: q1_pricing_summary,
+# text_doc_profile, sessionize_events.  After r14 the oldest
+# oracle-backed attestation is r11 (the remaining ~40 of that cohort,
+# due first at any r15 window).
+#
+# Every window entry was locally differential-checked at sf0.01 before
+# this rotation landed; the full tri-SF sweep runs at close-out.
+#
+# Round 13's window rationale (kept for the ledger):
 #
 # (a) CHANGED/NEW — txn_time_travel_read (NEW ENTRY — read_at pinned
 # to v1 of a txn table whose latest is v2; snapshot isolation
@@ -112,59 +148,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # runs at close-out.  After r13 the oldest oracle-backed attestation
 # will be r10 (those 28 deferrals), due first at r14.
 _WINDOW = [
-    # (a) changed/new this round
-    "txn_time_travel_read",
-    "txn_schema_evolution_read",
-    "join_dpp_partition_pruned",
-    "scan_partition_pruned",
-    "join_bloom_pruned",
-    "dedup_semantic_semdedup",
-    "text_edit_distance",
-    "dedup_duplicate_spans",
-    "curation_dsir_select",
-    # (b) the 30 r9-vintage deferrals, due at r13
-    "multimodal_image_near_dup",
-    "multimodal_video_frames",
-    "multimodal_waveform",
-    "pandas_udf_token_count",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_latency_priority_classes",
-    "q14_promo_revenue",
-    "q15_top_suppliers",
-    "q16_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracketed_revenue",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_region_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "quality_length_outliers_mad",
-    "quality_referential_integrity",
-    "range_join_price_bands",
-    "text_boilerplate_spans",
-    "text_char_entropy",
-    "text_encoding_audit",
-    "text_lang_confusion_matrix",
-    "trend_daily_revenue",
-    "window_rank_family_full",
-    # (b) oldest 11 of the r10 cohort (alphabetical)
-    "agg_stats_percentiles",
-    "cohort_weekly_retention",
-    "curation_epoch_shuffle",
-    "decontaminate_eval_overlap",
+    # (a) r13-optimization attestation hole + r14-changed
+    "pipeline_corpus_clean",
+    "agg_distinct_collect",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_lines_corpus",
+    "text_quality_classifier",
+    "similarity_ann_lsh_exact",
+    "similarity_ann_ivf_exact",
+    "knn_join_lsh",
+    "text_bpe_token_stats",
+    "dedup_containment_pairs",
     "dedup_containment_governed",
-    "dedup_simhash_pairs",
-    "funnel_view_click_purchase",
-    "merge_cdc_apply",
-    "multimodal_audio_fp_exact",
-    "pii_redaction_profile",
     "pipeline_pretrain_corpus",
+    "text_lm_fluency",
+    "text_boilerplate_spans",
+    "text_repetition_profile",
+    "dedup_embedding_cosine",
+    # (b) the 30 r10-vintage deferrals, due at r14
+    "q9_profit_by_nation_year",
+    "rest_source_snapshot",
+    "sampling_weighted_systematic",
+    "scalar_suite_orders",
+    "scan_federated_union",
+    "scan_provenance_files",
+    "semi_join_customers",
+    "semistructured_suite",
+    "similarity_ann_recall_floors",
+    "similarity_centroid_separation",
+    "similarity_knn_join",
+    "similarity_mmr_exact",
+    "similarity_topk_bruteforce",
+    "snapshot_delta_events",
+    "streaming_countmin_merge",
+    "streaming_funnel_fsm_tws",
+    "streaming_interval_join",
+    "streaming_left_semi_interval_join",
+    "streaming_right_outer_interval_join",
+    "streaming_stateful_tws",
+    "streaming_stateful_user_stats",
+    "streaming_static_enrich",
+    "temporal_join_versions",
+    "udaf_geomean_price",
+    "udtf_chunk_documents",
+    "window_range_frame",
+    "window_rank_topk",
+    "q4_priority_late_orders",
+    "q2_min_cost_supplier",
+    "q13_order_distribution",
+    # (b) oldest (r11) attestations among headline entries
+    "q1_pricing_summary",
+    "text_doc_profile",
+    "sessionize_events",
 ]
 
 

@@ -1435,12 +1435,12 @@ def line_dedup(
 
     Plan shape (all native expressions, zero UDFs).  The text-heavy
     line view (``split`` + ``posexplode`` + per-line ``tokens``) is
-    deliberately evaluated in exactly TWO plan branches — once under
-    the frequency aggregate, once under the mark-and-rebuild pass —
-    because on a derived input (the registry entry synthesizes its
-    corpus from an expression) every extra branch re-runs the whole
-    upstream tokenization; the first cut of this operator carried four
-    such branches and measured 3-4x slower end to end (SCALING.md r10):
+    referenced from exactly TWO plan branches — the frequency
+    aggregate and the mark-and-rebuild pass — and since r14 it is
+    CACHED so those two branches evaluate it once (the first cut of
+    this operator carried four lazy branches and measured 3-4x slower
+    end to end, SCALING.md r10; the r13 cut got it to two; the cache
+    closes the last factor of two):
       1. line frequency — one shuffle on the 128-bit line digest with
          map-side partial aggregation (``count(DISTINCT doc_id)``
          rewrites to a two-phase partial/final under whole-stage
@@ -1467,26 +1467,42 @@ def line_dedup(
     Output: ``doc_id, n_lines, n_kept, cleaned_fp`` sorted by doc_id;
     ``n_lines`` counts token-bearing lines only.
     """
-    lined = lined_view(documents)
-    # Corpus-relative threshold: one 1-row aggregate, broadcast by the
-    # cross join — never a driver collect.  count(1) prunes text, so
-    # this branch never tokenizes.
-    thr = documents.agg(
-        F.greatest(
-            F.lit(int(min_doc_freq)).cast("long"),
-            F.floor(F.count(F.lit(1)) * F.lit(float(min_doc_frac))),
-        ).alias("_thr")
-    )
-    freq = lined.groupBy("line_h").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
-    )
-    drop = (
-        freq.crossJoin(thr)
-        .filter(F.col("doc_freq") >= F.col("_thr"))
-        .select("line_h", F.lit(True).alias("_bp"))
-    )
-    per_doc = mark_rebuild(lined, drop)
-    return finalize_line_outputs(documents, per_doc).orderBy("doc_id")
+    # r14: cache the line view so its two consumer branches (frequency
+    # aggregate, mark-and-rebuild) split + tokenize the corpus ONCE —
+    # the r10 design already minimized the branch count to two; the
+    # cache takes it to one evaluation (interleaved A/B, both orders:
+    # ~ −6 % at sf0.1, collect() outputs identical).  The per-doc
+    # output is narrow (ids, counts, one md5), so the eager checkpoint
+    # that materializes it while the cache is live stays small; at
+    # 100 TB the cached line view spills MEMORY_AND_DISK — the same
+    # materialize-once-vs-recompute-twice trade, made explicit.
+    lined = lined_view(documents).cache()
+    try:
+        # Corpus-relative threshold: one 1-row aggregate, broadcast by
+        # the cross join — never a driver collect.  count(1) prunes
+        # text, so this branch never tokenizes.
+        thr = documents.agg(
+            F.greatest(
+                F.lit(int(min_doc_freq)).cast("long"),
+                F.floor(F.count(F.lit(1)) * F.lit(float(min_doc_frac))),
+            ).alias("_thr")
+        )
+        freq = lined.groupBy("line_h").agg(
+            F.countDistinct("doc_id").alias("doc_freq")
+        )
+        drop = (
+            freq.crossJoin(thr)
+            .filter(F.col("doc_freq") >= F.col("_thr"))
+            .select("line_h", F.lit(True).alias("_bp"))
+        )
+        per_doc = mark_rebuild(lined, drop)
+        return (
+            finalize_line_outputs(documents, per_doc)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        lined.unpersist()
 
 
 def duplicate_span_profile(
